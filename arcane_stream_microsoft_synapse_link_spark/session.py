@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are chosen for scale-out behavior even when running on
+``local[N]``: AQE on (runtime coalesce + skew-join handling), explicit
+broadcast threshold for dimension tables, Arrow for any pandas-UDF exchange,
+and UTC session time to keep timestamp semantics engine-portable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs we also re-assert on sessions we did not create
+# (the verification driver passes us its own session).
+RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # dimension tables (region/nation/supplier/part at test SF) broadcast;
+    # at 100 TB the big facts never qualify, so this is safe at scale.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which vanilla Spark
+    # rejects; read as long and convert to µs timestamp in the catalog
+    # (matches DuckDB's ns→µs truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "arcane-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Re-assert runtime-settable confs on an externally created session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session; keep going
+    return spark

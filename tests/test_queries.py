@@ -1,0 +1,22 @@
+"""Declared-query correctness: Spark result vs DuckDB oracle at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from arcane_stream_microsoft_synapse_link_spark.plans import ORACLE, QUERIES
+
+from .oracle_harness import compare
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(spark, sf_dir, name):
+    assert name in QUERIES, f"oracle {name} has no Spark query"
+    ok, msg = compare(spark, sf_dir, QUERIES[name], ORACLE[name])
+    assert ok, msg
+
+
+def test_all_queries_have_runnable_plans(spark, sf_dir):
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name

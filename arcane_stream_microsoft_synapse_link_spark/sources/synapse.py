@@ -1,0 +1,124 @@
+"""Synapse Link export source: changelog pointer + batch-folder discovery.
+
+Source layout (reference ``Fixtures.scala:27-73``, FIXTURES.md §1.1):
+
+    <root>/
+      model.json                     # CDM model at container root
+      Changelog/changelog.info       # text: name of newest COMPLETE folder
+      <yyyy-MM-dd'T'HH.mm.ss'Z'>/    # one folder per change batch
+        model.json                   # schema snapshot for this batch
+        <entity>/<chunk>.csv         # headerless quoted CSV chunks
+
+Operators A1/A2/B5 (SURVEY.md §2.A-B): the changelog pointer is the stream
+frontier (``latestOffset``); pending work is the folder-name range
+``(watermark, changelog]`` — folder names are zero-padded UTC timestamps so
+plain string comparison is the version order.
+
+Folder listing is driver-side metadata I/O (exactly like a streaming
+source's offset planning); the data I/O (CSV reads) is distributed. On
+Azure this same class runs against ``abfss://`` through the Hadoop
+filesystem — paths stay opaque strings to the rest of the engine.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .cdm import CdmEntity, parse_model, read_entity_csv
+
+FOLDER_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}\.\d{2}\.\d{2}Z$")
+
+
+@dataclass(frozen=True)
+class BatchFolder:
+    name: str  # the version/offset — sortable timestamp string
+    path: str
+
+
+class SynapseLinkSource:
+    def __init__(self, root: str, entity_name: str):
+        self.root = root
+        self.entity_name = entity_name
+
+    # ---- offsets (A1) ----------------------------------------------------
+    def changelog_head(self) -> str | None:
+        """Read Changelog/changelog.info → newest complete batch folder."""
+        info = os.path.join(self.root, "Changelog", "changelog.info")
+        try:
+            with open(info) as fh:
+                head = fh.read().strip()
+                return head or None
+        except FileNotFoundError:
+            return None
+
+    # ---- folder planning (A2 + B5) ----------------------------------------
+    def list_folders(
+        self, after: str | None = None, up_to: str | None = None
+    ) -> list[BatchFolder]:
+        """Batch folders with names in ``(after, up_to]``, version order."""
+        if not os.path.isdir(self.root):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.root)):
+            if not FOLDER_RE.match(name):
+                continue
+            if after is not None and name <= after:
+                continue
+            if up_to is not None and name > up_to:
+                continue
+            out.append(BatchFolder(name=name, path=os.path.join(self.root, name)))
+        return out
+
+    def pending(self, watermark: str | None) -> list[BatchFolder]:
+        """Folders after the stored watermark up to the changelog frontier."""
+        head = self.changelog_head()
+        if head is None:
+            return []
+        return self.list_folders(after=watermark, up_to=head)
+
+    # ---- schema (A4) -------------------------------------------------------
+    def entity_schema(self, folder: BatchFolder | None = None) -> CdmEntity:
+        """Entity schema from the batch's model.json (per-batch schema —
+        one folder has exactly one schema, watch-list item 3), falling back
+        to the container-root model.json."""
+        candidates = []
+        if folder is not None:
+            candidates.append(os.path.join(folder.path, "model.json"))
+        candidates.append(os.path.join(self.root, "model.json"))
+        for path in candidates:
+            if os.path.exists(path):
+                with open(path) as fh:
+                    model = parse_model(fh.read())
+                if self.entity_name in model:
+                    return model[self.entity_name]
+        raise FileNotFoundError(f"no model.json declares entity {self.entity_name!r}")
+
+    # ---- data (A3/B21) -----------------------------------------------------
+    def read_batch(self, spark: SparkSession, folder: BatchFolder) -> DataFrame | None:
+        """All CSV chunks of one batch folder as one typed DataFrame."""
+        entity_dir = os.path.join(folder.path, self.entity_name)
+        if not os.path.isdir(entity_dir):
+            return None
+        csvs = [
+            os.path.join(entity_dir, f)
+            for f in sorted(os.listdir(entity_dir))
+            if f.endswith(".csv")
+        ]
+        if not csvs:
+            return None
+        return read_entity_csv(spark, csvs, self.entity_schema(folder))
+
+    def read_folders(self, spark: SparkSession, folders: list[BatchFolder]) -> DataFrame | None:
+        """Union of several batch folders (backfill scan B13). Folders are
+        read per-folder because each may carry its own schema."""
+        dfs = [d for d in (self.read_batch(spark, f) for f in folders) if d is not None]
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out

@@ -1,0 +1,114 @@
+"""Versioned parquet table with atomic pointer commits — the engine's sink.
+
+The reference lands data in Iceberg and mutates it via Trino ``MERGE``
+(README.md:7-8). Without a lakehouse runtime in this container, the engine
+implements the same transactional contract on plain parquet:
+
+    <root>/
+      _meta/LATEST          # text: committed version number (atomic swap)
+      _meta/watermark       # text: last merged batch folder (operator B11)
+      v0000001/*.parquet    # immutable snapshot per commit
+
+A commit writes a brand-new snapshot directory, then atomically replaces
+the pointer file (POSIX rename). Readers resolve the pointer once and only
+ever see complete snapshots — the same reader isolation Iceberg gives via
+its metadata pointer. Old snapshots remain for time travel until
+``expire_snapshots`` (maintenance operator C2/C3) removes them.
+
+On a production cluster this module is swapped for Iceberg/Delta
+(``MERGE INTO`` with the identical plan shape); every caller goes through
+this narrow interface so the swap is local. Copy-on-write of the full
+snapshot is what Iceberg's ``copy-on-write MERGE`` does per touched file;
+with merge-key bucketing (reference partition spec
+``bucket(arcane_merge_key, N)``, docs/crd.md:211) only touched buckets
+would rewrite — mirrored here by partitioning snapshots on a key bucket.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class VersionedTable:
+    def __init__(self, root: str, bucket_count: int = 0, bucket_key: str = "arcane_merge_key"):
+        self.root = root
+        self.bucket_count = bucket_count
+        self.bucket_key = bucket_key
+        self._meta = os.path.join(root, "_meta")
+
+    # ---- metadata -------------------------------------------------------
+    def _pointer_path(self) -> str:
+        return os.path.join(self._meta, "LATEST")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._pointer_path()) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def exists(self) -> bool:
+        return self.current_version() > 0
+
+    def _snapshot_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"v{version:07d}")
+
+    def _write_atomic(self, path: str, content: str) -> None:
+        os.makedirs(self._meta, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(content)
+        os.replace(tmp, path)  # atomic on POSIX — the commit point
+
+    # ---- watermark (operator B11) ---------------------------------------
+    def watermark(self) -> str | None:
+        try:
+            with open(os.path.join(self._meta, "watermark")) as fh:
+                return fh.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def set_watermark(self, value: str) -> None:
+        self._write_atomic(os.path.join(self._meta, "watermark"), value)
+
+    # ---- IO ---------------------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        v = self.current_version()
+        if v == 0:
+            raise FileNotFoundError(f"table {self.root} has no committed snapshot")
+        return spark.read.parquet(self._snapshot_dir(v))
+
+    def commit(self, df: DataFrame) -> int:
+        """Write a new immutable snapshot and atomically advance the pointer."""
+        new_v = self.current_version() + 1
+        out = self._snapshot_dir(new_v)
+        writer = df.write.mode("overwrite")
+        if self.bucket_count and self.bucket_key in df.columns:
+            # co-locate rows by merge-key bucket so at scale a MERGE only
+            # rewrites touched buckets (bucket(arcane_merge_key, N) analog)
+            df = df.withColumn(
+                "__bucket", F.pmod(F.xxhash64(self.bucket_key), F.lit(self.bucket_count))
+            )
+            writer = df.write.mode("overwrite").partitionBy("__bucket")
+        writer.parquet(out)
+        self._write_atomic(self._pointer_path(), str(new_v))
+        return new_v
+
+    # ---- maintenance (operators C1-C3 analog) ----------------------------
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Drop snapshot dirs older than the last ``keep_last`` (C2/C3)."""
+        current = self.current_version()
+        removed = []
+        if not os.path.isdir(self.root):
+            return removed
+        for name in os.listdir(self.root):
+            if name.startswith("v") and name[1:].isdigit():
+                v = int(name[1:])
+                if v <= current - keep_last:
+                    shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+                    removed.append(v)
+        return sorted(removed)

@@ -1,0 +1,112 @@
+"""E2E CDC scenario — port of the reference's only executable oracle
+(StreamRunner.scala:176-235): backfill two folders → 5 rows, stream
+upsert/delete/no-op batches → exactly 6 rows, deleted key gone, updated
+key at the bumped version, watermark at the frontier. Plus idempotency
+(replay) and crash-between-commit-and-watermark probes."""
+
+from __future__ import annotations
+
+import pytest
+
+from arcane_stream_microsoft_synapse_link_spark.streaming.runner import StreamRunner, StreamSpec
+from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+
+from .synapse_fixture import BASE_VERSION, ENTITY, KEYS, SynapseFixture, minus
+
+
+@pytest.fixture()
+def scenario(tmp_path):
+    fx = SynapseFixture(tmp_path / "source")
+    spec = StreamSpec(
+        entity_name=ENTITY,
+        source_root=str(tmp_path / "source"),
+        target_root=str(tmp_path / "target"),
+    )
+    return fx, spec
+
+
+def _ids_and_versions(df):
+    return {r["Id"]: r["versionnumber"] for r in df.select("Id", "versionnumber").collect()}
+
+
+def test_backfill_then_stream(spark, scenario):
+    fx, spec = scenario
+    # two backfill folders with the same 5 keys; changelog at the newer one
+    fx.upload_batch(minus(hours=2))
+    newest = fx.upload_batch(minus(hours=1), update_changelog=True)
+
+    runner = StreamRunner(spark, spec)
+    assert runner.backfill() == 5
+    assert runner.table.watermark() == newest
+
+    # streamed changes: upsert+delete folder, delete folder, no-op folder
+    fx.upload_batch(minus(minutes=15), add_delete=True, add_upsert=True)
+    fx.upload_batch(minus(minutes=10), add_delete=True)
+    frontier = fx.upload_batch(minus(minutes=5), update_changelog=True)
+
+    assert runner.run_once() == 3
+
+    result = runner.table.read(spark)
+    state = _ids_and_versions(result)
+    assert len(state) == 5 - 1 + 2
+    assert KEYS[0] not in state  # deleted key gone
+    assert state[KEYS[1]] == BASE_VERSION + 100  # update survived stale re-uploads
+    assert KEYS[5] in state and KEYS[6] in state  # inserts landed
+    assert runner.table.watermark() == frontier
+
+    # no pending work → no-op tick
+    assert runner.run_once() == 0
+
+
+def test_replay_is_idempotent(spark, scenario):
+    fx, spec = scenario
+    fx.upload_batch(minus(hours=1), update_changelog=True)
+    runner = StreamRunner(spark, spec)
+    runner.backfill()
+
+    fx.upload_batch(minus(minutes=15), add_delete=True, add_upsert=True, update_changelog=True)
+    runner.run_once()
+    before = _ids_and_versions(runner.table.read(spark))
+    v_before = runner.table.current_version()
+
+    # simulate crash between snapshot commit and watermark: rewind watermark
+    runner.table.set_watermark(fx.folder_name(minus(hours=1)))
+    runner.run_once()  # replays the already-merged folder
+
+    after = _ids_and_versions(runner.table.read(spark))
+    assert after == before  # version guard makes the replay a no-op
+    assert runner.table.current_version() == v_before + 1  # new snapshot, same content
+
+
+def test_delete_then_stale_reupload_nets_to_delete(spark, scenario):
+    """A delete and a later stale re-upload of the same key within one
+    capture window must net to a delete (the group-dedup semantics)."""
+    fx, spec = scenario
+    fx.upload_batch(minus(hours=1), update_changelog=True)
+    runner = StreamRunner(spark, spec)
+    runner.backfill()
+
+    fx.upload_batch(minus(minutes=10), add_delete=True)  # delete KEYS[0]
+    fx.upload_batch(minus(minutes=5), update_changelog=True)  # stale base re-upload
+    runner.run_once()
+
+    state = _ids_and_versions(runner.table.read(spark))
+    assert KEYS[0] not in state
+    assert len(state) == 4
+
+
+def test_backfill_merge_behavior(spark, scenario):
+    """Backfill with Merge finalization folds into the live target (B16)."""
+    fx, spec = scenario
+    fx.upload_batch(minus(hours=2), update_changelog=True)
+    runner = StreamRunner(spark, spec)
+    runner.backfill()
+    assert runner.table.read(spark).count() == 5
+
+    fx.upload_batch(minus(minutes=30), add_upsert=True, update_changelog=True)
+    spec2 = StreamSpec(**{**spec.__dict__, "backfill_behavior": "Merge", "backfill_start": None})
+    runner2 = StreamRunner(spark, spec2)
+    assert runner2.backfill() == 7  # 5 + 2 inserts, update folded in
+
+    state = _ids_and_versions(runner2.table.read(spark))
+    assert state[KEYS[1]] == BASE_VERSION + 100

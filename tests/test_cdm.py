@@ -1,0 +1,142 @@
+"""Operator unit tests: CDM parsing, timestamp formats, sparse delete rows,
+name normalization, field selection, dedup ordering, schema evolution."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arcane_stream_microsoft_synapse_link_spark.operators.dedup import latest_by_version
+from arcane_stream_microsoft_synapse_link_spark.operators.merge import cdc_merge
+from arcane_stream_microsoft_synapse_link_spark.operators.transforms import (
+    normalize_column_names,
+    select_fields,
+    with_merge_key,
+)
+from arcane_stream_microsoft_synapse_link_spark.sources.cdm import (
+    parse_model,
+    parse_timestamp,
+    read_entity_csv,
+)
+
+from .synapse_fixture import ENTITY, KEYS, base_file, delete_file, model_json
+
+
+def test_parse_model_types():
+    model = parse_model(model_json())
+    ent = model[ENTITY]
+    types = {a.name: a.spark_type() for a in ent.attributes}
+    assert types["Id"] == T.StringType()
+    assert types["versionnumber"] == T.LongType()
+    assert types["SinkCreatedOn"] == T.TimestampType()
+    assert types["createdon"] == T.TimestampType()
+    assert types["IsDelete"] == T.BooleanType()
+
+
+def test_parse_model_decimal_traits():
+    doc = """{"entities":[{"name":"e","attributes":[
+      {"name":"d","dataType":"decimal","cdm:traits":[
+        {"traitReference":"is.dataFormat.numeric.shaped",
+         "arguments":[{"name":"precision","value":12},{"name":"scale","value":3}]}]}]}]}"""
+    ent = parse_model(doc)["e"]
+    assert ent.attributes[0].spark_type() == T.DecimalType(12, 3)
+
+
+def test_timestamp_wire_formats(spark):
+    rows = [
+        ("2021-03-04T05:06:07.0000000Z",),
+        ("2021-03-04T05:06:07.0000000+00:00",),
+        ("0001-01-03T00:00:00.0000000",),
+        ("1/7/2021 3:04:05 PM",),
+        ("1/7/2021 0:04:05 PM",),  # nonstandard hour-0 + PM → treated as 12
+        ("",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "s string").select(parse_timestamp(F.col("s")).alias("ts"))
+    got = [r.ts for r in df.collect()]
+    assert got[0] == dt.datetime(2021, 3, 4, 5, 6, 7)
+    assert got[1] == dt.datetime(2021, 3, 4, 5, 6, 7)
+    assert got[2] == dt.datetime(1, 1, 3, 0, 0)
+    assert got[3] == dt.datetime(2021, 1, 7, 15, 4, 5)
+    assert got[4] == dt.datetime(2021, 1, 7, 12, 4, 5)
+    assert got[5] is None and got[6] is None
+
+
+def test_csv_read_and_sparse_delete(spark, tmp_path):
+    p = tmp_path / "chunk.csv"
+    p.write_text(base_file() + delete_file())
+    ent = parse_model(model_json())[ENTITY]
+    df = read_entity_csv(spark, [str(p)], ent)
+    collected = df.collect()
+    assert len(collected) == 6  # 5 base rows + 1 delete row (same key as base[0])
+    base = next(r for r in collected if r["Id"] == KEYS[1])
+    # sparse delete: typed middle columns null, no cast failure, flag set
+    assert base["versionnumber"] is not None and base["IsDelete"] is None
+    deletes = [r for r in collected if r["IsDelete"]]
+    assert len(deletes) == 1
+    # delete rows carry the (high) row version in versionnumber (col 22),
+    # a sentinel createdon, and empty everything else
+    assert deletes[0]["versionnumber"] is not None
+    assert deletes[0]["sysrowversion"] is None
+    assert deletes[0]["modifiedon"] is None
+    assert deletes[0]["dimensionattributevalue"] is None
+
+
+def test_normalize_and_select(spark):
+    df = spark.createDataFrame([(1, 2, 3, True, "k")], ["a$b", "ver/sion", "plain", "IsDelete", "Id"])
+    n = normalize_column_names(df)
+    assert n.columns == ["ab", "version", "plain", "IsDelete", "Id"]
+    kept = select_fields(n, "include", ["plain"])
+    assert set(kept.columns) == {"plain", "IsDelete", "Id"}  # essential protected
+    dropped = select_fields(n, "exclude", ["plain", "isdelete"])
+    assert set(dropped.columns) == {"ab", "version", "IsDelete", "Id"}
+
+
+def test_merge_key(spark):
+    df = spark.createDataFrame([("AbC-123",)], ["Id"])
+    out = with_merge_key(df)
+    assert out.collect()[0]["arcane_merge_key"] == "abc-123"
+
+
+def test_dedup_delete_beats_stale_update(spark):
+    df = spark.createDataFrame(
+        [
+            ("k1", 100, 100, False),
+            ("k1", None, 300, True),  # delete: no versionnumber, high sysrowversion
+            ("k1", 200, 200, False),
+        ],
+        "arcane_merge_key string, versionnumber long, sysrowversion long, IsDelete boolean",
+    )
+    out = latest_by_version(df).collect()
+    assert len(out) == 1 and out[0]["IsDelete"] is True
+
+
+def test_merge_schema_evolution(spark):
+    target = spark.createDataFrame(
+        [("k1", 1, False, "x")],
+        "arcane_merge_key string, versionnumber long, IsDelete boolean, old_col string",
+    )
+    staged = spark.createDataFrame(
+        [("k2", 2, False, 9.5)],
+        "arcane_merge_key string, versionnumber long, IsDelete boolean, new_col double",
+    )
+    merged = cdc_merge(target, staged)
+    rows = {r["arcane_merge_key"]: r for r in merged.collect()}
+    assert set(merged.columns) == {"arcane_merge_key", "versionnumber", "IsDelete", "old_col", "new_col"}
+    assert rows["k1"]["new_col"] is None and rows["k2"]["old_col"] is None
+
+
+def test_merge_version_guard_blocks_stale(spark):
+    target = spark.createDataFrame(
+        [("k1", 10, False, "new")],
+        "arcane_merge_key string, versionnumber long, IsDelete boolean, val string",
+    )
+    stale = spark.createDataFrame(
+        [("k1", 5, False, "old")],
+        "arcane_merge_key string, versionnumber long, IsDelete boolean, val string",
+    )
+    merged = cdc_merge(target, stale)
+    rows = merged.collect()
+    assert len(rows) == 1 and rows[0]["val"] == "new"

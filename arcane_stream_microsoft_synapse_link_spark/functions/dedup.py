@@ -1,0 +1,255 @@
+"""Document deduplication at scale: exact, MinHash+LSH, SimHash, Jaccard.
+
+Design notes (100 TB first):
+
+* Everything is shuffle-on-key or map-side — there is NO O(n²) crossJoin
+  anywhere. Candidate generation goes through LSH band buckets (shuffle on
+  band hash), verification joins candidates back by doc_id.
+* MinHash signatures are computed entirely with JVM higher-order functions
+  (transform/aggregate over xxhash64) — vectorized codegen, no Python in
+  the hot path. 128 hashes × |shingles| per doc, one scan.
+* SimHash likewise: 64-bit signature via transform/aggregate bit votes.
+* Self-join pair explosion inside one LSH bucket is bounded by bucket
+  size; a skewed bucket (e.g. empty-text cluster) is capped via AQE skew
+  handling plus an optional per-bucket limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import WORD_RE
+
+
+def words(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a document."""
+    w = words(text)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k))))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts; keep min id as the canonical representative.
+    One shuffle on the content hash (not the full text — cheaper keys)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    keepers = exact_dedup_groups(df, text_col, id_col).select(F.col("keeper_id").alias(id_col))
+    return df.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles_col: Column, num_hashes: int = 128) -> Column:
+    """MinHash signature as array<long>: sig[i] = min over shingles of
+    xxhash64(shingle, seed_i). Pure higher-order functions.
+
+    Takes an already-materialized column of PRE-HASHED shingles
+    (array<long>), not raw text: referencing a text expression here would
+    make Spark re-evaluate the whole shingle extraction once per seed
+    (128×) — measured 40s vs seconds on 500 docs. Callers hash shingles
+    once per row (cheap long→long re-hash per seed remains)."""
+    seeds = F.sequence(F.lit(1), F.lit(num_hashes))
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(shingles_col, lambda h: F.xxhash64(h, s))),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    rows-per-band r = num_hashes/bands; two docs collide if any band of
+    their signatures matches exactly. Plan: signature scan → explode bands
+    (fan-out ×bands) → shuffle on (band, band_hash) → within-bucket pairing.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+
+    ``max_bucket`` caps degenerate buckets (e.g. thousands of empty docs
+    sharing a signature) — pairs beyond the cap are dropped and such
+    buckets are better handled by exact dedup first.
+    """
+    r = num_hashes // bands
+    sh_df = df.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("_sh")
+    )
+    hashed = sh_df.select("_id", F.transform("_sh", lambda g: F.xxhash64(g)).alias("_h"))
+    sig = hashed.select("_id", minhash_signature(F.col("_h"), num_hashes).alias("_sig"))
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), F.xxhash64(F.slice("_sig", b * r + 1, r)).alias("bh")
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bh")
+
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.slice(F.sort_array(F.collect_list("_id")), 1, max_bucket).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda a: F.transform("ids", lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.distinct()
+
+
+def verify_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (two hash joins back to the
+    shingle sets — never on the full corpus product)."""
+    sh = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("_sh"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    j = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold)
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    return verify_jaccard(df, pairs, text_col, id_col, shingle_k, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _bit_votes(word: Column) -> Column:
+    """array<long>[64]: +1/−1 per bit of xxhash64(word). Shift counts must
+    be Python ints (shiftright's numBits is not a Column), so the 64 bit
+    expressions are unrolled — still one codegen'd projection."""
+    h = F.xxhash64(word)
+    return F.array(
+        *[
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            for j in range(64)
+        ]
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over words: bit j of the result is the sign of the
+    vote sum over word-hash bit j. Built-ins only."""
+    w = words(text)
+    votes = F.aggregate(
+        w,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, word: F.zip_with(acc, _bit_votes(word), lambda x, y: x + y),
+    )
+    out = F.lit(0).cast("long")
+    for j in range(64):
+        bit = F.shiftleft(F.lit(1).cast("long"), j)
+        out = out.bitwiseOR(F.when(F.element_at(votes, j + 1) > 0, bit).otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
+    chunks (pigeonhole: ≤3 differing bits → at least one identical chunk),
+    bucket-join on (chunk_idx, chunk), verify Hamming distance exactly."""
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sim"))
+    banded = sig.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("_sim"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sim", "bb.band", "bb.chunk")
+    left = banded.select(F.col("band"), F.col("chunk"), F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"))
+    right = banded.select(F.col("band"), F.col("chunk"), F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"))
+    pairs = (
+        left.join(right, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("sim_a"), F.col("sim_b")).alias("hamming"))
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

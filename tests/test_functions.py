@@ -1,0 +1,144 @@
+"""Training-data operator tests: planted near-duplicates for the LSH
+pipelines, exact-vs-numpy KNN, IVF recall, multimodal plumbing shape,
+and tolerance checks for approximate aggregates."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
+from arcane_stream_microsoft_synapse_link_spark.functions import dedup as D
+from arcane_stream_microsoft_synapse_link_spark.functions import multimodal as M
+from arcane_stream_microsoft_synapse_link_spark.functions import similarity as S
+
+from .conftest import SF_SMOKE
+
+VOCAB = [f"w{i:03d}" for i in range(400)]
+
+
+def _doc(rng: random.Random, n: int = 60) -> str:
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """40 random docs + 5 planted near-dup pairs (1-word mutation)."""
+    rng = random.Random(7)
+    rows = [(i, _doc(rng)) for i in range(40)]
+    pairs = []
+    for j in range(5):
+        base_id = 100 + j
+        dup_id = 200 + j
+        text = _doc(rng)
+        mutated = text.split()
+        mutated[3] = "mutant"
+        rows.append((base_id, text))
+        rows.append((dup_id, " ".join(mutated)))
+        pairs.append((base_id, dup_id))
+    return spark.createDataFrame(rows, "doc_id long, text string"), pairs
+
+
+def test_minhash_finds_planted_pairs(planted):
+    df, pairs = planted
+    found = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_duplicates(df, threshold=0.5).collect()
+    }
+    for p in pairs:
+        assert p in found, f"planted near-dup {p} not found"
+    # random 60-word docs over a 400-word vocab are NOT near-dups
+    false_positives = found - set(pairs)
+    assert len(false_positives) == 0, false_positives
+
+
+def test_simhash_finds_planted_pairs(planted):
+    df, pairs = planted
+    found = {(r.id_a, r.id_b) for r in D.simhash_near_duplicates(df, max_hamming=10).collect()}
+    hit = sum(1 for p in pairs if p in found)
+    assert hit >= 4  # SimHash on short docs is noisier; ≥4/5 planted found
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = D.drop_exact_duplicates(df)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_knn_bruteforce_matches_numpy(spark):
+    t = Tables(spark, SF_SMOKE)
+    emb = t.embeddings.orderBy("vec_id")
+    mat = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    ids = np.array([r.vec_id for r in emb.select("vec_id").collect()])
+    qids = ids[:4]
+    qmat = mat[:4]
+    sims = (qmat @ mat.T) / (
+        np.linalg.norm(qmat, axis=1)[:, None] * np.linalg.norm(mat, axis=1)[None, :]
+    )
+    queries_df = t.embeddings.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = S.brute_force_topk(t.embeddings, queries_df, k=5).collect()
+    for qi, qid in enumerate(qids):
+        expected = set(ids[np.argsort(-sims[qi])[:5]])
+        actual = {r.vec_id for r in got if r.query_id == qid}
+        # ties at equal cosine can swap the boundary element; require ≥4/5
+        assert len(expected & actual) >= 4, (qid, expected, actual)
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    t = Tables(spark, SF_SMOKE)
+    queries_df = t.embeddings.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = S.brute_force_topk(t.embeddings, queries_df, k=10).collect()
+    cents = S.ivf_centroids(t.embeddings, 32)
+    assigned = S.ivf_assign(t.embeddings, cents)
+    approx = S.ivf_topk(assigned, cents, queries_df, k=10, nprobe=8).collect()
+    bset = {(r.query_id, r.vec_id) for r in brute}
+    aset = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(bset & aset) / len(bset)
+    assert recall >= 0.6, recall  # nprobe=8/32 on 64-dim synthetic data
+
+
+def test_multimodal_plumbing(spark):
+    media = M.fake_media_df(spark, n=64)
+    out = M.extract_features(media, dim=8)
+    rows = out.collect()
+    assert len(rows) == 64
+    assert all(len(r.feature) == 8 for r in rows)
+    # deterministic across independent runs
+    rows2 = M.extract_features(media, dim=8).collect()
+    assert [r.feature for r in sorted(rows, key=lambda r: r.media_id)] == [
+        r.feature for r in sorted(rows2, key=lambda r: r.media_id)
+    ]
+
+
+def test_decode_stub_is_honest():
+    with pytest.raises(NotImplementedError):
+        M.decode_stub(b"x", "image", fake=False)
+
+
+def test_approx_count_distinct_tolerance(spark):
+    t = Tables(spark, SF_SMOKE)
+    apx = t.lineitem.agg(F.approx_count_distinct("l_partkey", 0.01).alias("a")).collect()[0].a
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT l_partkey) FROM '{SF_SMOKE}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert abs(apx - exact) / exact < 0.02
+
+
+def test_percentile_tolerance(spark):
+    t = Tables(spark, SF_SMOKE)
+    p50 = t.lineitem.agg(F.percentile_approx("l_extendedprice", 0.5).alias("p")).collect()[0].p
+    exact = duckdb.sql(
+        f"SELECT quantile_cont(l_extendedprice, 0.5) FROM '{SF_SMOKE}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert math.isclose(p50, exact, rel_tol=0.01)

@@ -27,11 +27,32 @@ def words(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of a document."""
+    """Distinct word k-gram shingles of a document.
+
+    Implemented as a single ``aggregate`` fold carrying a k-word sliding
+    buffer. The word array appears once per branch of the final ``when`` —
+    NOT inside a per-index lambda: ``transform(idx, i -> slice(w, i, k))``
+    re-evaluates the regexp word extraction once per index after projection
+    collapsing (O(n²) per row)."""
     w = words(text)
-    n = F.size(w)
-    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k))))
+
+    def step(acc: Column, x: Column) -> Column:
+        nb = F.concat(acc["buf"], F.array(x))
+        nb = F.when(F.size(nb) > k, F.slice(nb, 2, k)).otherwise(nb)
+        grams = F.when(
+            F.size(nb) == k, F.concat(acc["grams"], F.array(F.concat_ws(" ", nb)))
+        ).otherwise(acc["grams"])
+        return F.struct(nb.alias("buf"), grams.alias("grams"))
+
+    zero = F.struct(
+        F.array().cast("array<string>").alias("buf"),
+        F.array().cast("array<string>").alias("grams"),
+    )
+    # short docs (< k words): one shingle of all words, like slice(w, 1, k)
+    fin = lambda acc: F.when(  # noqa: E731
+        F.size(acc["grams"]) > 0, acc["grams"]
+    ).otherwise(F.array(F.concat_ws(" ", acc["buf"])))
+    return F.array_distinct(F.aggregate(w, zero, step, fin))
 
 
 # ---------------------------------------------------------------------------
@@ -62,15 +83,19 @@ def minhash_signature(shingles_col: Column, num_hashes: int = 128) -> Column:
     """MinHash signature as array<long>: sig[i] = min over shingles of
     xxhash64(shingle, seed_i). Pure higher-order functions.
 
-    Takes an already-materialized column of PRE-HASHED shingles
-    (array<long>), not raw text: referencing a text expression here would
-    make Spark re-evaluate the whole shingle extraction once per seed
-    (128×) — measured 40s vs seconds on 500 docs. Callers hash shingles
-    once per row (cheap long→long re-hash per seed remains)."""
-    seeds = F.sequence(F.lit(1), F.lit(num_hashes))
-    return F.transform(
-        seeds,
-        lambda s: F.array_min(F.transform(shingles_col, lambda h: F.xxhash64(h, s))),
+    Shape matters: the input array must appear exactly ONCE in the
+    expression tree. The obvious spelling — transform over seeds with an
+    inner transform over shingles — re-evaluates the shingle expression per
+    seed (128×) after CollapseProject inlines upstream projections
+    (measured: 453 s for 5000 docs at sf0.1). Folding with ``aggregate``
+    over the shingle array instead evaluates it once per row: for each
+    shingle we derive num_hashes seeded hashes (seed = signature index,
+    via the index-aware transform lambda) and take the element-wise min."""
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    return F.aggregate(
+        shingles_col,
+        init,
+        lambda acc, h: F.transform(acc, lambda v, i: F.least(v, F.xxhash64(h, i))),
     )
 
 
@@ -100,14 +125,21 @@ def lsh_candidate_pairs(
     )
     hashed = sh_df.select("_id", F.transform("_sh", lambda g: F.xxhash64(g)).alias("_h"))
     sig = hashed.select("_id", minhash_signature(F.col("_h"), num_hashes).alias("_sig"))
+    # Bands are unrolled in Python, not a transform-over-sequence lambda:
+    # the 32 references to _sig keep CollapseProject from inlining the
+    # signature computation (multi-referenced non-cheap expr), so the
+    # MinHash aggregate runs once per row, not once per band.
     banded = sig.select(
         "_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"), F.xxhash64(F.slice("_sig", b * r + 1, r)).alias("bh")
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice("_sig", b * r + 1, r)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bh")
@@ -179,11 +211,13 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
-def _bit_votes(word: Column) -> Column:
-    """array<long>[64]: +1/−1 per bit of xxhash64(word). Shift counts must
-    be Python ints (shiftright's numBits is not a Column), so the 64 bit
-    expressions are unrolled — still one codegen'd projection."""
-    h = F.xxhash64(word)
+def _bit_votes(h: Column) -> Column:
+    """array<long>[64]: +1/−1 per bit of an already-hashed word (long).
+    Takes the hash, not the word: referencing xxhash64(word) here would
+    re-hash the word once per bit (64×) — HOF lambdas get no common
+    subexpression elimination. Shift counts must be Python ints
+    (shiftright's numBits is not a Column), so the 64 bit expressions are
+    unrolled."""
     return F.array(
         *[
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
@@ -196,12 +230,14 @@ def _bit_votes(word: Column) -> Column:
 
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over words: bit j of the result is the sign of the
-    vote sum over word-hash bit j. Built-ins only."""
-    w = words(text)
+    vote sum over word-hash bit j. Built-ins only; words are hashed once
+    (inside the aggregate input, evaluated once per row), then each fold
+    step works on a bound long."""
+    hashed = F.transform(words(text), lambda w: F.xxhash64(w))
     votes = F.aggregate(
-        w,
+        hashed,
         F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, word: F.zip_with(acc, _bit_votes(word), lambda x, y: x + y),
+        lambda acc, h: F.zip_with(acc, _bit_votes(h), lambda x, y: x + y),
     )
     out = F.lit(0).cast("long")
     for j in range(64):
@@ -212,6 +248,38 @@ def simhash64(text: Column) -> Column:
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sim) signatures via explode + codegen'd hash aggregation.
+
+    Equivalent values to ``simhash64`` but ~an order faster on wide
+    corpora: per-(doc, word) bit votes become 64 SUM aggregates in a
+    whole-stage-codegen hash agg; map-side partial aggregation collapses
+    each doc locally, so the shuffle carries 64 longs per doc, not per
+    word. ``explode_outer`` keeps word-less docs (null hash → −1 votes
+    → signature 0, matching the fold's zero-votes → 0)."""
+    hw = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.transform(words(F.col(text_col)), lambda w: F.xxhash64(w))).alias("_h"),
+    )
+    votes = hw.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+            ).alias(f"_v{j}")
+            for j in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        bit = F.shiftleft(F.lit(1).cast("long"), j)
+        sim = sim.bitwiseOR(F.when(F.col(f"_v{j}") > 0, bit).otherwise(F.lit(0).cast("long")))
+    return votes.select("_id", sim.alias("_sim"))
 
 
 def simhash_near_duplicates(
@@ -226,7 +294,7 @@ def simhash_near_duplicates(
     bucket-join on (chunk_idx, chunk), verify Hamming distance exactly."""
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
-    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sim"))
+    sig = simhash_signatures(df, text_col, id_col)
     banded = sig.select(
         "_id",
         "_sim",

@@ -60,12 +60,32 @@ def fingerprint_md5(text: Column) -> Column:
 def fingerprint_rolling(text: Column, window: int = 4) -> Column:
     """Order-sensitive document fingerprint: xxhash64 chained over word
     ``window``-grams (a rolling-hash analog, built-ins only) — robust to
-    whitespace layout, sensitive to word order."""
+    whitespace layout, sensitive to word order.
+
+    One ``aggregate`` fold with a sliding word buffer; the word array is
+    evaluated once per row (an index lambda over ``slice(words, i, k)``
+    would re-run the regexp extraction per index — O(n²) per row)."""
     words = F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0)
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
-    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, window))))
-    return F.aggregate(grams, F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h))
+
+    def step(acc: Column, x: Column) -> Column:
+        nb = F.concat(acc["buf"], F.array(x))
+        nb = F.when(F.size(nb) > window, F.slice(nb, 2, window)).otherwise(nb)
+        full = F.size(nb) == window
+        nh = F.when(
+            full, F.xxhash64(acc["h"], F.xxhash64(F.concat_ws(" ", nb)))
+        ).otherwise(acc["h"])
+        return F.struct(nb.alias("buf"), nh.alias("h"), (acc["emitted"] | full).alias("emitted"))
+
+    zero = F.struct(
+        F.array().cast("array<string>").alias("buf"),
+        F.lit(0).cast("long").alias("h"),
+        F.lit(False).alias("emitted"),
+    )
+    # short docs (< window words): single gram over all words, like slice(w, 1, window)
+    fin = lambda acc: F.when(acc["emitted"], acc["h"]).otherwise(  # noqa: E731
+        F.xxhash64(F.lit(0).cast("long"), F.xxhash64(F.concat_ws(" ", acc["buf"])))
+    )
+    return F.aggregate(words, zero, step, fin)
 
 
 # Character-class decision list for script-detectable languages; Latin-script

@@ -1,0 +1,66 @@
+"""Benchmark harness (driver contract).
+
+Runs every declared query from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing is per-query wall clock around full materialization (``collect``);
+a warm-up query first so JVM/codegen startup isn't charged to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from arcane_stream_microsoft_synapse_link_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("arcane-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+
+    # Warm-up: touch every table once so first-timed query isn't charged
+    # file-listing + codegen warmup.
+    from arcane_stream_microsoft_synapse_link_spark.catalog import TABLE_NAMES, Tables
+
+    t = Tables(spark, sf_dir)
+    for name in TABLE_NAMES:
+        getattr(t, name).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in queries.items():
+        start = time.perf_counter()
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # keep benching; report the failure
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    result = {
+        "metric": "declared-query wall clock (sum over all queries)",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if failures:
+        result["failures"] = failures
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -292,32 +292,7 @@ def simhash_near_duplicates(
     """SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
     chunks (pigeonhole: ≤3 differing bits → at least one identical chunk),
     bucket-join on (chunk_idx, chunk), verify Hamming distance exactly."""
-    nbands = 64 // band_bits
-    mask = (1 << band_bits) - 1
+    from .similarity import band_pairs_64
+
     sig = simhash_signatures(df, text_col, id_col)
-    banded = sig.select(
-        "_id",
-        "_sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("_sim"), b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
-                    )
-                    for b in range(nbands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "_sim", "bb.band", "bb.chunk")
-    left = banded.select(F.col("band"), F.col("chunk"), F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"))
-    right = banded.select(F.col("band"), F.col("chunk"), F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"))
-    pairs = (
-        left.join(right, ["band", "chunk"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming64(F.col("sim_a"), F.col("sim_b")).alias("hamming"))
-        .distinct()
-    )
-    return pairs.where(F.col("hamming") <= max_hamming)
+    return band_pairs_64(sig, band_bits).where(F.col("hamming") <= max_hamming)

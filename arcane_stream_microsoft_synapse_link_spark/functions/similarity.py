@@ -21,8 +21,13 @@ Embedding near-dup (cosine ≥ τ) reuses the random-hyperplane SimHash from
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -101,6 +106,103 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id", 
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def embedding_sign_signatures(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign-bit LSH) 64-bit signatures for vectors.
+
+    sig bit j = sign(v · plane_j); cos-similar vectors agree on most bits
+    (P[agree] = 1 − θ/π). The projection is a (batch × dim) @ (dim × 64)
+    numpy matmul inside an Arrow-batched mapInPandas — the vectorized
+    Python path, ~100× a per-row UDF. Hyperplanes are seeded → fully
+    deterministic across partitions/executors.
+    """
+    planes = np.random.RandomState(seed).randn(dim, n_bits)
+    weights = np.power(2.0, np.arange(n_bits), dtype=object)  # exact ints via object
+    out_schema = T.StructType(
+        [T.StructField("_id", T.LongType()), T.StructField("_sim", T.LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (mat @ planes) > 0  # (batch, n_bits)
+            sigs = [
+                int(sum(int(w) for b, w in zip(row, weights) if b)) - (1 << 63)
+                for row in bits
+            ]  # offset into signed-long range for JVM compat
+            yield pd.DataFrame({"_id": pdf[id_col], "_sim": sigs})
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+
+
+def band_pairs_64(sig: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Candidate pairs from 64-bit signatures by banded bucket join:
+    (id_a, id_b, hamming) for every pair sharing at least one band chunk.
+    Shared by SimHash text near-dup and embedding sign-LSH near-dup."""
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("_sim"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sim", "bb.band", "bb.chunk")
+    left = banded.select("band", "chunk", F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"))
+    right = banded.select("band", "chunk", F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"))
+    return (
+        left.join(right, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    max_hamming: int = 16,
+    band_bits: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-LSH bucketing → Hamming
+    prefilter → exact cosine verify on the candidates only (two key joins
+    back to the vectors — never a corpus × corpus product)."""
+    dim = len(df.select(vec_col).first()[0])
+    sig = embedding_sign_signatures(df, dim, seed=seed, id_col=id_col, vec_col=vec_col)
+    cands = band_pairs_64(sig, band_bits).where(F.col("hamming") <= max_hamming)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
     )
 
 

@@ -152,6 +152,16 @@ def ops_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ops_embedding_near_dup")
+def ops_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH buckets → exact cosine verify."""
+    t = Tables(spark, sf_dir)
+    pairs = S.embedding_near_duplicates(t.embeddings, threshold=0.9, max_hamming=24)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 4).cast("decimal(10,4)").alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
 @query("ops_knn_bruteforce")
 def ops_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for the first 8 vectors as queries."""

@@ -108,6 +108,27 @@ def test_ivf_recall_against_bruteforce(spark):
     assert recall >= 0.6, recall  # nprobe=8/32 on 64-dim synthetic data
 
 
+def test_embedding_near_dup_finds_planted(spark):
+    """Planted noisy clones are found; unrelated random vectors are not."""
+    rng = np.random.RandomState(3)
+    base = rng.randn(30, 64)
+    rows = [(int(i), base[i].tolist()) for i in range(30)]
+    planted = []
+    for j in range(5):
+        src = base[j]
+        clone = src + rng.randn(64) * 0.02  # cosine ≈ 0.999
+        rows.append((100 + j, clone.tolist()))
+        planted.append((j, 100 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_duplicates(df, threshold=0.95, max_hamming=16).collect()
+    }
+    for p in planted:
+        assert p in found, f"planted clone pair {p} not found"
+    assert not (found - set(planted)), found - set(planted)
+
+
 def test_multimodal_plumbing(spark):
     media = M.fake_media_df(spark, n=64)
     out = M.extract_features(media, dim=8)

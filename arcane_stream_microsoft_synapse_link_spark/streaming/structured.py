@@ -1,0 +1,69 @@
+"""Structured Streaming CDC runner: synapse_link source → foreachBatch merge.
+
+The fully idiomatic Spark rewrite of the reference's streaming graph
+(SURVEY.md §3.1): ``readStream.format("synapse_link")`` replaces the ZIO
+poll loop, ``foreachBatch`` replaces StagingProcessor→MergeBatchProcessor,
+the checkpoint replaces the watermark store (B11 — the folder-name offset
+is committed by Spark after each successful micro-batch), and
+``Trigger.ProcessingTime(changeCaptureInterval)`` / ``availableNow``
+replace change-capture vs batch-backfill scheduling
+(crd-microsoft-synapse-link-beta.yaml execution backends).
+
+``StreamRunner`` (runner.py) remains as the driver-side fallback loop the
+survey's M3 plan calls for; both share the same transform + merge chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.merge import cdc_merge
+from ..sources.stream import register
+from ..streaming.runner import StreamRunner, StreamSpec
+
+
+def read_stream(spark: SparkSession, spec: StreamSpec) -> DataFrame:
+    register(spark)
+    return (
+        spark.readStream.format("synapse_link")
+        .option("path", spec.source_root)
+        .option("entity", spec.entity_name)
+        .load()
+    )
+
+
+def run_structured(
+    spark: SparkSession,
+    spec: StreamSpec,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Run the CDC stream; returns the StreamingQuery.
+
+    ``available_now=True`` drains everything pending then stops (the test /
+    cron-batch mode); ``False`` runs continuously at the change-capture
+    interval. Each micro-batch applies the same prepare→dedup→version-
+    guarded-merge chain as the batch runner, then commits a snapshot and
+    the sink-side watermark — merge idempotency makes replay of an
+    uncommitted batch a no-op (exactly-once, SURVEY.md §7 item 4).
+    """
+    runner = StreamRunner(spark, spec)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_df.isEmpty():
+            return
+        wm = batch_df.agg(F.max("_batch_folder")).first()[0]
+        runner._merge_folder_batch(
+            batch_df.drop("_batch_folder"), up_to_folder=wm or f"batch-{batch_id}"
+        )
+
+    writer = read_stream(spark, spec).writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{int(spec.change_capture_interval_s)} seconds")
+    return writer.start()

@@ -1,0 +1,100 @@
+"""Structured Streaming path: the synapse_link Python DataSource feeding
+foreachBatch CDC merges. Replays the reference e2e oracle through the
+readStream API (offsets in the checkpoint, availableNow drain), and checks
+restart/resume semantics plus the Python parser twins."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from decimal import Decimal
+
+import pytest
+
+from arcane_stream_microsoft_synapse_link_spark.sources.cdm import CdmAttribute
+from arcane_stream_microsoft_synapse_link_spark.sources.stream import (
+    parse_timestamp_py,
+    parse_value_py,
+)
+from arcane_stream_microsoft_synapse_link_spark.streaming.runner import StreamRunner, StreamSpec
+from arcane_stream_microsoft_synapse_link_spark.streaming.structured import run_structured
+
+from .synapse_fixture import BASE_VERSION, ENTITY, KEYS, SynapseFixture, minus
+
+
+@pytest.fixture()
+def scenario(tmp_path):
+    fx = SynapseFixture(tmp_path / "source")
+    spec = StreamSpec(
+        entity_name=ENTITY,
+        source_root=str(tmp_path / "source"),
+        target_root=str(tmp_path / "target"),
+    )
+    return fx, spec, str(tmp_path / "ckpt")
+
+
+def _state(spark, spec):
+    from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+
+    df = VersionedTable(spec.target_root).read(spark)
+    return {r["Id"]: r["versionnumber"] for r in df.select("Id", "versionnumber").collect()}
+
+
+def test_structured_stream_e2e(spark, scenario):
+    fx, spec, ckpt = scenario
+    fx.upload_batch(minus(hours=2))
+    fx.upload_batch(minus(hours=1), update_changelog=True)
+    fx.upload_batch(minus(minutes=15), add_delete=True, add_upsert=True)
+    fx.upload_batch(minus(minutes=5), update_changelog=True)
+
+    q = run_structured(spark, spec, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    state = _state(spark, spec)
+    assert len(state) == 5 - 1 + 2
+    assert KEYS[0] not in state
+    assert state[KEYS[1]] == BASE_VERSION + 100
+    assert KEYS[5] in state and KEYS[6] in state
+
+
+def test_structured_stream_resumes_from_checkpoint(spark, scenario):
+    """New data after a drain: restart from the same checkpoint processes
+    only the new folders (offset persistence), and the merge result is
+    correct without re-reading history."""
+    fx, spec, ckpt = scenario
+    fx.upload_batch(minus(hours=1), update_changelog=True)
+    q = run_structured(spark, spec, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert len(_state(spark, spec)) == 5
+
+    fx.upload_batch(minus(minutes=10), add_upsert=True, update_changelog=True)
+    q2 = run_structured(spark, spec, ckpt, available_now=True)
+    q2.awaitTermination(120)
+
+    state = _state(spark, spec)
+    assert len(state) == 7
+    assert state[KEYS[1]] == BASE_VERSION + 100
+
+
+def test_parse_timestamp_py_formats():
+    assert parse_timestamp_py("2020-01-01T00:15:00.0000000Z") == datetime(
+        2020, 1, 1, 0, 15, tzinfo=timezone.utc
+    )
+    assert parse_timestamp_py("2020-01-01T00:15:00.0000000+00:00") == datetime(
+        2020, 1, 1, 0, 15, tzinfo=timezone.utc
+    )
+    assert parse_timestamp_py("0001-01-03T00:00:00.0000000") == datetime(1, 1, 3)
+    # the nonstandard hour-0 12h clock: "0:04:05 PM" == 12:04:05
+    assert parse_timestamp_py("1/7/2021 0:04:05 PM") == datetime(2021, 1, 7, 12, 4, 5)
+    assert parse_timestamp_py("1/7/2021 12:04:05 AM") == datetime(2021, 1, 7, 0, 4, 5)
+    assert parse_timestamp_py("") is None
+    assert parse_timestamp_py("not a date") is None
+
+
+def test_parse_value_py_casts():
+    assert parse_value_py("42", CdmAttribute("x", "int64")) == 42
+    assert parse_value_py("", CdmAttribute("x", "int64")) is None
+    assert parse_value_py("True", CdmAttribute("x", "boolean")) is True
+    assert parse_value_py("", CdmAttribute("x", "boolean")) is None
+    assert parse_value_py("1.5", CdmAttribute("x", "decimal")) == Decimal("1.5")
+    assert parse_value_py("abc", CdmAttribute("x", "int64")) is None  # try-cast → null
+    assert parse_value_py("", CdmAttribute("x", "string")) == ""  # strings preserved

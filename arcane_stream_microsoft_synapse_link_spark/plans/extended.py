@@ -1,0 +1,312 @@
+"""Extended declared queries Q26+: streaming windows as batch queries,
+pivot, exact percentiles, statistical aggregates, date arithmetic, term
+frequencies, regexp surface.
+
+The window queries exercise the engine's Structured-Streaming window
+operators (`F.window`, `F.session_window` — SURVEY.md §2.E extension
+surface) in batch mode, oracle-checked against equivalent DuckDB SQL
+(tumbling = date_trunc buckets, sliding = union of shifted buckets,
+session = gaps-and-islands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..functions import text as X
+from .oracle import ORACLE
+from .queries import DEC, QUERIES, query
+
+
+@query("q26_tumbling_window")
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window agg (F.window — the streaming windowed-agg
+    operator in batch mode; epoch-aligned, equals date_trunc buckets)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("cnt"), F.sum("value").cast(DEC).alias("sum_val"))
+        .select(F.col("window.start").alias("ws"), "cnt", "sum_val")
+        .orderBy("ws")
+    )
+
+
+ORACLE["q26_tumbling_window"] = """
+    SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS cnt,
+           CAST(SUM(value) AS DECIMAL(18,2)) AS sum_val
+    FROM events GROUP BY 1 ORDER BY ws
+"""
+
+
+@query("q27_sliding_window")
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h span / 1h slide): every event lands in 2 buckets."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "cnt")
+        .orderBy("ws")
+    )
+
+
+ORACLE["q27_sliding_window"] = """
+    SELECT ws, COUNT(*) AS cnt FROM (
+        SELECT date_trunc('hour', ts) AS ws FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+    ) GROUP BY ws ORDER BY ws
+"""
+
+
+@query("q28_session_window")
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user — the stateful streaming
+    operator in batch mode; oracle = gaps-and-islands SQL."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("cnt"), F.sum("value").cast(DEC).alias("sum_val"))
+        .select("user_id", F.col("session_window.start").alias("session_start"), "cnt", "sum_val")
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE["q28_session_window"] = """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+        FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt,
+           CAST(SUM(value) AS DECIMAL(18,2)) AS sum_val
+    FROM s GROUP BY user_id, sess
+    ORDER BY user_id, session_start
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query("q29_pivot")
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type counts (explicit value list → static
+    schema, the scale-safe pivot form — no driver-side distinct scan)."""
+    t = Tables(spark, sf_dir)
+    out = (
+        t.events.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return out.select(
+        "user_id", *[F.col(c).cast("bigint").alias(f"n_{c}") for c in _EVENT_TYPES]
+    ).orderBy("user_id")
+
+
+ORACLE["q29_pivot"] = """
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (event_type = 'error')    AS n_error,
+           COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (event_type = 'view')     AS n_view
+    FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("q30_exact_percentiles")
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (sort-based, interpolated) percentiles — deterministic, unlike
+    percentile_approx which is tolerance-checked separately."""
+    t = Tables(spark, sf_dir)
+    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
+    return t.lineitem.agg(
+        F.round(F.element_at(pct, 1), 2).cast(DEC).alias("p25"),
+        F.round(F.element_at(pct, 2), 2).cast(DEC).alias("p50"),
+        F.round(F.element_at(pct, 3), 2).cast(DEC).alias("p75"),
+    )
+
+
+ORACLE["q30_exact_percentiles"] = """
+    SELECT CAST(ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS DECIMAL(18,2)) AS p25,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS DECIMAL(18,2)) AS p50,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS DECIMAL(18,2)) AS p75
+    FROM lineitem
+"""
+
+
+@query("q31_stats_aggs")
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group (rounded to absorb float-order)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).cast("decimal(18,4)").alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).cast("decimal(18,4)").alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+            .cast("decimal(18,4)")
+            .alias("corr_qp"),
+            F.round(F.avg("l_discount"), 6).cast("decimal(18,6)").alias("avg_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["q31_stats_aggs"] = """
+    SELECT l_returnflag,
+           CAST(ROUND(stddev_samp(l_quantity), 4) AS DECIMAL(18,4)) AS sd_qty,
+           CAST(ROUND(var_samp(l_quantity), 4) AS DECIMAL(18,4)) AS var_qty,
+           CAST(ROUND(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(18,4)) AS corr_qp,
+           CAST(ROUND(AVG(l_discount), 6) AS DECIMAL(18,6)) AS avg_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("q32_date_arith")
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.select(
+            "o_orderkey",
+            F.date_add("o_orderdate", 30).alias("due"),
+            F.datediff(F.lit("1998-12-01").cast("date"), F.col("o_orderdate"))
+            .cast("bigint")
+            .alias("age_days"),
+            F.last_day("o_orderdate").alias("eom"),
+            F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+            F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+# DuckDB dayofweek is 0=Sunday; Spark is 1=Sunday → +1 (per-engine mapping)
+ORACLE["q32_date_arith"] = """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due,
+           datediff('day', o_orderdate, DATE '1998-12-01') AS age_days,
+           last_day(o_orderdate) AS eom,
+           dayofweek(o_orderdate) + 1 AS dow,
+           quarter(o_orderdate) AS qtr
+    FROM orders ORDER BY o_orderkey LIMIT 500
+"""
+
+
+@query("q33_top_terms")
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency: explode words → count → global top 100.
+    Partial aggregation collapses counts map-side before the shuffle."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            F.explode(F.regexp_extract_all(F.lower("text"), F.lit(X.WORD_RE), 0)).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(100)
+    )
+
+
+ORACLE["q33_top_terms"] = """
+    SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents
+    ) GROUP BY word ORDER BY cnt DESC, word LIMIT 100
+"""
+
+
+@query("q34_quality_score")
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristic, oracle-checked end to end.
+
+    Emitted as FLOOR(score·1e6) parts-per-million: the score mixes exact
+    binary fractions (x/64 terms) whose decimal form ends in 5, where
+    Spark's HALF_UP and DuckDB's rounding disagree — floor has no tie."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.floor(X.quality_score(F.col("text")) * 1e6).cast("bigint").alias("quality_ppm"),
+    ).orderBy("doc_id")
+
+
+ORACLE["q34_quality_score"] = r"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+               CAST(len(regexp_extract_all(lower(text),
+                    '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE) AS stops,
+               CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS puncts,
+               CAST(GREATEST(length(text), 1) AS DOUBLE) AS chars
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(FLOOR((
+               0.5 * LEAST(toks / 64.0, 1.0)
+             + 0.3 * LEAST(stops / GREATEST(toks, 1.0) * 5.0, 1.0)
+             + 0.2 * (1.0 - LEAST(puncts / chars * 10.0, 1.0))) * 1e6) AS BIGINT) AS quality_ppm
+    FROM c ORDER BY doc_id
+"""
+
+
+@query("q35_null_funcs")
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLIF / COALESCE / NVL2-style conditional null handling."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_or_null"),
+            F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias("rf"),
+            F.greatest("l_tax", "l_discount").alias("gmax"),
+            F.least("l_tax", "l_discount").alias("gmin"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    )
+
+
+ORACLE["q35_null_funcs"] = """
+    SELECT l_orderkey, l_linenumber,
+           NULLIF(l_discount, 0.0) AS disc_or_null,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS rf,
+           GREATEST(l_tax, l_discount) AS gmax,
+           LEAST(l_tax, l_discount) AS gmin
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500
+"""
+
+
+@query("q36_regexp")
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.select(
+            "p_partkey",
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.regexp_replace("p_type", r"[aeiou]", "_").alias("devowel"),
+            F.col("p_name").rlike("red").alias("has_red"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
+
+
+ORACLE["q36_regexp"] = r"""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+           regexp_replace(p_type, '[aeiou]', '_', 'g') AS devowel,
+           regexp_matches(p_name, 'red') AS has_red
+    FROM part ORDER BY p_partkey LIMIT 500
+"""

@@ -101,15 +101,32 @@ class CsvChunkPartition(InputPartition):
 
 
 class SynapseLinkStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, entity: str):
+    def __init__(self, root: str, entity: str, max_folders_per_trigger: int = 0):
         self._source = SynapseLinkSource(root, entity)
+        self._max_folders = max_folders_per_trigger
+        # Progress known to THIS reader instance: set by initialOffset (fresh
+        # stream) and commit (each finished batch). After a checkpoint
+        # restart it is None until the first commit — the API does not hand
+        # the reader the restored offset — so the first trigger is uncapped
+        # (a restart burst), then steady-state admission capping resumes.
+        self._known_progress: str | None = None
 
     # -- offsets (A1): folder-name frontier from the changelog pointer ----
     def initialOffset(self) -> dict:
+        self._known_progress = ""
         return {"folder": ""}
 
     def latestOffset(self) -> dict:
+        """Frontier = changelog pointer, optionally admission-capped to N
+        folders past known progress (operator B18, the static throughput
+        shaper — the maxFilesPerTrigger idiom for this source)."""
         head = self._source.changelog_head()
+        if head and self._max_folders > 0 and self._known_progress is not None:
+            pend = self._source.list_folders(after=self._known_progress or None, up_to=head)
+            if len(pend) > self._max_folders:
+                head = pend[self._max_folders - 1].name
+        if head and self._known_progress:
+            head = max(head, self._known_progress)  # never regress the frontier
         return {"folder": head or ""}
 
     # -- planning (A2/B5): folders in (start, end], one partition per CSV --
@@ -148,7 +165,11 @@ class SynapseLinkStreamReader(DataSourceStreamReader):
                 )
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the checkpoint; sink-side watermark is B11
+        # offsets live in the checkpoint; sink-side watermark is B11.
+        # Track committed progress so admission capping stays relative.
+        f = end.get("folder") or ""
+        if f and (self._known_progress is None or f > self._known_progress):
+            self._known_progress = f
 
 
 class SynapseLinkDataSource(DataSource):
@@ -174,7 +195,11 @@ class SynapseLinkDataSource(DataSource):
         return schema.add("_batch_folder", "string", nullable=False)
 
     def streamReader(self, schema: StructType) -> SynapseLinkStreamReader:
-        return SynapseLinkStreamReader(self.options["path"], self.options["entity"])
+        return SynapseLinkStreamReader(
+            self.options["path"],
+            self.options["entity"],
+            max_folders_per_trigger=int(self.options.get("maxfolderspertrigger", 0)),
+        )
 
 
 def register(spark) -> None:

@@ -49,8 +49,10 @@ class StreamSpec:
     backfill_start: str | None = None
     backfill_behavior: str = "Overwrite"  # Overwrite | Merge
     optimize_batch_threshold: int = 60  # maintenance cadence (C1-C3)
+    analyze_batch_threshold: int = 180  # stats cadence (C4)
     snapshots_to_keep: int = 4
     bucket_count: int = 0  # >0 → bucket target snapshots by merge key
+    max_folders_per_tick: int = 0  # >0 → B18 static throughput shaping
 
 
 @dataclass
@@ -138,6 +140,9 @@ class StreamRunner:
         schemas survive because folders are read individually and unioned
         by name (watch-list item 3). Returns folders consumed."""
         pending = self.source.pending(self.table.watermark())
+        if self.spec.max_folders_per_tick > 0:
+            # B18 static admission: cap work per tick (advisedRate analog)
+            pending = pending[: self.spec.max_folders_per_tick]
         if not pending:
             return 0
         df = self.source.read_folders(self.spark, pending)
@@ -165,3 +170,5 @@ class StreamRunner:
     def _maintenance(self) -> None:
         if self.stats.batches_merged % self.spec.optimize_batch_threshold == 0:
             self.table.expire_snapshots(keep_last=self.spec.snapshots_to_keep)
+        if self.stats.batches_merged % self.spec.analyze_batch_threshold == 0:
+            self.table.analyze(self.spark)

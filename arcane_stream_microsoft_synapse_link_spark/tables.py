@@ -98,6 +98,45 @@ class VersionedTable:
         self._write_atomic(self._pointer_path(), str(new_v))
         return new_v
 
+    # ---- maintenance: ANALYZE (operator C4 analog) -----------------------
+    def analyze(self, spark: SparkSession, columns: list[str] | None = None) -> dict:
+        """Recompute column statistics for the current snapshot and persist
+        them to ``_meta/stats.json`` (the reference emits ``ANALYZE`` to
+        Trino every analyze batchThreshold; on a lakehouse runtime this is
+        ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS``). One
+        distributed pass: count/min/max/null-count per column + HLL distinct
+        for join-planning selectivity."""
+        import json
+
+        df = self.read(spark)
+        cols = columns or [f.name for f in df.schema.fields if not f.name.startswith("__")]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}::nulls"))
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}::ndv"))
+            aggs.append(F.min(c).cast("string").alias(f"{c}::min"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}::max"))
+        row = df.agg(*aggs).first().asDict()
+        stats = {"rows": row["__rows"], "columns": {}}
+        for c in cols:
+            stats["columns"][c] = {
+                "nulls": row[f"{c}::nulls"],
+                "ndv": row[f"{c}::ndv"],
+                "min": row[f"{c}::min"],
+                "max": row[f"{c}::max"],
+            }
+        self._write_atomic(os.path.join(self._meta, "stats.json"), json.dumps(stats))
+        return stats
+
+    def stats(self) -> dict | None:
+        import json
+
+        try:
+            with open(os.path.join(self._meta, "stats.json")) as fh:
+                return json.loads(fh.read())
+        except FileNotFoundError:
+            return None
+
     # ---- maintenance (operators C1-C3 analog) ----------------------------
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop snapshot dirs older than the last ``keep_last`` (C2/C3)."""

@@ -98,3 +98,71 @@ def test_parse_value_py_casts():
     assert parse_value_py("1.5", CdmAttribute("x", "decimal")) == Decimal("1.5")
     assert parse_value_py("abc", CdmAttribute("x", "int64")) is None  # try-cast → null
     assert parse_value_py("", CdmAttribute("x", "string")) == ""  # strings preserved
+
+
+def test_max_folders_per_trigger_caps_admission(spark, scenario):
+    """B18 static shaper: a continuously-triggered stream with
+    maxFoldersPerTrigger=1 admits one folder per micro-batch (availableNow
+    drains are deliberately uncapped — the frontier is captured before
+    initialOffset). Same final state, work split across batches."""
+    import time
+
+    fx, spec, ckpt = scenario
+    fx.upload_batch(minus(hours=3))
+    fx.upload_batch(minus(hours=2))
+    fx.upload_batch(minus(hours=1), add_upsert=True, update_changelog=True)
+
+    from arcane_stream_microsoft_synapse_link_spark.sources.stream import register
+    from arcane_stream_microsoft_synapse_link_spark.streaming.runner import StreamRunner
+
+    register(spark)
+    runner = StreamRunner(spark, spec)
+
+    def merge_batch(batch_df, batch_id):
+        from pyspark.sql import functions as F
+
+        if batch_df.isEmpty():
+            return
+        wm = batch_df.agg(F.max("_batch_folder")).first()[0]
+        runner._merge_folder_batch(batch_df.drop("_batch_folder"), up_to_folder=wm)
+
+    q = (
+        spark.readStream.format("synapse_link")
+        .option("path", spec.source_root)
+        .option("entity", spec.entity_name)
+        .option("maxFoldersPerTrigger", 1)
+        .load()
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and len(runner.stats.folders_seen) == 0:
+            # runner.folders_seen is unused on this path; poll table state
+            try:
+                if len(_state(spark, spec)) == 7 and runner.stats.batches_merged >= 2:
+                    break
+            except FileNotFoundError:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+    state = _state(spark, spec)
+    assert len(state) == 7  # 5 base + 2 inserts
+    # admission capping split the drain into multiple micro-batches
+    # (exact batch count depends on commit-callback vs trigger timing)
+    assert runner.stats.batches_merged >= 2
+
+
+def test_analyze_stats(spark, scenario):
+    fx, spec, _ = scenario
+    fx.upload_batch(minus(hours=1), update_changelog=True)
+    runner = StreamRunner(spark, spec)
+    runner.backfill()
+    stats = runner.table.analyze(spark, columns=["Id", "versionnumber"])
+    assert stats["rows"] == 5
+    assert stats["columns"]["Id"]["nulls"] == 0
+    assert stats["columns"]["versionnumber"]["ndv"] >= 4
+    assert runner.table.stats()["rows"] == 5

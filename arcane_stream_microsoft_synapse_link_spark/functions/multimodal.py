@@ -86,6 +86,81 @@ def extract_features(df: DataFrame, dim: int = 8, batch_hint: int | None = None)
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, w: int, h: int, fake: bool = True) -> bytes:
+    """STUB for image resize (no PIL in this container). fake=True →
+    deterministic byte transform sized w*h//64 so the output scales with
+    the target dims; fake=False → honest NotImplementedError."""
+    if not fake:
+        raise NotImplementedError("image resize requires PIL/opencv, not in this container")
+    if payload is None:
+        return b""
+    out_len = max(w * h // 64, 1)
+    src = payload or b"\x00"
+    return bytes(src[i % len(src)] for i in range(out_len))
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Batch image resize over media rows (mapInPandas, Arrow batches).
+    Only image rows are transformed; the filter prunes at the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": [resize_stub(p, width, height) for p in pdf["payload"]],
+                }
+            )
+
+    return df.where(F.col("media_type") == "image").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame
+    (fan-out inside mapInPandas keeps the decode adjacent to the payload —
+    no shuffle; frame extraction itself is the stubbed decode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                n_frames = max(int(dur or 0) // every_ms, 1)
+                src = payload or b"\x00"
+                for k in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(k)
+                    tss.append(k * every_ms)
+                    # stubbed frame decode: deterministic 16-byte slice
+                    frames.append(bytes(src[(k * 7 + j) % len(src)] for j in range(16)))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame": frames}
+            )
+
+    return df.where(F.col("media_type") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def fake_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests (payload = patterned
     bytes; sizes vary by id)."""

@@ -110,3 +110,49 @@ def test_backfill_merge_behavior(spark, scenario):
 
     state = _ids_and_versions(runner2.table.read(spark))
     assert state[KEYS[1]] == BASE_VERSION + 100
+
+
+def test_sharded_backfill_resumes_after_crash(spark, scenario, monkeypatch):
+    """B14/B17: a backfill killed mid-shard resumes from the recorded state
+    and completes without re-staging finished shards."""
+    fx, spec = scenario
+    fx.upload_batch(minus(hours=3))
+    fx.upload_batch(minus(hours=2), add_upsert=True)
+    fx.upload_batch(minus(hours=1), add_delete=True, update_changelog=True)
+
+    runner = StreamRunner(spark, spec)
+
+    from arcane_stream_microsoft_synapse_link_spark.sources.synapse import SynapseLinkSource
+
+    calls = {"n": 0}
+    real = SynapseLinkSource.read_folders
+
+    def flaky(self, spark_, folders):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash during shard staging")
+        return real(self, spark_, folders)
+
+    monkeypatch.setattr(SynapseLinkSource, "read_folders", flaky)
+    with pytest.raises(RuntimeError):
+        runner.backfill_sharded("bf-1", num_shards=3)
+
+    monkeypatch.setattr(SynapseLinkSource, "read_folders", real)
+    staged_before_resume = calls["n"]
+    n = runner.backfill_sharded("bf-1", num_shards=3)
+
+    # 5 base + 2 inserts - 1 delete (Overwrite drops deletes)
+    assert n == 6
+    state = _ids_and_versions(runner.table.read(spark))
+    assert KEYS[0] not in state
+    assert state[KEYS[1]] == BASE_VERSION + 100
+    # shard 0 was not re-staged on resume (state file skipped it)
+    assert staged_before_resume == 2
+
+    # state + staging cleaned up after finalize (B12 dispose)
+    import os
+
+    assert not os.path.exists(os.path.join(spec.target_root, "_backfill", "bf-1"))
+    assert not os.path.exists(
+        os.path.join(spec.target_root, "_meta", "backfill_bf-1.json")
+    )

@@ -163,3 +163,22 @@ def test_percentile_tolerance(spark):
         f"SELECT quantile_cont(l_extendedprice, 0.5) FROM '{SF_SMOKE}/lineitem.parquet'"
     ).fetchone()[0]
     assert math.isclose(p50, exact, rel_tol=0.01)
+
+
+def test_multimodal_resize_and_frames(spark):
+    media = M.fake_media_df(spark, n=30)
+    resized = M.resize_images(media, 32, 32).collect()
+    assert len(resized) == 10  # every third row is an image
+    assert all(r.width == 32 and len(r.payload) == 32 * 32 // 64 for r in resized)
+
+    frames = M.sample_frames(media, every_ms=250).collect()
+    vids = media.where("media_type = 'video'").collect()
+    expected = sum(max(v.duration_ms // 250, 1) for v in vids)
+    assert len(frames) == expected
+    assert all(len(f.frame) == 16 for f in frames)
+    # frame sampling is deterministic
+    again = M.sample_frames(media, every_ms=250).collect()
+    key = lambda r: (r.media_id, r.frame_idx)
+    assert sorted([(r.media_id, r.frame_idx, r.frame) for r in frames]) == sorted(
+        [(r.media_id, r.frame_idx, r.frame) for r in again]
+    )

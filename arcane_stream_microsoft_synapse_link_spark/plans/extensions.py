@@ -146,10 +146,7 @@ def ops_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ops_fingerprint_rolling")
 def ops_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    return (
-        t.documents.select("doc_id", X.fingerprint_rolling(F.col("text")).alias("fp64"))
-        .orderBy("doc_id")
-    )
+    return X.rolling_fingerprints_np(t.documents).orderBy("doc_id")
 
 
 @query("ops_embedding_near_dup")

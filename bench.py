@@ -39,6 +39,13 @@ def main() -> None:
     t = Tables(spark, sf_dir)
     for name in TABLE_NAMES:
         getattr(t, name).limit(1).collect()
+    # spin up Python UDF workers once so mapInPandas queries measure
+    # steady-state, not daemon startup
+    import pandas as pd  # noqa: F401
+
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

@@ -81,32 +81,93 @@ def brute_force_topk(
 
 
 def ivf_centroids(corpus: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Deterministic centroid sample: every (count/n)-th vector by id order.
-    (A k-means refinement would iterate assign→mean; the sample is the
-    standard warm start and is fully deterministic for testing.)"""
-    w = Window.orderBy(id_col)
-    numbered = corpus.select(id_col, vec_col).withColumn("_rn", F.row_number().over(w))
+    """Deterministic centroid sample by hash stride — a map-side filter
+    with NO global sort/window (a row_number() over the whole corpus would
+    funnel 100 TB through one partition). (A k-means refinement would
+    iterate assign→mean; the hash sample is the standard warm start and is
+    fully deterministic for testing.)"""
     total = corpus.count()
     stride = max(total // n_centroids, 1)
-    return (
-        numbered.where((F.col("_rn") % stride) == 1)
+    sampled = (
+        corpus.select(id_col, vec_col)
+        .where(F.pmod(F.xxhash64(id_col), F.lit(stride)) == 0)
+        .orderBy(id_col)  # tiny result (≈n_centroids rows) — sort is cheap
         .limit(n_centroids)
-        .select(F.monotonically_increasing_id().alias("centroid_id"), F.col(vec_col).alias("centroid"))
     )
+    w = Window.orderBy(id_col)  # over ≈n_centroids rows only
+    return sampled.withColumn("centroid_id", F.row_number().over(w) - 1).select(
+        "centroid_id", F.col(vec_col).alias("centroid")
+    )
+
+
+def ivf_train(
+    corpus: DataFrame,
+    n_centroids: int,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid training: hash-stride warm start + ``iters`` Lloyd
+    refinements (assign → recompute cell means). Each iteration is one
+    map-side assign pass + one groupBy(centroid_id) mean — no global sort.
+    One iteration typically recovers most of k-means's recall benefit."""
+    from pyspark.sql import types as T
+
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    mean_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def cell_mean(key, pdf):
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        return pd.DataFrame({"centroid_id": [key[0]], "centroid": [mat.mean(axis=0).tolist()]})
+
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        cents = assigned.groupBy("centroid_id").applyInPandas(cell_mean, schema=mean_schema)
+    return cents
 
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine): broadcast
-    argmin via window over the centroid cross product — one corpus scan."""
-    scored = corpus.join(F.broadcast(centroids)).select(
-        id_col, vec_col, "centroid_id", cosine(F.col(vec_col), F.col("centroid")).alias("_sim")
+    """Assign each vector to its nearest centroid (max cosine) with ZERO
+    shuffle: the (tiny) centroid matrix is collected once and closed over a
+    vectorized mapInPandas — each Arrow batch does one (batch × dim) @
+    (dim × n_centroids) matmul and a row-wise argmax. The join+window
+    spelling would shuffle the full corpus on vec_id; this is a pure
+    map-side pass, the right plan at any corpus size."""
+    from pyspark.sql import types as T
+
+    rows = centroids.orderBy("centroid_id").collect()  # n_centroids × dim — tiny
+    cmat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+
+    vec_field = corpus.schema[vec_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField(vec_col, vec_field),
+            T.StructField("centroid_id", T.IntegerType()),
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
-    )
+
+    def run(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vnorm = np.linalg.norm(mat, axis=1)
+            vnorm[vnorm == 0] = 1.0
+            sims = (mat @ cmat.T) / (vnorm[:, None] * cnorm[None, :])
+            # ties break to the lowest centroid_id (argmax returns first max)
+            best = cids[np.argmax(sims, axis=1)]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: pdf[vec_col], "centroid_id": best.astype("int32")}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
 
 
 def embedding_sign_signatures(

@@ -99,7 +99,7 @@ def test_ivf_recall_against_bruteforce(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     brute = S.brute_force_topk(t.embeddings, queries_df, k=10).collect()
-    cents = S.ivf_centroids(t.embeddings, 32)
+    cents = S.ivf_train(t.embeddings, 32, iters=2)
     assigned = S.ivf_assign(t.embeddings, cents)
     approx = S.ivf_topk(assigned, cents, queries_df, k=10, nprobe=8).collect()
     bset = {(r.query_id, r.vec_id) for r in brute}

@@ -66,7 +66,90 @@ def main() -> None:
     }
     if failures:
         result["failures"] = failures
+    try:
+        result["cdc"] = cdc_bench(spark)
+    except Exception as exc:
+        result["cdc"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     print(json.dumps(result))
+
+
+def cdc_bench(spark) -> dict:
+    """End-to-end CDC throughput: backfill 20k rows, then stream a 40k-row
+    change window (10k updates + 10k inserts + 2k deletes + stale
+    re-uploads). Reference target: ≥667 rows/s sustained intake
+    (BASELINE.md, StreamRunner.scala:132)."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.runner import (
+        StreamRunner,
+        StreamSpec,
+    )
+    from tests.synapse_fixture import ENTITY, SynapseFixture, data_row, delete_row
+
+    tmp = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        fx = SynapseFixture(os.path.join(tmp, "source"))
+        base_ts = datetime(2021, 6, 1, 12, 0, 0)
+
+        def key(i: int) -> str:
+            return f"{i:08d}-aaaa-bbbb-cccc-ddddeeee0000"
+
+        def write_folder(ts, rows):
+            name = fx.folder_name(ts)
+            d = os.path.join(fx.root, name, ENTITY)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(fx.root, name, "model.json"), "w") as fh:
+                from tests.synapse_fixture import model_json
+
+                fh.write(model_json())
+            with open(os.path.join(d, "data.csv"), "w") as fh:
+                fh.write("\n".join(rows) + "\n")
+            return name
+
+        n = 20000
+        v0 = 6_000_000_000
+        base = [data_row(key(i), v0 + i, f"D{i}") for i in range(n)]
+        write_folder(base_ts - timedelta(hours=2), base)
+        upd = [data_row(key(i), v0 + n + i, f"U{i}") for i in range(n // 2)] + [
+            data_row(key(n + i), v0 + i, f"N{i}") for i in range(n // 2)
+        ]
+        f2 = write_folder(base_ts - timedelta(minutes=30), upd)
+        dels = [delete_row(key(i), v0 + 2 * n + i) for i in range(2000)]
+        stale = [data_row(key(i), v0 + i, f"D{i}") for i in range(2000, n)]
+        f3 = write_folder(base_ts - timedelta(minutes=10), dels + stale)
+
+        spec = StreamSpec(
+            entity_name=ENTITY,
+            source_root=fx.root,
+            target_root=os.path.join(tmp, "target"),
+        )
+        runner = StreamRunner(spark, spec)
+
+        fx.set_changelog(fx.folder_name(base_ts - timedelta(hours=2)))
+        t0 = time.perf_counter()
+        runner.backfill()
+        backfill_s = time.perf_counter() - t0
+
+        fx.set_changelog(f3)
+        t0 = time.perf_counter()
+        runner.run_once()
+        stream_s = time.perf_counter() - t0
+
+        final = runner.table.read(spark).count()
+        streamed_rows = len(upd) + len(dels) + len(stale)
+        return {
+            "backfill_rows": n,
+            "backfill_sec": round(backfill_s, 3),
+            "backfill_rows_per_sec": round(n / backfill_s, 1),
+            "streamed_rows": streamed_rows,
+            "stream_sec": round(stream_s, 3),
+            "stream_rows_per_sec": round(streamed_rows / stream_s, 1),
+            "final_row_count": final,  # 20k -2k deleted +10k inserted = 28000
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

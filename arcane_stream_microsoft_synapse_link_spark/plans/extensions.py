@@ -172,6 +172,19 @@ def ops_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLE["ops_knn_bruteforce"] = """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8)
+    SELECT q.query_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                                       c.vec_id) AS rank,
+           CAST(ROUND(list_cosine_similarity(c.embedding, q.embedding), 4) AS DECIMAL(10,4)) AS cos_sim
+    FROM embeddings c, q
+    QUALIFY rank <= 10
+    ORDER BY q.query_id, rank
+"""
+
+
 @query("ops_knn_ivf")
 def ops_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10 (nprobe=8 of 32 cells, 1 Lloyd refinement) for the

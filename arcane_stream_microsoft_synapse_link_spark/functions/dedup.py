@@ -267,6 +267,73 @@ def minhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 15
+) -> DataFrame:
+    """(id, cluster_id) for every id appearing in a near-dup pair, where
+    cluster_id = min id of the connected component — the canonical keeper.
+
+    Min-label propagation: each round every node takes the min of its own
+    and its neighbors' labels; converges in O(component diameter) rounds.
+    Near-dup components are star/clique shaped (diameter ≤ ~3), so this
+    terminates in a handful of rounds even on huge corpora. Each round is
+    one shuffle-join + groupBy; ``localCheckpoint`` truncates the growing
+    lineage so round N's plan doesn't replay rounds 1..N-1.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("dlabel")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nlabel"))
+        )
+        new = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def drop_near_duplicates(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per duplicate cluster plus all
+    unpaired rows — the end-to-end near-dup removal."""
+    clusters = duplicate_clusters(pairs)
+    losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -149,6 +149,18 @@ def ops_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.rolling_fingerprints_np(t.documents).orderBy("doc_id")
 
 
+@query("ops_dedup_pipeline")
+def ops_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: exact (hash) → MinHash near-dup pairs → connected
+    components → keep one representative per cluster. Returns the kept
+    doc ids (rows-only; component resolution is iterative)."""
+    t = Tables(spark, sf_dir)
+    exact = D.drop_exact_duplicates(t.documents)
+    pairs = D.minhash_near_duplicates(exact, threshold=0.5)
+    kept = D.drop_near_duplicates(exact, pairs)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 @query("ops_embedding_near_dup")
 def ops_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: sign-LSH buckets → exact cosine verify."""

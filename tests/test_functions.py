@@ -182,3 +182,28 @@ def test_multimodal_resize_and_frames(spark):
     assert sorted([(r.media_id, r.frame_idx, r.frame) for r in frames]) == sorted(
         [(r.media_id, r.frame_idx, r.frame) for r in again]
     )
+
+
+def test_duplicate_clusters_and_drop(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (7, 9)], "id_a long, id_b long"
+    )
+    clusters = {r.id: r.cluster_id for r in D.duplicate_clusters(pairs).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 5, 6, 7, 9)], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in D.drop_near_duplicates(docs, pairs).collect())
+    assert kept == [1, 4, 6, 7]  # cluster keepers + unpaired 6
+
+
+def test_duplicate_clusters_long_chain(spark):
+    """A 10-node path graph needs several propagation rounds — checks the
+    iteration/convergence logic, not just star shapes."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 19)], "id_a long, id_b long"
+    )
+    clusters = {r.id: r.cluster_id for r in D.duplicate_clusters(pairs).collect()}
+    assert set(clusters.values()) == {10}
+    assert len(clusters) == 10

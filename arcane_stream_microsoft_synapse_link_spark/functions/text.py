@@ -29,6 +29,20 @@ def char_count(text: Column) -> Column:
     return F.length(text).cast("bigint")
 
 
+# BPE-style pre-tokenization: letter runs, digit runs, and symbol runs each
+# form one token, with an optional leading space glued on (the GPT-2 regex
+# family, minus lookahead so the same pattern runs on both Java regex and
+# RE2/DuckDB for oracle checking).
+BPE_RE = r" ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish pre-tokenizer count over lowercased text (better proxy for
+    LLM token budgets than whitespace splitting: punctuation and number
+    runs count separately)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_RE), 0)).cast("bigint")
+
+
 def punct_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(r"[.,!?;:]"), 0)).cast("bigint")
 

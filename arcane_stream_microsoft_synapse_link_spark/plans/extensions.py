@@ -123,6 +123,54 @@ ORACLE["ops_word_jaccard_adjacent"] = """
 """
 
 
+@query("ops_token_bpe")
+def ops_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts vs whitespace counts per document."""
+    t = Tables(spark, sf_dir)
+    txt = F.col("text")
+    return t.documents.select(
+        "doc_id",
+        X.token_count(txt).alias("n_ws_tokens"),
+        X.token_count_bpe(txt).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+ORACLE["ops_token_bpe"] = r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+')) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+"""
+
+
+@query("ops_quality_score")
+def ops_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punct/stopword quality heuristic, quantized to parts-per-
+    million via floor (no round-half tie policy → engine-stable hashes)."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.floor(X.quality_score(F.col("text")) * 1e6).cast("bigint").alias("quality_ppm"),
+    ).orderBy("doc_id")
+
+
+ORACLE["ops_quality_score"] = r"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE) AS stops,
+               CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
+               CAST(length(text) AS DOUBLE) AS chars
+        FROM documents)
+    SELECT doc_id,
+           CAST(FLOOR((0.5 * LEAST(toks / 64.0, 1.0)
+                     + 0.3 * LEAST(stops / GREATEST(toks, 1.0) * 5.0, 1.0)
+                     + 0.2 * (1.0 - LEAST(punct / GREATEST(chars, 1.0) * 10.0, 1.0))) * 1e6)
+                AS BIGINT) AS quality_ppm
+    FROM s ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only declared queries (non-SQL-expressible pipelines)
 # ---------------------------------------------------------------------------

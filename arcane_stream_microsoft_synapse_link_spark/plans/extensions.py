@@ -123,6 +123,43 @@ ORACLE["ops_word_jaccard_adjacent"] = """
 """
 
 
+@query("ops_sessionize")
+def ops_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-sessionization of the events stream as a custom applyInPandas
+    operator (4h idle gap), oracle-checked against a lag/cumsum SQL rewrite.
+    The streaming twin (applyInPandasWithState) is tested in
+    tests/test_stateful.py."""
+    from ..streaming.stateful import sessionize_batch
+
+    t = Tables(spark, sf_dir)
+    s = sessionize_batch(t.events, gap_s=14400)
+    return s.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("total_value", 2).cast("decimal(18,2)").alias("total_value"),
+    ).orderBy("user_id", "session_start")
+
+
+ORACLE["ops_sessionize"] = """
+    WITH m AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 14400 SECOND THEN 1 ELSE 0 END AS brk
+        FROM events),
+    g AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(value), 2) AS DECIMAL(18,2)) AS total_value
+    FROM g GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+"""
+
+
 @query("ops_token_bpe")
 def ops_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer counts vs whitespace counts per document."""

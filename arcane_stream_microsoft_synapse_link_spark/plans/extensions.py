@@ -125,14 +125,14 @@ ORACLE["ops_word_jaccard_adjacent"] = """
 
 @query("ops_sessionize")
 def ops_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-sessionization of the events stream as a custom applyInPandas
-    operator (4h idle gap), oracle-checked against a lag/cumsum SQL rewrite.
-    The streaming twin (applyInPandasWithState) is tested in
-    tests/test_stateful.py."""
-    from ..streaming.stateful import sessionize_batch
+    """Gap-sessionization of events (4h idle gap), built-ins only —
+    lag → running-sum session ids → hash agg, oracle-checked against the
+    same rewrite in DuckDB. The custom-operator twins (mapInPandas batch,
+    applyInPandasWithState streaming) are covered by tests/test_stateful.py."""
+    from ..streaming.stateful import sessionize_sql
 
     t = Tables(spark, sf_dir)
-    s = sessionize_batch(t.events, gap_s=14400)
+    s = sessionize_sql(t.events, gap_s=14400)
     return s.select(
         "user_id",
         "session_start",

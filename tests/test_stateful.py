@@ -80,3 +80,50 @@ def test_idle_timeout_flushes_open_sessions(sessions):
 def test_open_session_not_emitted(sessions):
     assert not any(k[0] == 3 for k in sessions)
     assert len(sessions) == 3
+
+
+def test_batch_sessionize_matches_sql(spark):
+    """mapInPandas custom operator ≡ built-in window/agg version."""
+    from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
+    from arcane_stream_microsoft_synapse_link_spark.streaming.stateful import (
+        sessionize_batch,
+        sessionize_sql,
+    )
+
+    ev = Tables(spark, "/root/testdata/sf0.001").events
+
+    def canon(df):
+        return sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+            for r in df.collect()
+        )
+
+    assert canon(sessionize_batch(ev, gap_s=14400)) == canon(sessionize_sql(ev, gap_s=14400))
+
+
+def test_session_chunks_boundary_carry():
+    """Splitting the same sorted input at any chunk boundary must not
+    change the sessions (open-session carry across Arrow chunks)."""
+    import pandas as pd
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.stateful import _session_chunks
+
+    rows = []
+    for u in (1, 2):
+        for s in (0, 10, 20, 5000, 5030, 90000):
+            rows.append((u, pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=s + u), 1.0))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+
+    def run(chunks):
+        out = list(_session_chunks(iter(chunks), 60 * 1_000_000, "user_id", "ts", "value"))
+        return sorted(
+            tuple(t) for c in out for t in c.itertuples(index=False)
+        )
+
+    whole = run([pdf])
+    assert len(whole) == 6  # 3 sessions per user
+    for cut1 in range(1, len(pdf)):
+        for cut2 in (cut1, (cut1 + 5) % len(pdf)):
+            lo, hi = min(cut1, cut2), max(cut1, cut2)
+            parts = [p for p in (pdf[:lo], pdf[lo:hi], pdf[hi:]) if len(p)]
+            assert run(parts) == whole, f"split at {lo},{hi}"

@@ -110,13 +110,12 @@ def minhash_signatures_np(
     seed: int = 42,
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures via vectorized numpy in
-    Arrow-batched mapInPandas — the fast path for signature computation
-    (shingle hashing is C-speed blake2b; the 128-hash family is one
-    wrapping multiply-add over a (shingles × 128) uint64 grid per doc).
-    ~4× the pure-JVM interpreted HOF fold on this corpus; identical LSH
-    behavior (different but equally-uniform hash values)."""
-    import hashlib
-
+    Arrow-batched mapInPandas — the fast path for signature computation.
+    All shingles of an Arrow chunk are hashed in ONE ``pd.util.hash_array``
+    call (C-speed SipHash, fixed key → deterministic across workers), then
+    the 128-hash family is a wrapping multiply-add over a (shingles × 128)
+    uint64 grid per doc. Identical LSH behavior to the JVM HOF fold
+    (different but equally-uniform hash values)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -129,36 +128,40 @@ def minhash_signatures_np(
     word_re = re.compile(WORD_RE)
     empty_sig = np.full(num_hashes, 2**63 - 1, dtype=np.uint64)
 
-    def sig_of(text: str | None) -> list[int]:
-        words_l = word_re.findall((text or "").lower())
-        if len(words_l) <= shingle_k:
-            grams = [" ".join(words_l)]
-        else:
-            grams = {
-                " ".join(words_l[i : i + shingle_k])
-                for i in range(len(words_l) - shingle_k + 1)
-            }
-        if grams:
-            h = np.fromiter(
-                (
-                    int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-                    for g in grams
-                ),
-                dtype=np.uint64,
-                count=len(grams),
-            )
-            m = (h[:, None] * A[None, :] + B[None, :]).min(axis=0)  # wrap-mod-2^64 family
-        else:
-            m = empty_sig
-        return m.view(np.int64).tolist()
-
     out_schema = T.StructType(
         [T.StructField("_id", T.LongType()), T.StructField("_sig", T.ArrayType(T.LongType()))]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame({"_id": pdf[id_col], "_sig": [sig_of(t) for t in pdf[text_col]]})
+            all_grams: list[str] = []
+            offsets = [0]
+            for t in pdf[text_col]:
+                words_l = word_re.findall((t or "").lower())
+                if len(words_l) <= shingle_k:
+                    all_grams.append(" ".join(words_l))
+                else:
+                    all_grams.extend(
+                        {
+                            " ".join(words_l[i : i + shingle_k])
+                            for i in range(len(words_l) - shingle_k + 1)
+                        }
+                    )
+                offsets.append(len(all_grams))
+            H = (
+                pd.util.hash_array(np.asarray(all_grams, dtype=object))
+                if all_grams
+                else np.array([], dtype=np.uint64)
+            )
+            sigs = []
+            for i in range(len(offsets) - 1):
+                h = H[offsets[i] : offsets[i + 1]]
+                if len(h):
+                    m = (h[:, None] * A[None, :] + B[None, :]).min(axis=0)  # wrap-mod-2^64
+                else:
+                    m = empty_sig
+                sigs.append(m.view(np.int64).tolist())
+            yield pd.DataFrame({"_id": pdf[id_col], "_sig": sigs})
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
@@ -234,8 +237,21 @@ def verify_jaccard(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (two hash joins back to the
-    shingle sets — never on the full corpus product)."""
-    sh = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("_sh"))
+    shingle sets — never on the full corpus product). The corpus is first
+    semi-joined down to ids that appear in a candidate pair, so shingling
+    cost is O(candidates), not O(corpus) — at 100 TB candidates are a tiny
+    fraction and the semi-join prunes the scan. Candidates are materialized
+    once (localCheckpoint): they are referenced three times below, and
+    without it each reference re-runs the whole LSH pipeline."""
+    pairs = pairs.localCheckpoint()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("_sh")
+    )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     j = (

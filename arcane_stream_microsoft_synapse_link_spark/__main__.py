@@ -1,0 +1,59 @@
+"""CLI entry: the spark-submit analog of the reference's k8s Job command.
+
+Reference lifecycle (SURVEY.md §3.3): the operator renders a Job whose env
+carries ``STREAMCONTEXT__SPEC`` (+ BACKFILL toggles); the process runs
+either the change-capture loop or a backfill, exiting 0 on success, 2 on
+retryable failure (k8s podFailurePolicy restarts on 2 — main.scala:63-66).
+
+Usage:
+    python -m arcane_stream_microsoft_synapse_link_spark --spec spec.json --target-root /lake/t1
+    python -m arcane_stream_microsoft_synapse_link_spark --spec spec.json --backfill [--backfill-id X]
+    STREAMCONTEXT__SPEC='...' python -m arcane_stream_microsoft_synapse_link_spark   # env mode
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="arcane_stream_microsoft_synapse_link_spark")
+    ap.add_argument("--spec", help="path to reference-shaped spec JSON (else STREAMCONTEXT__SPEC)")
+    ap.add_argument("--target-root", help="override target table root path")
+    ap.add_argument("--backfill", action="store_true", help="run backfill instead of change capture")
+    ap.add_argument("--backfill-id", help="resumable sharded backfill id")
+    ap.add_argument("--max-ticks", type=int, default=None, help="bound the capture loop (tests)")
+    args = ap.parse_args(argv)
+
+    from .config import spec_from_env, spec_from_json
+    from .session import get_spark
+    from .streaming.runner import StreamRunner
+
+    if args.spec:
+        with open(args.spec) as fh:
+            spec = spec_from_json(fh.read(), target_root=args.target_root)
+        is_backfill, backfill_id = args.backfill, args.backfill_id
+    else:
+        spec, is_backfill, backfill_id = spec_from_env()
+        if args.backfill:
+            is_backfill = True
+
+    spark = get_spark(f"synapse-link-{spec.entity_name}")
+    runner = StreamRunner(spark, spec)
+    try:
+        if is_backfill:
+            if backfill_id:
+                runner.backfill_sharded(backfill_id)
+            else:
+                runner.backfill()
+        else:
+            runner.run(max_ticks=args.max_ticks)
+    except Exception as e:  # noqa: BLE001
+        print(f"stream failed: {e}", file=sys.stderr)
+        return 2  # retryable by the reference's podFailurePolicy contract
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,113 @@
+"""Stream-spec ingestion: reference-shaped JSON → StreamSpec.
+
+The reference receives its whole job config as one serialized JSON document
+in the ``STREAMCONTEXT__SPEC`` env var (dev.env.example:39;
+stream-context-serialized-example.json), plus ``STREAMCONTEXT__BACKFILL``
+and ``STREAMCONTEXT__BACKFILL_ID`` toggles (StreamRunner.scala:178-179,
+202-203). This module accepts that exact document shape and maps the
+engine-meaningful knobs onto :class:`StreamSpec`; Kubernetes/Trino/Iceberg-
+catalog blocks that have no Spark equivalent are ignored (the SparkSession
+and its catalog replace them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from .operators.retry import RetryPolicy
+from .streaming.runner import StreamSpec
+
+_DURATION_UNITS = {
+    "millisecond": 0.001,
+    "milliseconds": 0.001,
+    "second": 1.0,
+    "seconds": 1.0,
+    "minute": 60.0,
+    "minutes": 60.0,
+    "hour": 3600.0,
+    "hours": 3600.0,
+}
+
+
+def parse_duration_s(text: str | float | int | None, default: float = 0.0) -> float:
+    """Reference duration strings: ``"5 second"``, ``"100 millisecond"``."""
+    if text is None:
+        return default
+    if isinstance(text, (int, float)):
+        return float(text)
+    m = re.fullmatch(r"\s*([\d.]+)\s*([a-zA-Z]+)\s*", text)
+    if not m or m.group(2).lower() not in _DURATION_UNITS:
+        raise ValueError(f"unparseable duration: {text!r}")
+    return float(m.group(1)) * _DURATION_UNITS[m.group(2).lower()]
+
+
+def _tagged_union(d: dict | None, default: str) -> str:
+    """Reference unions are single-key objects: {"never": {}} → "never"."""
+    if not d:
+        return default
+    return next(iter(d.keys()), default)
+
+
+def spec_from_dict(doc: dict, *, target_root: str | None = None) -> StreamSpec:
+    src = doc.get("source", {})
+    cfg = src.get("configuration", {})
+    rule = src.get("fieldSelectionRule", {}).get("rule", {"all": {}})
+    mode = _tagged_union(rule, "all")
+    fields: tuple[str, ...] = ()
+    if mode in ("include", "exclude"):
+        fields = tuple(rule.get(mode, {}).get("fields", ()) or ())
+
+    stream_mode = doc.get("streamMode", {})
+    cc = stream_mode.get("changeCapture", {})
+    bf = stream_mode.get("backfill", {})
+
+    sink = doc.get("sink", {})
+    msc = sink.get("mergeServiceClient", {})
+    retry = RetryPolicy(
+        mode=_tagged_union(msc.get("queryRetryMode"), "never"),
+        max_attempts=int(msc.get("queryRetryMaxAttempts", 3)),
+        base_duration_s=parse_duration_s(msc.get("queryRetryBaseDuration"), 1.0),
+        scale_factor=float(msc.get("queryRetryScaleFactor", 3.0)),
+        on_message_contents=tuple(msc.get("queryRetryOnMessageContents", ()) or ()),
+    )
+
+    maint = sink.get("maintenanceSettings", {})
+    throughput = doc.get("throughput", {})
+
+    return StreamSpec(
+        entity_name=cfg.get("entityName", ""),
+        source_root=cfg.get("baseLocation", ""),
+        target_root=target_root or sink.get("targetTableFullName", "").replace(".", "/"),
+        field_selection_mode=mode,
+        fields=fields,
+        change_capture_interval_s=parse_duration_s(cc.get("changeCaptureInterval"), 300.0),
+        change_capture_jitter_variance=float(cc.get("changeCaptureJitterVariance", 0.0)),
+        change_capture_jitter_seed=cc.get("changeCaptureJitterSeed"),
+        backfill_start=bf.get("backfillStartDate"),
+        backfill_behavior=bf.get("backfillBehavior", "Overwrite"),
+        optimize_batch_threshold=int(
+            maint.get("targetOptimizeSettings", {}).get("batchThreshold", 60)
+        ),
+        analyze_batch_threshold=int(
+            maint.get("targetAnalyzeSettings", {}).get("batchThreshold", 180)
+        ),
+        max_folders_per_tick=int(throughput.get("advisedChunkSize", 0) or 0),
+        retry=retry,
+    )
+
+
+def spec_from_json(text: str, *, target_root: str | None = None) -> StreamSpec:
+    return spec_from_dict(json.loads(text), target_root=target_root)
+
+
+def spec_from_env(env: dict[str, str] | None = None) -> tuple[StreamSpec, bool, str | None]:
+    """(spec, is_backfill, backfill_id) from the reference's env contract."""
+    env = env if env is not None else dict(os.environ)
+    raw = env.get("STREAMCONTEXT__SPEC")
+    if not raw:
+        raise KeyError("STREAMCONTEXT__SPEC is not set")
+    spec = spec_from_json(raw, target_root=env.get("STREAMCONTEXT__TARGET_ROOT"))
+    is_backfill = env.get("STREAMCONTEXT__BACKFILL", "").lower() == "true"
+    return spec, is_backfill, env.get("STREAMCONTEXT__BACKFILL_ID")

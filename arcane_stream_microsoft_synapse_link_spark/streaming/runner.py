@@ -28,9 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import latest_by_version
 from ..operators.merge import cdc_merge
+from ..operators.retry import RetryPolicy, with_retry
 from ..operators.transforms import normalize_column_names, select_fields, with_merge_key
 from ..sources.synapse import BatchFolder, SynapseLinkSource
 from ..tables import VersionedTable
+from .observability import MetricsRecorder
 
 
 @dataclass
@@ -54,6 +56,13 @@ class StreamSpec:
     snapshots_to_keep: int = 4
     bucket_count: int = 0  # >0 → bucket target snapshots by merge key
     max_folders_per_tick: int = 0  # >0 → B18 static throughput shaping
+    # A1 poll jitter (changeCaptureJitterVariance/Seed): each sleep is
+    # interval × (1 ± U[0,variance)) — thundering-herd avoidance when many
+    # entity streams poll the same storage account
+    change_capture_jitter_variance: float = 0.0
+    change_capture_jitter_seed: int | None = None
+    retry: RetryPolicy = field(default_factory=RetryPolicy)  # B9 queryRetry*
+    metrics_path: str | None = None  # observability: per-batch JSONL
 
 
 @dataclass
@@ -69,6 +78,7 @@ class StreamRunner:
         self.source = SynapseLinkSource(spec.source_root, spec.entity_name)
         self.table = VersionedTable(spec.target_root, bucket_count=spec.bucket_count)
         self.stats = RunnerStats()
+        self.metrics = MetricsRecorder(spec.metrics_path, tags={"entity": spec.entity_name})
 
     # ---- shared transform chain (B2→B1→B4) -------------------------------
     def _prepare(self, df: DataFrame) -> DataFrame:
@@ -84,16 +94,28 @@ class StreamRunner:
     def _target(self) -> DataFrame | None:
         return self.table.read(self.spark) if self.table.exists() else None
 
-    def _merge_folder_batch(self, df: DataFrame, up_to_folder: str) -> None:
-        merged = cdc_merge(
-            self._target(),
-            self._prepare(df),
-            version_col=self.spec.version_column,
-            is_delete_col=self.spec.is_delete_column,
-        )
-        self.table.commit(merged)
+    def _merge_folder_batch(
+        self, df: DataFrame, up_to_folder: str, is_backfill: bool = False
+    ) -> None:
+        t0 = time.time()
+
+        def merge_and_commit() -> None:
+            # the retried unit is merge+commit — safe to replay because the
+            # version-guarded merge is idempotent (re-merge is a no-op)
+            merged = cdc_merge(
+                self._target(),
+                self._prepare(df),
+                version_col=self.spec.version_column,
+                is_delete_col=self.spec.is_delete_column,
+            )
+            self.table.commit(merged)
+
+        with_retry(merge_and_commit, self.spec.retry, is_backfill=is_backfill)
         self.table.set_watermark(up_to_folder)  # commit THEN watermark
         self.stats.batches_merged += 1
+        if self.spec.metrics_path:
+            # opt-in: rows count is an extra action, only paid when metrics on
+            self.metrics.record(up_to_folder, df.count(), time.time() - t0)
         self._maintenance()
 
     # ---- backfill (B13-B17) ------------------------------------------------
@@ -109,22 +131,25 @@ class StreamRunner:
         staged = latest_by_version(
             self._prepare(df), version_col=self.spec.version_column
         )
-        if self.spec.backfill_behavior == "Overwrite":
-            # drop deletes; atomic snapshot replace (B15)
-            from pyspark.sql import functions as F
+        def finalize() -> None:
+            if self.spec.backfill_behavior == "Overwrite":
+                # drop deletes; atomic snapshot replace (B15)
+                from pyspark.sql import functions as F
 
-            is_del = F.coalesce(F.col(self.spec.is_delete_column), F.lit(False))
-            final = staged.where(~is_del)
-            self.table.commit(final)
-        else:  # Merge (B16) — non-destructive fold into live target
-            final = cdc_merge(
-                self._target(),
-                staged,
-                version_col=self.spec.version_column,
-                is_delete_col=self.spec.is_delete_column,
-                dedup_staged=False,
-            )
-            self.table.commit(final)
+                is_del = F.coalesce(F.col(self.spec.is_delete_column), F.lit(False))
+                self.table.commit(staged.where(~is_del))
+            else:  # Merge (B16) — non-destructive fold into live target
+                self.table.commit(
+                    cdc_merge(
+                        self._target(),
+                        staged,
+                        version_col=self.spec.version_column,
+                        is_delete_col=self.spec.is_delete_column,
+                        dedup_staged=False,
+                    )
+                )
+
+        with_retry(finalize, self.spec.retry, is_backfill=True)
         self.table.set_watermark(folders[-1].name)
         return self.table.read(self.spark).count()
 
@@ -237,16 +262,34 @@ class StreamRunner:
         self.stats.folders_seen.extend(f.name for f in pending)
         return len(pending)
 
+    def next_interval(self, rng=None) -> float:
+        """Poll sleep with jitter (A1): interval × (1 ± U[0, variance))."""
+        v = self.spec.change_capture_jitter_variance
+        base = self.spec.change_capture_interval_s
+        if v <= 0:
+            return base
+        rng = rng if rng is not None else self._jitter_rng()
+        return base * (1.0 + rng.uniform(-v, v))
+
+    def _jitter_rng(self):
+        import random
+
+        if not hasattr(self, "_rng"):
+            self._rng = random.Random(self.spec.change_capture_jitter_seed)
+        return self._rng
+
     def run(self, max_ticks: int | None = None, poll_interval_s: float | None = None) -> None:
         """Continuous change capture (trigger analog, 2.E). ``max_ticks``
         bounds the loop for tests — the TimeLimitLifetimeService analog."""
-        interval = poll_interval_s if poll_interval_s is not None else self.spec.change_capture_interval_s
         ticks = 0
         while max_ticks is None or ticks < max_ticks:
             self.run_once()
             ticks += 1
             if max_ticks is not None and ticks >= max_ticks:
                 break
+            interval = (
+                poll_interval_s if poll_interval_s is not None else self.next_interval()
+            )
             time.sleep(interval)
 
     # ---- maintenance (C1-C4 cadence) ----------------------------------------

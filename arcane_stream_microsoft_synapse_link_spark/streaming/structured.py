@@ -48,6 +48,10 @@ def run_structured(
     uncommitted batch a no-op (exactly-once, SURVEY.md §7 item 4).
     """
     runner = StreamRunner(spark, spec)
+    if spec.metrics_path:
+        from .observability import jsonl_progress_listener
+
+        spark.streams.addListener(jsonl_progress_listener(spec.metrics_path))
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F

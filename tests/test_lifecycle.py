@@ -1,0 +1,221 @@
+"""Retry policy, poll jitter, observability, and spec ingestion."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from arcane_stream_microsoft_synapse_link_spark.config import (
+    parse_duration_s,
+    spec_from_env,
+    spec_from_json,
+)
+from arcane_stream_microsoft_synapse_link_spark.operators.retry import RetryPolicy, with_retry
+from arcane_stream_microsoft_synapse_link_spark.streaming.observability import MetricsRecorder
+from arcane_stream_microsoft_synapse_link_spark.streaming.runner import StreamRunner, StreamSpec
+
+# reference-shaped spec document (stream-context-serialized-example.json)
+SPEC_DOC = {
+    "streamMode": {
+        "backfill": {"backfillBehavior": "Merge", "backfillStartDate": "2026-01-01T00.00.00Z"},
+        "changeCapture": {
+            "changeCaptureInterval": "5 second",
+            "changeCaptureJitterVariance": 0.1,
+            "changeCaptureJitterSeed": 0,
+        },
+    },
+    "sink": {
+        "mergeServiceClient": {
+            "queryRetryMode": {"always": {}},
+            "queryRetryBaseDuration": "100 millisecond",
+            "queryRetryOnMessageContents": ["CONFLICT"],
+            "queryRetryScaleFactor": 2.0,
+            "queryRetryMaxAttempts": 4,
+        },
+        "targetTableFullName": "catalog.schema.table",
+        "maintenanceSettings": {
+            "targetOptimizeSettings": {"batchThreshold": 7},
+            "targetAnalyzeSettings": {"batchThreshold": 11},
+        },
+    },
+    "throughput": {"advisedChunkSize": 3},
+    "source": {
+        "configuration": {"entityName": "currency", "baseLocation": "/data/cdm"},
+        "fieldSelectionRule": {"rule": {"exclude": {"fields": ["bigcol"]}}},
+    },
+}
+
+
+def test_retry_always_retries_then_succeeds():
+    calls, sleeps = [], []
+    policy = RetryPolicy(mode="always", max_attempts=4, base_duration_s=0.1, scale_factor=2.0)
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert with_retry(flaky, policy, sleep=sleeps.append) == "ok"
+    assert len(calls) == 3
+    assert sleeps == [0.1, 0.2]  # exponential: base, base*scale
+
+
+def test_retry_exhausts_attempts():
+    policy = RetryPolicy(mode="always", max_attempts=2, base_duration_s=0.0)
+    calls = []
+
+    def always_fails():
+        calls.append(1)
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        with_retry(always_fails, policy, sleep=lambda s: None)
+    assert len(calls) == 2
+
+
+def test_retry_message_matching():
+    policy = RetryPolicy(
+        mode="always", max_attempts=5, base_duration_s=0.0, on_message_contents=("CONFLICT",)
+    )
+    calls = []
+
+    def wrong_error():
+        calls.append(1)
+        raise RuntimeError("syntax error")  # not retryable → immediate raise
+
+    with pytest.raises(RuntimeError):
+        with_retry(wrong_error, policy, sleep=lambda s: None)
+    assert len(calls) == 1
+
+
+def test_retry_mode_gating():
+    never = RetryPolicy(mode="never", max_attempts=5)
+    bf_only = RetryPolicy(mode="backfillOnly", max_attempts=5, base_duration_s=0.0)
+    calls = []
+
+    def fails():
+        calls.append(1)
+        raise RuntimeError("x")
+
+    with pytest.raises(RuntimeError):
+        with_retry(fails, never, sleep=lambda s: None)
+    assert len(calls) == 1
+
+    calls.clear()
+    with pytest.raises(RuntimeError):
+        with_retry(fails, bf_only, is_backfill=False, sleep=lambda s: None)
+    assert len(calls) == 1  # streaming run: no retry
+
+    calls.clear()
+    with pytest.raises(RuntimeError):
+        with_retry(fails, bf_only, is_backfill=True, sleep=lambda s: None)
+    assert len(calls) == 5  # backfill: full attempts
+
+
+def test_jitter_deterministic_and_bounded(spark, tmp_path):
+    spec = StreamSpec(
+        entity_name="e",
+        source_root=str(tmp_path / "src"),
+        target_root=str(tmp_path / "tgt"),
+        change_capture_interval_s=100.0,
+        change_capture_jitter_variance=0.1,
+        change_capture_jitter_seed=0,
+    )
+    r1 = StreamRunner(spark, spec)
+    r2 = StreamRunner(spark, spec)
+    seq1 = [r1.next_interval() for _ in range(5)]
+    seq2 = [r2.next_interval() for _ in range(5)]
+    assert seq1 == seq2  # same seed → same jitter sequence
+    assert all(90.0 <= v <= 110.0 for v in seq1)
+    assert len(set(seq1)) > 1  # actually jittering
+
+    no_jitter = StreamSpec(
+        entity_name="e", source_root="s", target_root="t", change_capture_interval_s=100.0
+    )
+    assert StreamRunner(spark, no_jitter).next_interval() == 100.0
+
+
+def test_metrics_recorder(tmp_path):
+    path = str(tmp_path / "m" / "metrics.jsonl")
+    rec = MetricsRecorder(path, tags={"entity": "currency"})
+    rec.record("2024-01-01T00.00.00Z", rows=500, seconds=0.5)
+    rec.record("2024-01-01T00.05.00Z", rows=250, seconds=0.25)
+    assert rec.total_rows == 750
+    lines = [json.loads(x) for x in open(path)]
+    assert lines[0]["rows_per_sec"] == 1000.0
+    assert lines[1]["tags"] == {"entity": "currency"}
+
+
+def test_parse_duration():
+    assert parse_duration_s("5 second") == 5.0
+    assert parse_duration_s("100 millisecond") == 0.1
+    assert parse_duration_s("1 minute") == 60.0
+    assert parse_duration_s(None, 42.0) == 42.0
+    with pytest.raises(ValueError):
+        parse_duration_s("7 fortnight")
+
+
+def test_spec_from_json_reference_shape():
+    spec = spec_from_json(json.dumps(SPEC_DOC), target_root="/lake/currency")
+    assert spec.entity_name == "currency"
+    assert spec.source_root == "/data/cdm"
+    assert spec.target_root == "/lake/currency"
+    assert spec.field_selection_mode == "exclude"
+    assert spec.fields == ("bigcol",)
+    assert spec.change_capture_interval_s == 5.0
+    assert spec.change_capture_jitter_variance == 0.1
+    assert spec.change_capture_jitter_seed == 0
+    assert spec.backfill_behavior == "Merge"
+    assert spec.optimize_batch_threshold == 7
+    assert spec.analyze_batch_threshold == 11
+    assert spec.max_folders_per_tick == 3
+    assert spec.retry.mode == "always"
+    assert spec.retry.max_attempts == 4
+    assert spec.retry.base_duration_s == pytest.approx(0.1)
+    assert spec.retry.on_message_contents == ("CONFLICT",)
+
+
+def test_spec_from_env():
+    env = {
+        "STREAMCONTEXT__SPEC": json.dumps(SPEC_DOC),
+        "STREAMCONTEXT__BACKFILL": "true",
+        "STREAMCONTEXT__BACKFILL_ID": "bf-1",
+        "STREAMCONTEXT__TARGET_ROOT": "/lake/t",
+    }
+    spec, is_backfill, bf_id = spec_from_env(env)
+    assert spec.entity_name == "currency"
+    assert spec.target_root == "/lake/t"
+    assert is_backfill and bf_id == "bf-1"
+    with pytest.raises(KeyError):
+        spec_from_env({})
+
+
+def test_retry_applies_to_merge(spark, tmp_path, monkeypatch):
+    """A transiently-failing commit is retried by the runner (B9)."""
+    from datetime import datetime
+
+    from tests.synapse_fixture import ENTITY, SynapseFixture
+
+    fx = SynapseFixture(tmp_path / "src")
+    fx.upload_batch(datetime(2021, 6, 1, 12, 0, 0), update_changelog=True)
+    spec = StreamSpec(
+        entity_name=ENTITY,
+        source_root=str(tmp_path / "src"),
+        target_root=str(tmp_path / "tgt"),
+        retry=RetryPolicy(mode="always", max_attempts=3, base_duration_s=0.0),
+    )
+    runner = StreamRunner(spark, spec)
+    real_commit = runner.table.commit
+    fails = {"n": 2}
+
+    def flaky_commit(df):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise RuntimeError("simulated commit conflict")
+        return real_commit(df)
+
+    monkeypatch.setattr(runner.table, "commit", flaky_commit)
+    assert runner.run_once() == 1
+    assert runner.table.read(spark).count() == 5  # base file; 3rd attempt won

@@ -28,6 +28,7 @@ def scenario(tmp_path):
         entity_name=ENTITY,
         source_root=str(tmp_path / "source"),
         target_root=str(tmp_path / "target"),
+        metrics_path=str(tmp_path / "metrics.jsonl"),
     )
     return fx, spec, str(tmp_path / "ckpt")
 
@@ -54,6 +55,22 @@ def test_structured_stream_e2e(spark, scenario):
     assert KEYS[0] not in state
     assert state[KEYS[1]] == BASE_VERSION + 100
     assert KEYS[5] in state and KEYS[6] in state
+
+    # observability: progress listener captured micro-batch events
+    # (listener bus is async — poll briefly)
+    import json as _json
+    import time as _time
+
+    for _ in range(50):
+        try:
+            with open(spec.metrics_path) as fh:
+                events = [_json.loads(x) for x in fh]
+        except FileNotFoundError:
+            events = []
+        if any(e.get("event") == "progress" for e in events):
+            break
+        _time.sleep(0.2)
+    assert any(e.get("event") == "progress" for e in events)
 
 
 def test_structured_stream_resumes_from_checkpoint(spark, scenario):

@@ -123,6 +123,24 @@ ORACLE["ops_word_jaccard_adjacent"] = """
 """
 
 
+@query("ops_salted_distinct")
+def ops_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact COUNT(DISTINCT): value-salted two-phase combine
+    (operators/skew.py) — must equal the plain distinct count."""
+    from ..operators.skew import salted_count_distinct
+
+    t = Tables(spark, sf_dir)
+    return salted_count_distinct(
+        t.lineitem, ["l_returnflag"], "l_partkey", num_salts=16, out_name="dpart"
+    ).orderBy("l_returnflag")
+
+
+ORACLE["ops_salted_distinct"] = """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dpart
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 @query("ops_sessionize")
 def ops_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-sessionization of events (4h idle gap), built-ins only —

@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: lock in the plans SCALE.md argues from.
+
+These assert optimizer *behavior*, not exact plan text: filters/projection
+reach the scan, dimension joins broadcast, CDC dedup gets the partial
+top-k (WindowGroupLimit) before the shuffle, and salted aggregation keeps
+exactly its two exchanges.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from arcane_stream_microsoft_synapse_link_spark.plans import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_q1(spark):
+    plan = plan_of(QUERIES["q1_scan_filter_sort"](spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+    # column pruning: 3-column read schema, not the 16-column table
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>" in plan
+
+
+def test_dimension_joins_broadcast_q4(spark):
+    plan = plan_of(QUERIES["q4_multiway_join"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3  # no fact-table shuffle joins
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_dedup_partial_topk_q21(spark):
+    """The B8 dedup primitive must reduce per-key rows map-side before the
+    exchange — the 100 TB difference between shuffling the batch and
+    shuffling ~|keys|."""
+    plan = plan_of(QUERIES["q21_cdc_dedup_latest"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    first_wgl = plan.index("WindowGroupLimit")
+    assert "Exchange" in plan[first_wgl:], "expected a partial WindowGroupLimit before the shuffle"
+
+
+def test_salted_distinct_two_exchanges(spark):
+    plan = plan_of(QUERIES["ops_salted_distinct"](spark, SF_SMOKE))
+    # the skew-splitting shuffle actually partitions by the value salt …
+    assert "_vsalt" in plan
+    # … and the path stays pure hash-agg: no Expand blowup, ≤4 exchanges
+    # (distinct pre-agg on keys+salt+value, phase-1, phase-2, final sort)
+    assert plan.count("Exchange (") <= 4
+    assert "Expand" not in plan
+
+
+def test_sessionize_single_window_shuffle(spark):
+    plan = plan_of(QUERIES["ops_sessionize"](spark, SF_SMOKE))
+    # window partitioning (user) is reused by the groupBy(user, sid) agg:
+    # expect exchanges only for the window and the final orderBy range sort
+    assert plan.count("hashpartitioning(user_id") <= 1

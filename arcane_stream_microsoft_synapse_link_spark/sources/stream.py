@@ -101,9 +101,20 @@ class CsvChunkPartition(InputPartition):
 
 
 class SynapseLinkStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, entity: str, max_folders_per_trigger: int = 0):
+    def __init__(
+        self,
+        root: str,
+        entity: str,
+        max_folders_per_trigger: int = 0,
+        query_columns: tuple[str, ...] = (),
+    ):
         self._source = SynapseLinkSource(root, entity)
         self._max_folders = max_folders_per_trigger
+        # data columns of the query schema (no _batch_folder): every emitted
+        # row is projected onto these — folder-local schemas may lag (null-
+        # padded) or lead (extra attrs dropped until a stream restart picks
+        # up the widened schema, the Spark file-source evolution contract)
+        self._query_columns = query_columns
         # Progress known to THIS reader instance: set by initialOffset (fresh
         # stream) and commit (each finished batch). After a checkpoint
         # restart it is None until the first commit — the API does not hand
@@ -156,13 +167,20 @@ class SynapseLinkStreamReader(DataSourceStreamReader):
     def read(self, partition: CsvChunkPartition) -> Iterator[tuple]:
         attrs = partition.attributes
         n = len(attrs)
+        # project the folder-local row onto the query schema (B7/B10):
+        # query column missing in this folder → None; folder attr unknown
+        # to the query → dropped
+        by_name = {a.name: i for i, a in enumerate(attrs)}
+        cols = self._query_columns or tuple(a.name for a in attrs)
+        plan = [(by_name.get(c), attrs[by_name[c]] if c in by_name else None) for c in cols]
         with open(partition.path, newline="") as fh:
             # quoted, quote-escaped-by-doubling — same dialect as the JVM read
             for row in csv.reader(fh):
                 padded = (row + [None] * n)[:n]
-                yield tuple(parse_value_py(v, a) for v, a in zip(padded, attrs)) + (
-                    partition.folder,
-                )
+                yield tuple(
+                    parse_value_py(padded[i], a) if i is not None else None
+                    for i, a in plan
+                ) + (partition.folder,)
 
     def commit(self, end: dict) -> None:
         # offsets live in the checkpoint; sink-side watermark is B11.
@@ -185,11 +203,21 @@ class SynapseLinkDataSource(DataSource):
         entity = self.options.get("entity")
         if not root or not entity:
             raise ValueError("synapse_link source requires 'path' and 'entity' options")
-        with open(os.path.join(root, "model.json")) as fh:
-            model = parse_model(fh.read())
-        if entity not in model:
-            raise ValueError(f"entity {entity!r} not in {root}/model.json")
-        schema = model[entity].typed_schema()
+        # Schema is resolved from the NEWEST batch folder's model.json (per-
+        # batch schemas, §1.3) falling back to the container-root model.json
+        # — a restarted stream picks up mid-stream ADD COLUMNs, matching the
+        # reference's staging-vs-target diff (B10) driven from batch schemas.
+        src = SynapseLinkSource(root, entity)
+        folders = src.list_folders()
+        if folders:
+            entity_obj = src.entity_schema(folders[-1])
+        else:
+            with open(os.path.join(root, "model.json")) as fh:
+                model = parse_model(fh.read())
+            if entity not in model:
+                raise ValueError(f"entity {entity!r} not in {root}/model.json")
+            entity_obj = model[entity]
+        schema = entity_obj.typed_schema()
         # provenance column: which batch folder (source version) each row
         # came from — lets the sink commit a B11 watermark per micro-batch
         return schema.add("_batch_folder", "string", nullable=False)
@@ -199,6 +227,7 @@ class SynapseLinkDataSource(DataSource):
             self.options["path"],
             self.options["entity"],
             max_folders_per_trigger=int(self.options.get("maxfolderspertrigger", 0)),
+            query_columns=tuple(f.name for f in schema.fields if f.name != "_batch_folder"),
         )
 
 

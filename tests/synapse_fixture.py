@@ -48,7 +48,7 @@ KEYS = [f"0000000{i}-aaaa-bbbb-cccc-ddddeeee000{i}" for i in range(1, 8)]
 BASE_VERSION = 5000000000
 
 
-def model_json() -> str:
+def model_json(extra_columns: tuple[tuple[str, str], ...] = ()) -> str:
     return json.dumps(
         {
             "name": "cdm",
@@ -58,7 +58,8 @@ def model_json() -> str:
                     "$type": "LocalEntity",
                     "name": ENTITY,
                     "attributes": [
-                        {"name": n, "dataType": t, "maxLength": -1} for n, t in COLUMNS
+                        {"name": n, "dataType": t, "maxLength": -1}
+                        for n, t in (*COLUMNS, *extra_columns)
                     ],
                 }
             ],
@@ -139,6 +140,32 @@ class SynapseFixture:
         if add_upsert:
             with open(os.path.join(entity_dir, "5.csv"), "w") as fh:
                 fh.write(upsert_file())
+        if update_changelog:
+            self.set_changelog(name)
+        return name
+
+    def upload_evolved_batch(
+        self,
+        ts: datetime,
+        key: str,
+        version: int,
+        display: str,
+        extra_value: str,
+        extra_column: tuple[str, str] = ("extracol", "string"),
+        update_changelog: bool = False,
+    ) -> str:
+        """A batch whose per-folder model.json declares one extra attribute
+        (schema change mid-stream, SURVEY watch-list item 3) and whose CSV
+        rows carry the extra trailing field."""
+        name = self.folder_name(ts)
+        entity_dir = os.path.join(self.root, name, ENTITY)
+        os.makedirs(entity_dir, exist_ok=True)
+        with open(os.path.join(self.root, name, "model.json"), "w") as fh:
+            fh.write(model_json(extra_columns=(extra_column,)))
+        with open(os.path.join(entity_dir, "2021.csv"), "w") as fh:
+            # data_row ends with the empty-IsDelete trailing comma; the
+            # extra attribute is one more comma-separated trailing field
+            fh.write(data_row(key, version, display) + f',"{extra_value}"\n')
         if update_changelog:
             self.set_changelog(name)
         return name

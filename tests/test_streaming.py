@@ -92,6 +92,38 @@ def test_structured_stream_resumes_from_checkpoint(spark, scenario):
     assert state[KEYS[1]] == BASE_VERSION + 100
 
 
+def test_schema_evolution_through_stream(spark, scenario):
+    """A mid-stream batch whose model.json adds a column (SURVEY watch-list
+    item 3): the new column appears in the target, the evolved row carries
+    its value, pre-evolution rows read null — without disturbing the CDC
+    row semantics."""
+    fx, spec, ckpt = scenario
+    fx.upload_batch(minus(hours=2), update_changelog=True)
+    q = run_structured(spark, spec, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    fx.upload_evolved_batch(
+        minus(minutes=30),
+        key=KEYS[2],
+        version=BASE_VERSION + 300,
+        display="D-EVOLVED",
+        extra_value="X1",
+        update_changelog=True,
+    )
+    q2 = run_structured(spark, spec, ckpt, available_now=True)
+    q2.awaitTermination(120)
+
+    from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+
+    df = VersionedTable(spec.target_root).read(spark)
+    assert "extracol" in df.columns
+    vals = {r["Id"]: r["extracol"] for r in df.select("Id", "extracol").collect()}
+    assert vals[KEYS[2]] == "X1"
+    assert all(v is None for k, v in vals.items() if k != KEYS[2])
+    state = _state(spark, spec)
+    assert len(state) == 5 and state[KEYS[2]] == BASE_VERSION + 300
+
+
 def test_parse_timestamp_py_formats():
     assert parse_timestamp_py("2020-01-01T00:15:00.0000000Z") == datetime(
         2020, 1, 1, 0, 15, tzinfo=timezone.utc

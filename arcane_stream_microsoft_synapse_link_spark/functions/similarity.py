@@ -42,6 +42,13 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _unit_rows(M):
+    """Row-normalize a numpy matrix (0-norm rows stay 0)."""
+    import numpy as np
+
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,24 +59,49 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of each query over the corpus.
 
-    Plan shape: BroadcastNestedLoopJoin(corpus, broadcast(queries)) →
-    project cosine → window top-k per query. Norms are computed once per
-    side before the join (projection, not recompute-per-pair).
+    Scale shape: the (small, top-k-search contract) query set is collected
+    once and shipped to executors as a normalized numpy matrix inside the
+    mapInPandas closure — the broadcast-side of a GEMM. Each corpus chunk
+    computes one (chunk × queries) matrix product and keeps its local
+    top-k per query (argpartition), so the shuffle that feeds the final
+    per-query window carries ≤ k·partitions rows per query, never the
+    corpus. The corpus is scanned once and never shuffled.
     """
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("_cvec"), l2_norm(F.col(vec_col)).alias("_cnorm")
-    )
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"), l2_norm(F.col(vec_col)).alias("_qnorm")
-    )
-    scored = c.join(F.broadcast(q)).select(
-        query_id_col,
-        id_col,
-        (dot(F.col("_cvec"), F.col("_qvec")) / (F.col("_cnorm") * F.col("_qnorm"))).alias("cos_sim"),
+    import numpy as np
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    m = len(qids)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            S = Cn @ Qn.T  # (chunk, queries)
+            ids = pdf[id_col].to_numpy()
+            kk = min(k, len(ids))
+            out_q, out_id, out_sim = [], [], []
+            for j in range(m):
+                top = np.argpartition(-S[:, j], kk - 1)[:kk]
+                out_q.extend([qids[j]] * kk)
+                out_id.extend(ids[top])
+                out_sim.extend(S[top, j])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "cos_sim": out_sim}
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{query_id_col} long, {id_col} long, cos_sim double"
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
     )
@@ -277,23 +309,68 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """ANN top-k: each query scans only its ``nprobe`` nearest cells."""
+    """ANN top-k: each query scans only its ``nprobe`` nearest cells.
+
+    The probe table (query × nprobe cells) is tiny by contract; it is
+    computed with a window over queries, collected once, and shipped as
+    per-cell normalized numpy matrices in the mapInPandas closure. Each
+    corpus chunk GEMMs only the rows whose cell some query probes —
+    non-probed cells are filtered before Python (cell-level pruning is the
+    IVF point) — and emits its local per-query top-k; the final window
+    merges ≤ k·partitions rows per query. Corpus: one scan, no shuffle.
+    """
+    import numpy as np
+
     q = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
     qc = q.join(F.broadcast(centroids)).select(
         query_id_col, "_qvec", "centroid_id", cosine(F.col("_qvec"), F.col("centroid")).alias("_sim")
     )
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
-    probes = qc.withColumn("_rn", F.row_number().over(wq)).where(F.col("_rn") <= nprobe).select(
-        query_id_col, "_qvec", "centroid_id"
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select(query_id_col, "_qvec", "centroid_id")
+        .collect()
     )
-    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
-        query_id_col,
-        id_col,
-        cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
+    by_cell: dict[int, tuple[list, list]] = {}
+    for r in probes:
+        by_cell.setdefault(r["centroid_id"], ([], []))[0].append(r[query_id_col])
+        by_cell[r["centroid_id"]][1].append(r["_qvec"])
+    cell_mats = {
+        c: (qids, _unit_rows(np.asarray(vecs, dtype=np.float64)))
+        for c, (qids, vecs) in by_cell.items()
+    }
+    probed = sorted(cell_mats)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_q, out_id, out_sim = [], [], []
+            for cell, grp in pdf.groupby("centroid_id"):
+                qids, Qn = cell_mats[cell]
+                C = np.asarray(grp[vec_col].tolist(), dtype=np.float64)
+                S = _unit_rows(C) @ Qn.T
+                ids = grp[id_col].to_numpy()
+                kk = min(k, len(ids))
+                for j, qid in enumerate(qids):
+                    top = np.argpartition(-S[:, j], kk - 1)[:kk]
+                    out_q.extend([qid] * kk)
+                    out_id.extend(ids[top])
+                    out_sim.extend(S[top, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {query_id_col: out_q, id_col: out_id, "cos_sim": out_sim}
+                )
+
+    local = (
+        assigned.where(F.col("centroid_id").isin(probed))  # cell pruning
+        .select("centroid_id", id_col, vec_col)
+        .mapInPandas(run, schema=f"{query_id_col} long, {id_col} long, cos_sim double")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
     )

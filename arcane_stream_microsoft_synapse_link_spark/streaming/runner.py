@@ -102,13 +102,32 @@ class StreamRunner:
         def merge_and_commit() -> None:
             # the retried unit is merge+commit — safe to replay because the
             # version-guarded merge is idempotent (re-merge is a no-op)
-            merged = cdc_merge(
-                self._target(),
-                self._prepare(df),
-                version_col=self.spec.version_column,
-                is_delete_col=self.spec.is_delete_column,
-            )
-            self.table.commit(merged)
+            from pyspark.sql import functions as F
+
+            staged = self._prepare(df)
+            if self.table.bucket_count and self.table.exists():
+                # incremental path: merge into ONLY the buckets the batch
+                # touches (partition-pruned target read); untouched buckets
+                # are hard-linked forward by commit — at 100 TB the merge
+                # cost follows the change set, not the table
+                staged = staged.withColumn("__bucket", self.table.bucket_expr())
+                touched = [r[0] for r in staged.select("__bucket").distinct().collect()]
+                target = self._target().where(F.col("__bucket").isin(touched))
+                merged = cdc_merge(
+                    target,
+                    staged,
+                    version_col=self.spec.version_column,
+                    is_delete_col=self.spec.is_delete_column,
+                )
+                self.table.commit(merged, touched_buckets=touched)
+            else:
+                merged = cdc_merge(
+                    self._target(),
+                    staged,
+                    version_col=self.spec.version_column,
+                    is_delete_col=self.spec.is_delete_column,
+                )
+                self.table.commit(merged)
 
         with_retry(merge_and_commit, self.spec.retry, is_backfill=is_backfill)
         self.table.set_watermark(up_to_folder)  # commit THEN watermark

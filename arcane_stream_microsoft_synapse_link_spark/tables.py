@@ -80,23 +80,53 @@ class VersionedTable:
         v = self.current_version()
         if v == 0:
             raise FileNotFoundError(f"table {self.root} has no committed snapshot")
-        return spark.read.parquet(self._snapshot_dir(v))
+        # mergeSchema: incremental commits may leave older (hard-linked)
+        # bucket files on the pre-evolution schema; the union schema is the
+        # table schema (missing columns read null)
+        return spark.read.option("mergeSchema", "true").parquet(self._snapshot_dir(v))
 
-    def commit(self, df: DataFrame) -> int:
-        """Write a new immutable snapshot and atomically advance the pointer."""
+    def bucket_expr(self):
+        """Deterministic merge-key bucket (bucket(arcane_merge_key, N))."""
+        return F.pmod(F.xxhash64(self.bucket_key), F.lit(self.bucket_count)).cast("int")
+
+    def commit(self, df: DataFrame, touched_buckets: list[int] | None = None) -> int:
+        """Write a new immutable snapshot and atomically advance the pointer.
+
+        ``touched_buckets`` (bucketed tables only): incremental commit — the
+        DataFrame holds only the touched buckets' rows; untouched bucket
+        directories are HARD-LINKED from the previous snapshot instead of
+        rewritten (Iceberg's manifest-reuse analog: commit cost scales with
+        the change set, not the table). Snapshots stay independent for
+        expiry — links share inodes, removal of one snapshot never corrupts
+        another."""
         new_v = self.current_version() + 1
         out = self._snapshot_dir(new_v)
-        writer = df.write.mode("overwrite")
-        if self.bucket_count and self.bucket_key in df.columns:
-            # co-locate rows by merge-key bucket so at scale a MERGE only
-            # rewrites touched buckets (bucket(arcane_merge_key, N) analog)
-            df = df.withColumn(
-                "__bucket", F.pmod(F.xxhash64(self.bucket_key), F.lit(self.bucket_count))
-            )
-            writer = df.write.mode("overwrite").partitionBy("__bucket")
-        writer.parquet(out)
+        bucketed = self.bucket_count and self.bucket_key in df.columns
+        if bucketed:
+            if "__bucket" not in df.columns:
+                df = df.withColumn("__bucket", self.bucket_expr())
+            df.write.mode("overwrite").partitionBy("__bucket").parquet(out)
+            if touched_buckets is not None and new_v > 1:
+                prev = self._snapshot_dir(new_v - 1)
+                keep = {f"__bucket={int(b)}" for b in touched_buckets}
+                for name in os.listdir(prev):
+                    if name.startswith("__bucket=") and name not in keep:
+                        self._link_dir(os.path.join(prev, name), os.path.join(out, name))
+        else:
+            df.write.mode("overwrite").parquet(out)
         self._write_atomic(self._pointer_path(), str(new_v))
         return new_v
+
+    @staticmethod
+    def _link_dir(src: str, dst: str) -> None:
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            s, d = os.path.join(src, f), os.path.join(dst, f)
+            if os.path.isfile(s) and not os.path.exists(d):
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
 
     # ---- maintenance: ANALYZE (operator C4 analog) -----------------------
     def analyze(self, spark: SparkSession, columns: list[str] | None = None) -> dict:

@@ -124,16 +124,20 @@ class SynapseFixture:
         add_delete: bool = False,
         update_changelog: bool = False,
         add_upsert: bool = False,
+        include_base: bool = True,
     ) -> str:
         """Mirrors the reference harness's uploadBatch(ts, addDelete,
-        updateChangelog, addUpsert) — every batch carries the base file."""
+        updateChangelog, addUpsert) — every batch carries the base file
+        unless ``include_base=False`` (a narrow change batch touching only
+        the upsert/delete keys, for incremental-commit scenarios)."""
         name = self.folder_name(ts)
         entity_dir = os.path.join(self.root, name, ENTITY)
         os.makedirs(entity_dir, exist_ok=True)
         with open(os.path.join(self.root, name, "model.json"), "w") as fh:
             fh.write(model_json())
-        with open(os.path.join(entity_dir, "2021.csv"), "w") as fh:
-            fh.write(base_file())
+        if include_base:
+            with open(os.path.join(entity_dir, "2021.csv"), "w") as fh:
+                fh.write(base_file())
         if add_delete:
             with open(os.path.join(entity_dir, "3.csv"), "w") as fh:
                 fh.write(delete_file())

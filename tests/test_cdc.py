@@ -156,3 +156,66 @@ def test_sharded_backfill_resumes_after_crash(spark, scenario, monkeypatch):
     assert not os.path.exists(
         os.path.join(spec.target_root, "_meta", "backfill_bf-1.json")
     )
+
+
+def test_bucketed_incremental_commit(spark, tmp_path):
+    """With merge-key bucketing the CDC merge touches only the buckets the
+    batch changes: result identical to the unbucketed runner, and the
+    untouched buckets' files in the new snapshot are hard links to (same
+    inode as) the previous snapshot — commit cost ∝ change set."""
+    import os
+
+    fx = SynapseFixture(tmp_path / "source")
+    fx.upload_batch(minus(hours=1), update_changelog=True)
+    specs = {
+        name: StreamSpec(
+            entity_name=ENTITY,
+            source_root=str(tmp_path / "source"),
+            target_root=str(tmp_path / name),
+            bucket_count=bc,
+        )
+        for name, bc in (("plain", 0), ("bucketed", 8))
+    }
+    runners = {n: StreamRunner(spark, s) for n, s in specs.items()}
+    for r in runners.values():
+        r.backfill()
+
+    # narrow change batch: only the delete + upsert keys, no base re-upload
+    fx.upload_batch(
+        minus(minutes=15),
+        add_delete=True,
+        add_upsert=True,
+        include_base=False,
+        update_changelog=True,
+    )
+    for r in runners.values():
+        assert r.run_once() == 1
+
+    plain = _ids_and_versions(runners["plain"].table.read(spark))
+    bucketed = _ids_and_versions(runners["bucketed"].table.read(spark))
+    assert bucketed == plain  # same CDC semantics
+    assert len(bucketed) == 5 - 1 + 2
+
+    # hard-link proof: some bucket dir in v2 shares inodes with v1
+    t = runners["bucketed"].table
+    v2, v1 = t._snapshot_dir(2), t._snapshot_dir(1)
+    linked = rewritten = 0
+    for d in os.listdir(v2):
+        if not d.startswith("__bucket="):
+            continue
+        old = os.path.join(v1, d)
+        if not os.path.isdir(old):
+            rewritten += 1  # brand-new bucket (inserted keys)
+            continue
+        new_files = [f for f in os.listdir(os.path.join(v2, d)) if f.endswith(".parquet")]
+        old_files = {f for f in os.listdir(old) if f.endswith(".parquet")}
+        if new_files and all(
+            f in old_files
+            and os.path.samefile(os.path.join(v2, d, f), os.path.join(old, f))
+            for f in new_files
+        ):
+            linked += 1
+        else:
+            rewritten += 1
+    assert linked >= 1, "expected at least one untouched bucket to be hard-linked"
+    assert rewritten >= 1, "expected at least one touched bucket to be rewritten"

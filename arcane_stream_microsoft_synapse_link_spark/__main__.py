@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"synapse-link-{spec.entity_name}")
     runner = StreamRunner(spark, spec)
     try:
+        # B12 startup sweep: drop staging left by dead runs, keeping the
+        # backfill id we are about to resume
+        runner.sweep_staging(keep_backfill_id=backfill_id if is_backfill else None)
         if is_backfill:
             if backfill_id:
                 runner.backfill_sharded(backfill_id)

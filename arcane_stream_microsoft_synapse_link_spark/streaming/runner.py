@@ -281,6 +281,30 @@ class StreamRunner:
         self.stats.folders_seen.extend(f.name for f in pending)
         return len(pending)
 
+    # ---- dispose (B12): startup sweep of abandoned staging ------------------
+    def sweep_staging(self, keep_backfill_id: str | None = None) -> list[str]:
+        """Remove leftover backfill staging dirs + state files, except the
+        one named by ``keep_backfill_id`` (an in-progress resumable
+        backfill). The reference drops leftover staging tables matching the
+        prefix on startup (docs/crd.md:101-104); called from the CLI before
+        a run and safe to call any time — finalized backfills already
+        removed their staging."""
+        import shutil
+
+        removed = []
+        staging_root = os.path.join(self.table.root, "_backfill")
+        meta = os.path.join(self.table.root, "_meta")
+        if os.path.isdir(staging_root):
+            for bf_id in os.listdir(staging_root):
+                if bf_id == keep_backfill_id:
+                    continue
+                shutil.rmtree(os.path.join(staging_root, bf_id), ignore_errors=True)
+                state = os.path.join(meta, f"backfill_{bf_id}.json")
+                if os.path.exists(state):
+                    os.unlink(state)
+                removed.append(bf_id)
+        return removed
+
     def next_interval(self, rng=None) -> float:
         """Poll sleep with jitter (A1): interval × (1 ± U[0, variance))."""
         v = self.spec.change_capture_jitter_variance

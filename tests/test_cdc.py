@@ -219,3 +219,56 @@ def test_bucketed_incremental_commit(spark, tmp_path):
             rewritten += 1
     assert linked >= 1, "expected at least one untouched bucket to be hard-linked"
     assert rewritten >= 1, "expected at least one touched bucket to be rewritten"
+
+
+def test_sweep_staging_keeps_active(spark, scenario, tmp_path):
+    """B12 startup sweep: abandoned backfill staging + state removed, the
+    active (resumable) backfill kept."""
+    import os
+
+    fx, spec = scenario
+    fx.upload_batch(minus(hours=1), update_changelog=True)
+    runner = StreamRunner(spark, spec)
+    staging = os.path.join(spec.target_root, "_backfill")
+    meta = os.path.join(spec.target_root, "_meta")
+    for bf_id in ("dead1", "active"):
+        os.makedirs(os.path.join(staging, bf_id, "shard_0"), exist_ok=True)
+        os.makedirs(meta, exist_ok=True)
+        with open(os.path.join(meta, f"backfill_{bf_id}.json"), "w") as fh:
+            fh.write("{}")
+
+    removed = runner.sweep_staging(keep_backfill_id="active")
+    assert removed == ["dead1"]
+    assert not os.path.exists(os.path.join(staging, "dead1"))
+    assert not os.path.exists(os.path.join(meta, "backfill_dead1.json"))
+    assert os.path.exists(os.path.join(staging, "active"))
+    assert os.path.exists(os.path.join(meta, "backfill_active.json"))
+
+
+def test_schema_evolution_through_batch_runner(spark, scenario):
+    """Mixed-schema capture window through the batch runner (B7/B10): an
+    evolved folder and a pre-evolution folder merge in one tick; new column
+    lands, old rows null."""
+    fx, spec = scenario
+    fx.upload_batch(minus(hours=2), update_changelog=True)
+    runner = StreamRunner(spark, spec)
+    runner.backfill()
+
+    fx.upload_batch(minus(minutes=30), add_upsert=True)
+    fx.upload_evolved_batch(
+        minus(minutes=10),
+        key=KEYS[3],
+        version=BASE_VERSION + 400,
+        display="D-EVO",
+        extra_value="E9",
+        update_changelog=True,
+    )
+    assert runner.run_once() == 2
+
+    df = runner.table.read(spark)
+    assert "extracol" in df.columns
+    vals = {r["Id"]: r["extracol"] for r in df.select("Id", "extracol").collect()}
+    assert vals[KEYS[3]] == "E9"
+    assert all(v is None for k, v in vals.items() if k != KEYS[3])
+    state = _ids_and_versions(df)
+    assert state[KEYS[3]] == BASE_VERSION + 400 and len(state) == 7

@@ -165,6 +165,40 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF (tf = in-doc count,
+    idf = ln(N / df)), ties broken by term asc. Plan: one explode →
+    (doc, term) count agg → term document-frequency agg (broadcast back —
+    the term dictionary is small relative to the corpus) → per-doc window
+    top-k (WindowGroupLimit prunes map-side). Scores are floor-quantized
+    to ppm so the oracle hash-compares across engines."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(docfreq), "term").select(
+        id_col,
+        "term",
+        F.floor(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6)
+        .cast("bigint")
+        .alias("tfidf_ppm"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf_ppm"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full stat set in one projection pass."""
     t = F.col(text_col)

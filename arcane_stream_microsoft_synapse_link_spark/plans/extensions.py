@@ -123,6 +123,33 @@ ORACLE["ops_word_jaccard_adjacent"] = """
 """
 
 
+@query("ops_tfidf_top_terms")
+def ops_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (explode → tf/df aggs → broadcast
+    join → per-doc window top-k), ppm-quantized for the hash compare."""
+    t = Tables(spark, sf_dir)
+    return X.tfidf_top_terms(t.documents, k=3).orderBy("doc_id", "rn")
+
+
+ORACLE["ops_tfidf_top_terms"] = r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(FLOOR(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) * 1e6) AS BIGINT) AS tfidf_ppm
+        FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tfidf_ppm,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf_ppm DESC, term) AS rn
+    FROM scored
+    QUALIFY rn <= 3
+    ORDER BY doc_id, rn
+"""
+
+
 @query("ops_salted_distinct")
 def ops_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact COUNT(DISTINCT): value-salted two-phase combine
@@ -258,7 +285,10 @@ def ops_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → keep one representative per cluster. Returns the kept
     doc ids (rows-only; component resolution is iterative)."""
     t = Tables(spark, sf_dir)
-    exact = D.drop_exact_duplicates(t.documents)
+    # exact-dedup output feeds three branches (signatures, Jaccard verify,
+    # final anti-join) — materialize once instead of recomputing the
+    # hash-groupBy per branch
+    exact = D.drop_exact_duplicates(t.documents).localCheckpoint()
     pairs = D.minhash_near_duplicates(exact, threshold=0.5)
     kept = D.drop_near_duplicates(exact, pairs)
     return kept.select("doc_id").orderBy("doc_id")

@@ -75,6 +75,7 @@ def spec_from_dict(doc: dict, *, target_root: str | None = None) -> StreamSpec:
 
     maint = sink.get("maintenanceSettings", {})
     throughput = doc.get("throughput", {})
+    props = sink.get("targetTableProperties", {})
 
     return StreamSpec(
         entity_name=cfg.get("entityName", ""),
@@ -95,6 +96,8 @@ def spec_from_dict(doc: dict, *, target_root: str | None = None) -> StreamSpec:
         ),
         max_folders_per_tick=int(throughput.get("advisedChunkSize", 0) or 0),
         retry=retry,
+        target_sorted_by=tuple(props.get("sortedBy", ()) or ()),
+        target_bloom_filter_columns=tuple(props.get("parquetBloomFilterColumns", ()) or ()),
     )
 
 

@@ -63,6 +63,9 @@ class StreamSpec:
     change_capture_jitter_seed: int | None = None
     retry: RetryPolicy = field(default_factory=RetryPolicy)  # B9 queryRetry*
     metrics_path: str | None = None  # observability: per-batch JSONL
+    # A9 targetTableProperties: in-file sort order + parquet bloom filters
+    target_sorted_by: tuple[str, ...] = ()
+    target_bloom_filter_columns: tuple[str, ...] = ()
 
 
 @dataclass
@@ -76,7 +79,12 @@ class StreamRunner:
         self.spark = spark
         self.spec = spec
         self.source = SynapseLinkSource(spec.source_root, spec.entity_name)
-        self.table = VersionedTable(spec.target_root, bucket_count=spec.bucket_count)
+        self.table = VersionedTable(
+            spec.target_root,
+            bucket_count=spec.bucket_count,
+            sorted_by=spec.target_sorted_by,
+            bloom_filter_columns=spec.target_bloom_filter_columns,
+        )
         self.stats = RunnerStats()
         self.metrics = MetricsRecorder(spec.metrics_path, tags={"entity": spec.entity_name})
 

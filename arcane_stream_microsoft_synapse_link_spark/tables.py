@@ -34,10 +34,22 @@ from pyspark.sql import functions as F
 
 
 class VersionedTable:
-    def __init__(self, root: str, bucket_count: int = 0, bucket_key: str = "arcane_merge_key"):
+    def __init__(
+        self,
+        root: str,
+        bucket_count: int = 0,
+        bucket_key: str = "arcane_merge_key",
+        sorted_by: tuple[str, ...] = (),
+        bloom_filter_columns: tuple[str, ...] = (),
+    ):
         self.root = root
         self.bucket_count = bucket_count
         self.bucket_key = bucket_key
+        # A9 targetTableProperties analogs: in-file sort order (scan
+        # locality + parquet min/max zone pruning on the sort keys) and
+        # parquet bloom filters (point-lookup pruning on the merge key)
+        self.sorted_by = tuple(sorted_by)
+        self.bloom_filter_columns = tuple(bloom_filter_columns)
         self._meta = os.path.join(root, "_meta")
 
     # ---- metadata -------------------------------------------------------
@@ -102,10 +114,22 @@ class VersionedTable:
         new_v = self.current_version() + 1
         out = self._snapshot_dir(new_v)
         bucketed = self.bucket_count and self.bucket_key in df.columns
+
+        def writer_for(d: DataFrame):
+            sort_cols = [c for c in self.sorted_by if c in d.columns]
+            if sort_cols:
+                part_prefix = ["__bucket"] if bucketed else []
+                d = d.sortWithinPartitions(*part_prefix, *sort_cols)
+            w = d.write.mode("overwrite")
+            for c in self.bloom_filter_columns:
+                if c in d.columns:
+                    w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            return w
+
         if bucketed:
             if "__bucket" not in df.columns:
                 df = df.withColumn("__bucket", self.bucket_expr())
-            df.write.mode("overwrite").partitionBy("__bucket").parquet(out)
+            writer_for(df).partitionBy("__bucket").parquet(out)
             if touched_buckets is not None and new_v > 1:
                 prev = self._snapshot_dir(new_v - 1)
                 keep = {f"__bucket={int(b)}" for b in touched_buckets}
@@ -113,7 +137,7 @@ class VersionedTable:
                     if name.startswith("__bucket=") and name not in keep:
                         self._link_dir(os.path.join(prev, name), os.path.join(out, name))
         else:
-            df.write.mode("overwrite").parquet(out)
+            writer_for(df).parquet(out)
         self._write_atomic(self._pointer_path(), str(new_v))
         return new_v
 

@@ -43,6 +43,19 @@ def parse_duration_s(text: str | float | int | None, default: float = 0.0) -> fl
     return float(m.group(1)) * _DURATION_UNITS[m.group(2).lower()]
 
 
+def parse_size_mb(text: str | int | None, default: int = 100) -> int:
+    """Reference size strings: ``"512MB"``, ``"1GB"``."""
+    if text is None:
+        return default
+    if isinstance(text, int):
+        return text
+    m = re.fullmatch(r"\s*(\d+)\s*(MB|GB|KB)\s*", text, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"unparseable size: {text!r}")
+    mult = {"KB": 1 / 1024, "MB": 1, "GB": 1024}[m.group(2).upper()]
+    return max(int(int(m.group(1)) * mult), 1)
+
+
 def _tagged_union(d: dict | None, default: str) -> str:
     """Reference unions are single-key objects: {"never": {}} → "never"."""
     if not d:
@@ -90,6 +103,9 @@ def spec_from_dict(doc: dict, *, target_root: str | None = None) -> StreamSpec:
         backfill_behavior=bf.get("backfillBehavior", "Overwrite"),
         optimize_batch_threshold=int(
             maint.get("targetOptimizeSettings", {}).get("batchThreshold", 60)
+        ),
+        optimize_file_size_mb=parse_size_mb(
+            maint.get("targetOptimizeSettings", {}).get("fileSizeThreshold"), 100
         ),
         analyze_batch_threshold=int(
             maint.get("targetAnalyzeSettings", {}).get("batchThreshold", 180)

@@ -52,6 +52,7 @@ class StreamSpec:
     backfill_start: str | None = None
     backfill_behavior: str = "Overwrite"  # Overwrite | Merge
     optimize_batch_threshold: int = 60  # maintenance cadence (C1-C3)
+    optimize_file_size_mb: int = 100  # C1 fileSizeThreshold (CRD default 100MB)
     analyze_batch_threshold: int = 180  # stats cadence (C4)
     snapshots_to_keep: int = 4
     bucket_count: int = 0  # >0 → bucket target snapshots by merge key
@@ -346,6 +347,7 @@ class StreamRunner:
     # ---- maintenance (C1-C4 cadence) ----------------------------------------
     def _maintenance(self) -> None:
         if self.stats.batches_merged % self.spec.optimize_batch_threshold == 0:
+            self.table.optimize(self.spark, self.spec.optimize_file_size_mb)  # C1
             self.table.expire_snapshots(keep_last=self.spec.snapshots_to_keep)
         if self.stats.batches_merged % self.spec.analyze_batch_threshold == 0:
             self.table.analyze(self.spark)

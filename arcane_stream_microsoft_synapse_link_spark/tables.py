@@ -191,7 +191,42 @@ class VersionedTable:
         except FileNotFoundError:
             return None
 
-    # ---- maintenance (operators C1-C3 analog) ----------------------------
+    # ---- maintenance: OPTIMIZE (operator C1 analog) ----------------------
+    def optimize(
+        self, spark: SparkSession, file_size_threshold_mb: int = 100
+    ) -> int | None:
+        """Compact the current snapshot if its data files average below the
+        threshold (reference ``targetOptimizeSettings.fileSizeThreshold``,
+        default 100MB): rewrite as a new snapshot with files sized toward
+        the threshold. Returns the new version, or None when no compaction
+        was needed. Incremental bucketed commits leave per-bucket task
+        files; periodic compaction folds them toward the target size."""
+        v = self.current_version()
+        if v == 0:
+            return None
+        snap = self._snapshot_dir(v)
+        sizes = [
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(snap)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        if not sizes:
+            return None
+        threshold = file_size_threshold_mb * 1024 * 1024
+        n_files = max(1, -(-sum(sizes) // threshold))  # ceil toward target size
+        # healthy already: big-enough files, or as few files as the data
+        # can occupy at the target size
+        if sum(sizes) / len(sizes) >= threshold or len(sizes) <= n_files:
+            return None
+        df = self.read(spark)
+        compacted = df.repartition(n_files)
+        if self.bucket_count and "__bucket" in df.columns:
+            # keep bucket dirs; coalesce within buckets via one task each
+            compacted = df.repartition("__bucket")
+        return self.commit(compacted)
+
+    # ---- maintenance (operators C2-C3 analog) ----------------------------
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop snapshot dirs older than the last ``keep_last`` (C2/C3)."""
         current = self.current_version()

@@ -275,3 +275,32 @@ def test_spec_table_properties_parsed():
     spec = spec_from_json(json.dumps(doc), target_root="/lake/t")
     assert spec.target_sorted_by == ("arcane_merge_key",)
     assert spec.target_bloom_filter_columns == ("arcane_merge_key",)
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    """C1 OPTIMIZE analog: a fragmented snapshot is rewritten into fewer,
+    larger files; content unchanged; healthy snapshots are left alone."""
+    import glob
+
+    from arcane_stream_microsoft_synapse_link_spark.config import parse_size_mb
+    from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+
+    assert parse_size_mb("512MB") == 512
+    assert parse_size_mb("1GB") == 1024
+    assert parse_size_mb(None, 100) == 100
+
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(1000)], "k long, s string")
+    t.commit(df.repartition(16))  # fragment: 16 tiny files
+    v1_files = glob.glob(str(tmp_path / "t" / "v0000001" / "*.parquet"))
+    assert len(v1_files) == 16
+
+    new_v = t.optimize(spark, file_size_threshold_mb=1)
+    assert new_v == 2
+    v2_files = glob.glob(str(tmp_path / "t" / "v0000002" / "*.parquet"))
+    assert len(v2_files) == 1  # 1000 tiny rows → one file toward 1MB target
+    assert {tuple(r) for r in t.read(spark).collect()} == {
+        tuple(r) for r in df.collect()
+    }
+    # already compact → no-op
+    assert t.optimize(spark, file_size_threshold_mb=1) is None

@@ -110,6 +110,9 @@ def spec_from_dict(doc: dict, *, target_root: str | None = None) -> StreamSpec:
         analyze_batch_threshold=int(
             maint.get("targetAnalyzeSettings", {}).get("batchThreshold", 180)
         ),
+        analyze_included_columns=tuple(
+            maint.get("targetAnalyzeSettings", {}).get("includedColumns", ()) or ()
+        ),
         max_folders_per_tick=int(throughput.get("advisedChunkSize", 0) or 0),
         retry=retry,
         target_sorted_by=tuple(props.get("sortedBy", ()) or ()),

@@ -54,6 +54,7 @@ class StreamSpec:
     optimize_batch_threshold: int = 60  # maintenance cadence (C1-C3)
     optimize_file_size_mb: int = 100  # C1 fileSizeThreshold (CRD default 100MB)
     analyze_batch_threshold: int = 180  # stats cadence (C4)
+    analyze_included_columns: tuple[str, ...] = ()  # C4 includedColumns (empty → all)
     snapshots_to_keep: int = 4
     bucket_count: int = 0  # >0 → bucket target snapshots by merge key
     max_folders_per_tick: int = 0  # >0 → B18 static throughput shaping
@@ -350,4 +351,6 @@ class StreamRunner:
             self.table.optimize(self.spark, self.spec.optimize_file_size_mb)  # C1
             self.table.expire_snapshots(keep_last=self.spec.snapshots_to_keep)
         if self.stats.batches_merged % self.spec.analyze_batch_threshold == 0:
-            self.table.analyze(self.spark)
+            self.table.analyze(
+                self.spark, columns=list(self.spec.analyze_included_columns) or None
+            )

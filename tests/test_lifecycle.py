@@ -35,8 +35,8 @@ SPEC_DOC = {
         },
         "targetTableFullName": "catalog.schema.table",
         "maintenanceSettings": {
-            "targetOptimizeSettings": {"batchThreshold": 7},
-            "targetAnalyzeSettings": {"batchThreshold": 11},
+            "targetOptimizeSettings": {"batchThreshold": 7, "fileSizeThreshold": "512MB"},
+            "targetAnalyzeSettings": {"batchThreshold": 11, "includedColumns": ["Id"]},
         },
     },
     "throughput": {"advisedChunkSize": 3},
@@ -170,6 +170,8 @@ def test_spec_from_json_reference_shape():
     assert spec.backfill_behavior == "Merge"
     assert spec.optimize_batch_threshold == 7
     assert spec.analyze_batch_threshold == 11
+    assert spec.optimize_file_size_mb == 512
+    assert spec.analyze_included_columns == ("Id",)
     assert spec.max_folders_per_tick == 3
     assert spec.retry.mode == "always"
     assert spec.retry.max_attempts == 4

@@ -1,0 +1,107 @@
+"""Scale-path join operators Spark lacks as built-ins: as-of join and
+binned range join.
+
+The reference exposes as-of semantics only as a correlated-subquery query
+shape (SURVEY.md §2.D Q22); a correlated subquery re-aggregates the right
+side per left row. These operators re-express the same semantics as
+single-shuffle compositions of built-in DataFrame ops, which is the form
+that survives 100 TB:
+
+- ``asof_join``: union both sides, one window sort per key, carry the last
+  right-side value forward (``last_value IGNORE NULLS``). Cost = one
+  shuffle on the key + one sort — identical asymptotics to a sort-merge
+  join, no per-row re-aggregation, no nested-loop.
+- ``range_join_binned``: an interval/point join with NO equi-key is a
+  BroadcastNestedLoopJoin (or cartesian) in vanilla Spark. Binning rewrites
+  it as an equi-join on a bin id: intervals explode into the bins they
+  overlap, points map to exactly one bin, the join shuffles on the bin id,
+  and the exact range predicate filters residual false pairs inside each
+  bin. Shuffle volume = |points| + Σ interval spans / bin_width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    out_name: str = "asof_value",
+) -> DataFrame:
+    """For each left row, the ``value_col`` of the latest right row with
+    ``right_ts <= left_ts`` and the same ``on`` key (null when none).
+
+    Ties on ``right_ts`` are resolved by the largest ``value_col`` (make
+    ``value_col`` unique per (key, ts) — or equal under ties — for a
+    deterministic result).
+
+    Implementation: tag + union both sides, then per key one ascending
+    sort on (ts, side, value) where right rows order before left rows at
+    equal timestamps (<= semantics), and ``last_value`` with ignorenulls
+    carries the most recent right value into every left row.
+    """
+    lcols = left.columns
+    ts_type = left.schema[left_ts].dataType.simpleString()
+
+    l_part = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # left rows sort after right rows at equal ts
+        F.lit(None).cast(right.schema[value_col].dataType).alias("_v"),
+        *[F.col(c) for c in lcols],
+    )
+    r_part = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).cast(ts_type).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(value_col).alias("_v"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", "_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l_part.unionByName(r_part)
+        .withColumn(out_name, F.last("_v", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+        .select(*lcols, out_name)
+    )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Equi-join rewrite of ``intervals.lo <= points.p <= intervals.hi``
+    (inclusive ends; numeric columns — callers convert timestamps to epoch
+    units first).
+
+    Each interval is exploded into ``floor(lo/w)..floor(hi/w)`` bin ids
+    (`F.sequence` — no Python), each point maps to its single bin, and the
+    pair set comes from an equi-join on the bin id followed by the exact
+    range filter. Pick ``bin_width`` near the typical interval span so the
+    explode factor stays ~O(1) per interval.
+    """
+    w = F.lit(bin_width).cast("long")
+    binned_iv = intervals.withColumn(
+        "_bin", F.explode(F.sequence(F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)))
+    )
+    binned_pt = points.withColumn("_bin", F.floor(F.col(point_col) / w))
+    return (
+        binned_pt.join(binned_iv, "_bin")
+        .where(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop("_bin")
+    )

@@ -310,3 +310,133 @@ ORACLE["q36_regexp"] = r"""
            regexp_matches(p_name, 'red') AS has_red
     FROM part ORDER BY p_partkey LIMIT 500
 """
+
+
+@query("q37_window_funcs")
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/distribution window functions: ntile, percent_rank,
+    cume_dist, first/last/nth value with explicit full frames (the default
+    running frame differs between engines for last_value)."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    order = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    w = W.partitionBy("o_custkey").orderBy(*order)
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        t.orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).cast("decimal(10,6)").alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).cast("decimal(10,6)").alias("cume"),
+            F.first("o_orderkey").over(wf).alias("top_order"),
+            F.last("o_orderkey").over(wf).alias("bottom_order"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+ORACLE["q37_window_funcs"] = """
+    SELECT o_orderkey, o_custkey,
+           NTILE(4) OVER w AS quartile,
+           CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DECIMAL(10,6)) AS pct_rank,
+           CAST(ROUND(CUME_DIST() OVER w, 6) AS DECIMAL(10,6)) AS cume,
+           FIRST_VALUE(o_orderkey) OVER wf AS top_order,
+           LAST_VALUE(o_orderkey) OVER wf AS bottom_order,
+           NTH_VALUE(o_orderkey, 2) OVER wf AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey LIMIT 500
+"""
+
+
+@query("q38_array_hof")
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over embeddings (size/filter/element
+    access/max), float outputs floor-quantized to ppm — exact element-wise
+    ops only, no cross-engine float reduction."""
+    t = Tables(spark, sf_dir)
+    e = F.col("embedding")
+
+    def ppm(x):
+        return F.floor(x.cast("double") * 1e6).cast("bigint")
+
+    return (
+        t.embeddings.select(
+            "vec_id",
+            F.size(e).cast("bigint").alias("dim"),
+            F.size(F.filter(e, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+            ppm(F.array_max(e)).alias("max_ppm"),
+            ppm(F.element_at(e, 1)).alias("e0_ppm"),
+            ppm(F.element_at(e, -1)).alias("elast_ppm"),
+        )
+        .orderBy("vec_id")
+        .limit(2000)
+    )
+
+
+ORACLE["q38_array_hof"] = """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           CAST(FLOOR(CAST(list_max(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS max_ppm,
+           CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS e0_ppm,
+           CAST(FLOOR(CAST(embedding[-1] AS DOUBLE) * 1e6) AS BIGINT) AS elast_ppm
+    FROM embeddings ORDER BY vec_id LIMIT 2000
+"""
+
+
+@query("q39_collect_sorted")
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-collecting aggregation surfaced as a deterministic string
+    (sorted distinct event types per user)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy("user_id")
+        .agg(
+            F.count_distinct("event_type").cast("bigint").alias("n_types"),
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_csv"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["q39_collect_sorted"] = """
+    SELECT user_id, COUNT(DISTINCT event_type) AS n_types,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+    FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("q40_cond_agg")
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / boolean aggregates: count_if, filtered sums,
+    bool_and/bool_or."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).cast("bigint").alias("n_bulk"),
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity")))
+            .cast(DEC)
+            .alias("qty_hidisc"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["q40_cond_agg"] = """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (l_quantity > 25) AS n_bulk,
+           CAST(SUM(l_quantity) FILTER (l_discount > 0.05) AS DECIMAL(18,2)) AS qty_hidisc,
+           bool_and(l_quantity > 0) AS all_pos,
+           bool_or(l_discount > 0.09) AS any_deep_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""

@@ -253,6 +253,109 @@ ORACLE["ops_quality_score"] = r"""
 """
 
 
+@query("ops_asof_union")
+def ops_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, scale path (operators/joins.py): per event the latest
+    order date <= event ts for the same user, via union + one window sort
+    per key — one shuffle total, vs Q22's per-row correlated aggregate."""
+    from ..operators.joins import asof_join
+
+    t = Tables(spark, sf_dir)
+    events = t.events.select("event_id", "user_id", "ts")
+    orders = t.orders.select(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("odate")
+    )
+    out = asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="odate",
+        value_col="odate", out_name="last_order_date",
+    )
+    return out.select(
+        "event_id", F.col("last_order_date").cast("date").alias("last_order_date")
+    ).orderBy("event_id")
+
+
+# o_orderdate is a midnight-only timestamp in the test corpus; CAST to DATE
+# on the aggregate keeps both engines day-granular.
+ORACLE["ops_asof_union"] = """
+    SELECT e.event_id,
+           CAST((SELECT MAX(o.o_orderdate) FROM orders o
+                 WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS DATE)
+               AS last_order_date
+    FROM events e ORDER BY e.event_id
+"""
+
+
+@query("ops_range_join_binned")
+def ops_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/point join with no equi-key — 2-hour "activity windows"
+    anchored at the top-100 purchase events (by value), counting ALL
+    events inside each window — rewritten as a bin-id equi-join
+    (operators/joins.py). The vanilla spelling is a nested-loop join; the
+    binned form shuffles on bin id and scales to arbitrarily many
+    intervals. Epochs in microseconds so the residual filter is exact
+    against the oracle's full-precision timestamp BETWEEN."""
+    from ..operators.joins import range_join_binned
+
+    t = Tables(spark, sf_dir)
+    span_us = 7200 * 1_000_000
+    intervals = (
+        t.events.where(F.col("event_type") == "purchase")
+        .orderBy(F.desc("value"), "event_id")
+        .limit(100)
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.unix_micros("ts").alias("lo_us"),
+            (F.unix_micros("ts") + span_us).alias("hi_us"),
+        )
+    )
+    points = t.events.select(F.unix_micros("ts").alias("ev_us"))
+    pairs = range_join_binned(points, intervals, "ev_us", "lo_us", "hi_us", bin_width=span_us)
+    return (
+        pairs.groupBy("anchor_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("anchor_id")
+    )
+
+
+ORACLE["ops_range_join_binned"] = """
+    WITH iv AS (
+        SELECT event_id AS anchor_id, ts AS lo
+        FROM events WHERE event_type = 'purchase'
+        ORDER BY value DESC, event_id LIMIT 100)
+    SELECT iv.anchor_id, COUNT(*) AS n_events
+    FROM iv JOIN events e ON e.ts BETWEEN iv.lo AND iv.lo + INTERVAL 7200 SECOND
+    GROUP BY iv.anchor_id ORDER BY iv.anchor_id
+"""
+
+
+@query("ops_stratified_sample")
+def ops_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-data curation:
+    md5(text) as the per-stratum pseudo-random order, top-50 docs per
+    language. WindowGroupLimit reduces each map partition to its per-lang
+    top-50 BEFORE the shuffle, so at 100 TB the exchange carries
+    O(strata * k) rows, not the corpus."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (
+        t.documents.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("lang", "doc_id", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+ORACLE["ops_stratified_sample"] = """
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+    FROM documents
+    QUALIFY rn <= 50
+    ORDER BY lang, rn
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only declared queries (non-SQL-expressible pipelines)
 # ---------------------------------------------------------------------------

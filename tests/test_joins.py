@@ -1,0 +1,75 @@
+"""Unit tests for the scale-path join operators (operators/joins.py):
+as-of join edge semantics and binned range-join boundary handling."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from arcane_stream_microsoft_synapse_link_spark.operators.joins import (
+    asof_join,
+    range_join_binned,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05T12:00:00")),  # after both rights -> latest
+            (2, 10, _ts("2024-01-03T00:00:00")),  # equal ts -> <= includes it
+            (3, 10, _ts("2024-01-01T00:00:00")),  # before all rights -> null
+            (4, 99, _ts("2024-01-05T00:00:00")),  # key with no rights -> null
+        ],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-02T00:00:00"), 100),
+            (10, _ts("2024-01-03T00:00:00"), 200),
+        ],
+        "k long, rts timestamp, val long",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", value_col="val")
+    got = {r["event_id"]: r["asof_value"] for r in out.collect()}
+    assert got == {1: 200, 2: 200, 3: None, 4: None}
+
+
+def test_asof_join_tie_on_right_ts_takes_max_value(spark):
+    left = spark.createDataFrame([(1, 7, _ts("2024-06-01T00:00:00"))], "event_id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(7, _ts("2024-05-01T00:00:00"), 5), (7, _ts("2024-05-01T00:00:00"), 9)],
+        "k long, rts timestamp, val long",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", value_col="val")
+    assert out.collect()[0]["asof_value"] == 9
+
+
+def test_range_join_binned_matches_naive(spark):
+    # intervals straddling bin boundaries + inclusive endpoints
+    points = spark.createDataFrame([(i, i) for i in range(0, 40)], "pid long, p long")
+    intervals = spark.createDataFrame(
+        [(1, 3, 9), (2, 8, 8), (3, 10, 25), (4, 39, 60)],
+        "iid long, lo long, hi long",
+    )
+    out = range_join_binned(points, intervals, "p", "lo", "hi", bin_width=4)
+    got = sorted((r["iid"], r["pid"]) for r in out.collect())
+    naive = sorted(
+        (r["iid"], r["pid"])
+        for r in points.crossJoin(intervals)
+        .where(F.col("p").between(F.col("lo"), F.col("hi")))
+        .collect()
+    )
+    assert got == naive and len(naive) == 7 + 1 + 16 + 1
+
+
+def test_range_join_binned_no_duplicate_pairs(spark):
+    # an interval spanning many bins must emit each contained point once
+    points = spark.createDataFrame([(1, 50)], "pid long, p long")
+    intervals = spark.createDataFrame([(1, 0, 100)], "iid long, lo long, hi long")
+    out = range_join_binned(points, intervals, "p", "lo", "hi", bin_width=3)
+    assert out.count() == 1

@@ -71,3 +71,29 @@ def run_structured(
     else:
         writer = writer.trigger(processingTime=f"{int(spec.change_capture_interval_s)} seconds")
     return writer.start()
+
+
+def windowed_event_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a late-data watermark
+    (SURVEY.md §2.E extension surface — the reference has no windowed
+    aggregation; Spark provides it natively).
+
+    On a streaming DataFrame the watermark bounds state (windows older
+    than max_event_time - delay are finalized and evicted) and drops rows
+    arriving later than the delay; on a batch DataFrame ``withWatermark``
+    is a no-op and this is exactly q26's tumbling aggregation — the
+    parity test exploits that equivalence.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, window))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "cnt")
+    )

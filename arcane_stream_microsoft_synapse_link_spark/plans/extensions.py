@@ -356,6 +356,77 @@ ORACLE["ops_stratified_sample"] = """
 """
 
 
+@query("ops_curation_pipeline")
+def ops_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation, oracle-checked: quality filter
+    (floor-ppm >= 0.3) → exact dedup (keep min doc_id per content hash) →
+    per-language deterministic sample (md5 order, top 100) → per-language
+    doc + token budget. Every stage is the scale-path form: hash-key
+    shuffle for dedup, WindowGroupLimit for the sample, map-side partial
+    agg for the budget."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    good = t.documents.where(
+        F.floor(X.quality_score(F.col("text")) * 1e6) >= 300_000
+    )
+    unique = D.drop_exact_duplicates(good)
+    w = W.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    sampled = unique.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 100)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(X.token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["ops_curation_pipeline"] = r"""
+    WITH q AS (
+        SELECT doc_id, lang, text,
+               CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE) AS stops,
+               CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
+               CAST(length(text) AS DOUBLE) AS chars
+        FROM documents),
+    good AS (
+        SELECT doc_id, lang, text, toks FROM q
+        WHERE FLOOR((0.5 * LEAST(toks / 64.0, 1.0)
+                   + 0.3 * LEAST(stops / GREATEST(toks, 1.0) * 5.0, 1.0)
+                   + 0.2 * (1.0 - LEAST(punct / GREATEST(chars, 1.0) * 10.0, 1.0))) * 1e6)
+              >= 300000),
+    uniq AS (
+        SELECT * FROM good
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+    sampled AS (
+        SELECT * FROM uniq
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) <= 100)
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS total_tokens
+    FROM sampled GROUP BY lang ORDER BY lang
+"""
+
+
+@query("ops_hll_sketch")
+def ops_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL (Apache DataSketches) cardinality per group — the
+    100 TB distinct-count path: per-partition sketches combine
+    associatively, so the shuffle carries fixed-size sketch buffers, never
+    value sets. Rows-only here (estimates are engine-specific);
+    tests/test_functions.py checks ±2% vs exact and sketch-merge equality."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", F.lit(14)))
+            .cast("bigint")
+            .alias("apx_parts")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only declared queries (non-SQL-expressible pipelines)
 # ---------------------------------------------------------------------------

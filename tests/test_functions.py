@@ -207,3 +207,29 @@ def test_duplicate_clusters_long_chain(spark):
     clusters = {r.id: r.cluster_id for r in D.duplicate_clusters(pairs).collect()}
     assert set(clusters.values()) == {10}
     assert len(clusters) == 10
+
+
+def test_hll_sketch_tolerance_and_mergeability(spark, sf_dir):
+    """HLL sketches: estimate within ±2% of exact, and per-partition
+    sketches merged with hll_union_agg give EXACTLY the same estimate as
+    one global sketch — the associativity that makes distributed distinct
+    counting shuffle O(sketch bytes), not O(values)."""
+    from pyspark.sql import functions as F
+
+    from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
+
+    li = Tables(spark, sf_dir).lineitem
+    exact = li.agg(F.count_distinct("l_partkey")).first()[0]
+    whole = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", F.lit(14)))
+    ).first()[0]
+    assert abs(whole - exact) / exact < 0.02
+
+    halves = li.withColumn("_h", (F.col("l_orderkey") % 2).cast("int"))
+    merged = (
+        halves.groupBy("_h")
+        .agg(F.hll_sketch_agg("l_partkey", F.lit(14)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")))
+        .first()[0]
+    )
+    assert merged == whole

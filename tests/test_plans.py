@@ -61,3 +61,26 @@ def test_sessionize_single_window_shuffle(spark):
     # window partitioning (user) is reused by the groupBy(user, sid) agg:
     # expect exchanges only for the window and the final orderBy range sort
     assert plan.count("hashpartitioning(user_id") <= 1
+
+def test_range_join_binned_no_nested_loop(spark):
+    """The keyless interval join must be the bin-id equi-join, never a
+    nested-loop/cartesian over the corpus."""
+    plan = plan_of(QUERIES["ops_range_join_binned"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_partial_topk(spark):
+    """Per-stratum top-k must reduce map-side (WindowGroupLimit before the
+    exchange) — the shuffle carries O(strata*k), not the corpus."""
+    plan = plan_of(QUERIES["ops_stratified_sample"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "Exchange" in plan[plan.index("WindowGroupLimit"):]
+
+
+def test_asof_union_single_key_shuffle(spark):
+    """The as-of join is one shuffle on the key (window sort), not a
+    per-row re-aggregation of the right side."""
+    plan = plan_of(QUERIES["ops_asof_union"](spark, SF_SMOKE))
+    assert plan.count("hashpartitioning(_k") <= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -212,3 +212,45 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint_md5(t).alias("fp_md5"),
         lang_id(t).alias("lang_pred"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks (LLM context
+    preprocessing): chunk i = words[i*step .. i*step+size), step =
+    size-overlap; every doc emits >= 1 chunk.
+
+    Pure built-ins — split → explode(sequence) → slice → concat_ws — so
+    the whole operator is one codegen'd projection + generate; no shuffle
+    at all, and output rows stay co-partitioned with their input split
+    (chunking 100 TB is embarrassingly parallel). The UDTF twin in
+    tests/test_text_chunking.py demonstrates the §2.F surface; this form
+    is the hot path."""
+    step = size - overlap
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    # mirror the oracle's float expression order: CEIL((n - overlap) / step)
+    n_chunks = F.greatest(
+        F.ceil((F.size(ws) - F.lit(float(overlap))) / F.lit(float(step))).cast("long"),
+        F.lit(1),
+    )
+    return (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(id_col, ws.alias("_ws"), n_chunks.alias("_nc"))
+        .select(
+            id_col,
+            "_ws",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice("_ws", (F.col("chunk_id") * step + 1).cast("int"), size)
+            ).alias("chunk"),
+        )
+    )

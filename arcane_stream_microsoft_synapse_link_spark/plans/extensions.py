@@ -408,6 +408,30 @@ ORACLE["ops_curation_pipeline"] = r"""
 """
 
 
+@query("ops_text_chunking")
+def ops_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (64-word chunks, 16-word overlap)
+    — LLM context preprocessing as one codegen'd projection+generate, no
+    shuffle (functions/text.py:chunk_documents)."""
+    t = Tables(spark, sf_dir)
+    return X.chunk_documents(t.documents).orderBy("doc_id", "chunk_id")
+
+
+ORACLE["ops_text_chunking"] = r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents WHERE length(trim(text)) > 0),
+    n AS (
+        SELECT doc_id, ws,
+               GREATEST(CAST(CEIL((len(ws) - 16.0) / 48.0) AS BIGINT), 1) AS nc
+        FROM w),
+    e AS (SELECT doc_id, ws, unnest(range(0, nc)) AS chunk_id FROM n)
+    SELECT doc_id, chunk_id,
+           array_to_string(ws[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk
+    FROM e ORDER BY doc_id, chunk_id
+"""
+
+
 @query("ops_hll_sketch")
 def ops_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL (Apache DataSketches) cardinality per group — the

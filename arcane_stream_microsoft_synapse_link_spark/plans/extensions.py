@@ -432,6 +432,41 @@ ORACLE["ops_text_chunking"] = r"""
 """
 
 
+_BM25_TERMS = ["spark", "data", "merge"]
+
+
+@query("ops_bm25")
+def ops_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance vs a fixed query-term set (k1=1.2, b=0.75),
+    integer-ppm deterministic (functions/text.py:bm25_scores)."""
+    t = Tables(spark, sf_dir)
+    return X.bm25_scores(t.documents, _BM25_TERMS).orderBy("doc_id")
+
+
+ORACLE["ops_bm25"] = """
+    WITH d AS (
+        SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+        FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('spark', 'data', 'merge') GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d),
+    scored AS (
+        SELECT tf.doc_id,
+               LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+                 AS score
+        FROM tf JOIN dfreq USING (term) JOIN d USING (doc_id) CROSS JOIN stats)
+    SELECT doc_id, CAST(SUM(FLOOR(score * 1e6)) AS BIGINT) AS bm25_ppm
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 @query("ops_hll_sketch")
 def ops_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL (Apache DataSketches) cardinality per group — the

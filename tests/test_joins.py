@@ -73,3 +73,28 @@ def test_range_join_binned_no_duplicate_pairs(spark):
     intervals = spark.createDataFrame([(1, 0, 100)], "iid long, lo long, hi long")
     out = range_join_binned(points, intervals, "p", "lo", "hi", bin_width=3)
     assert out.count() == 1
+
+
+def test_asof_join_random_matches_python_oracle(spark):
+    """Randomized (seeded) as-of join vs a brute-force python oracle."""
+    import random
+
+    rng = random.Random(7)
+    lefts = [
+        (i, rng.randrange(8), _ts("2024-01-01T00:00:00") + dt.timedelta(minutes=rng.randrange(5000)))
+        for i in range(400)
+    ]
+    rights = [
+        (rng.randrange(8), _ts("2024-01-01T00:00:00") + dt.timedelta(minutes=rng.randrange(5000)), v)
+        for v in range(150)
+    ]
+    left = spark.createDataFrame(lefts, "event_id long, k long, ts timestamp")
+    right = spark.createDataFrame(rights, "k long, rts timestamp, val long")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", value_col="val")
+    got = {r["event_id"]: r["asof_value"] for r in out.collect()}
+
+    def oracle(k, ts):
+        cand = [(rts, v) for (rk, rts, v) in rights if rk == k and rts <= ts]
+        return max(cand)[1] if cand else None
+
+    assert got == {eid: oracle(k, ts) for (eid, k, ts) in lefts}

@@ -56,6 +56,40 @@ def parse_size_mb(text: str | int | None, default: int = 100) -> int:
     return max(int(int(m.group(1)) * mult), 1)
 
 
+_PART_EXPR_RE = re.compile(
+    r"\s*(bucket|year|month|day|hour)\s*\(\s*([A-Za-z0-9_]+)\s*(?:,\s*(\d+))?\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_partition_expressions(
+    exprs,
+) -> tuple[str, int, tuple[tuple[str, str], ...]]:
+    """Reference ``targetTableProperties.partitionExpressions``
+    (docs/crd.md:202-233): Iceberg-style transforms ``bucket(col, N)``,
+    ``year/month/day/hour(col)``, or a bare column (identity). Returns
+    (bucket_key, bucket_count, ((kind, col), ...)); at most one bucket
+    transform is honored (it keys the incremental-merge layout)."""
+    bucket_key, bucket_count = "arcane_merge_key", 0
+    transforms: list[tuple[str, str]] = []
+    for e in exprs or ():
+        text = str(e)
+        m = _PART_EXPR_RE.match(text)
+        if m:
+            kind, col, n = m.group(1).lower(), m.group(2), m.group(3)
+            if kind == "bucket":
+                if not n:
+                    raise ValueError(f"bucket() needs a count: {text!r}")
+                bucket_key, bucket_count = col, int(n)
+            else:
+                transforms.append((kind, col))
+        elif re.fullmatch(r"\s*[A-Za-z0-9_]+\s*", text):
+            transforms.append(("identity", text.strip()))
+        else:
+            raise ValueError(f"unparseable partition expression: {text!r}")
+    return bucket_key, bucket_count, tuple(transforms)
+
+
 def _tagged_union(d: dict | None, default: str) -> str:
     """Reference unions are single-key objects: {"never": {}} → "never"."""
     if not d:
@@ -89,6 +123,9 @@ def spec_from_dict(doc: dict, *, target_root: str | None = None) -> StreamSpec:
     maint = sink.get("maintenanceSettings", {})
     throughput = doc.get("throughput", {})
     props = sink.get("targetTableProperties", {})
+    part_key, part_buckets, part_transforms = parse_partition_expressions(
+        props.get("partitionExpressions")
+    )
 
     return StreamSpec(
         entity_name=cfg.get("entityName", ""),
@@ -117,6 +154,9 @@ def spec_from_dict(doc: dict, *, target_root: str | None = None) -> StreamSpec:
         retry=retry,
         target_sorted_by=tuple(props.get("sortedBy", ()) or ()),
         target_bloom_filter_columns=tuple(props.get("parquetBloomFilterColumns", ()) or ()),
+        bucket_key=part_key,
+        bucket_count=part_buckets,
+        target_partition_transforms=part_transforms,
     )
 
 

@@ -57,6 +57,11 @@ class StreamSpec:
     analyze_included_columns: tuple[str, ...] = ()  # C4 includedColumns (empty → all)
     snapshots_to_keep: int = 4
     bucket_count: int = 0  # >0 → bucket target snapshots by merge key
+    bucket_key: str = "arcane_merge_key"  # partitionExpressions bucket(col, N)
+    # A9 partitionExpressions time/identity transforms, e.g. month(order_date)
+    # — layout-only (reader scan pruning); merge pruning stays bucket-based
+    # because only key-derived partitions are safe to prune a MERGE by
+    target_partition_transforms: tuple[tuple[str, str], ...] = ()
     max_folders_per_tick: int = 0  # >0 → B18 static throughput shaping
     # A1 poll jitter (changeCaptureJitterVariance/Seed): each sleep is
     # interval × (1 ± U[0,variance)) — thundering-herd avoidance when many
@@ -84,8 +89,10 @@ class StreamRunner:
         self.table = VersionedTable(
             spec.target_root,
             bucket_count=spec.bucket_count,
+            bucket_key=spec.bucket_key,
             sorted_by=spec.target_sorted_by,
             bloom_filter_columns=spec.target_bloom_filter_columns,
+            partition_transforms=spec.target_partition_transforms,
         )
         self.stats = RunnerStats()
         self.metrics = MetricsRecorder(spec.metrics_path, tags={"entity": spec.entity_name})

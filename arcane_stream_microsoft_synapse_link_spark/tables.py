@@ -41,6 +41,7 @@ class VersionedTable:
         bucket_key: str = "arcane_merge_key",
         sorted_by: tuple[str, ...] = (),
         bloom_filter_columns: tuple[str, ...] = (),
+        partition_transforms: tuple[tuple[str, str], ...] = (),
     ):
         self.root = root
         self.bucket_count = bucket_count
@@ -50,6 +51,13 @@ class VersionedTable:
         # parquet bloom filters (point-lookup pruning on the merge key)
         self.sorted_by = tuple(sorted_by)
         self.bloom_filter_columns = tuple(bloom_filter_columns)
+        # A9 partitionExpressions time/identity transforms ((kind, col)):
+        # extra partition directory levels under the bucket level — readers
+        # filtering on the transform column prune whole directories. Layout
+        # only: merges never prune by them (an update's OLD version can sit
+        # in a different time partition than its new row — only key-derived
+        # bucket partitions are merge-prune-safe).
+        self.partition_transforms = tuple(partition_transforms)
         self._meta = os.path.join(root, "_meta")
 
     # ---- metadata -------------------------------------------------------
@@ -95,7 +103,9 @@ class VersionedTable:
         # mergeSchema: incremental commits may leave older (hard-linked)
         # bucket files on the pre-evolution schema; the union schema is the
         # table schema (missing columns read null)
-        return spark.read.option("mergeSchema", "true").parquet(self._snapshot_dir(v))
+        df = spark.read.option("mergeSchema", "true").parquet(self._snapshot_dir(v))
+        # __p_* transform columns are derived layout, recomputed per commit
+        return df.drop(*[c for c in df.columns if c.startswith("__p_")])
 
     def bucket_expr(self):
         """Deterministic merge-key bucket (bucket(arcane_merge_key, N))."""
@@ -114,39 +124,56 @@ class VersionedTable:
         new_v = self.current_version() + 1
         out = self._snapshot_dir(new_v)
         bucketed = self.bucket_count and self.bucket_key in df.columns
+        if bucketed and "__bucket" not in df.columns:
+            df = df.withColumn("__bucket", self.bucket_expr())
+        # time/identity transform partition levels (bucket stays outermost so
+        # incremental commits keep hard-linking whole untouched bucket dirs)
+        tnames: list[str] = []
+        for kind, col in self.partition_transforms:
+            if col in df.columns:
+                name = f"__p_{kind}_{col}"
+                df = df.withColumn(name, self._transform_expr(kind, col))
+                tnames.append(name)
+        part_cols = (["__bucket"] if bucketed else []) + tnames
 
-        def writer_for(d: DataFrame):
-            sort_cols = [c for c in self.sorted_by if c in d.columns]
-            if sort_cols:
-                part_prefix = ["__bucket"] if bucketed else []
-                d = d.sortWithinPartitions(*part_prefix, *sort_cols)
-            w = d.write.mode("overwrite")
-            for c in self.bloom_filter_columns:
-                if c in d.columns:
-                    w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
-            return w
+        sort_cols = [c for c in self.sorted_by if c in df.columns]
+        if sort_cols:
+            df = df.sortWithinPartitions(*part_cols, *sort_cols)
+        w = df.write.mode("overwrite")
+        for c in self.bloom_filter_columns:
+            if c in df.columns:
+                w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(out)
 
-        if bucketed:
-            if "__bucket" not in df.columns:
-                df = df.withColumn("__bucket", self.bucket_expr())
-            writer_for(df).partitionBy("__bucket").parquet(out)
-            if touched_buckets is not None and new_v > 1:
-                prev = self._snapshot_dir(new_v - 1)
-                keep = {f"__bucket={int(b)}" for b in touched_buckets}
-                for name in os.listdir(prev):
-                    if name.startswith("__bucket=") and name not in keep:
-                        self._link_dir(os.path.join(prev, name), os.path.join(out, name))
-        else:
-            writer_for(df).parquet(out)
+        if bucketed and touched_buckets is not None and new_v > 1:
+            prev = self._snapshot_dir(new_v - 1)
+            keep = {f"__bucket={int(b)}" for b in touched_buckets}
+            for name in os.listdir(prev):
+                if name.startswith("__bucket=") and name not in keep:
+                    self._link_dir(os.path.join(prev, name), os.path.join(out, name))
         self._write_atomic(self._pointer_path(), str(new_v))
         return new_v
 
     @staticmethod
-    def _link_dir(src: str, dst: str) -> None:
+    def _transform_expr(kind: str, col: str):
+        fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd", "hour": "yyyy-MM-dd-HH"}
+        if kind in fmt:
+            return F.date_format(F.col(col), fmt[kind])
+        if kind == "identity":
+            return F.col(col).cast("string")
+        raise ValueError(f"unknown partition transform: {kind}")
+
+    @classmethod
+    def _link_dir(cls, src: str, dst: str) -> None:
+        """Recursive hard-link mirror (transform levels nest under buckets)."""
         os.makedirs(dst, exist_ok=True)
         for f in os.listdir(src):
             s, d = os.path.join(src, f), os.path.join(dst, f)
-            if os.path.isfile(s) and not os.path.exists(d):
+            if os.path.isdir(s):
+                cls._link_dir(s, d)
+            elif os.path.isfile(s) and not os.path.exists(d):
                 try:
                     os.link(s, d)
                 except OSError:

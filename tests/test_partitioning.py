@@ -1,0 +1,107 @@
+"""A9 partitionExpressions: spec parsing, partition-transform layout,
+and incremental commits with nested transform directories."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from arcane_stream_microsoft_synapse_link_spark.config import (
+    parse_partition_expressions,
+    spec_from_dict,
+)
+from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+
+
+def test_parse_partition_expressions():
+    key, n, transforms = parse_partition_expressions(
+        ["bucket(arcane_merge_key, 10)", "month(order_date)", "dataareaid"]
+    )
+    assert (key, n) == ("arcane_merge_key", 10)
+    assert transforms == (("month", "order_date"), ("identity", "dataareaid"))
+
+    assert parse_partition_expressions(None) == ("arcane_merge_key", 0, ())
+    with pytest.raises(ValueError):
+        parse_partition_expressions(["bucket(k)"])
+    with pytest.raises(ValueError):
+        parse_partition_expressions(["month(a, b); DROP TABLE x"])
+
+
+def test_spec_maps_partition_expressions():
+    spec = spec_from_dict(
+        {
+            "sink": {
+                "targetTableProperties": {
+                    "partitionExpressions": ["bucket(arcane_merge_key, 4)", "month(SinkModifiedOn)"]
+                }
+            }
+        },
+        target_root="/tmp/x",
+    )
+    assert spec.bucket_count == 4 and spec.bucket_key == "arcane_merge_key"
+    assert spec.target_partition_transforms == (("month", "SinkModifiedOn"),)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "arcane_merge_key string, ts timestamp, v long")
+
+
+def test_transform_layout_and_roundtrip(spark, tmp_path):
+    t = VersionedTable(
+        str(tmp_path / "t"), bucket_count=2, partition_transforms=(("month", "ts"),)
+    )
+    rows = [
+        ("a", dt.datetime(2024, 1, 5), 1),
+        ("b", dt.datetime(2024, 2, 5), 2),
+        ("c", dt.datetime(2024, 2, 6), 3),
+    ]
+    t.commit(_df(spark, rows))
+    snap = os.path.join(str(tmp_path / "t"), "v0000001")
+    buckets = [d for d in os.listdir(snap) if d.startswith("__bucket=")]
+    assert buckets, "bucket level must stay outermost"
+    months = {
+        m for b in buckets for m in os.listdir(os.path.join(snap, b)) if m.startswith("__p_month_ts=")
+    }
+    assert months == {"__p_month_ts=2024-01", "__p_month_ts=2024-02"}
+
+    back = t.read(spark)
+    assert not [c for c in back.columns if c.startswith("__p_")]
+    assert sorted((r["arcane_merge_key"], r["v"]) for r in back.collect()) == [
+        ("a", 1), ("b", 2), ("c", 3)
+    ]
+
+
+def test_incremental_commit_hard_links_nested_transform_dirs(spark, tmp_path):
+    t = VersionedTable(
+        str(tmp_path / "t"), bucket_count=4, partition_transforms=(("month", "ts"),)
+    )
+    rows = [(f"k{i}", dt.datetime(2024, 1 + i % 3, 5), i) for i in range(16)]
+    t.commit(_df(spark, rows))
+
+    full = _df(spark, rows).withColumn("__bucket", t.bucket_expr())
+    touched = [r[0] for r in full.where(F.col("arcane_merge_key") == "k0").select("__bucket").collect()]
+    changed = full.where(F.col("__bucket").isin(touched)).withColumn(
+        "v", F.col("v") + 100 * (F.col("arcane_merge_key") == "k0").cast("long")
+    )
+    t.commit(changed, touched_buckets=touched)
+
+    # untouched buckets: nested parquet files share inodes with v1
+    v1, v2 = t._snapshot_dir(1), t._snapshot_dir(2)
+    shared = rewritten = 0
+    for dp, _, fs in os.walk(v2):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(dp, f), v2)
+            old = os.path.join(v1, rel)
+            if os.path.exists(old) and os.path.samefile(old, os.path.join(dp, f)):
+                shared += 1
+            else:
+                rewritten += 1
+    assert shared > 0 and rewritten > 0
+
+    got = {r["arcane_merge_key"]: r["v"] for r in t.read(spark).collect()}
+    assert got["k0"] == 100 and got["k1"] == 1 and len(got) == 16

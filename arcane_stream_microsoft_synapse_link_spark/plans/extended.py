@@ -440,3 +440,66 @@ ORACLE["q40_cond_agg"] = """
            bool_or(l_discount > 0.09) AS any_deep_disc
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+@query("q41_unpivot")
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measure columns to long (var, val) rows."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("qty"),
+            F.col("l_discount").alias("disc"),
+            F.col("l_tax").alias("tax"),
+        )
+        .unpivot(["l_orderkey", "l_linenumber"], ["qty", "disc", "tax"], "var", "val")
+        .orderBy("l_orderkey", "l_linenumber", "var")
+        .limit(600)
+    )
+
+
+ORACLE["q41_unpivot"] = """
+    SELECT l_orderkey, l_linenumber, var, val FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_discount AS disc,
+               l_tax AS tax FROM lineitem)
+    UNPIVOT (val FOR var IN (qty, disc, tax))
+    ORDER BY l_orderkey, l_linenumber, var LIMIT 600
+"""
+
+
+@query("q42_recursive_spine")
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE date spine + gap-filling left join (the continuous-
+    aggregate/time-series-densify pattern). Spark 4 WITH RECURSIVE; the
+    spine is tiny (days), the fact side aggregates BEFORE the join."""
+    t = Tables(spark, sf_dir)
+    t.view("events")
+    return spark.sql("""
+        WITH RECURSIVE spine(d) AS (
+            SELECT DATE '2023-12-30'
+            UNION ALL SELECT d + INTERVAL '1' DAY FROM spine WHERE d < DATE '2024-02-02'
+        ),
+        daily AS (
+            SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY 1
+        )
+        SELECT CAST(spine.d AS DATE) AS d, CAST(COALESCE(daily.cnt, 0) AS BIGINT) AS cnt
+        FROM spine LEFT JOIN daily ON spine.d = daily.d
+        ORDER BY d
+    """)
+
+
+# per-engine SQL (interval literal spelling differs); values hash-match
+ORACLE["q42_recursive_spine"] = """
+    WITH RECURSIVE spine(d) AS (
+        SELECT DATE '2023-12-30'
+        UNION ALL SELECT d + INTERVAL 1 DAY FROM spine WHERE d < DATE '2024-02-02'
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY 1
+    )
+    SELECT CAST(spine.d AS DATE) AS d, COALESCE(daily.cnt, 0) AS cnt
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    ORDER BY d
+"""

@@ -503,3 +503,67 @@ ORACLE["q42_recursive_spine"] = """
     FROM spine LEFT JOIN daily ON spine.d = daily.d
     ORDER BY d
 """
+
+
+@query("q43_set_ops_all")
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops (EXCEPT ALL / INTERSECT ALL keep duplicates)."""
+    t = Tables(spark, sf_dir)
+    cust = t.customer.select(F.col("c_nationkey").alias("k"))
+    supp = t.supplier.select(F.col("s_nationkey").alias("k"))
+    ex = cust.exceptAll(supp).groupBy("k").agg(F.count("*").alias("n_except"))
+    inter = cust.intersectAll(supp).groupBy("k").agg(F.count("*").alias("n_intersect"))
+    return (
+        ex.join(inter, "k", "full")
+        .select(
+            "k",
+            F.coalesce("n_except", F.lit(0)).cast("bigint").alias("n_except"),
+            F.coalesce("n_intersect", F.lit(0)).cast("bigint").alias("n_intersect"),
+        )
+        .orderBy("k")
+    )
+
+
+ORACLE["q43_set_ops_all"] = """
+    WITH ex AS (
+        SELECT k, COUNT(*) AS n_except FROM (
+            SELECT c_nationkey AS k FROM customer
+            EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY k),
+    inter AS (
+        SELECT k, COUNT(*) AS n_intersect FROM (
+            SELECT c_nationkey AS k FROM customer
+            INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY k)
+    SELECT COALESCE(ex.k, inter.k) AS k,
+           COALESCE(n_except, 0) AS n_except,
+           COALESCE(n_intersect, 0) AS n_intersect
+    FROM ex FULL JOIN inter ON ex.k = inter.k
+    ORDER BY k
+"""
+
+
+@query("q44_range_frame_interval")
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: trailing 1-hour running sum/count per
+    user (peers at equal ts share the frame — deterministic under ties)."""
+    t = Tables(spark, sf_dir)
+    t.view("events")
+    return spark.sql("""
+        SELECT event_id, user_id,
+               CAST(SUM(value) OVER w AS DECIMAL(18,2)) AS trail_sum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS trail_cnt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id LIMIT 1000
+    """)
+
+
+ORACLE["q44_range_frame_interval"] = """
+    SELECT event_id, user_id,
+           CAST(SUM(value) OVER w AS DECIMAL(18,2)) AS trail_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trail_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id LIMIT 1000
+"""

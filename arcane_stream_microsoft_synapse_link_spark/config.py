@@ -157,6 +157,9 @@ def spec_from_dict(doc: dict, *, target_root: str | None = None) -> StreamSpec:
         bucket_key=part_key,
         bucket_count=part_buckets,
         target_partition_transforms=part_transforms,
+        is_unified_schema=bool(
+            doc.get("staging", {}).get("table", {}).get("isUnifiedSchema", False)
+        ),
     )
 
 

@@ -78,8 +78,14 @@ def cdc_merge(
     version_col: str = "versionnumber",
     is_delete_col: str = "IsDelete",
     dedup_staged: bool = True,
+    allow_schema_evolution: bool = True,
 ) -> DataFrame:
-    """Merge a staged change batch into the target; returns the new target."""
+    """Merge a staged change batch into the target; returns the new target.
+
+    ``allow_schema_evolution=False`` is the reference's
+    ``staging.table.isUnifiedSchema: true`` (crd-microsoft-synapse.yaml:82-85):
+    schema migration between stage and target is disabled, so a column-set
+    mismatch is an error instead of an auto-ADD/null-fill."""
     if dedup_staged:
         staged = latest_by_version(staged, key=key, version_col=version_col)
 
@@ -92,6 +98,15 @@ def cdc_merge(
     if target is None:
         return staged.where(~is_delete)
 
+    if not allow_schema_evolution:
+        t_names = {f.name for f in target.schema.fields if not f.name.startswith("__")}
+        s_names = {f.name for f in staged.schema.fields if not f.name.startswith("__")}
+        if t_names != s_names:
+            raise ValueError(
+                "isUnifiedSchema: staged/target schema mismatch "
+                f"(staging-only: {sorted(s_names - t_names)}, "
+                f"target-only: {sorted(t_names - s_names)})"
+            )
     target, staged = _evolve(target, staged)
 
     s_ver = _version_expr(staged, version_col)

@@ -73,6 +73,9 @@ class StreamSpec:
     # A9 targetTableProperties: in-file sort order + parquet bloom filters
     target_sorted_by: tuple[str, ...] = ()
     target_bloom_filter_columns: tuple[str, ...] = ()
+    # staging.table.isUnifiedSchema: true → disable B10 schema migration;
+    # stage/target column-set mismatch becomes an error instead of auto-ADD
+    is_unified_schema: bool = False
 
 
 @dataclass
@@ -135,6 +138,7 @@ class StreamRunner:
                     staged,
                     version_col=self.spec.version_column,
                     is_delete_col=self.spec.is_delete_column,
+                    allow_schema_evolution=not self.spec.is_unified_schema,
                 )
                 self.table.commit(merged, touched_buckets=touched)
             else:
@@ -143,6 +147,7 @@ class StreamRunner:
                     staged,
                     version_col=self.spec.version_column,
                     is_delete_col=self.spec.is_delete_column,
+                    allow_schema_evolution=not self.spec.is_unified_schema,
                 )
                 self.table.commit(merged)
 
@@ -181,6 +186,7 @@ class StreamRunner:
                         staged,
                         version_col=self.spec.version_column,
                         is_delete_col=self.spec.is_delete_column,
+                        allow_schema_evolution=not self.spec.is_unified_schema,
                         dedup_staged=False,
                     )
                 )
@@ -262,6 +268,7 @@ class StreamRunner:
                         staged,
                         version_col=self.spec.version_column,
                         is_delete_col=self.spec.is_delete_column,
+                        allow_schema_evolution=not self.spec.is_unified_schema,
                         dedup_staged=False,
                     )
                 )

@@ -272,3 +272,36 @@ def test_schema_evolution_through_batch_runner(spark, scenario):
     assert all(v is None for k, v in vals.items() if k != KEYS[3])
     state = _ids_and_versions(df)
     assert state[KEYS[3]] == BASE_VERSION + 400 and len(state) == 7
+
+
+def test_unified_schema_rejects_migration(spark, scenario):
+    """staging.table.isUnifiedSchema: true disables B10 — an evolved batch
+    must fail the merge instead of auto-adding the column, and the target
+    stays at its pre-batch state (commit never happens)."""
+    import dataclasses
+
+    import pytest
+
+    fx, spec = scenario
+    spec = dataclasses.replace(spec, is_unified_schema=True)
+    fx.upload_batch(minus(hours=2), update_changelog=True)
+    runner = StreamRunner(spark, spec)
+    assert runner.backfill() == 5
+
+    # same-schema change batch still merges fine
+    fx.upload_batch(minus(minutes=30), add_upsert=True, update_changelog=True)
+    assert runner.run_once() == 1
+    assert runner.table.read(spark).count() == 7
+
+    fx.upload_evolved_batch(
+        minus(minutes=10),
+        key=KEYS[3],
+        version=BASE_VERSION + 400,
+        display="D-EVO",
+        extra_value="E9",
+        update_changelog=True,
+    )
+    with pytest.raises(ValueError, match="isUnifiedSchema"):
+        runner.run_once()
+    df = runner.table.read(spark)
+    assert "extracol" not in df.columns and df.count() == 7

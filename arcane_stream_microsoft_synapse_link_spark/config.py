@@ -160,6 +160,9 @@ def spec_from_dict(doc: dict, *, target_root: str | None = None) -> StreamSpec:
         is_unified_schema=bool(
             doc.get("staging", {}).get("table", {}).get("isUnifiedSchema", False)
         ),
+        max_rows_per_file=int(
+            doc.get("staging", {}).get("table", {}).get("maxRowsPerFile", 0) or 0
+        ),
     )
 
 

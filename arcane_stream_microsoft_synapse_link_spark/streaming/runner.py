@@ -76,6 +76,8 @@ class StreamSpec:
     # staging.table.isUnifiedSchema: true → disable B10 schema migration;
     # stage/target column-set mismatch becomes an error instead of auto-ADD
     is_unified_schema: bool = False
+    # A6 staging.table.maxRowsPerFile: cap rows per written data file
+    max_rows_per_file: int = 0
 
 
 @dataclass
@@ -96,6 +98,7 @@ class StreamRunner:
             sorted_by=spec.target_sorted_by,
             bloom_filter_columns=spec.target_bloom_filter_columns,
             partition_transforms=spec.target_partition_transforms,
+            max_rows_per_file=spec.max_rows_per_file,
         )
         self.stats = RunnerStats()
         self.metrics = MetricsRecorder(spec.metrics_path, tags={"entity": spec.entity_name})

@@ -42,6 +42,7 @@ class VersionedTable:
         sorted_by: tuple[str, ...] = (),
         bloom_filter_columns: tuple[str, ...] = (),
         partition_transforms: tuple[tuple[str, str], ...] = (),
+        max_rows_per_file: int = 0,
     ):
         self.root = root
         self.bucket_count = bucket_count
@@ -58,6 +59,10 @@ class VersionedTable:
         # in a different time partition than its new row — only key-derived
         # bucket partitions are merge-prune-safe).
         self.partition_transforms = tuple(partition_transforms)
+        # A6 staging.table.maxRowsPerFile (crd-microsoft-synapse.yaml:72-75):
+        # cap rows per written file; tasks roll to a new file at the cap
+        # (Spark's maxRecordsPerFile), the reference's parallel-file analog
+        self.max_rows_per_file = int(max_rows_per_file)
         self._meta = os.path.join(root, "_meta")
 
     # ---- metadata -------------------------------------------------------
@@ -140,6 +145,8 @@ class VersionedTable:
         if sort_cols:
             df = df.sortWithinPartitions(*part_cols, *sort_cols)
         w = df.write.mode("overwrite")
+        if self.max_rows_per_file > 0:
+            w = w.option("maxRecordsPerFile", str(self.max_rows_per_file))
         for c in self.bloom_filter_columns:
             if c in df.columns:
                 w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")

@@ -105,3 +105,14 @@ def test_incremental_commit_hard_links_nested_transform_dirs(spark, tmp_path):
 
     got = {r["arcane_merge_key"]: r["v"] for r in t.read(spark).collect()}
     assert got["k0"] == 100 and got["k1"] == 1 and len(got) == 16
+
+
+def test_max_rows_per_file_caps_file_sizes(spark, tmp_path):
+    """A6 maxRowsPerFile: a commit with the cap set rolls files at the cap."""
+    t = VersionedTable(str(tmp_path / "t"), max_rows_per_file=100)
+    df = spark.range(1000).coalesce(1).selectExpr("CAST(id AS STRING) AS arcane_merge_key", "id AS v")
+    t.commit(df)
+    snap = t._snapshot_dir(1)
+    files = [f for f in os.listdir(snap) if f.endswith(".parquet")]
+    assert len(files) >= 10
+    assert t.read(spark).count() == 1000

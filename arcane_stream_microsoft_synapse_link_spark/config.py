@@ -163,6 +163,10 @@ def spec_from_dict(doc: dict, *, target_root: str | None = None) -> StreamSpec:
         max_rows_per_file=int(
             doc.get("staging", {}).get("table", {}).get("maxRowsPerFile", 0) or 0
         ),
+        metric_tags=tuple(
+            sorted((str(k), str(v)) for k, v in
+                   (doc.get("observability", {}).get("metricTags", {}) or {}).items())
+        ),
     )
 
 

@@ -70,6 +70,7 @@ class StreamSpec:
     change_capture_jitter_seed: int | None = None
     retry: RetryPolicy = field(default_factory=RetryPolicy)  # B9 queryRetry*
     metrics_path: str | None = None  # observability: per-batch JSONL
+    metric_tags: tuple[tuple[str, str], ...] = ()  # observability.metricTags
     # A9 targetTableProperties: in-file sort order + parquet bloom filters
     target_sorted_by: tuple[str, ...] = ()
     target_bloom_filter_columns: tuple[str, ...] = ()
@@ -101,7 +102,9 @@ class StreamRunner:
             max_rows_per_file=spec.max_rows_per_file,
         )
         self.stats = RunnerStats()
-        self.metrics = MetricsRecorder(spec.metrics_path, tags={"entity": spec.entity_name})
+        self.metrics = MetricsRecorder(
+            spec.metrics_path, tags={"entity": spec.entity_name, **dict(spec.metric_tags)}
+        )
 
     # ---- shared transform chain (B2→B1→B4) -------------------------------
     def _prepare(self, df: DataFrame) -> DataFrame:

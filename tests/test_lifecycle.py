@@ -306,3 +306,48 @@ def test_optimize_compacts_small_files(spark, tmp_path):
     }
     # already compact → no-op
     assert t.optimize(spark, file_size_threshold_mb=1) is None
+
+
+def test_azure_storage_connection_mapping(spark):
+    """A5: the reference storageConnection block maps onto fs.azure.* keys
+    (shared-key + retry knobs; env fallback; credential-chain -> OAuth/MSI)."""
+    from arcane_stream_microsoft_synapse_link_spark.sources.azure import (
+        apply_azure_conf,
+        azure_hadoop_conf,
+    )
+
+    block = {
+        "accountName": "devstoreaccount1",
+        "httpClient": {
+            "httpMaxRetries": 3,
+            "httpMinRetryDelay": "100 millisecond",
+            "httpMaxRetryDelay": "1 second",
+            "maxResultsPerPage": 10000,
+        },
+        "credentialType": {"sharedKey": {"accessKey": "sekrit"}},
+    }
+    conf = azure_hadoop_conf(block, env={})
+    sfx = "devstoreaccount1.dfs.core.windows.net"
+    assert conf[f"fs.azure.account.auth.type.{sfx}"] == "SharedKey"
+    assert conf[f"fs.azure.account.key.{sfx}"] == "sekrit"
+    assert conf["fs.azure.io.retry.max.retries"] == "3"
+    assert conf["fs.azure.io.retry.min.backoff.interval"] == "100"
+    assert conf["fs.azure.io.retry.max.backoff.interval"] == "1000"
+    assert conf["fs.azure.list.max.results"] == "10000"
+
+    # env fallback for the shared key (ARCANE_FRAMEWORK__AZURE_STORAGE_ACCESS_KEY)
+    block["credentialType"] = {"sharedKey": {}}
+    conf = azure_hadoop_conf(
+        block, env={"ARCANE_FRAMEWORK__AZURE_STORAGE_ACCESS_KEY": "from-env"}
+    )
+    assert conf[f"fs.azure.account.key.{sfx}"] == "from-env"
+
+    block["credentialType"] = {"credentialChain": None}
+    conf = azure_hadoop_conf(block, env={})
+    assert conf[f"fs.azure.account.auth.type.{sfx}"] == "OAuth"
+
+    apply_azure_conf(spark, conf)  # must not raise; keys land in hadoop conf
+    got = spark.sparkContext._jsc.hadoopConfiguration().get(
+        f"fs.azure.account.auth.type.{sfx}"
+    )
+    assert got == "OAuth"

@@ -133,6 +133,10 @@ def spec_from_dict(doc: dict, *, target_root: str | None = None) -> StreamSpec:
         target_root=target_root or sink.get("targetTableFullName", "").replace(".", "/"),
         field_selection_mode=mode,
         fields=fields,
+        essential_fields=tuple(
+            str(f).lower()
+            for f in (src.get("fieldSelectionRule", {}).get("essentialFields", ()) or ())
+        ),
         change_capture_interval_s=parse_duration_s(cc.get("changeCaptureInterval"), 300.0),
         change_capture_jitter_variance=float(cc.get("changeCaptureJitterVariance", 0.0)),
         change_capture_jitter_seed=cc.get("changeCaptureJitterSeed"),

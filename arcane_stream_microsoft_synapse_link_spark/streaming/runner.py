@@ -48,6 +48,9 @@ class StreamSpec:
     is_delete_column: str = "IsDelete"
     field_selection_mode: str = "all"  # all | include | exclude
     fields: tuple[str, ...] = ()
+    # fieldSelectionRule.essentialFields override (empty → CRD defaults:
+    # id, versionnumber, isdelete, arcane_merge_key)
+    essential_fields: tuple[str, ...] = ()
     change_capture_interval_s: float = 300.0
     backfill_start: str | None = None
     backfill_behavior: str = "Overwrite"  # Overwrite | Merge
@@ -111,7 +114,13 @@ class StreamRunner:
         from pyspark.sql import functions as F
 
         df = normalize_column_names(df)
-        df = select_fields(df, self.spec.field_selection_mode, self.spec.fields)
+        if self.spec.essential_fields:
+            df = select_fields(
+                df, self.spec.field_selection_mode, self.spec.fields,
+                essential=self.spec.essential_fields,
+            )
+        else:
+            df = select_fields(df, self.spec.field_selection_mode, self.spec.fields)
         df = with_merge_key(df, self.spec.key_column)
         # rows without a merge key cannot participate in MERGE; dropping
         # them keeps null-key garbage out of the dedup window

@@ -140,3 +140,29 @@ def test_merge_version_guard_blocks_stale(spark):
     merged = cdc_merge(target, stale)
     rows = merged.collect()
     assert len(rows) == 1 and rows[0]["val"] == "new"
+
+
+def test_spec_essential_fields_override(spark):
+    """fieldSelectionRule.essentialFields from the spec protects the listed
+    columns from exclusion through the runner's transform chain."""
+    from arcane_stream_microsoft_synapse_link_spark.config import spec_from_dict
+    from arcane_stream_microsoft_synapse_link_spark.operators.transforms import select_fields
+
+    spec = spec_from_dict(
+        {
+            "source": {
+                "configuration": {"entityName": "e", "baseLocation": "/tmp"},
+                "fieldSelectionRule": {
+                    "essentialFields": ["Id", "versionnumber", "displayvalue"],
+                    "rule": {"exclude": {"fields": ["displayvalue", "ordinal"]}},
+                },
+            }
+        },
+        target_root="/tmp/t",
+    )
+    assert spec.essential_fields == ("id", "versionnumber", "displayvalue")
+    df = spark.createDataFrame(
+        [("k", 1, "d", 2)], "Id string, versionnumber long, displayvalue string, ordinal long"
+    )
+    kept = select_fields(df, spec.field_selection_mode, spec.fields, essential=spec.essential_fields)
+    assert set(kept.columns) == {"Id", "versionnumber", "displayvalue"}  # ordinal dropped

@@ -46,23 +46,30 @@ def _fix_nanos(df: DataFrame) -> DataFrame:
     return df
 
 
+# DataFrames are immutable logical plans bound to their session — safe to
+# share across Tables instances. Keyed by (session app id, dir, table) so
+# every declared query stops re-reading parquet footers for schema
+# inference (10 tables × N queries of pure listing overhead otherwise).
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 class Tables:
     """Lazy accessor: ``Tables(spark, sf_dir).lineitem`` → DataFrame."""
 
     def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
         self._spark = tune(spark)
         self._sf_dir = sf_dir
-        self._cache: dict[str, DataFrame] = {}
 
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_"):
             raise AttributeError(name)
         if name not in TABLE_NAMES:
             raise AttributeError(f"unknown table {name!r}")
-        if name not in self._cache:
+        key = (self._spark.sparkContext.applicationId, self._sf_dir, name)
+        if key not in _DF_CACHE:
             df = self._spark.read.parquet(os.path.join(self._sf_dir, f"{name}.parquet"))
-            self._cache[name] = _fix_nanos(df)
-        return self._cache[name]
+            _DF_CACHE[key] = _fix_nanos(df)
+        return _DF_CACHE[key]
 
     def view(self, name: str) -> str:
         """Register table as a temp view and return its name (for spark.sql)."""

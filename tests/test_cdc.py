@@ -305,3 +305,36 @@ def test_unified_schema_rejects_migration(spark, scenario):
         runner.run_once()
     df = runner.table.read(spark)
     assert "extracol" not in df.columns and df.count() == 7
+
+
+def test_multi_entity_runner(spark, tmp_path):
+    """Two entity streams consolidated in one app: concurrent backfill,
+    then a change batch on ONE stream advances only that stream."""
+    from arcane_stream_microsoft_synapse_link_spark.streaming.runner import MultiEntityRunner
+
+    fxs, specs = [], []
+    for i in range(2):
+        fx = SynapseFixture(str(tmp_path / f"src{i}"))
+        fx.upload_batch(minus(hours=2), update_changelog=True)
+        fxs.append(fx)
+        specs.append(
+            StreamSpec(
+                entity_name=ENTITY,
+                source_root=str(tmp_path / f"src{i}"),
+                target_root=str(tmp_path / f"tgt{i}"),
+            )
+        )
+    t0, t1 = specs[0].target_root, specs[1].target_root
+
+    m = MultiEntityRunner(spark, specs)
+    assert m.backfill_all() == {t0: 5, t1: 5}
+
+    fxs[0].upload_batch(minus(minutes=10), add_upsert=True, update_changelog=True)
+    assert m.run_once_all() == {t0: 1, t1: 0}
+    assert m.runners[t0].table.read(spark).count() == 7
+    assert m.runners[t1].table.read(spark).count() == 5
+
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate"):
+        MultiEntityRunner(spark, [specs[0], specs[0]])

@@ -467,6 +467,48 @@ ORACLE["ops_bm25"] = """
 """
 
 
+@query("ops_token_packing")
+def ops_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: concatenate documents per
+    language in doc_id order and chop into 4096-token training windows
+    (doc's window = floor(tokens-before-it / budget) — the
+    concat-and-chop rule). One window sort per stratum; at 100 TB,
+    sub-shard the stratum key for parallelism and pack per shard."""
+    from pyspark.sql import Window as W
+
+    budget = 4096
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", "lang", X.token_count(F.col("text")).alias("n_tok")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = toks.withColumn(
+        "seq_id", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / budget).cast("bigint")
+    )
+    return (
+        packed.groupBy("lang", "seq_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+ORACLE["ops_token_packing"] = r"""
+    WITH toks AS (
+        SELECT doc_id, lang, len(regexp_extract_all(text, '\S+')) AS n_tok
+        FROM documents),
+    packed AS (
+        SELECT lang, n_tok,
+               CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok) / 4096.0) AS BIGINT) AS seq_id
+        FROM toks)
+    SELECT lang, seq_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+    FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id
+"""
+
+
 @query("ops_hll_sketch")
 def ops_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL (Apache DataSketches) cardinality per group — the

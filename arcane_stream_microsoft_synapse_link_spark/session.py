@@ -46,6 +46,9 @@ def get_spark(app_name: str = "arcane-spark", shuffle_partitions: int | None = N
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
+        # fair scheduling: concurrent jobs (multi-entity streams, parallel
+        # backfills) share executors instead of queueing FIFO
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

@@ -33,6 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer claimed the next snapshot version (optimistic
+    concurrency, Iceberg-style): re-read the table and retry the commit."""
+
+
 class VersionedTable:
     def __init__(
         self,
@@ -125,8 +130,15 @@ class VersionedTable:
         rewritten (Iceberg's manifest-reuse analog: commit cost scales with
         the change set, not the table). Snapshots stay independent for
         expiry — links share inodes, removal of one snapshot never corrupts
-        another."""
+        another.
+
+        Optimistic concurrency (Iceberg-style): the writer claims the next
+        version via exclusive file create BEFORE the expensive snapshot
+        write; a second writer racing on the same base version gets
+        :class:`CommitConflictError` immediately and must re-read + retry.
+        Claims left by crashed writers expire after ``claim_ttl_s``."""
         new_v = self.current_version() + 1
+        self._claim_version(new_v)
         out = self._snapshot_dir(new_v)
         bucketed = self.bucket_count and self.bucket_key in df.columns
         if bucketed and "__bucket" not in df.columns:
@@ -162,6 +174,27 @@ class VersionedTable:
                     self._link_dir(os.path.join(prev, name), os.path.join(out, name))
         self._write_atomic(self._pointer_path(), str(new_v))
         return new_v
+
+    claim_ttl_s: float = 3600.0
+
+    def _claim_version(self, version: int) -> None:
+        claims = os.path.join(self._meta, "claims")
+        os.makedirs(claims, exist_ok=True)
+        path = os.path.join(claims, str(version))
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            import time as _time
+
+            if _time.time() - os.path.getmtime(path) > self.claim_ttl_s:
+                os.replace(path, path + ".stale")  # crashed writer: take over
+                return self._claim_version(version)
+            raise CommitConflictError(
+                f"snapshot v{version} of {self.root} already claimed by a "
+                "concurrent writer; re-read the table and retry"
+            ) from None
+        os.write(fd, f"{os.getpid()}".encode())
+        os.close(fd)
 
     @staticmethod
     def _transform_expr(kind: str, col: str):

@@ -116,3 +116,30 @@ def test_max_rows_per_file_caps_file_sizes(spark, tmp_path):
     files = [f for f in os.listdir(snap) if f.endswith(".parquet")]
     assert len(files) >= 10
     assert t.read(spark).count() == 1000
+
+
+def test_commit_conflict_detection(spark, tmp_path):
+    """Optimistic concurrency: a racing writer on the same base version
+    fails fast with CommitConflictError; a crashed writer's stale claim is
+    taken over; a sequential retry after re-read succeeds."""
+    import time
+
+    import pytest
+
+    from arcane_stream_microsoft_synapse_link_spark.tables import CommitConflictError
+
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.range(10).selectExpr("CAST(id AS STRING) AS arcane_merge_key", "id v")
+    assert t.commit(df) == 1
+
+    # writer B claims v2 first -> writer A conflicts immediately
+    t._claim_version(2)
+    with pytest.raises(CommitConflictError, match="v2"):
+        t.commit(df)
+
+    # crashed-writer claim: age it past the TTL -> commit takes over
+    claim = os.path.join(str(tmp_path / "t"), "_meta", "claims", "2")
+    old = time.time() - 7200
+    os.utime(claim, (old, old))
+    assert t.commit(df) == 2
+    assert t.read(spark).count() == 10

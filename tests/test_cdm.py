@@ -166,3 +166,47 @@ def test_spec_essential_fields_override(spark):
     )
     kept = select_fields(df, spec.field_selection_mode, spec.fields, essential=spec.essential_fields)
     assert set(kept.columns) == {"Id", "versionnumber", "displayvalue"}  # ordinal dropped
+
+
+def test_csv_parse_fuzz_roundtrip(spark, tmp_path):
+    """A3 robustness fuzz: random field content (commas, quotes, embedded
+    newlines, unicode, empties) written with Python's csv writer must
+    round-trip through the engine's CSV reader byte-identically."""
+    import csv
+    import random
+
+    from arcane_stream_microsoft_synapse_link_spark.sources.cdm import (
+        CdmAttribute,
+        CdmEntity,
+        read_entity_csv,
+    )
+
+    rng = random.Random(42)
+    alphabet = ['a', 'b', ',', '"', "'", '\n', ' ', 'ü', '汉', '\\', ';', '|', 'x']
+    def fuzz_field():
+        if rng.random() < 0.1:
+            return ""  # empty → engine reads null
+        return "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 12)))
+
+    rows = [[str(i), fuzz_field(), fuzz_field()] for i in range(200)]
+    path = tmp_path / "fuzz.csv"
+    with open(path, "w", newline="", encoding="utf-8") as fh:
+        # the Synapse wire format quotes with '"' and doubles embedded quotes
+        csv.writer(fh, quoting=csv.QUOTE_MINIMAL, doublequote=True).writerows(rows)
+
+    entity = CdmEntity(
+        name="fuzz",
+        attributes=[
+            CdmAttribute("Id", "string"),
+            CdmAttribute("f1", "string"),
+            CdmAttribute("f2", "string"),
+        ],
+    )
+    got = {
+        r["Id"]: (r["f1"], r["f2"])
+        for r in read_entity_csv(spark, str(path), entity).collect()
+    }
+    assert len(got) == 200
+    for i, f1, f2 in ((r[0], r[1], r[2]) for r in rows):
+        exp = (f1 or None, f2 or None)
+        assert got[i] == exp, f"row {i}: {got[i]!r} != {exp!r}"

@@ -631,6 +631,28 @@ def ops_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ops_media_resize")
+def ops_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing (decode stubbed): image rows →
+    mapInPandas resize; rows-only check + pytest byte-shape coverage."""
+    media = M.fake_media_df(spark, n=64)
+    out = M.resize_images(media, 32, 32)
+    return out.select(
+        "media_id", "width", "height", F.length("payload").cast("bigint").alias("n_bytes")
+    ).orderBy("media_id")
+
+
+@query("ops_media_frames")
+def ops_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (decode stubbed): video rows fan out to
+    one row per sampled frame inside mapInPandas — no shuffle."""
+    media = M.fake_media_df(spark, n=64)
+    out = M.sample_frames(media, every_ms=250)
+    return out.select(
+        "media_id", "frame_idx", "frame_ts_ms", F.length("frame").cast("bigint").alias("n_bytes")
+    ).orderBy("media_id", "frame_idx")
+
+
 @query("ops_approx_distinct")
 def ops_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approx distinct (tolerance-checked in tests, rows-only here)."""

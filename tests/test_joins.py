@@ -98,3 +98,25 @@ def test_asof_join_random_matches_python_oracle(spark):
         return max(cand)[1] if cand else None
 
     assert got == {eid: oracle(k, ts) for (eid, k, ts) in lefts}
+
+
+def test_range_join_binned_property(spark):
+    """Property: for random intervals/points and ANY bin width, the binned
+    join equals the naive cross-join filter."""
+    import random
+
+    rng = random.Random(11)
+    points = [(i, rng.randrange(0, 1000)) for i in range(120)]
+    intervals = []
+    for i in range(40):
+        lo = rng.randrange(0, 1000)
+        intervals.append((i, lo, lo + rng.randrange(0, 120)))
+    pdf = spark.createDataFrame(points, "pid long, p long")
+    idf = spark.createDataFrame(intervals, "iid long, lo long, hi long")
+    naive = sorted(
+        (iid, pid) for (pid, p) in points for (iid, lo, hi) in intervals if lo <= p <= hi
+    )
+    for width in (1, 7, 64, 1000, 5000):
+        out = range_join_binned(pdf, idf, "p", "lo", "hi", bin_width=width)
+        got = sorted((r["iid"], r["pid"]) for r in out.collect())
+        assert got == naive, f"width={width}"

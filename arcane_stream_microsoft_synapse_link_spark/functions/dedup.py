@@ -288,18 +288,46 @@ def minhash_near_duplicates(
 
 
 def duplicate_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 15
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(id, cluster_id) for every id appearing in a near-dup pair, where
     cluster_id = min id of the connected component — the canonical keeper.
 
-    Min-label propagation: each round every node takes the min of its own
-    and its neighbors' labels; converges in O(component diameter) rounds.
-    Near-dup components are star/clique shaped (diameter ≤ ~3), so this
-    terminates in a handful of rounds even on huge corpora. Each round is
-    one shuffle-join + groupBy; ``localCheckpoint`` truncates the growing
-    lineage so round N's plan doesn't replay rounds 1..N-1.
+    Adaptive execution: the pair graph is tiny relative to the corpus
+    (candidates surviving LSH + verification), so when it fits on the
+    driver (≤ ``driver_threshold`` edges) a local union-find resolves
+    components in one pass — milliseconds instead of several Spark rounds
+    of fixed overhead. Above the threshold (billion-doc corpora), the
+    distributed min-label propagation below takes over: each round every
+    node takes the min of its own and its neighbors' labels, converging in
+    O(component diameter) rounds (near-dup components are star/clique
+    shaped, diameter ≤ ~3). Each round is one shuffle-join + groupBy;
+    ``localCheckpoint`` truncates lineage so round N doesn't replay 1..N-1.
     """
+    n_edges = pairs.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        edges_local = [(r[0], r[1]) for r in pairs.select(id_a, id_b).collect()]
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in edges_local:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        schema = pairs.select(F.col(id_a).alias("id"), F.col(id_a).alias("cluster_id")).schema
+        return spark.createDataFrame(rows, schema)
+
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

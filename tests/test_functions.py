@@ -233,3 +233,22 @@ def test_hll_sketch_tolerance_and_mergeability(spark, sf_dir):
         .first()[0]
     )
     assert merged == whole
+
+
+def test_duplicate_clusters_distributed_path_matches_driver_path(spark):
+    """Force the distributed min-label propagation (driver_threshold=0) and
+    check it equals the driver union-find on the same graph."""
+    import random
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    from arcane_stream_microsoft_synapse_link_spark.functions import dedup as D
+
+    drv = {r.id: r.cluster_id for r in D.duplicate_clusters(pairs).collect()}
+    dist = {
+        r.id: r.cluster_id
+        for r in D.duplicate_clusters(pairs, driver_threshold=0).collect()
+    }
+    assert drv == dist and len(drv) > 0

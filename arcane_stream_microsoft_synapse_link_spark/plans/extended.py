@@ -567,3 +567,85 @@ ORACLE["q44_range_frame_interval"] = """
                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
     ORDER BY user_id, event_id LIMIT 1000
 """
+
+
+@query("q45_lateral_explode")
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array UNNEST / lateral explode with ordinality: flatten embedding
+    vectors to (vec_id, pos, value) rows — the Generate operator that
+    underlies every tokenize/n-gram/vector-flatten step. posexplode runs
+    inside whole-stage codegen with no shuffle; values floor-ppm-quantized
+    (exact on the shared float32 → double widening) for cross-engine
+    hashing. DuckDB twin zips unnest + generate_subscripts."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.embeddings.filter(F.col("vec_id") <= 100)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.floor(F.col("val").cast("double") * 1e6).cast("bigint").alias("val_ppm"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+ORACLE["q45_lateral_explode"] = """
+    SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS val_ppm
+    FROM embeddings WHERE vec_id <= 100
+    ORDER BY vec_id, pos
+"""
+
+
+@query("q46_lateral_join_topk")
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: top-priced order per customer via a
+    per-row subquery with ORDER BY + LIMIT (SQL:2016 LATERAL; Spark plans
+    it as a rewritten join, not a per-row loop — same result as the
+    window top-k but expressed relationally)."""
+    t = Tables(spark, sf_dir)
+    t.view("customer")
+    t.view("orders")
+    return spark.sql("""
+        SELECT c_custkey, l.o_orderkey, CAST(l.o_totalprice AS DECIMAL(18,2)) AS top_price
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l
+        ORDER BY c_custkey LIMIT 500
+    """)
+
+
+ORACLE["q46_lateral_join_topk"] = """
+    SELECT c_custkey, l.o_orderkey, CAST(l.o_totalprice AS DECIMAL(18,2)) AS top_price
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l
+    ORDER BY c_custkey LIMIT 500
+"""
+
+
+@query("q47_variant_json")
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into a
+    VARIANT value, then typed variant_get extraction — the
+    shred-at-read model for JSON event properties (vs q24's per-path
+    string get_json_object). Oracle is DuckDB's native JSON extraction."""
+    t = Tables(spark, sf_dir)
+    t.view("events")
+    return spark.sql("""
+        SELECT event_id,
+               CAST(variant_get(parse_json(props), '$.k', 'bigint') AS BIGINT) AS k,
+               CAST(variant_get(parse_json(props), '$.tag', 'string') AS STRING) AS tag
+        FROM events ORDER BY event_id LIMIT 500
+    """)
+
+
+ORACLE["q47_variant_json"] = """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.tag') AS tag
+    FROM events ORDER BY event_id LIMIT 500
+"""

@@ -141,15 +141,71 @@ def apply_schema(df: DataFrame, entity: CdmEntity) -> DataFrame:
     return df.select(*[cast_attribute(F.col(a.name), a).alias(a.name) for a in entity.attributes])
 
 
-def read_entity_csv(spark: SparkSession, paths: list[str] | str, entity: CdmEntity) -> DataFrame:
+_CSV_OPTIONS = {"quote": '"', "escape": '"', "mode": "PERMISSIVE"}
+
+
+def _raw_schema_ddl(entity: CdmEntity) -> str:
+    return ", ".join(f"`{a.name}` STRING" for a in entity.attributes)
+
+
+def _read_line_splittable(spark: SparkSession, paths: list[str] | str, entity: CdmEntity) -> DataFrame | None:
+    """Byte-range-splittable CSV read, or None if records span lines.
+
+    ``multiLine=true`` makes a CSV file unsplittable — parallelism collapses
+    to the file count, which at 100 TB means a handful of huge blobs serialize
+    the scan. But multiLine is only *needed* when a quoted field embeds a
+    newline. Detection is exact via quote parity: records start outside
+    quotes and quotes toggle in/out state, so if every physical line has an
+    even quote count, quote-state returns to "outside" at every newline —
+    every newline is a record boundary and line-level splitting is safe.
+    One line with an odd count ⇒ some record spans lines ⇒ fall back.
+
+    Trade: two fully-parallel passes (parity scan + from_csv parse of
+    ``spark.read.text`` lines, both splittable by HDFS/ABFS byte ranges)
+    instead of one scan parallelized only per-file. The parity scan is a
+    cheap length/replace projection with an isEmpty short-circuit.
+    """
+    lines = spark.read.text(paths).where(F.col("value") != "")
+    quote_cnt = F.length("value") - F.length(F.replace(F.col("value"), F.lit('"'), F.lit("")))
+    if not lines.where(quote_cnt % 2 != 0).isEmpty():
+        return None
+    parsed = lines.select(
+        F.from_csv("value", _raw_schema_ddl(entity), _CSV_OPTIONS).alias("r")
+    ).select("r.*")
+    return apply_schema(parsed, entity)
+
+
+def read_entity_csv(
+    spark: SparkSession,
+    paths: list[str] | str,
+    entity: CdmEntity,
+    line_splittable: bool | str = "auto",
+) -> DataFrame:
     """Read headerless quoted CSV chunks for one entity and type them (A3).
 
     Multiple files become one logical change feed (implicit UNION ALL,
-    operator B21). multiLine handles quoted embedded newlines.
+    operator B21). Quoted embedded newlines are handled either by the
+    unsplittable ``multiLine`` read or, when quote parity proves no record
+    spans a line, by the byte-range-splittable text+``from_csv`` fast path
+    (see ``_read_line_splittable``).
+
+    ``line_splittable``: "auto" tries the fast path when the file count
+    under-fills the cluster (fewer files than ``defaultParallelism`` —
+    with many files the multiLine read is already file-parallel and the
+    extra parity pass is pure cost); True forces it (falling back only if
+    parity fails); False forces the multiLine read.
     """
+    n_files = 1 if isinstance(paths, str) else len(paths)
+    want_fast = line_splittable is True or (
+        line_splittable == "auto" and n_files < spark.sparkContext.defaultParallelism
+    )
+    if want_fast:
+        fast = _read_line_splittable(spark, paths, entity)
+        if fast is not None:
+            return fast
     raw = (
         spark.read.schema(entity.raw_schema())
-        .options(header=False, quote='"', escape='"', multiLine=True, mode="PERMISSIVE")
+        .options(header=False, multiLine=True, **_CSV_OPTIONS)
         .csv(paths)
     )
     return apply_schema(raw, entity)

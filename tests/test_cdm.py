@@ -210,3 +210,48 @@ def test_csv_parse_fuzz_roundtrip(spark, tmp_path):
     for i, f1, f2 in ((r[0], r[1], r[2]) for r in rows):
         exp = (f1 or None, f2 or None)
         assert got[i] == exp, f"row {i}: {got[i]!r} != {exp!r}"
+
+
+def test_csv_line_splittable_fast_path(spark, tmp_path):
+    """The splittable text+from_csv read must (a) engage on files whose
+    records never span lines and parse identically to the multiLine read,
+    (b) detect embedded-newline records via quote parity and decline, with
+    read_entity_csv falling back to multiLine transparently."""
+    import csv
+
+    from arcane_stream_microsoft_synapse_link_spark.sources.cdm import (
+        CdmAttribute,
+        CdmEntity,
+        _read_line_splittable,
+        read_entity_csv,
+    )
+
+    entity = CdmEntity(
+        name="t",
+        attributes=[
+            CdmAttribute("Id", "string"),
+            CdmAttribute("f1", "string"),
+            CdmAttribute("n", "int64"),
+        ],
+    )
+    clean_rows = [["1", 'a,"b" c', "10"], ["2", "", "20"], ["3", "ü汉 'x'", ""]]
+    clean = tmp_path / "clean.csv"
+    with open(clean, "w", newline="", encoding="utf-8") as fh:
+        csv.writer(fh, quoting=csv.QUOTE_MINIMAL, doublequote=True).writerows(clean_rows)
+
+    fast = _read_line_splittable(spark, str(clean), entity)
+    assert fast is not None, "clean file must take the splittable path"
+    expect = [("1", 'a,"b" c', 10), ("2", None, 20), ("3", "ü汉 'x'", None)]
+    assert sorted(tuple(r) for r in fast.collect()) == expect
+    slow = read_entity_csv(spark, str(clean), entity, line_splittable=False)
+    assert sorted(tuple(r) for r in slow.collect()) == expect
+
+    nl_rows = [["1", "line1\nline2", "5"], ["2", "plain", "6"]]
+    nl = tmp_path / "nl.csv"
+    with open(nl, "w", newline="", encoding="utf-8") as fh:
+        csv.writer(fh, quoting=csv.QUOTE_MINIMAL, doublequote=True).writerows(nl_rows)
+    assert _read_line_splittable(spark, str(nl), entity) is None
+    got = sorted(
+        tuple(r) for r in read_entity_csv(spark, str(nl), entity, line_splittable=True).collect()
+    )
+    assert got == [("1", "line1\nline2", 5), ("2", "plain", 6)]

@@ -127,6 +127,98 @@ def sessionize_stream(
     )
 
 
+def sessionize_stream_tws(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """``sessionize_stream`` re-expressed on Spark 4's transformWithState
+    API (``transformWithStateInPandas`` + ``StatefulProcessor``): named
+    ValueState replaces the single GroupState blob and first-class timers
+    replace ``setTimeoutTimestamp``. Semantics are identical to
+    ``sessionize_stream`` (same sessions, same append-mode emission;
+    equivalence is a test invariant). Requires the RocksDB state store
+    provider (a transformWithState constraint, and the provider you would
+    run at scale anyway — changelog-checkpointed, spills to disk) and the
+    ``protobuf`` package (the operator's Python state-server wire protocol;
+    the equivalence test import-skips where it is absent).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_s * _US
+    out_schema = StructType(
+        [
+            StructField(user_col, LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+    def _row(user: int, start_us: int, last_us: int, n: int, tot: float) -> dict[str, Any]:
+        return {
+            user_col: user,
+            "session_start": pd.Timestamp(start_us, unit="us"),
+            "session_end": pd.Timestamp(last_us, unit="us"),
+            "n_events": n,
+            "total_value": tot,
+        }
+
+    class _Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.open = handle.getValueState(
+                "open", "start_us long, last_us long, n long, tot double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N803 (API names)
+            user = key[0]
+            closed: list[dict[str, Any]] = []
+            cur = tuple(self.open.get()) if self.open.exists() else None
+            parts = [p for p in rows if len(p)]
+            if parts:
+                batch = pd.concat(parts).sort_values(ts_col)
+                ts_us = (batch[ts_col].astype("int64") // 1000).tolist()
+                vals = batch[value_col].astype("float64").tolist()
+                for t_us, v in zip(ts_us, vals):
+                    if cur is None:
+                        cur = (t_us, t_us, 1, v)
+                    elif t_us - cur[1] > gap_us:
+                        closed.append(_row(user, *cur))
+                        cur = (t_us, t_us, 1, v)
+                    else:
+                        cur = (cur[0], max(t_us, cur[1]), cur[2] + 1, cur[3] + v)
+            if cur is not None:
+                self.open.update(cur)
+                for expiry_ms in self.handle.listTimers():
+                    self.handle.deleteTimer(expiry_ms)
+                self.handle.registerTimer(
+                    max((cur[1] + gap_us) // 1000, timerValues.getCurrentWatermarkInMs() + 1)
+                )
+            if closed:
+                yield pd.DataFrame(closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N803
+            if self.open.exists():
+                yield pd.DataFrame([_row(key[0], *tuple(self.open.get()))])
+                self.open.clear()
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark(ts_col, f"{gap_s} seconds")
+        .groupBy(user_col)
+        .transformWithStateInPandas(_Sessionizer(), out_schema, "append", "eventTime")
+    )
+
+
 def sessionize_sql(
     events: DataFrame,
     gap_s: int = 1800,

@@ -127,3 +127,60 @@ def test_session_chunks_boundary_carry():
             lo, hi = min(cut1, cut2), max(cut1, cut2)
             parts = [p for p in (pdf[:lo], pdf[lo:hi], pdf[hi:]) if len(p)]
             assert run(parts) == whole, f"split at {lo},{hi}"
+
+
+def test_transform_with_state_twin_matches(spark, tmp_path):
+    """The transformWithStateInPandas sessionizer must emit exactly the
+    sessions the applyInPandasWithState form does on the same batched
+    stream (gap closure + timer eviction + open-session suppression)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's Python state-server protocol requires protobuf",
+    )
+    from arcane_stream_microsoft_synapse_link_spark.streaming.stateful import (
+        sessionize_stream_tws,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    _write_batch(spark, str(src / "b0"), [(1, 0, 1.0), (1, 10, 2.0)], now - 30)
+    _write_batch(spark, str(src / "b1"), [(1, 1000, 5.0), (2, 1100, 7.0)], now - 20)
+    _write_batch(spark, str(src / "b2"), [(3, 5000, 9.0)], now - 10)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        out = sessionize_stream_tws(stream, gap_s=GAP_S)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM tws_out").collect()
+    }
+    assert got == {
+        (1, T0, T0 + timedelta(seconds=10)): (2, 3.0),
+        (1, T0 + timedelta(seconds=1000), T0 + timedelta(seconds=1000)): (1, 5.0),
+        (2, T0 + timedelta(seconds=1100), T0 + timedelta(seconds=1100)): (1, 7.0),
+    }

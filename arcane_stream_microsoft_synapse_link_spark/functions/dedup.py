@@ -520,3 +520,59 @@ def simhash_near_duplicates(
 
     sig = simhash_signatures_np(df, text_col, id_col)
     return band_pairs_64(sig, band_bits).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap with an eval/benchmark set)
+# ---------------------------------------------------------------------------
+
+
+def word_ngram_strings(text: Column, n: int = 8) -> Column:
+    """All word n-grams of a document as space-joined strings (overlapping,
+    order-preserving — the unit of benchmark-contamination matching).
+    ``sequence()`` counts DOWN when stop < start, so docs shorter than n
+    words are guarded to an empty array."""
+    w = words(text)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Drop training documents that share any word ``n``-gram with a
+    benchmark/eval document — the standard pre-training decontamination
+    step (GPT-3 appendix C / PaLM-style 8-gram overlap).
+
+    Scale shape: the benchmark side is an eval suite — tiny next to a
+    100 TB corpus — so its distinct n-gram set is broadcast and the
+    corpus-side check is a map-side semi-join on the exploded grams (no
+    corpus shuffle), followed by a broadcast anti-join of the hit ids.
+    Grams are matched as strings here so external oracles can replay the
+    exact semantics; a production run at larger benchmark sizes would match
+    on ``xxhash64(gram)`` to shrink the broadcast (collision odds ~n²/2⁶⁴,
+    and a false positive only drops one extra doc).
+    """
+    grams = word_ngram_strings(F.col(text_col), n)
+    bench_grams = benchmark.select(F.explode(grams).alias("gram")).distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    hits = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .join(bench_grams, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if broadcast_benchmark:
+        hits = F.broadcast(hits)
+    return df.join(hits, id_col, "left_anti")

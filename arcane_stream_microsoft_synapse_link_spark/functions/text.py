@@ -199,6 +199,73 @@ def tfidf_top_terms(
     )
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition ratios (Rae et al. 2021 §A1.1
+    quality filters): per doc, the duplicate-word fraction and the fraction
+    of word bigrams taken by the single most frequent bigram. Boilerplate /
+    generated spam scores high on both; training-data curation drops docs
+    above a threshold.
+
+    Ratios are emitted as exact ppm integers (``x * 1_000_000 DIV total``,
+    pure BIGINT arithmetic) so they hash-match any engine — no float
+    rounding policy involved.
+
+    Scale shape: word metrics ride the projection; the bigram mode needs a
+    frequency count, done as explode → two-level groupBy keyed on
+    (doc_id, gram) then doc_id — partial aggregation applies map-side, the
+    per-doc constants (total/distinct counts) are carried through with
+    ``first`` instead of a join back to the corpus, so the whole operator
+    is one scan + two shuffles regardless of corpus size.
+    """
+    w = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+    base = df.select(
+        F.col(id_col),
+        F.size(w).cast("bigint").alias("total_w"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("dist_w"),
+        # bigrams; sequence() counts DOWN when stop < start, so guard len<2
+        F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("grams"),
+    )
+    ex = base.select(
+        id_col,
+        "total_w",
+        "dist_w",
+        F.size("grams").cast("bigint").alias("n_grams"),
+        F.explode_outer("grams").alias("gram"),  # outer: keep gram-less docs
+    )
+    per_gram = ex.groupBy(id_col, "gram").agg(
+        F.count("*").alias("c"),
+        F.first("total_w").alias("total_w"),
+        F.first("dist_w").alias("dist_w"),
+        F.first("n_grams").alias("n_grams"),
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.max("c").alias("max_c"),
+        F.first("total_w").alias("total_w"),
+        F.first("dist_w").alias("dist_w"),
+        F.first("n_grams").alias("n_grams"),
+    )
+    return per_doc.select(
+        id_col,
+        "total_w",
+        F.expr(
+            "CASE WHEN total_w > 0 THEN ((total_w - dist_w) * 1000000) DIV total_w"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("dup_word_ppm"),
+        F.expr(
+            "CASE WHEN n_grams > 0 THEN (max_c * 1000000) DIV n_grams"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("top_bigram_ppm"),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full stat set in one projection pass."""
     t = F.col(text_col)

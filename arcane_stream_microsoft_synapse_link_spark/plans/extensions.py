@@ -408,6 +408,101 @@ ORACLE["ops_curation_pipeline"] = r"""
 """
 
 
+@query("ops_repetition_filter")
+def ops_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: per-doc duplicate-word and
+    top-bigram fractions as exact ppm integers (functions/text.py:
+    repetition_metrics — one scan + two partial-agg shuffles)."""
+    t = Tables(spark, sf_dir)
+    return X.repetition_metrics(t.documents).orderBy("doc_id")
+
+
+ORACLE["ops_repetition_filter"] = r"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+        FROM documents),
+    base AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS total_w,
+               CAST(len(list_distinct(words)) AS BIGINT) AS dist_w,
+               list_transform(range(1, len(words)),
+                              i -> words[i] || ' ' || words[i + 1]) AS gl
+        FROM w),
+    pg AS (
+        SELECT doc_id, gram, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(gl) AS gram FROM base)
+        GROUP BY doc_id, gram),
+    mx AS (SELECT doc_id, MAX(c) AS max_c FROM pg GROUP BY doc_id)
+    SELECT b.doc_id, b.total_w,
+           CASE WHEN b.total_w > 0
+                THEN ((b.total_w - b.dist_w) * 1000000) // b.total_w
+                ELSE CAST(0 AS BIGINT) END AS dup_word_ppm,
+           CASE WHEN len(b.gl) > 0
+                THEN (mx.max_c * 1000000) // CAST(len(b.gl) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS top_bigram_ppm
+    FROM base b LEFT JOIN mx USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+@query("ops_decontaminate")
+def ops_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs sharing any word 8-gram
+    with the benchmark set (source 'src0' stands in for an eval suite).
+    Broadcast semi-join on exploded grams — no corpus shuffle
+    (functions/dedup.py:decontaminate)."""
+    t = Tables(spark, sf_dir)
+    bench = t.documents.where(F.col("source") == "src0")
+    corpus = t.documents.where(F.col("source") != "src0")
+    return D.decontaminate(corpus, bench, n=8).select("doc_id").orderBy("doc_id")
+
+
+ORACLE["ops_decontaminate"] = r"""
+    WITH w AS (
+        SELECT doc_id, source,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+        FROM documents),
+    g AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(words) - 6),
+                      i -> array_to_string(list_slice(words, i, i + 7), ' '))) AS gram
+        FROM w),
+    bad AS (
+        SELECT DISTINCT doc_id FROM g
+        WHERE source <> 'src0'
+          AND gram IN (SELECT gram FROM g WHERE source = 'src0'))
+    SELECT doc_id FROM documents
+    WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+    ORDER BY doc_id
+"""
+
+
+@query("ops_shuffle_shard")
+def ops_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded shuffle-shard for training export: shard and
+    in-shard position are pure functions of (doc_id, seed) — reproducible
+    across runs and engines (functions/export.py; the write path is
+    write_training_shards, one shuffle, partitioned parquet)."""
+    from ..functions import export as E
+
+    t = Tables(spark, sf_dir)
+    out = E.seeded_shuffle_shards(t.documents.select("doc_id"), num_shards=8, seed=7)
+    return out.select("doc_id", "shard", "pos").orderBy("shard", "pos")
+
+
+ORACLE["ops_shuffle_shard"] = """
+    WITH h AS (
+        SELECT doc_id,
+               (doc_id * 1103515245 + 12352) % 2147483648 AS _h
+        FROM documents),
+    s AS (
+        SELECT doc_id, _h, CAST(_h % 8 AS BIGINT) AS shard FROM h)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY _h, doc_id) AS BIGINT) AS pos
+    FROM s ORDER BY shard, pos
+"""
+
+
 @query("ops_text_chunking")
 def ops_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping word-window chunking (64-word chunks, 16-word overlap)
@@ -626,8 +721,14 @@ def ops_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature extraction (decode stubbed, batch shape real)."""
     media = M.fake_media_df(spark, n=64)
     out = M.extract_features(media, dim=8)
-    return out.select("media_id", "media_type", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")).orderBy(
-        "media_id"
+    # repartition(1)+sort, not orderBy: range-partition sampling would run
+    # the Python decode stage a second time; the projected result is tiny
+    return (
+        out.select(
+            "media_id", "media_type", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+        )
+        .repartition(1)
+        .sortWithinPartitions("media_id")
     )
 
 
@@ -637,9 +738,11 @@ def ops_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas resize; rows-only check + pytest byte-shape coverage."""
     media = M.fake_media_df(spark, n=64)
     out = M.resize_images(media, 32, 32)
-    return out.select(
-        "media_id", "width", "height", F.length("payload").cast("bigint").alias("n_bytes")
-    ).orderBy("media_id")
+    return (
+        out.select("media_id", "width", "height", F.length("payload").cast("bigint").alias("n_bytes"))
+        .repartition(1)
+        .sortWithinPartitions("media_id")
+    )
 
 
 @query("ops_media_frames")
@@ -648,9 +751,11 @@ def ops_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per sampled frame inside mapInPandas — no shuffle."""
     media = M.fake_media_df(spark, n=64)
     out = M.sample_frames(media, every_ms=250)
-    return out.select(
-        "media_id", "frame_idx", "frame_ts_ms", F.length("frame").cast("bigint").alias("n_bytes")
-    ).orderBy("media_id", "frame_idx")
+    return (
+        out.select("media_id", "frame_idx", "frame_ts_ms", F.length("frame").cast("bigint").alias("n_bytes"))
+        .repartition(1)
+        .sortWithinPartitions("media_id", "frame_idx")
+    )
 
 
 @query("ops_approx_distinct")

@@ -217,6 +217,9 @@ class StreamRunner:
         from the last completed shard instead of restarting (the reference's
         SynapseShardFactory + DefaultBackfillStateManager,
         main.scala:14-18,91-97; backfill id = STREAMCONTEXT__BACKFILL_ID).
+        Staging dirs are uniquely named per backfill id / shard (A7, the
+        reference's DefaultNameGenerator ``<prefix>_<GUID>`` staging names,
+        docs/crd.md:99-104 — here the id itself is the unique suffix).
 
         The folder set is pinned at first run (recorded in the state file)
         so resume works on the same snapshot even if new folders land

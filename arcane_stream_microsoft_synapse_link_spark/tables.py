@@ -39,6 +39,12 @@ class CommitConflictError(RuntimeError):
 
 
 class VersionedTable:
+    """The engine's target sink (A8): the long-lived table CDC merges land
+    in. The reference writes its target through Trino MERGE into Iceberg
+    (README.md:8, main.scala:26,111 JdbcMergeServiceClient); here Spark
+    itself executes the merge and commits an atomic snapshot version —
+    swap this class for Delta/Iceberg in a lakehouse deployment."""
+
     def __init__(
         self,
         root: str,

@@ -252,3 +252,70 @@ def test_duplicate_clusters_distributed_path_matches_driver_path(spark):
         for r in D.duplicate_clusters(pairs, driver_threshold=0).collect()
     }
     assert drv == dist and len(drv) > 0
+
+
+def test_repetition_metrics_planted(spark):
+    """Hand-computable docs: a clean doc, a fully-repeated doc, a doc whose
+    bigrams are dominated by one phrase, and a one-word doc."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),            # all distinct, all bigrams distinct
+            (2, "x x x x"),              # 4 words 1 distinct; bigram "x x" ×3/3
+            (3, "go go go stop"),        # top bigram "go go" 2 of 3
+            (4, "solo"),                 # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in repetition_metrics(docs).collect()}
+    assert got[1]["dup_word_ppm"] == 0 and got[1]["top_bigram_ppm"] == 250_000
+    assert got[2]["dup_word_ppm"] == 750_000 and got[2]["top_bigram_ppm"] == 1_000_000
+    assert got[3]["dup_word_ppm"] == 500_000 and got[3]["top_bigram_ppm"] == 666_666
+    assert got[4]["dup_word_ppm"] == 0 and got[4]["top_bigram_ppm"] == 0
+
+
+def test_decontaminate_planted(spark):
+    """A doc sharing an 8-gram with the benchmark is dropped; shorter
+    overlaps and short docs survive."""
+    phrase = "one two three four five six seven eight"
+    bench = spark.createDataFrame([(100, f"junk {phrase} junk")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix {phrase} suffix"),            # contaminated (8-gram hit)
+            (2, "one two three four five six seven"),  # 7-gram only -> survives
+            (3, "totally unrelated words here"),       # survives
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in D.decontaminate(corpus, bench, n=8).select("doc_id").collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_seeded_shuffle_shards_deterministic_and_complete(spark, tmp_path):
+    from arcane_stream_microsoft_synapse_link_spark.functions import export as E
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = E.seeded_shuffle_shards(df, num_shards=8, seed=7).collect()
+    b = E.seeded_shuffle_shards(df, num_shards=8, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    shards = {r.shard for r in a}
+    assert shards <= set(range(8)) and len({r.doc_id for r in a}) == 500
+    # different seed -> different permutation
+    c = E.seeded_shuffle_shards(df, num_shards=8, seed=8).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    # positions are a contiguous 1..n ranking inside each shard
+    from collections import Counter
+
+    per_shard = Counter(r.shard for r in a)
+    for s, n in per_shard.items():
+        assert sorted(r.pos for r in a if r.shard == s) == list(range(1, n + 1))
+
+    # write path: partitioned layout, shard dirs, total row count preserved
+    out = str(tmp_path / "shards")
+    E.write_training_shards(df, out, num_shards=4, seed=1)
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert {r.shard for r in back.select("shard").distinct().collect()} <= set(range(4))

@@ -266,6 +266,39 @@ def repetition_metrics(
     )
 
 
+# PII patterns, shared by engine and oracle: RE2-compatible (no
+# lookarounds) so the same regex text runs on Spark (Java), DuckDB (RE2),
+# and any RE2-based scrubber. Order matters: emails before IPs before
+# phones — a dotted IPv4 (or digits inside an address) is also a valid
+# match for the looser phone pattern, so each stage must consume its
+# matches before the next stage counts.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\s.-]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone numbers and count what was
+    removed — the standard pre-training PII pass. Pure chained
+    ``regexp_replace`` / ``regexp_extract_all`` built-ins: one codegen'd
+    projection, no shuffle, no Python in the hot path. Each pattern is
+    counted on the text as it stands *before* its own replacement (i.e.
+    after the earlier stages ran), so every match is attributed to exactly
+    one category and ``n_*`` equals the number of tokens inserted."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select("*", *counts, scrubbed.alias(f"{text_col}_scrubbed"))
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full stat set in one projection pass."""
     t = F.col(text_col)

@@ -503,6 +503,40 @@ ORACLE["ops_shuffle_shard"] = """
 """
 
 
+@query("ops_pii_scrub")
+def ops_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/phones/IPv4): chained regexp built-ins, one
+    codegen'd projection, no shuffle (functions/text.py:scrub_pii). The
+    scrubbed text is md5-fingerprinted so the declared result stays small;
+    planted-PII behavior is unit-tested."""
+    t = Tables(spark, sf_dir)
+    out = X.scrub_pii(t.documents)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ip",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE["ops_pii_scrub"] = r"""
+    WITH s1 AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        FROM documents),
+    s2 AS (
+        SELECT *, regexp_replace(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2
+        FROM s1)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\s.-]{7,}[0-9]')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(t2, '\+?[0-9][0-9()\s.-]{7,}[0-9]', '<PHONE>', 'g')) AS scrub_md5
+    FROM s2 ORDER BY doc_id
+"""
+
+
 @query("ops_text_chunking")
 def ops_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping word-window chunking (64-word chunks, 16-word overlap)

@@ -319,3 +319,23 @@ def test_seeded_shuffle_shards_deterministic_and_complete(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 500
     assert {r.shard for r in back.select("shard").distinct().collect()} <= set(range(4))
+
+
+def test_scrub_pii_planted(spark):
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567 now"),
+            (2, "server at 192.168.001.12 rebooted"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1
+    assert "<EMAIL>" in got[1].text_scrubbed and "<PHONE>" in got[1].text_scrubbed
+    assert "example" not in got[1].text_scrubbed and "555" not in got[1].text_scrubbed
+    assert got[2].n_ip == 1 and got[2].n_phone == 0 and "<IP>" in got[2].text_scrubbed
+    assert got[3].text_scrubbed == "nothing sensitive here"
+    assert (got[3].n_email, got[3].n_phone, got[3].n_ip) == (0, 0, 0)

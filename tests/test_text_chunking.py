@@ -64,3 +64,43 @@ def test_udtf_matches_builtin(spark):
     assert via_udtf == via_builtin and len(via_builtin) == sum(
         max(-(-(5 + i * 37 - 16) // 48), 1) for i in range(8)
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics: property test against a pure-Python model
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_metrics_property(spark):
+    """repetition_metrics must equal the obvious per-doc Python computation
+    for arbitrary small word streams (incl. empty and single-word docs)."""
+    import random
+    import re
+    from collections import Counter
+
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import (
+        WORD_RE,
+        repetition_metrics,
+    )
+
+    rng = random.Random(1234)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [(0, ""), (1, "solo"), (2, "!!! ???")]  # degenerate shapes
+    docs += [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(3, 60)
+    ]
+
+    def model(text):
+        w = re.findall(WORD_RE, text.lower())
+        total = len(w)
+        dup = ((total - len(set(w))) * 1_000_000) // total if total else 0
+        grams = [f"{a} {b}" for a, b in zip(w, w[1:])]
+        top = (max(Counter(grams).values()) * 1_000_000) // len(grams) if grams else 0
+        return total, dup, top
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.total_w, r.dup_word_ppm, r.top_bigram_ppm)
+           for r in repetition_metrics(df).collect()}
+    for doc_id, text in docs:
+        assert got[doc_id] == model(text), (doc_id, text)

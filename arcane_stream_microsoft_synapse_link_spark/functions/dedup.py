@@ -527,12 +527,15 @@ def simhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
-def word_ngram_strings(text: Column, n: int = 8) -> Column:
-    """All word n-grams of a document as space-joined strings (overlapping,
-    order-preserving — the unit of benchmark-contamination matching).
-    ``sequence()`` counts DOWN when stop < start, so docs shorter than n
-    words are guarded to an empty array."""
-    w = words(text)
+def word_ngram_strings(words_col: Column, n: int = 8) -> Column:
+    """All word n-grams (as space-joined strings, overlapping,
+    order-preserving — the unit of benchmark-contamination matching) of an
+    ALREADY-MATERIALIZED word-array column. Takes the array, not the raw
+    text: inlining the word-extraction regexp into the per-index lambda
+    would re-run it once per n-gram index (O(words²) per doc — the
+    CollapseProject trap documented at ``shingles``). ``sequence()``
+    counts DOWN when stop < start, so short docs are guarded to empty."""
+    w = words_col
     return F.when(
         F.size(w) >= n,
         F.transform(
@@ -563,12 +566,18 @@ def decontaminate(
     on ``xxhash64(gram)`` to shrink the broadcast (collision odds ~n²/2⁶⁴,
     and a false positive only drops one extra doc).
     """
-    grams = word_ngram_strings(F.col(text_col), n)
-    bench_grams = benchmark.select(F.explode(grams).alias("gram")).distinct()
+    def exploded_grams(d: DataFrame) -> DataFrame:
+        # words materialized in their own projection (multi-referenced →
+        # not inlined into the n-gram lambda; see word_ngram_strings)
+        return d.select(
+            F.col(id_col), words(F.col(text_col)).alias("_w")
+        ).select(F.col(id_col), F.explode(word_ngram_strings(F.col("_w"), n)).alias("gram"))
+
+    bench_grams = exploded_grams(benchmark).select("gram").distinct()
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     hits = (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        exploded_grams(df)
         .join(bench_grams, "gram", "left_semi")
         .select(id_col)
         .distinct()

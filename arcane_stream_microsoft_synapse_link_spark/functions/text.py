@@ -219,8 +219,18 @@ def repetition_metrics(
     ``first`` instead of a join back to the corpus, so the whole operator
     is one scan + two shuffles regardless of corpus size.
     """
-    w = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+    # Materialize the word array in its own projection: it is referenced
+    # multiple times below (a non-cheap multi-referenced expr, which
+    # CollapseProject will NOT inline). Writing the regexp expression
+    # directly inside the per-index transform lambda re-evaluates the word
+    # extraction once per bigram index — O(words²) per doc (measured 7 s
+    # vs <1 s at sf0.1; same trap as the MinHash signature fold, see
+    # functions/dedup.py:shingles).
+    w = F.col("_words")
     base = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)).alias("_words"),
+    ).select(
         F.col(id_col),
         F.size(w).cast("bigint").alias("total_w"),
         F.size(F.array_distinct(w)).cast("bigint").alias("dist_w"),

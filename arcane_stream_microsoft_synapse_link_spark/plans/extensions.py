@@ -503,6 +503,41 @@ ORACLE["ops_shuffle_shard"] = """
 """
 
 
+@query("ops_source_overlap")
+def ops_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health: per source pair, how many documents share an
+    identical 80-char opening (boilerplate/mirror detection — the cheap
+    proxy that feeds crawl/source dedup priorities). Shuffle is on the md5
+    prefix digest — one hash-join keyed by digest, never on raw text;
+    source pairs are emitted distinct per (hash, pair) then counted."""
+    t = Tables(spark, sf_dir)
+    h = t.documents.select(F.md5(F.substring("text", 1, 80)).alias("h"), "source")
+    a = h.select("h", F.col("source").alias("src_a"))
+    b = h.select("h", F.col("source").alias("src_b"))
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .select("h", "src_a", "src_b")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("shared_docs"))
+        .orderBy(F.desc("shared_docs"), "src_a", "src_b")
+    )
+
+
+ORACLE["ops_source_overlap"] = """
+    WITH h AS (SELECT md5(substr(text, 1, 80)) AS h, source FROM documents),
+    pairs AS (
+        SELECT DISTINCT a.h, a.source AS src_a, b.source AS src_b
+        FROM h a JOIN h b ON a.h = b.h AND a.source < b.source)
+    SELECT src_a, src_b, COUNT(*) AS shared_docs
+    FROM pairs GROUP BY src_a, src_b
+    ORDER BY shared_docs DESC, src_a, src_b
+"""
+
+
 @query("ops_pii_scrub")
 def ops_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (emails/phones/IPv4): chained regexp built-ins, one

@@ -54,6 +54,7 @@ def get_spark(app_name: str = "arcane-spark", shuffle_partitions: int | None = N
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)  # pandas-UDF closures must unpickle on workers
     return spark
 
 

@@ -112,16 +112,37 @@ class VersionedTable:
         self._write_atomic(os.path.join(self._meta, "watermark"), value)
 
     # ---- IO ---------------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame:
-        v = self.current_version()
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read the latest snapshot, or time-travel to an earlier one
+        (Iceberg ``VERSION AS OF`` / Delta ``versionAsOf`` analog —
+        snapshots are immutable until ``expire_snapshots`` reclaims them).
+        """
+        v = self.current_version() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"table {self.root} has no committed snapshot")
+        if version is not None and not os.path.isdir(self._snapshot_dir(v)):
+            raise FileNotFoundError(
+                f"table {self.root} has no snapshot v{v} (expired or never committed; "
+                f"available: {self.snapshots()})"
+            )
         # mergeSchema: incremental commits may leave older (hard-linked)
         # bucket files on the pre-evolution schema; the union schema is the
         # table schema (missing columns read null)
         df = spark.read.option("mergeSchema", "true").parquet(self._snapshot_dir(v))
         # __p_* transform columns are derived layout, recomputed per commit
         return df.drop(*[c for c in df.columns if c.startswith("__p_")])
+
+    def snapshots(self) -> list[int]:
+        """Versions currently readable (committed and not yet expired)."""
+        try:
+            entries = os.listdir(self.root)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(e[1:])
+            for e in entries
+            if e.startswith("v") and e[1:].isdigit() and os.path.isdir(os.path.join(self.root, e))
+        )
 
     def bucket_expr(self):
         """Deterministic merge-key bucket (bucket(arcane_merge_key, N))."""

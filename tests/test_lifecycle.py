@@ -351,3 +351,28 @@ def test_azure_storage_connection_mapping(spark):
         f"fs.azure.account.auth.type.{sfx}"
     )
     assert got == "OAuth"
+
+
+def test_time_travel_reads(spark, tmp_path):
+    """read(version=) returns the exact earlier snapshot until expiry
+    reclaims it (Iceberg VERSION AS OF analog)."""
+    import pytest as _pytest
+
+    from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "tt"))
+    t.commit(spark.createDataFrame([(1, "a")], "k long, s string"))
+    t.commit(spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"))
+    t.commit(spark.createDataFrame([(9, "z")], "k long, s string"))
+
+    assert t.snapshots() == [1, 2, 3]
+    assert t.read(spark).count() == 1  # latest
+    assert sorted(r.k for r in t.read(spark, version=2).collect()) == [1, 2]
+    assert t.read(spark, version=1).collect()[0].s == "a"
+
+    t.expire_snapshots(keep_last=1)
+    assert t.snapshots() == [3]
+    with _pytest.raises(FileNotFoundError, match="expired"):
+        t.read(spark, version=1)
+    with _pytest.raises(FileNotFoundError):
+        t.read(spark, version=99)

@@ -1,0 +1,103 @@
+"""Exact percentiles at scale: distributed rank selection.
+
+``F.percentile`` (and any sort-free exact-quantile aggregate) is a
+TypedImperativeAggregate whose partial buffers hold the observed values —
+the final merge concentrates every distinct value on ONE reducer. Fine at
+millions of rows; a wall at 100 TB. ``percentile_approx`` fixes memory but
+gives up exactness.
+
+This operator computes EXACT interpolated percentiles with bounded memory
+everywhere:
+
+1. one pass to count ``n`` — the target ranks are ``h = p * (n-1)``,
+   needing only the values at global ranks ``floor(h)`` / ``ceil(h)``;
+2. ``repartitionByRange`` on the value + ``sortWithinPartitions`` — a
+   balanced range shuffle + local sort, exactly a distributed ORDER BY;
+   ``monotonically_increasing_id`` (partition_id << 33 | local counter)
+   then encodes each row's partition AND local rank with zero extra
+   shuffle — no window, no single reducer;
+3. partition counts (K integers to the driver, metadata like AQE stats)
+   prefix-sum into global-rank offsets; global rank = offset[pid] +
+   local counter, offsets applied as a map literal, not a join;
+4. the ≤ 2·|ps| hit rows are filtered out and interpolated with the exact
+   formula Spark's ``percentile`` uses: ``(ceil(h)-h)·v_lo +
+   (h-floor(h))·v_hi``.
+
+Cost: ONE full-data shuffle plus a count — the honest price of exactness;
+no executor ever holds more than one partition of values. Ties are safe:
+equal values land in one range partition and any tie order selects the
+same value for a given rank.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    ps: list[float],
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """One row per requested percentile: (p double, value double).
+    Null values are excluded (aggregate semantics). Returns an empty
+    result if the column has no non-null rows."""
+    spark: SparkSession = df.sparkSession
+    out_schema = "p double, value double"
+    vals = df.select(F.col(value_col).cast("double").alias("v")).where(F.col("v").isNotNull())
+    n = vals.count()
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+
+    hs = {p: p * (n - 1) for p in ps}
+    need = sorted({int(math.floor(h)) for h in hs.values()} | {int(math.ceil(h)) for h in hs.values()})
+
+    k = num_range_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # localCheckpoint pins the range partitioning AND row order: the frame
+    # is consumed by TWO actions (counts, rank filter), RangePartitioner
+    # re-samples with a new seed per job, and the id column must be
+    # assigned to identical rows in both passes — without the pin the
+    # offsets would describe different partition boundaries than the
+    # second pass reads (observed: every quantile but min/max silently
+    # wrong). On a cluster with dynamic allocation use checkpoint() to
+    # reliable storage instead.
+    mid = F.monotonically_increasing_id()  # partition_id << 33 | local row counter
+    ranged = (
+        vals.repartitionByRange(k, "v")
+        .sortWithinPartitions("v")
+        .select("v", mid.alias("mid"))
+        .localCheckpoint()
+    )
+    pid = F.shiftright("mid", 33).cast("int")
+    local = F.col("mid").bitwiseAND(F.lit((1 << 33) - 1))
+    # K integers to the driver — bounded metadata, not data
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy(pid.alias("pid")).agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, cum = {}, 0
+    for p_ in sorted(counts):
+        offsets[p_] = cum
+        cum += counts[p_]
+    off_map = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+
+    hit_rows = (
+        ranged.withColumn("gr", F.element_at(off_map, pid) + local)
+        .where(F.col("gr").isin([int(r) for r in need]))
+        .select("gr", "v")
+        .collect()
+    )
+    at = {r.gr: r.v for r in hit_rows}
+
+    # interpolate in the exact arithmetic order Spark's percentile
+    # aggregate uses: (higher - h) * v_lo + (h - lower) * v_hi
+    out = []
+    for p, h in hs.items():
+        lo, hi = int(math.floor(h)), int(math.ceil(h))
+        v = at[lo] if lo == hi else (hi - h) * at[lo] + (h - lo) * at[hi]
+        out.append((float(p), float(v)))
+    return spark.createDataFrame(out, out_schema)

@@ -503,6 +503,34 @@ ORACLE["ops_shuffle_shard"] = """
 """
 
 
+@query("ops_exact_percentiles_dist")
+def ops_exact_percentiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles via distributed rank selection — the 100 TB path
+    for what q30 computes with the single-reducer ``percentile`` aggregate
+    (operators/quantiles.py: one range shuffle, offsets as driver
+    metadata, interpolation bit-identical to the builtin)."""
+    from ..operators.quantiles import exact_percentiles
+
+    t = Tables(spark, sf_dir)
+    out = exact_percentiles(t.events, "value", [0.25, 0.5, 0.75, 0.95])
+    return out.select(
+        F.col("p").cast("decimal(4,2)").alias("p"),
+        F.round("value", 2).cast("decimal(18,2)").alias("value"),
+    ).orderBy("p")
+
+
+ORACLE["ops_exact_percentiles_dist"] = """
+    SELECT CAST(0.25 AS DECIMAL(4,2)) AS p, CAST(ROUND(quantile_cont(value, 0.25), 2) AS DECIMAL(18,2)) AS value FROM events
+    UNION ALL
+    SELECT CAST(0.50 AS DECIMAL(4,2)), CAST(ROUND(quantile_cont(value, 0.50), 2) AS DECIMAL(18,2)) FROM events
+    UNION ALL
+    SELECT CAST(0.75 AS DECIMAL(4,2)), CAST(ROUND(quantile_cont(value, 0.75), 2) AS DECIMAL(18,2)) FROM events
+    UNION ALL
+    SELECT CAST(0.95 AS DECIMAL(4,2)), CAST(ROUND(quantile_cont(value, 0.95), 2) AS DECIMAL(18,2)) FROM events
+    ORDER BY p
+"""
+
+
 @query("ops_source_overlap")
 def ops_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health: per source pair, how many documents share an

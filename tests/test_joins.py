@@ -120,3 +120,37 @@ def test_range_join_binned_property(spark):
         out = range_join_binned(pdf, idf, "p", "lo", "hi", bin_width=width)
         got = sorted((r["iid"], r["pid"]) for r in out.collect())
         assert got == naive, f"width={width}"
+
+
+# ---------------------------------------------------------------------------
+# distributed exact percentiles (operators/quantiles.py)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_percentiles_matches_builtin(spark, sf_dir):
+    """Rank-selection percentiles must be bit-identical to F.percentile
+    for interpolated, exact-hit, and extreme ranks."""
+    from pyspark.sql import functions as F
+
+    from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
+    from arcane_stream_microsoft_synapse_link_spark.operators.quantiles import exact_percentiles
+
+    t = Tables(spark, sf_dir)
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
+    mine = {r.p: r.value for r in exact_percentiles(t.lineitem, "l_extendedprice", ps).collect()}
+    ref = t.lineitem.agg(F.percentile("l_extendedprice", F.lit(ps)).alias("v")).collect()[0].v
+    assert [mine[p] for p in ps] == list(ref)
+
+
+def test_exact_percentiles_edges(spark):
+    from arcane_stream_microsoft_synapse_link_spark.operators.quantiles import exact_percentiles
+
+    # nulls excluded; single row; empty input
+    df = spark.createDataFrame([(None,), (10.0,), (20.0,), (None,)], "x double")
+    got = {r.p: r.value for r in exact_percentiles(df, "x", [0.5]).collect()}
+    assert got == {0.5: 15.0}
+    one = spark.createDataFrame([(7.0,)], "x double")
+    assert exact_percentiles(one, "x", [0.0, 0.5, 1.0]).collect() == [
+        (0.0, 7.0), (0.5, 7.0), (1.0, 7.0)]
+    empty = spark.createDataFrame([], "x double")
+    assert exact_percentiles(empty, "x", [0.5]).collect() == []

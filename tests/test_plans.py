@@ -84,3 +84,19 @@ def test_asof_union_single_key_shuffle(spark):
     plan = plan_of(QUERIES["ops_asof_union"](spark, SF_SMOKE))
     assert plan.count("hashpartitioning(_k") <= 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The corpus side must never shuffle: benchmark grams and hit ids
+    arrive via broadcast joins (semi + anti)."""
+    plan = plan_of(QUERIES["ops_decontaminate"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_filter_two_agg_exchanges(spark):
+    """One scan + the two partial-agg shuffles + the final sort — nothing
+    else (no join back to the corpus, no extra exchange)."""
+    plan = plan_of(QUERIES["ops_repetition_filter"](spark, SF_SMOKE))
+    assert plan.count("Exchange (") <= 3
+    assert "Join" not in plan

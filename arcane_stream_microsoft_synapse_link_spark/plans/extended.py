@@ -126,7 +126,10 @@ ORACLE["q29_pivot"] = """
 @query("q30_exact_percentiles")
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (sort-based, interpolated) percentiles — deterministic, unlike
-    percentile_approx which is tolerance-checked separately."""
+    percentile_approx which is tolerance-checked separately. The builtin
+    aggregate merges its value buffer on one reducer — right below ~1e8
+    rows; past that use the distributed rank-selection twin
+    (operators/quantiles.py, declared as ops_exact_percentiles_dist)."""
     t = Tables(spark, sf_dir)
     pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
     return t.lineitem.agg(

@@ -33,8 +33,10 @@ _LCG_M = 2**31
 
 def shuffle_hash(id_col: str = "doc_id", seed: int = 0):
     """Seeded deterministic mix of an integer id (BIGINT-exact in any
-    engine)."""
-    return (F.col(id_col) * F.lit(_LCG_A) + F.lit(_LCG_C + seed)) % F.lit(_LCG_M)
+    engine). ``pmod`` keeps the hash non-negative for negative ids too —
+    SQL ``%`` follows the dividend's sign, which would put negative ids in
+    negative "shards"."""
+    return F.pmod(F.col(id_col) * F.lit(_LCG_A) + F.lit(_LCG_C + seed), F.lit(_LCG_M))
 
 
 def seeded_shuffle_shards(

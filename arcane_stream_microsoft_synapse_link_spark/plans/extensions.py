@@ -492,8 +492,10 @@ def ops_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["ops_shuffle_shard"] = """
     WITH h AS (
+        -- double-mod keeps the hash non-negative for any id sign,
+        -- matching Spark's pmod
         SELECT doc_id,
-               (doc_id * 1103515245 + 12352) % 2147483648 AS _h
+               ((doc_id * 1103515245 + 12352) % 2147483648 + 2147483648) % 2147483648 AS _h
         FROM documents),
     s AS (
         SELECT doc_id, _h, CAST(_h % 8 AS BIGINT) AS shard FROM h)

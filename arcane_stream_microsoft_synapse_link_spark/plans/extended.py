@@ -652,3 +652,40 @@ ORACLE["q47_variant_json"] = """
            json_extract_string(props, '$.tag') AS tag
     FROM events ORDER BY event_id LIMIT 500
 """
+
+
+@query("q48_locf_gap_fill")
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last observation carried forward): per user, carry the most
+    recent non-'click' event type forward over click rows —
+    ``last(ignorenulls=True)`` over an unbounded-preceding frame, the
+    canonical sparse-to-dense time-series fill. Per-engine spelling:
+    Spark puts IGNORE NULLS after the function, DuckDB inside the
+    argument list; values hash-match."""
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sparse = F.when(F.col("event_type") != "click", F.col("event_type"))
+    return (
+        t.events.select(
+            "event_id",
+            "user_id",
+            F.last(sparse, ignorenulls=True).over(w).alias("locf_type"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(500)
+    )
+
+
+ORACLE["q48_locf_gap_fill"] = """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type <> 'click' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_type
+    FROM events ORDER BY user_id, event_id LIMIT 500
+"""

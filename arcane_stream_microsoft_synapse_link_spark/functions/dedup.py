@@ -21,7 +21,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import WORD_RE
+from .text import WORD_RE, word_ngram_strings
 
 
 def words(text: Column) -> Column:
@@ -527,24 +527,6 @@ def simhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
-def word_ngram_strings(words_col: Column, n: int = 8) -> Column:
-    """All word n-grams (as space-joined strings, overlapping,
-    order-preserving — the unit of benchmark-contamination matching) of an
-    ALREADY-MATERIALIZED word-array column. Takes the array, not the raw
-    text: inlining the word-extraction regexp into the per-index lambda
-    would re-run it once per n-gram index (O(words²) per doc — the
-    CollapseProject trap documented at ``shingles``). ``sequence()``
-    counts DOWN when stop < start, so short docs are guarded to empty."""
-    w = words_col
-    return F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,
@@ -582,6 +564,7 @@ def decontaminate(
         .select(id_col)
         .distinct()
     )
-    if broadcast_benchmark:
-        hits = F.broadcast(hits)
+    # hits is NOT forced to broadcast: it is bounded by the corpus, not the
+    # benchmark — one boilerplate n-gram in the eval set can contaminate a
+    # large corpus fraction. AQE broadcasts it when it is actually small.
     return df.join(hits, id_col, "left_anti")

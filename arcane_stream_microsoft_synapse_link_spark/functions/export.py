@@ -7,12 +7,18 @@ and (c) byte-identical across re-runs (resume / reproducibility). A random
 mixer satisfies all three: shard and order are pure functions of
 (id, seed).
 
-The mix function is a plain LCG step in BIGINT arithmetic —
-``(id * 1103515245 + 12345 + seed) mod 2^31`` — chosen because every SQL
-engine computes it identically (no engine-specific hash builtin), which
-keeps the operator oracle-checkable. For ids wide enough to overflow
-64-bit multiplication (beyond ~8e9) swap the mixer for ``xxhash64(id,
-seed)``; the shape of the plan is unchanged.
+The mix function is a 31-bit xorshift-multiply hash (two rounds of
+``x = (x * 73244475) mod 2^31; x ^= x >> 16`` over a seed-offset input) —
+portable BIGINT/xor/shift arithmetic every SQL engine computes
+identically, which keeps the operator oracle-checkable. It must be
+NONLINEAR in the id: an affine mixer (plain LCG) mod a power-of-two shard
+count degenerates to ``shard = f(id mod num_shards)`` — strided ids (every
+8th doc after upstream sampling) would collapse into one shard, and
+changing the seed would only relabel shards, never regroup docs. The xor
+steps break that structure (verified by the strided-id test). All
+intermediates stay below 2^31 so the multiplies can't overflow 64-bit;
+``xxhash64(id, seed)`` is the drop-in alternative where oracle
+portability isn't needed.
 
 Scale shape: shard assignment is a projection (no shuffle); the in-shard
 ordering is ``repartition(shard) + sortWithinPartitions`` — one shuffle,
@@ -26,17 +32,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_LCG_A = 1103515245
-_LCG_C = 12345
-_LCG_M = 2**31
+_M31 = 2**31
+_MULT = 73244475  # 0x45d9f3b, the classic 32-bit hash multiplier
+_SEED_STEP = 507111937  # 2654435761 (Knuth) mod 2^31
 
 
 def shuffle_hash(id_col: str = "doc_id", seed: int = 0):
-    """Seeded deterministic mix of an integer id (BIGINT-exact in any
-    engine). ``pmod`` keeps the hash non-negative for negative ids too —
-    SQL ``%`` follows the dividend's sign, which would put negative ids in
-    negative "shards"."""
-    return F.pmod(F.col(id_col) * F.lit(_LCG_A) + F.lit(_LCG_C + seed), F.lit(_LCG_M))
+    """Seeded deterministic nonlinear mix of an integer id (BIGINT-exact
+    in any engine; see module docstring for why it must not be affine).
+    ``pmod`` keeps the input non-negative for negative ids too — SQL ``%``
+    follows the dividend's sign, which would put negative ids in negative
+    "shards"."""
+    x = F.pmod(F.col(id_col) + F.lit((seed * _SEED_STEP) % _M31), F.lit(_M31))
+    for _ in range(2):
+        x = (x * F.lit(_MULT)) % F.lit(_M31)
+        x = x.bitwiseXOR(F.shiftright(x, 16))
+    return x
 
 
 def seeded_shuffle_shards(

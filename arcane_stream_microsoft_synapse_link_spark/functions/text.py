@@ -199,6 +199,25 @@ def tfidf_top_terms(
     )
 
 
+def word_ngram_strings(words_col: Column, n: int = 8) -> Column:
+    """All word n-grams (as space-joined strings, overlapping,
+    order-preserving) of an ALREADY-MATERIALIZED word-array column — the
+    unit for benchmark-contamination matching and repetition counting.
+    Takes the array, not the raw text: inlining the word-extraction regexp
+    into the per-index lambda would re-run it once per n-gram index
+    (O(words²) per doc — the CollapseProject trap documented at
+    ``dedup.shingles``). ``sequence()`` counts DOWN when stop < start, so
+    short docs are guarded to empty."""
+    w = words_col
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def repetition_metrics(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -234,14 +253,7 @@ def repetition_metrics(
         F.col(id_col),
         F.size(w).cast("bigint").alias("total_w"),
         F.size(F.array_distinct(w)).cast("bigint").alias("dist_w"),
-        # bigrams; sequence() counts DOWN when stop < start, so guard len<2
-        F.when(
-            F.size(w) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 1),
-                lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-            ),
-        ).otherwise(F.array().cast("array<string>")).alias("grams"),
+        word_ngram_strings(w, 2).alias("grams"),
     )
     ex = base.select(
         id_col,

@@ -47,6 +47,9 @@ def exact_percentiles(
     Null values are excluded (aggregate semantics). Returns an empty
     result if the column has no non-null rows."""
     spark: SparkSession = df.sparkSession
+    bad = [p for p in ps if not 0.0 <= p <= 1.0]
+    if bad:
+        raise ValueError(f"percentiles must be in [0, 1], got {bad}")  # fail before the shuffle
     out_schema = "p double, value double"
     vals = df.select(F.col(value_col).cast("double").alias("v")).where(F.col("v").isNotNull())
     n = vals.count()
@@ -79,6 +82,13 @@ def exact_percentiles(
         r["pid"]: r["cnt"]
         for r in ranged.groupBy(pid.alias("pid")).agg(F.count("*").alias("cnt")).collect()
     }
+    if counts and max(counts.values()) >= 1 << 33:
+        # the id's local counter is 33 bits; a bigger partition would wrap
+        # into the partition-id bits and silently corrupt every rank
+        raise ValueError(
+            f"range partition of {max(counts.values())} rows exceeds the 2^33 id-counter "
+            f"range — raise num_range_partitions (currently {k})"
+        )
     offsets, cum = {}, 0
     for p_ in sorted(counts):
         offsets[p_] = cum
@@ -96,7 +106,8 @@ def exact_percentiles(
     # interpolate in the exact arithmetic order Spark's percentile
     # aggregate uses: (higher - h) * v_lo + (h - lower) * v_hi
     out = []
-    for p, h in hs.items():
+    for p in ps:  # one output row per REQUESTED p (duplicates included)
+        h = hs[p]
         lo, hi = int(math.floor(h)), int(math.ceil(h))
         v = at[lo] if lo == hi else (hi - h) * at[lo] + (h - lo) * at[hi]
         out.append((float(p), float(v)))

@@ -491,14 +491,19 @@ def ops_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["ops_shuffle_shard"] = """
-    WITH h AS (
-        -- double-mod keeps the hash non-negative for any id sign,
-        -- matching Spark's pmod
+    -- the engine's 31-bit xorshift-multiply mix, seed 7:
+    -- x0 = pmod(id + 7*507111937 mod 2^31, 2^31); two rounds of
+    -- x = (x*73244475) mod 2^31; x ^= x >> 16   (double-mod = pmod)
+    WITH h0 AS (
         SELECT doc_id,
-               ((doc_id * 1103515245 + 12352) % 2147483648 + 2147483648) % 2147483648 AS _h
+               ((doc_id + 1402299911) % 2147483648 + 2147483648) % 2147483648 AS x
         FROM documents),
+    h1 AS (SELECT doc_id, xor((x * 73244475) % 2147483648,
+                              ((x * 73244475) % 2147483648) >> 16) AS x FROM h0),
+    h2 AS (SELECT doc_id, xor((x * 73244475) % 2147483648,
+                              ((x * 73244475) % 2147483648) >> 16) AS _h FROM h1),
     s AS (
-        SELECT doc_id, _h, CAST(_h % 8 AS BIGINT) AS shard FROM h)
+        SELECT doc_id, _h, CAST(_h % 8 AS BIGINT) AS shard FROM h2)
     SELECT doc_id, shard,
            CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY _h, doc_id) AS BIGINT) AS pos
     FROM s ORDER BY shard, pos

@@ -85,8 +85,12 @@ def _ship_package(spark: SparkSession) -> None:
                     zf.write(full, os.path.relpath(full, root))
     try:
         sc.addPyFile(zpath)
-    except Exception:
-        pass  # e.g. same file re-added under an unexpected session state
+    except Exception as exc:  # e.g. same file re-added under an unexpected session state
+        import warnings
+
+        # surfacing this matters: a swallowed failure resurfaces later as an
+        # opaque worker-side ModuleNotFoundError in the first pandas-UDF stage
+        warnings.warn(f"could not ship {zpath} to executors: {exc!r}", stacklevel=2)
     _SHIPPED_APPS.add(app)
 
 

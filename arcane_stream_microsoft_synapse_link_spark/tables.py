@@ -117,13 +117,16 @@ class VersionedTable:
         (Iceberg ``VERSION AS OF`` / Delta ``versionAsOf`` analog —
         snapshots are immutable until ``expire_snapshots`` reclaims them).
         """
-        v = self.current_version() if version is None else version
+        head = self.current_version()
+        v = head if version is None else version
         if v == 0:
             raise FileNotFoundError(f"table {self.root} has no committed snapshot")
-        if version is not None and not os.path.isdir(self._snapshot_dir(v)):
+        # the pointer advance is the commit point — a snapshot directory may
+        # exist for an in-flight (or crashed) writer's version; never serve it
+        if version is not None and (v > head or not os.path.isdir(self._snapshot_dir(v))):
             raise FileNotFoundError(
-                f"table {self.root} has no snapshot v{v} (expired or never committed; "
-                f"available: {self.snapshots()})"
+                f"table {self.root} has no committed snapshot v{v} (expired, in-flight, "
+                f"or never committed; available: {self.snapshots()})"
             )
         # mergeSchema: incremental commits may leave older (hard-linked)
         # bucket files on the pre-evolution schema; the union schema is the
@@ -133,15 +136,21 @@ class VersionedTable:
         return df.drop(*[c for c in df.columns if c.startswith("__p_")])
 
     def snapshots(self) -> list[int]:
-        """Versions currently readable (committed and not yet expired)."""
+        """Versions currently readable: committed (at or below the pointer
+        — directories above it belong to in-flight or crashed writers) and
+        not yet expired."""
         try:
             entries = os.listdir(self.root)
         except FileNotFoundError:
             return []
+        head = self.current_version()
         return sorted(
             int(e[1:])
             for e in entries
-            if e.startswith("v") and e[1:].isdigit() and os.path.isdir(os.path.join(self.root, e))
+            if e.startswith("v")
+            and e[1:].isdigit()
+            and int(e[1:]) <= head
+            and os.path.isdir(os.path.join(self.root, e))
         )
 
     def bucket_expr(self):

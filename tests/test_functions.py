@@ -313,6 +313,15 @@ def test_seeded_shuffle_shards_deterministic_and_complete(spark, tmp_path):
     for s, n in per_shard.items():
         assert sorted(r.pos for r in a if r.shard == s) == list(range(1, n + 1))
 
+    # nonlinear mixer: strided ids (every 8th, num_shards=8) must spread
+    # over ALL shards, and a seed change must REGROUP docs across shards
+    # (an affine hash fails both — shard would be a function of id mod 8)
+    strided = spark.createDataFrame([(8 * i,) for i in range(400)], "doc_id long")
+    sa = {r.doc_id: r.shard for r in E.seeded_shuffle_shards(strided, 8, seed=0).collect()}
+    assert len(set(sa.values())) == 8
+    sb = {r.doc_id: r.shard for r in E.seeded_shuffle_shards(strided, 8, seed=1).collect()}
+    assert sum(1 for d in sa if sa[d] != sb[d]) > 100
+
     # write path: partitioned layout, shard dirs, total row count preserved
     out = str(tmp_path / "shards")
     E.write_training_shards(df, out, num_shards=4, seed=1)

@@ -348,3 +348,34 @@ def test_scrub_pii_planted(spark):
     assert got[2].n_ip == 1 and got[2].n_phone == 0 and "<IP>" in got[2].text_scrubbed
     assert got[3].text_scrubbed == "nothing sensitive here"
     assert (got[3].n_email, got[3].n_phone, got[3].n_ip) == (0, 0, 0)
+
+
+def test_decontaminate_property_matches_python_model(spark):
+    """decontaminate == the obvious Python set-intersection model for
+    random small corpora (varying doc lengths incl. < n words)."""
+    import random
+    import re
+
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import WORD_RE
+
+    rng = random.Random(77)
+    vocab = [f"t{i}" for i in range(12)]  # small vocab -> frequent collisions
+    n = 5
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 14)))
+
+    bench_rows = [(1000 + i, doc()) for i in range(8)]
+    corpus_rows = [(i, doc()) for i in range(80)]
+
+    def grams(text):
+        w = re.findall(WORD_RE, text.lower())
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    bench_grams = set().union(*(grams(t) for _, t in bench_rows))
+    expect = sorted(i for i, t in corpus_rows if not (grams(t) & bench_grams))
+
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    got = sorted(r.doc_id for r in D.decontaminate(corpus, bench, n=n).collect())
+    assert got == expect

@@ -308,6 +308,10 @@ def duplicate_clusters(
     shaped, diameter ≤ ~3). Each round is one shuffle-join + groupBy;
     ``localCheckpoint`` truncates lineage so round N doesn't replay 1..N-1.
     """
+    # the verified-pair graph is small (LSH + Jaccard survivors) but its
+    # lineage is the whole LSH pipeline; the size probe and the edge read
+    # below are separate actions — materialize once, not twice
+    pairs = pairs.localCheckpoint()
     n_edges = pairs.limit(driver_threshold + 1).count()
     if n_edges <= driver_threshold:
         edges_local = [(r[0], r[1]) for r in pairs.select(id_a, id_b).collect()]

@@ -42,10 +42,20 @@ def exact_percentiles(
     value_col: str,
     ps: list[float],
     num_range_partitions: int | None = None,
+    interpolation: str = "spark",
 ) -> DataFrame:
     """One row per requested percentile: (p double, value double).
     Null values are excluded (aggregate semantics). Returns an empty
-    result if the column has no non-null rows."""
+    result if the column has no non-null rows.
+
+    ``interpolation`` picks the final (driver-side, ≤2·|ps| values) float
+    expression: ``"spark"`` mirrors Spark's ``percentile`` aggregate
+    (``(hi-h)·v_lo + (h-lo)·v_hi``); ``"cont"`` mirrors the SQL-standard
+    ``quantile_cont`` / NumPy ``linear`` form
+    (``v_lo + (h-lo)·(v_hi-v_lo)``) — bit-identical to DuckDB's, verified
+    against its output. The distributed plan is identical either way."""
+    if interpolation not in ("spark", "cont"):
+        raise ValueError(f"unknown interpolation {interpolation!r}")
     spark: SparkSession = df.sparkSession
     bad = [p for p in ps if not 0.0 <= p <= 1.0]
     if bad:
@@ -103,12 +113,18 @@ def exact_percentiles(
     )
     at = {r.gr: r.v for r in hit_rows}
 
-    # interpolate in the exact arithmetic order Spark's percentile
-    # aggregate uses: (higher - h) * v_lo + (h - lower) * v_hi
+    # interpolate in the exact arithmetic order of the chosen engine —
+    # the two forms differ in final-ulp rounding, which matters for
+    # bit-exact comparison against either engine's builtin
     out = []
     for p in ps:  # one output row per REQUESTED p (duplicates included)
         h = hs[p]
         lo, hi = int(math.floor(h)), int(math.ceil(h))
-        v = at[lo] if lo == hi else (hi - h) * at[lo] + (h - lo) * at[hi]
+        if lo == hi:
+            v = at[lo]
+        elif interpolation == "spark":
+            v = (hi - h) * at[lo] + (h - lo) * at[hi]
+        else:  # "cont"
+            v = at[lo] + (h - lo) * (at[hi] - at[lo])
         out.append((float(p), float(v)))
     return spark.createDataFrame(out, out_schema)

@@ -637,13 +637,26 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     shred-at-read model for JSON event properties (vs q24's per-path
     string get_json_object). Oracle is DuckDB's native JSON extraction."""
     t = Tables(spark, sf_dir)
-    t.view("events")
-    return spark.sql("""
-        SELECT event_id,
-               CAST(variant_get(parse_json(props), '$.k', 'bigint') AS BIGINT) AS k,
-               CAST(variant_get(parse_json(props), '$.tag', 'string') AS STRING) AS tag
-        FROM events ORDER BY event_id LIMIT 500
-    """)
+    # parse_json ONCE in its own projection, extract both paths from the
+    # same VARIANT value — inlining the parse per variant_get doubles the
+    # JSON-parse cost per row (CollapseProject keeps the split because
+    # parse_json is non-cheap and multiply-referenced)
+    ev = t.events.select("event_id", "props")
+    # a single small parquet file scans as ONE task, serializing the
+    # parse; re-split only then (a many-file scan at real scale already
+    # has file-level parallelism and must not pay this shuffle)
+    if ev.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism // 2:
+        ev = ev.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        ev.select("event_id", F.parse_json("props").alias("v"))
+        .select(
+            "event_id",
+            F.variant_get("v", "$.k", "bigint").alias("k"),
+            F.variant_get("v", "$.tag", "string").alias("tag"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
 
 
 ORACLE["q47_variant_json"] = """

@@ -98,16 +98,16 @@ def ops_word_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t.documents.select("doc_id", F.array_distinct(D.words(F.col("text"))).alias("w"))
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
     b = docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("w").alias("wb"))
+    # ppm quantization via FLOOR(j*1e6 + 0.5): the ratio is the same IEEE
+    # division in both engines (identical int inputs), and floor of the
+    # identical double is deterministic — unlike ROUND, whose tie policy
+    # (and Spark's round-the-string-repr behavior) diverges across engines
+    j = F.size(F.array_intersect("wa", "wb")) / F.greatest(
+        F.size(F.array_union("wa", "wb")), F.lit(1)
+    )
     return (
         a.join(b, "id_a")
-        .select(
-            "id_a",
-            F.round(
-                F.size(F.array_intersect("wa", "wb"))
-                / F.greatest(F.size(F.array_union("wa", "wb")), F.lit(1)),
-                6,
-            ).cast("decimal(10,6)").alias("jaccard_w"),
-        )
+        .select("id_a", F.floor(j * 1e6 + F.lit(0.5)).cast("bigint").alias("jaccard_w_ppm"))
         .orderBy("id_a")
     )
 
@@ -116,8 +116,8 @@ ORACLE["ops_word_jaccard_adjacent"] = """
     WITH w AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wl
                FROM documents)
     SELECT a.doc_id AS id_a,
-           CAST(ROUND(len(list_intersect(a.wl, b.wl)) /
-                GREATEST(len(list_distinct(list_concat(a.wl, b.wl))), 1), 6) AS DECIMAL(10,6)) AS jaccard_w
+           CAST(FLOOR(len(list_intersect(a.wl, b.wl)) /
+                GREATEST(len(list_distinct(list_concat(a.wl, b.wl))), 1) * 1e6 + 0.5) AS BIGINT) AS jaccard_w_ppm
     FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
     ORDER BY id_a
 """
@@ -177,13 +177,18 @@ def ops_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import sessionize_sql
 
     t = Tables(spark, sf_dir)
-    s = sessionize_sql(t.events, gap_s=14400)
+    # value is an exact 2-decimal double: cast to decimal BEFORE the
+    # session SUM so accumulation is associative (exact decimal addition)
+    # instead of order-dependent double addition — the session agg's
+    # per-partition order is not deterministic across engines
+    events = t.events.withColumn("value", F.col("value").cast("decimal(18,2)"))
+    s = sessionize_sql(events, gap_s=14400)
     return s.select(
         "user_id",
         "session_start",
         "session_end",
         "n_events",
-        F.round("total_value", 2).cast("decimal(18,2)").alias("total_value"),
+        F.col("total_value").cast("decimal(18,2)").alias("total_value"),
     ).orderBy("user_id", "session_start")
 
 
@@ -199,7 +204,7 @@ ORACLE["ops_sessionize"] = """
         FROM m)
     SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           CAST(ROUND(SUM(value), 2) AS DECIMAL(18,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
     FROM g GROUP BY user_id, sid
     ORDER BY user_id, session_start
 """
@@ -519,21 +524,23 @@ def ops_exact_percentiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantiles import exact_percentiles
 
     t = Tables(spark, sf_dir)
-    out = exact_percentiles(t.events, "value", [0.25, 0.5, 0.75, 0.95])
-    return out.select(
-        F.col("p").cast("decimal(4,2)").alias("p"),
-        F.round("value", 2).cast("decimal(18,2)").alias("value"),
-    ).orderBy("p")
+    # interpolation="cont" mirrors quantile_cont's float expression
+    # (v_lo + (h-lo)·(v_hi-v_lo)) — the resulting doubles are
+    # BIT-IDENTICAL to DuckDB's (verified), so no rounding is needed
+    # (and Spark's ROUND-on-double would break the match anyway: it
+    # rounds the shortest string repr, DuckDB rounds the binary value)
+    out = exact_percentiles(t.events, "value", [0.25, 0.5, 0.75, 0.95], interpolation="cont")
+    return out.select(F.col("p").cast("decimal(4,2)").alias("p"), "value").orderBy("p")
 
 
 ORACLE["ops_exact_percentiles_dist"] = """
-    SELECT CAST(0.25 AS DECIMAL(4,2)) AS p, CAST(ROUND(quantile_cont(value, 0.25), 2) AS DECIMAL(18,2)) AS value FROM events
+    SELECT CAST(0.25 AS DECIMAL(4,2)) AS p, quantile_cont(value, 0.25) AS value FROM events
     UNION ALL
-    SELECT CAST(0.50 AS DECIMAL(4,2)), CAST(ROUND(quantile_cont(value, 0.50), 2) AS DECIMAL(18,2)) FROM events
+    SELECT CAST(0.50 AS DECIMAL(4,2)), quantile_cont(value, 0.50) FROM events
     UNION ALL
-    SELECT CAST(0.75 AS DECIMAL(4,2)), CAST(ROUND(quantile_cont(value, 0.75), 2) AS DECIMAL(18,2)) FROM events
+    SELECT CAST(0.75 AS DECIMAL(4,2)), quantile_cont(value, 0.75) FROM events
     UNION ALL
-    SELECT CAST(0.95 AS DECIMAL(4,2)), CAST(ROUND(quantile_cont(value, 0.95), 2) AS DECIMAL(18,2)) FROM events
+    SELECT CAST(0.95 AS DECIMAL(4,2)), quantile_cont(value, 0.95) FROM events
     ORDER BY p
 """
 

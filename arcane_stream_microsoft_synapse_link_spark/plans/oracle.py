@@ -21,8 +21,10 @@ ORACLE: dict[str, str] = {
     """,
     "q3_hash_agg_having": """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
-               CAST(SUM(l_extendedprice * (1 - l_discount)) AS DECIMAL(18,2)) AS revenue,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                    AS DECIMAL(18,2)) AS revenue,
                COUNT(*) AS cnt
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -31,7 +33,9 @@ ORACLE: dict[str, str] = {
     """,
     "q4_multiway_join": """
         SELECT n_name,
-               CAST(SUM(l_extendedprice * (1 - l_discount)) AS DECIMAL(18,2)) AS revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                    AS DECIMAL(18,2)) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -75,7 +79,8 @@ ORACLE: dict[str, str] = {
     """,
     "q11_window_frame": """
         SELECT event_id, user_id,
-               CAST(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS mov_sum
         FROM events ORDER BY user_id, event_id LIMIT 500
     """,
@@ -127,7 +132,10 @@ ORACLE: dict[str, str] = {
     """,
     "q19_math_conditional": """
         SELECT l_orderkey, l_linenumber,
-               CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS DECIMAL(18,2)) AS charge,
+               CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                          * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))), 2)
+                    AS DECIMAL(18,2)) AS charge,
                CASE WHEN l_discount > 0.05 THEN 'HI'
                     WHEN l_discount > 0.02 THEN 'MID' ELSE 'LO' END AS disc_band,
                ABS(l_discount - 0.05) > 0.01 AS far

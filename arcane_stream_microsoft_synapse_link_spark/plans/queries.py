@@ -33,6 +33,26 @@ def query(name: str):
 
 DEC = "decimal(18,2)"
 
+# Exact-decimal money arithmetic (hash-determinism contract): source money
+# columns are 2-decimal doubles, so casting to decimal is unambiguous in
+# both engines; decimal addition is associative, so SUM no longer depends
+# on accumulation order; the final ROUND(decimal, 2) is HALF_UP in BOTH
+# Spark and DuckDB (verified empirically — only the decimal→decimal CAST
+# differs, DuckDB's is HALF_EVEN, so never rely on a narrowing cast to
+# round).
+
+
+def _dec(col: str, typ: str = "decimal(18,4)"):
+    return F.col(col).cast(typ)
+
+
+def _revenue_dec():
+    """SUM(l_extendedprice * (1 - l_discount)) in exact decimal, rounded
+    HALF_UP to 2 places — bit-identical across engines regardless of
+    partial-aggregation order."""
+    one = F.lit(1).cast("decimal(18,4)")
+    return F.round(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))), 2).cast(DEC)
+
 
 @query("q1_scan_filter_sort")
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,8 +89,8 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast(DEC).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC).alias("revenue"),
+            F.sum(_dec("l_quantity", DEC)).cast(DEC).alias("sum_qty"),
+            _revenue_dec().alias("revenue"),
             F.count("*").alias("cnt"),
         )
         .where(F.col("cnt") > 10)
@@ -89,7 +109,7 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC).alias("revenue"))
+        .agg(_revenue_dec().alias("revenue"))
         .orderBy("n_name")
     )
 
@@ -177,7 +197,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
     return (
-        t.events.withColumn("mov_sum", F.sum("value").over(w).cast(DEC))
+        t.events.withColumn("mov_sum", F.sum(_dec("value", DEC)).over(w).cast(DEC))
         .select("event_id", "user_id", "mov_sum")
         .orderBy("user_id", "event_id")
         .limit(500)
@@ -296,7 +316,16 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q19_math_conditional")
 def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    # exact decimal product (2dp inputs → 6dp product, no precision loss),
+    # then HALF_UP round — Spark's ROUND on *doubles* rounds the shortest
+    # string repr while DuckDB rounds the binary value, so doubles must
+    # never reach the ROUND
+    one = F.lit(1).cast("decimal(12,2)")
+    charge = (
+        _dec("l_extendedprice", "decimal(12,2)")
+        * (one - _dec("l_discount", "decimal(12,2)"))
+        * (one + _dec("l_tax", "decimal(12,2)"))
+    )
     return (
         t.lineitem.select(
             "l_orderkey",

@@ -27,13 +27,14 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v):
+def _norm(v, strict: bool = False):
     if v is None:
         return None
     if isinstance(v, decimal.Decimal):
         return ("dec", str(v))
     if isinstance(v, float):
-        return ("f", round(v, 9))
+        # strict mirrors the driver's hash: exact bits, no tolerance
+        return ("f", v if strict else round(v, 9))
     if isinstance(v, dt.datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, dt.date):
@@ -45,15 +46,19 @@ def _norm(v):
     return ("s", str(v))
 
 
-def _rows(colnames, rows):
+def _rows(colnames, rows, strict: bool = False):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
     for r in rows:
-        out.append(tuple(_norm(r[i]) for i in order))
+        out.append(tuple(_norm(r[i], strict) for i in order))
     return sorted(out, key=lambda t: tuple(repr(x) for x in t))
 
 
-def compare(spark, sf_dir: str, query_fn, oracle: str) -> tuple[bool, str]:
+def compare(spark, sf_dir: str, query_fn, oracle: str, strict: bool = False) -> tuple[bool, str]:
+    """``strict=True`` mirrors the driver's value-HASH compare: normalized
+    values must be exactly equal (no float tolerance). The default keeps
+    the tolerant compare for smoke use; the correctness gate test runs
+    strict, because a query that only approx-matches will hash-fail."""
     sdf = query_fn(spark, sf_dir)
     srows = sdf.collect()
     scols = sdf.columns
@@ -68,11 +73,11 @@ def compare(spark, sf_dir: str, query_fn, oracle: str) -> tuple[bool, str]:
     if len(srows) != len(drows):
         return False, f"row count mismatch: spark={len(srows)} duckdb={len(drows)}"
 
-    s = _rows(scols, srows)
-    d = _rows(dcols, drows)
+    s = _rows(scols, srows, strict)
+    d = _rows(dcols, drows, strict)
     for i, (a, b) in enumerate(zip(s, d)):
         if a != b:
-            if _approx_equal(a, b):
+            if not strict and _approx_equal(a, b):
                 continue
             return False, f"value mismatch at sorted row {i}: spark={a} duckdb={b}"
     return True, "ok"

@@ -12,7 +12,7 @@ from .oracle_harness import compare
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_query_matches_oracle(spark, sf_dir, name):
     assert name in QUERIES, f"oracle {name} has no Spark query"
-    ok, msg = compare(spark, sf_dir, QUERIES[name], ORACLE[name])
+    ok, msg = compare(spark, sf_dir, QUERIES[name], ORACLE[name], strict=True)
     assert ok, msg
 
 

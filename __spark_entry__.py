@@ -21,7 +21,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    """All registered queries, oracle-backed entries first.
+
+    The correctness gate walks this dict in order and may stop after a
+    fixed count or time budget, so the 74 hash-comparable (oracle-backed)
+    entries lead and the rows-only ones (approx sketches, LSH dedup,
+    media plumbing) trail.
+    """
+    ordered = {k: v for k, v in QUERIES.items() if k in ORACLE}
+    ordered.update({k: v for k, v in QUERIES.items() if k not in ORACLE})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -155,6 +155,14 @@ def spec_from_dict(doc: dict, *, target_root: str | None = None) -> StreamSpec:
             maint.get("targetAnalyzeSettings", {}).get("includedColumns", ()) or ()
         ),
         max_folders_per_tick=int(throughput.get("advisedChunkSize", 0) or 0),
+        # B6 grouping (docs/crd.md:35-43) + B18 static shaper
+        # (crd-microsoft-synapse.yaml:320-360, shaperImpl: static)
+        rows_per_group=int(doc.get("rowsPerGroup", 0) or 0),
+        grouping_interval_s=float(doc.get("groupingIntervalSeconds", 0) or 0),
+        advised_rate=(throughput.get("advisedRate") or None)
+        if "static" in (throughput.get("shaperImpl", {"static": None}) or {})
+        else None,
+        advised_burst=int(throughput.get("advisedBurst", 0) or 0),
         retry=retry,
         target_sorted_by=tuple(props.get("sortedBy", ()) or ()),
         target_bloom_filter_columns=tuple(props.get("parquetBloomFilterColumns", ()) or ()),

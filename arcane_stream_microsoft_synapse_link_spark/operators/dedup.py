@@ -27,12 +27,20 @@ def latest_by_version(
     version_col: str = "versionnumber",
     fallback_version_col: str | None = "sysrowversion",
 ) -> DataFrame:
+    has_version = version_col in df.columns
+    has_fallback = bool(fallback_version_col) and fallback_version_col in df.columns
     order = []
-    if fallback_version_col and fallback_version_col in df.columns:
+    if has_version and has_fallback:
         order.append(F.desc_nulls_last(F.coalesce(F.col(version_col), F.col(fallback_version_col))))
         order.append(F.desc_nulls_last(fallback_version_col))
-    else:
+    elif has_version:
         order.append(F.desc_nulls_last(version_col))
+    elif has_fallback:
+        order.append(F.desc_nulls_last(fallback_version_col))
+    else:
+        # no version column at all: keep the batch as-is so the merge's
+        # documented last-write-wins fallback (merge.py) decides
+        return df
     w = Window.partitionBy(key).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

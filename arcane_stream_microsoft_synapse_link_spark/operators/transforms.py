@@ -21,8 +21,19 @@ _NORMALIZE_RE = re.compile(r"[^0-9a-zA-Z_]")
 
 def normalize_column_names(df: DataFrame) -> DataFrame:
     """Strip special characters ($ / \\ ...) from field names (B2,
-    reference docs/crd.md:186-187)."""
-    return df.toDF(*[_NORMALIZE_RE.sub("", c) for c in df.columns])
+    reference docs/crd.md:186-187). Raises if two source names collapse
+    to the same normalized name ('a\\$b' vs 'ab') — failing here with the
+    colliding pair beats an ambiguous-reference error downstream."""
+    normalized = [_NORMALIZE_RE.sub("", c) for c in df.columns]
+    seen: dict[str, str] = {}
+    for src, norm in zip(df.columns, normalized):
+        if norm in seen:
+            raise ValueError(
+                f"column-name normalization collision: {seen[norm]!r} and "
+                f"{src!r} both normalize to {norm!r}"
+            )
+        seen[norm] = src
+    return df.toDF(*normalized)
 
 
 def with_merge_key(df: DataFrame, key_column: str = "Id") -> DataFrame:

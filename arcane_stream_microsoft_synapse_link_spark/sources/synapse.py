@@ -112,6 +112,30 @@ class SynapseLinkSource:
             return None
         return read_entity_csv(spark, csvs, self.entity_schema(folder))
 
+    def folder_row_counts(
+        self, spark: SparkSession, folders: list[BatchFolder]
+    ) -> dict[str, int]:
+        """Rows per batch folder in ONE distributed pass (row-granular
+        grouping B6 / rate shaping B18 need counts before admission).
+        Folders are tagged and union-counted so the planner runs a single
+        count job over all pending CSVs, not one job per folder."""
+        from pyspark.sql import functions as F
+
+        tagged = [
+            d.select(F.lit(f.name).alias("__folder"))
+            for f in folders
+            if (d := self.read_batch(spark, f)) is not None
+        ]
+        counts = {f.name: 0 for f in folders}
+        if not tagged:
+            return counts
+        union = tagged[0]
+        for d in tagged[1:]:
+            union = union.unionByName(d)
+        for row in union.groupBy("__folder").count().collect():
+            counts[row["__folder"]] = row["count"]
+        return counts
+
     def read_folders(self, spark: SparkSession, folders: list[BatchFolder]) -> DataFrame | None:
         """Union of several batch folders (backfill scan B13). Folders are
         read per-folder because each may carry its own schema."""

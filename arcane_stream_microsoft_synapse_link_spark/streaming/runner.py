@@ -65,7 +65,16 @@ class StreamSpec:
     # — layout-only (reader scan pruning); merge pruning stays bucket-based
     # because only key-derived partitions are safe to prune a MERGE by
     target_partition_transforms: tuple[tuple[str, str], ...] = ()
-    max_folders_per_tick: int = 0  # >0 → B18 static throughput shaping
+    max_folders_per_tick: int = 0  # coarse admission cap (folders per tick)
+    # B6 grouping (docs/crd.md:35-43): rows are emitted in groups of at most
+    # rowsPerGroup; a partial group goes out when the grouping interval
+    # elapses — here: per-commit row cap + backlog drain cadence
+    rows_per_group: int = 0
+    grouping_interval_s: float = 0.0
+    # B18 static shaper (crd-microsoft-synapse.yaml:320-360): token bucket
+    # "N per T second" + burst; groups are admitted at the advised rate
+    advised_rate: str | None = None
+    advised_burst: int = 0  # bucket capacity; <=0 → one second's worth
     # A1 poll jitter (changeCaptureJitterVariance/Seed): each sleep is
     # interval × (1 ± U[0,variance)) — thundering-herd avoidance when many
     # entity streams poll the same storage account
@@ -108,6 +117,23 @@ class StreamRunner:
         self.metrics = MetricsRecorder(
             spec.metrics_path, tags={"entity": spec.entity_name, **dict(spec.metric_tags)}
         )
+        if spec.advised_rate:
+            from .throughput import TokenBucket, parse_advised_rate
+
+            rate = parse_advised_rate(spec.advised_rate)
+            self.shaper: TokenBucket | None = TokenBucket(
+                rate, capacity=float(spec.advised_burst) if spec.advised_burst > 0 else rate
+            )
+        else:
+            self.shaper = None
+        # B22 graceful-stop flag: set by SIGTERM (run() installs the handler)
+        # or request_stop(); checked between merge groups so the in-flight
+        # group finishes, its watermark commits, and the loop exits cleanly
+        self._stop = False
+        self._deferred = False  # True when shaping deferred part of a backlog
+
+    def request_stop(self) -> None:
+        self._stop = True
 
     # ---- shared transform chain (B2→B1→B4) -------------------------------
     def _prepare(self, df: DataFrame) -> DataFrame:
@@ -128,6 +154,16 @@ class StreamRunner:
 
     def _target(self) -> DataFrame | None:
         return self.table.read(self.spark) if self.table.exists() else None
+
+    def _drop_deletes(self, df: DataFrame) -> DataFrame:
+        """Filter delete rows before an Overwrite finalize; entities
+        without an IsDelete column (cdc_merge also guards for its
+        absence) pass through unchanged."""
+        from pyspark.sql import functions as F
+
+        if self.spec.is_delete_column not in df.columns:
+            return df
+        return df.where(~F.coalesce(F.col(self.spec.is_delete_column), F.lit(False)))
 
     def _merge_folder_batch(
         self, df: DataFrame, up_to_folder: str, is_backfill: bool = False
@@ -190,10 +226,7 @@ class StreamRunner:
         def finalize() -> None:
             if self.spec.backfill_behavior == "Overwrite":
                 # drop deletes; atomic snapshot replace (B15)
-                from pyspark.sql import functions as F
-
-                is_del = F.coalesce(F.col(self.spec.is_delete_column), F.lit(False))
-                self.table.commit(staged.where(~is_del))
+                self.table.commit(self._drop_deletes(staged))
             else:  # Merge (B16) — non-destructive fold into live target
                 self.table.commit(
                     cdc_merge(
@@ -274,11 +307,8 @@ class StreamRunner:
                 union = union.unionByName(d, allowMissingColumns=True)
             # cross-shard dedup (same key may appear in several folders)
             staged = latest_by_version(union, version_col=self.spec.version_column)
-            from pyspark.sql import functions as F
-
             if self.spec.backfill_behavior == "Overwrite":
-                is_del = F.coalesce(F.col(self.spec.is_delete_column), F.lit(False))
-                self.table.commit(staged.where(~is_del))
+                self.table.commit(self._drop_deletes(staged))
             else:
                 self.table.commit(
                     cdc_merge(
@@ -310,10 +340,15 @@ class StreamRunner:
         by name (watch-list item 3). Returns folders consumed."""
         pending = self.source.pending(self.table.watermark())
         if self.spec.max_folders_per_tick > 0:
-            # B18 static admission: cap work per tick (advisedRate analog)
+            # coarse admission: cap folders per tick
             pending = pending[: self.spec.max_folders_per_tick]
         if not pending:
             return 0
+
+        if self.spec.rows_per_group > 0 or self.shaper is not None:
+            return self._run_once_grouped(pending)
+
+        self._deferred = False
         df = self.source.read_folders(self.spark, pending)
         if df is not None:
             self._merge_folder_batch(df, pending[-1].name)
@@ -322,6 +357,37 @@ class StreamRunner:
             self.table.set_watermark(pending[-1].name)
         self.stats.folders_seen.extend(f.name for f in pending)
         return len(pending)
+
+    def _run_once_grouped(self, pending: list[BatchFolder]) -> int:
+        """Row-granular admission (B6 + B18): one count pass over the
+        pending range, chunk folders into ≤ rowsPerGroup groups, admit each
+        group through the token bucket. Each admitted group merges and
+        advances the watermark independently (same exactly-once unit as the
+        plain path — the version-guarded merge keeps cross-group delete/
+        stale-re-upload hazards out exactly as the reference's chunked
+        emission does). Unadmitted folders stay pending for the next tick."""
+        from .throughput import chunk_by_rows
+
+        counts = self.source.folder_row_counts(self.spark, pending)
+        groups = chunk_by_rows(
+            pending, [counts[f.name] for f in pending], self.spec.rows_per_group
+        )
+        consumed = 0
+        for grp in groups:
+            rows = sum(counts[f.name] for f in grp)
+            if self.shaper is not None and not self.shaper.take_up_to_capacity(rows):
+                break  # over the advised rate — defer the rest of the backlog
+            df = self.source.read_folders(self.spark, grp)
+            if df is not None:
+                self._merge_folder_batch(df, grp[-1].name)
+            else:
+                self.table.set_watermark(grp[-1].name)
+            self.stats.folders_seen.extend(f.name for f in grp)
+            consumed += len(grp)
+            if self._stop:  # B22: finish the in-flight group, then yield
+                break
+        self._deferred = consumed < len(pending)
+        return consumed
 
     # ---- dispose (B12): startup sweep of abandoned staging ------------------
     def sweep_staging(self, keep_backfill_id: str | None = None) -> list[str]:
@@ -363,19 +429,50 @@ class StreamRunner:
             self._rng = random.Random(self.spec.change_capture_jitter_seed)
         return self._rng
 
-    def run(self, max_ticks: int | None = None, poll_interval_s: float | None = None) -> None:
+    def run(
+        self,
+        max_ticks: int | None = None,
+        poll_interval_s: float | None = None,
+        install_signal_handlers: bool = True,
+    ) -> None:
         """Continuous change capture (trigger analog, 2.E). ``max_ticks``
-        bounds the loop for tests — the TimeLimitLifetimeService analog."""
-        ticks = 0
-        while max_ticks is None or ticks < max_ticks:
-            self.run_once()
-            ticks += 1
-            if max_ticks is not None and ticks >= max_ticks:
-                break
-            interval = (
-                poll_interval_s if poll_interval_s is not None else self.next_interval()
-            )
-            time.sleep(interval)
+        bounds the loop for tests — the TimeLimitLifetimeService analog.
+
+        B22 graceful lifetime (reference PosixStreamLifetimeService,
+        main.scala:82): SIGTERM/SIGINT set the stop flag; the in-flight
+        group finishes its merge, the watermark commits, and the loop
+        returns normally (exit 0 at the CLI). Handlers only install from
+        the main thread — a MultiEntityRunner worker thread skips them."""
+        import signal
+        import threading
+
+        restore: list[tuple[int, object]] = []
+        if install_signal_handlers and threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                restore.append((sig, signal.getsignal(sig)))
+                signal.signal(sig, lambda *_: self.request_stop())
+        try:
+            ticks = 0
+            while (max_ticks is None or ticks < max_ticks) and not self._stop:
+                self.run_once()
+                ticks += 1
+                if self._stop or (max_ticks is not None and ticks >= max_ticks):
+                    break
+                if poll_interval_s is not None:
+                    interval = poll_interval_s
+                elif getattr(self, "_deferred", False) and self.spec.grouping_interval_s > 0:
+                    # backlog deferred by shaping: drain at the grouping
+                    # cadence instead of the full capture interval (B6)
+                    interval = self.spec.grouping_interval_s
+                else:
+                    interval = self.next_interval()
+                # sleep in small slices so a signal interrupts promptly
+                deadline = time.monotonic() + interval
+                while not self._stop and time.monotonic() < deadline:
+                    time.sleep(min(0.2, max(0.0, deadline - time.monotonic())))
+        finally:
+            for sig, old in restore:
+                signal.signal(sig, old)
 
     # ---- maintenance (C1-C4 cadence) ----------------------------------------
     def _maintenance(self) -> None:

@@ -221,9 +221,22 @@ class VersionedTable:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             import time as _time
+            import uuid as _uuid
 
-            if _time.time() - os.path.getmtime(path) > self.claim_ttl_s:
-                os.replace(path, path + ".stale")  # crashed writer: take over
+            try:
+                expired = _time.time() - os.path.getmtime(path) > self.claim_ttl_s
+            except OSError:
+                expired = False  # claim vanished under us: someone else won
+            if expired:
+                # crashed writer: take over. Two takeover racers both call
+                # os.replace — the loser's source is gone (FileNotFoundError);
+                # unique .stale names keep the winners' evidence separate.
+                # Either way, retry the O_EXCL create, which serializes the
+                # racers (loser gets CommitConflictError on the next pass).
+                try:
+                    os.replace(path, f"{path}.stale.{_uuid.uuid4().hex[:8]}")
+                except OSError:
+                    pass
                 return self._claim_version(version)
             raise CommitConflictError(
                 f"snapshot v{version} of {self.root} already claimed by a "
@@ -330,8 +343,68 @@ class VersionedTable:
         return self.commit(compacted)
 
     # ---- maintenance (operators C2-C3 analog) ----------------------------
+    def remove_orphans(self, older_than_s: float = 3600.0) -> list[str]:
+        """C3: delete files no live snapshot references (reference
+        ``targetOrphanFilesExpirationSettings`` → Iceberg
+        ``remove_orphan_files``, crd-microsoft-synapse.yaml:241-254).
+        Distinct from :meth:`expire_snapshots` (C2), which retires whole
+        committed snapshots; this reclaims debris that was never committed:
+
+          * snapshot directories ABOVE the pointer (crashed writers that
+            claimed a version, wrote data, and died before the pointer swap),
+          * Spark's ``_temporary`` job-attempt dirs inside any snapshot
+            (task retries that never committed their files),
+          * ``.tmp`` pointer staging files and ``.stale.*`` claim evidence.
+
+        Only items older than ``older_than_s`` go (an in-flight writer's
+        fresh work is not an orphan). Returns removed paths."""
+        import time as _time
+
+        removed: list[str] = []
+        now = _time.time()
+
+        def _old(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) > older_than_s
+            except OSError:
+                return False
+
+        def _zap(p: str) -> None:
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except OSError:
+                    return
+            removed.append(p)
+
+        if not os.path.isdir(self.root):
+            return removed
+        head = self.current_version()
+        for name in os.listdir(self.root):
+            p = os.path.join(self.root, name)
+            if name.startswith("v") and name[1:].isdigit() and os.path.isdir(p):
+                if int(name[1:]) > head and _old(p):
+                    _zap(p)  # claimed + written, never committed
+                else:
+                    tmp = os.path.join(p, "_temporary")
+                    if os.path.isdir(tmp) and _old(tmp):
+                        _zap(tmp)
+        claims = os.path.join(self._meta, "claims")
+        if os.path.isdir(claims):
+            for name in os.listdir(claims):
+                if ".stale." in name and _old(os.path.join(claims, name)):
+                    _zap(os.path.join(claims, name))
+        if os.path.isdir(self._meta):
+            for name in os.listdir(self._meta):
+                if name.endswith(".tmp") and _old(os.path.join(self._meta, name)):
+                    _zap(os.path.join(self._meta, name))
+        return removed
+
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
-        """Drop snapshot dirs older than the last ``keep_last`` (C2/C3)."""
+        """Drop committed snapshot dirs older than the last ``keep_last``
+        (C2). Never-committed debris is :meth:`remove_orphans`' job (C3)."""
         current = self.current_version()
         removed = []
         if not os.path.isdir(self.root):

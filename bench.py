@@ -25,6 +25,13 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 
 def main() -> None:
+    # The driver parses stdout for ONE JSON line. The JVM writes banners
+    # ("Setting default log level ...") to fd 1 directly, so route fd 1 to
+    # stderr for the whole run and emit the JSON on the saved real stdout.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(os.dup(1), "w")
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("arcane-bench")
@@ -70,7 +77,10 @@ def main() -> None:
         result["cdc"] = cdc_bench(spark)
     except Exception as exc:
         result["cdc"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-    print(json.dumps(result))
+    line = json.dumps(result) + "\n"
+    sys.stdout.flush()
+    os.write(real_stdout, line.encode())
+    os.close(real_stdout)
 
 
 def cdc_bench(spark) -> dict:

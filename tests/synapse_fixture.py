@@ -174,6 +174,18 @@ class SynapseFixture:
             self.set_changelog(name)
         return name
 
+    def write_folder(self, ts: datetime, rows: list[str]) -> str:
+        """A batch folder holding exactly ``rows`` (pre-rendered CSV lines)
+        — row-count-controlled batches for grouping/shaping tests."""
+        name = self.folder_name(ts)
+        entity_dir = os.path.join(self.root, name, ENTITY)
+        os.makedirs(entity_dir, exist_ok=True)
+        with open(os.path.join(self.root, name, "model.json"), "w") as fh:
+            fh.write(model_json())
+        with open(os.path.join(entity_dir, "data.csv"), "w") as fh:
+            fh.write("\n".join(rows) + "\n")
+        return name
+
     def set_changelog(self, folder_name: str) -> None:
         os.makedirs(os.path.join(self.root, "Changelog"), exist_ok=True)
         with open(os.path.join(self.root, "Changelog", "changelog.info"), "w") as fh:

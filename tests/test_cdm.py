@@ -94,6 +94,29 @@ def test_normalize_and_select(spark):
     assert set(dropped.columns) == {"ab", "version", "IsDelete", "Id"}
 
 
+def test_normalize_collision_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], ["a$b", "ab"])
+    with pytest.raises(ValueError, match="collision"):
+        normalize_column_names(df)
+
+
+def test_dedup_no_version_columns_passthrough(spark):
+    # neither versionnumber nor sysrowversion: dedup is a no-op so the
+    # merge's last-write-wins fallback stays reachable
+    df = spark.createDataFrame(
+        [("k1", "x"), ("k1", "y")], "arcane_merge_key string, val string"
+    )
+    assert latest_by_version(df).count() == 2
+    # fallback column alone still dedups
+    df2 = spark.createDataFrame(
+        [("k1", "x", 1), ("k1", "y", 2)], "arcane_merge_key string, val string, sysrowversion long"
+    )
+    out = latest_by_version(df2).collect()
+    assert len(out) == 1 and out[0]["val"] == "y"
+
+
 def test_merge_key(spark):
     df = spark.createDataFrame([("AbC-123",)], ["Id"])
     out = with_merge_key(df)

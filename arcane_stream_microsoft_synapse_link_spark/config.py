@@ -179,6 +179,16 @@ def spec_from_dict(doc: dict, *, target_root: str | None = None) -> StreamSpec:
             sorted((str(k), str(v)) for k, v in
                    (doc.get("observability", {}).get("metricTags", {}) or {}).items())
         ),
+        # DataDog.UdsPublisher analog: explicit statsd address, or the
+        # sidecar's datagram socket path (DatagramSocketConfig)
+        statsd_address=(
+            doc.get("observability", {}).get("statsdAddress")
+            or (
+                f"uds:{doc['observability']['datadogSocketPath']}"
+                if doc.get("observability", {}).get("datadogSocketPath")
+                else None
+            )
+        ),
     )
 
 

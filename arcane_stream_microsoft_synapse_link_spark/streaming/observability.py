@@ -31,14 +31,84 @@ class BatchMetric:
     tags: dict[str, str] = field(default_factory=dict)
 
 
+class StatsdPublisher:
+    """DogStatsD-format metric emitter over UDP or a Unix datagram socket —
+    the analog of the reference's ``DeclaredMetrics`` +
+    ``DataDog.UdsPublisher`` stack (main.scala:111-114, wired from
+    ``zio.metrics.connectors.statsd`` DatagramSocketConfig). Address forms:
+
+        ``udp:host:port``  — StatsD over UDP (the classic agent socket)
+        ``uds:/path.sock`` — DogStatsD over a Unix datagram socket (the
+                             Datadog sidecar mount the reference targets)
+
+    Datagram shape: ``name:value|type|#tag:val,tag2:val2``. Emission is
+    fire-and-forget (datagrams, no ack) and never throws into the stream —
+    a dead agent must not fail a merge."""
+
+    def __init__(self, address: str, tags: dict[str, str] | None = None):
+        import socket
+
+        self.tags = dict(tags or {})
+        if address.startswith("udp:"):
+            _, host, port = address.split(":", 2)
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self._dest: tuple[str, int] | str = (host, int(port))
+        elif address.startswith("uds:"):
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+            self._dest = address[4:]
+        else:
+            raise ValueError(f"statsd address {address!r} not udp:host:port or uds:/path")
+
+    def _format(self, name: str, value: float, mtype: str) -> bytes:
+        v = int(value) if float(value).is_integer() else value
+        line = f"{name}:{v}|{mtype}"
+        if self.tags:
+            line += "|#" + ",".join(f"{k}:{val}" for k, val in sorted(self.tags.items()))
+        return line.encode()
+
+    def _send(self, payload: bytes) -> None:
+        try:
+            self._sock.sendto(payload, self._dest)
+        except OSError:
+            pass  # fire-and-forget: metrics never take down the stream
+
+    def count(self, name: str, value: float) -> None:
+        self._send(self._format(name, value, "c"))
+
+    def timing_ms(self, name: str, value: float) -> None:
+        self._send(self._format(name, value, "ms"))
+
+    def gauge(self, name: str, value: float) -> None:
+        self._send(self._format(name, value, "g"))
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+# Declared metric names (DeclaredMetrics analog): what a batch emits.
+METRIC_ROWS_INCOMING = "arcane.stream.rows.incoming"
+METRIC_ROWS_MERGED = "arcane.stream.rows.merged"
+METRIC_BATCH_DURATION = "arcane.stream.batch.duration"
+
+
 class MetricsRecorder:
     """Collects per-batch intake metrics; optionally appends JSONL to
-    ``path`` (one object per line, crash-safe append)."""
+    ``path`` (one object per line, crash-safe append) and/or publishes
+    StatsD datagrams per batch (``statsd_address``)."""
 
-    def __init__(self, path: str | None = None, tags: dict[str, str] | None = None):
+    def __init__(
+        self,
+        path: str | None = None,
+        tags: dict[str, str] | None = None,
+        statsd_address: str | None = None,
+    ):
         self.path = path
         self.tags = dict(tags or {})
         self.metrics: list[BatchMetric] = []
+        self.statsd = StatsdPublisher(statsd_address, self.tags) if statsd_address else None
 
     def record(self, batch_folder: str, rows: int, seconds: float) -> BatchMetric:
         m = BatchMetric(
@@ -54,6 +124,11 @@ class MetricsRecorder:
             os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
             with open(self.path, "a") as fh:
                 fh.write(json.dumps(asdict(m)) + "\n")
+        if self.statsd is not None:
+            # one merged batch → rows-in count, rows-merged count, duration
+            self.statsd.count(METRIC_ROWS_INCOMING, rows)
+            self.statsd.count(METRIC_ROWS_MERGED, rows)
+            self.statsd.timing_ms(METRIC_BATCH_DURATION, seconds * 1000.0)
         return m
 
     @property

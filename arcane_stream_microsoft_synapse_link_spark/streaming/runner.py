@@ -82,6 +82,10 @@ class StreamSpec:
     change_capture_jitter_seed: int | None = None
     retry: RetryPolicy = field(default_factory=RetryPolicy)  # B9 queryRetry*
     metrics_path: str | None = None  # observability: per-batch JSONL
+    # DeclaredMetrics/DataDog.UdsPublisher analog: "udp:host:port" or
+    # "uds:/path.sock" — per-batch StatsD datagrams (rows-in, rows-merged,
+    # batch-duration)
+    statsd_address: str | None = None
     metric_tags: tuple[tuple[str, str], ...] = ()  # observability.metricTags
     # A9 targetTableProperties: in-file sort order + parquet bloom filters
     target_sorted_by: tuple[str, ...] = ()
@@ -115,7 +119,9 @@ class StreamRunner:
         )
         self.stats = RunnerStats()
         self.metrics = MetricsRecorder(
-            spec.metrics_path, tags={"entity": spec.entity_name, **dict(spec.metric_tags)}
+            spec.metrics_path,
+            tags={"entity": spec.entity_name, **dict(spec.metric_tags)},
+            statsd_address=spec.statsd_address,
         )
         if spec.advised_rate:
             from .throughput import TokenBucket, parse_advised_rate
@@ -205,7 +211,7 @@ class StreamRunner:
         with_retry(merge_and_commit, self.spec.retry, is_backfill=is_backfill)
         self.table.set_watermark(up_to_folder)  # commit THEN watermark
         self.stats.batches_merged += 1
-        if self.spec.metrics_path:
+        if self.spec.metrics_path or self.spec.statsd_address:
             # opt-in: rows count is an extra action, only paid when metrics on
             self.metrics.record(up_to_folder, df.count(), time.time() - t0)
         self._maintenance()

@@ -99,13 +99,15 @@ def test_ivf_recall_against_bruteforce(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     brute = S.brute_force_topk(t.embeddings, queries_df, k=10).collect()
-    cents = S.ivf_train(t.embeddings, 32, iters=2)
+    # DEFAULT config (ivf_train iters=1, ivf_topk nprobe default) must meet
+    # the declared ANN tolerance (SURVEY §2.D): recall ≥ 0.95 vs brute force
+    cents = S.ivf_train(t.embeddings, 32, iters=1)
     assigned = S.ivf_assign(t.embeddings, cents)
-    approx = S.ivf_topk(assigned, cents, queries_df, k=10, nprobe=8).collect()
+    approx = S.ivf_topk(assigned, cents, queries_df, k=10).collect()
     bset = {(r.query_id, r.vec_id) for r in brute}
     aset = {(r.query_id, r.vec_id) for r in approx}
     recall = len(bset & aset) / len(bset)
-    assert recall >= 0.6, recall  # nprobe=8/32 on 64-dim synthetic data
+    assert recall >= 0.95, recall
 
 
 def test_embedding_near_dup_finds_planted(spark):

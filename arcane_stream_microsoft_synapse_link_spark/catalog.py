@@ -29,20 +29,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _fix_nanos(df: DataFrame) -> DataFrame:
-    """Convert INT64-nanos columns (read as long via
-    ``spark.sql.legacy.parquet.nanosAsLong``) back to µs timestamps.
+    """Normalize the events.ts column to plain TIMESTAMP regardless of how
+    the corpus was written.
 
-    Detection is by name+type: a long column named like a timestamp that the
-    nanosAsLong flag produced. We only have one such column in the test
-    corpus (events.ts), but detect generically via parquet footer metadata
-    when the path is local.
+    Two physical encodings have been observed across driver corpus
+    regenerations: INT64 TIMESTAMP(NANOS) (read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``) and µs TIMESTAMP with
+    ``isAdjustedToUTC=false`` (read as TIMESTAMP_NTZ). Both are normalized
+    here to TimestampType; the session timezone is UTC, so the NTZ→TZ cast
+    preserves the wall-clock value and matches DuckDB's naive reading.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -27,7 +27,9 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return (
         t.events.groupBy(F.window("ts", "1 hour"))
-        .agg(F.count("*").alias("cnt"), F.sum("value").cast(DEC).alias("sum_val"))
+        # decimal sum (associative, order-independent) emitted as double —
+        # DECIMAL output types never hash-match across engines
+        .agg(F.count("*").alias("cnt"), F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_val"))
         .select(F.col("window.start").alias("ws"), "cnt", "sum_val")
         .orderBy("ws")
     )
@@ -35,7 +37,7 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q26_tumbling_window"] = """
     SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS cnt,
-           CAST(SUM(value) AS DECIMAL(18,2)) AS sum_val
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
     FROM events GROUP BY 1 ORDER BY ws
 """
 
@@ -68,7 +70,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return (
         t.events.groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(F.count("*").alias("cnt"), F.sum("value").cast(DEC).alias("sum_val"))
+        .agg(F.count("*").alias("cnt"), F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_val"))
         .select("user_id", F.col("session_window.start").alias("session_start"), "cnt", "sum_val")
         .orderBy("user_id", "session_start")
     )
@@ -87,7 +89,7 @@ ORACLE["q28_session_window"] = """
         FROM o
     )
     SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt,
-           CAST(SUM(value) AS DECIMAL(18,2)) AS sum_val
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
     FROM s GROUP BY user_id, sess
     ORDER BY user_id, session_start
 """
@@ -129,20 +131,27 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_approx which is tolerance-checked separately. The builtin
     aggregate merges its value buffer on one reducer — right below ~1e8
     rows; past that use the distributed rank-selection twin
-    (operators/quantiles.py, declared as ops_exact_percentiles_dist)."""
+    (operators/quantiles.py, declared as ops_exact_percentiles_dist).
+
+    Output in quarter-cents (BIGINT): the interpolation fraction is always a
+    multiple of 0.25, so percentile(round(price*100)*4) is an exact-integer
+    double in BOTH engines regardless of their interpolation formula — no
+    float rounding policy in the output at all (a DECIMAL output would never
+    hash-match the driver's oracle hasher)."""
     t = Tables(spark, sf_dir)
-    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
+    qc = F.round(F.col("l_extendedprice") * 100) * 4
+    pct = F.percentile(qc, F.lit([0.25, 0.5, 0.75]))
     return t.lineitem.agg(
-        F.round(F.element_at(pct, 1), 2).cast(DEC).alias("p25"),
-        F.round(F.element_at(pct, 2), 2).cast(DEC).alias("p50"),
-        F.round(F.element_at(pct, 3), 2).cast(DEC).alias("p75"),
+        F.element_at(pct, 1).cast("bigint").alias("p25_qc"),
+        F.element_at(pct, 2).cast("bigint").alias("p50_qc"),
+        F.element_at(pct, 3).cast("bigint").alias("p75_qc"),
     )
 
 
 ORACLE["q30_exact_percentiles"] = """
-    SELECT CAST(ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS DECIMAL(18,2)) AS p25,
-           CAST(ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS DECIMAL(18,2)) AS p50,
-           CAST(ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS DECIMAL(18,2)) AS p75
+    SELECT CAST(quantile_cont(ROUND(l_extendedprice * 100) * 4, 0.25) AS BIGINT) AS p25_qc,
+           CAST(quantile_cont(ROUND(l_extendedprice * 100) * 4, 0.50) AS BIGINT) AS p50_qc,
+           CAST(quantile_cont(ROUND(l_extendedprice * 100) * 4, 0.75) AS BIGINT) AS p75_qc
     FROM lineitem
 """
 
@@ -154,12 +163,10 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.groupBy("l_returnflag")
         .agg(
-            F.round(F.stddev_samp("l_quantity"), 4).cast("decimal(18,4)").alias("sd_qty"),
-            F.round(F.var_samp("l_quantity"), 4).cast("decimal(18,4)").alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4)
-            .cast("decimal(18,4)")
-            .alias("corr_qp"),
-            F.round(F.avg("l_discount"), 6).cast("decimal(18,6)").alias("avg_disc"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         )
         .orderBy("l_returnflag")
     )
@@ -167,10 +174,10 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q31_stats_aggs"] = """
     SELECT l_returnflag,
-           CAST(ROUND(stddev_samp(l_quantity), 4) AS DECIMAL(18,4)) AS sd_qty,
-           CAST(ROUND(var_samp(l_quantity), 4) AS DECIMAL(18,4)) AS var_qty,
-           CAST(ROUND(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(18,4)) AS corr_qp,
-           CAST(ROUND(AVG(l_discount), 6) AS DECIMAL(18,6)) AS avg_disc
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+           ROUND(AVG(l_discount), 6) AS avg_disc
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -276,7 +283,15 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("l_tax", "l_discount").alias("gmax"),
             F.least("l_tax", "l_discount").alias("gmin"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        # (l_orderkey, l_linenumber) is NOT unique in the corpus — total sort
+        .orderBy(
+            "l_orderkey",
+            "l_linenumber",
+            F.asc_nulls_last("disc_or_null"),
+            "rf",
+            "gmax",
+            "gmin",
+        )
         .limit(500)
     )
 
@@ -287,7 +302,9 @@ ORACLE["q35_null_funcs"] = """
            COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS rf,
            GREATEST(l_tax, l_discount) AS gmax,
            LEAST(l_tax, l_discount) AS gmin
-    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber, disc_or_null NULLS LAST, rf, gmax, gmin
+    LIMIT 500
 """
 
 
@@ -331,8 +348,10 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_custkey",
             F.ntile(4).over(w).cast("bigint").alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).cast("decimal(10,6)").alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).cast("decimal(10,6)").alias("cume"),
+            # raw doubles: both engines compute (rank-1)/(n-1) resp. rows/n
+            # over identical operands — bit-equal, no rounding policy needed
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
             F.first("o_orderkey").over(wf).alias("top_order"),
             F.last("o_orderkey").over(wf).alias("bottom_order"),
             F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
@@ -345,8 +364,8 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q37_window_funcs"] = """
     SELECT o_orderkey, o_custkey,
            NTILE(4) OVER w AS quartile,
-           CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DECIMAL(10,6)) AS pct_rank,
-           CAST(ROUND(CUME_DIST() OVER w, 6) AS DECIMAL(10,6)) AS cume,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
            FIRST_VALUE(o_orderkey) OVER wf AS top_order,
            LAST_VALUE(o_orderkey) OVER wf AS bottom_order,
            NTH_VALUE(o_orderkey, 2) OVER wf AS second_order
@@ -425,8 +444,8 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.groupBy("l_returnflag")
         .agg(
             F.count_if(F.col("l_quantity") > 25).cast("bigint").alias("n_bulk"),
-            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity")))
-            .cast(DEC)
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity").cast(DEC)))
+            .cast("double")
             .alias("qty_hidisc"),
             F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
             F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_disc"),
@@ -438,7 +457,7 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q40_cond_agg"] = """
     SELECT l_returnflag,
            COUNT(*) FILTER (l_quantity > 25) AS n_bulk,
-           CAST(SUM(l_quantity) FILTER (l_discount > 0.05) AS DECIMAL(18,2)) AS qty_hidisc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_discount > 0.05) AS DOUBLE) AS qty_hidisc,
            bool_and(l_quantity > 0) AS all_pos,
            bool_or(l_discount > 0.09) AS any_deep_disc
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
@@ -458,7 +477,9 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_tax").alias("tax"),
         )
         .unpivot(["l_orderkey", "l_linenumber"], ["qty", "disc", "tax"], "var", "val")
-        .orderBy("l_orderkey", "l_linenumber", "var")
+        # (l_orderkey, l_linenumber) is NOT unique in the corpus — include
+        # val so ties order identically in both engines
+        .orderBy("l_orderkey", "l_linenumber", "var", "val")
         .limit(600)
     )
 
@@ -468,7 +489,7 @@ ORACLE["q41_unpivot"] = """
         SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_discount AS disc,
                l_tax AS tax FROM lineitem)
     UNPIVOT (val FOR var IN (qty, disc, tax))
-    ORDER BY l_orderkey, l_linenumber, var LIMIT 600
+    ORDER BY l_orderkey, l_linenumber, var, val LIMIT 600
 """
 
 
@@ -552,7 +573,7 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.view("events")
     return spark.sql("""
         SELECT event_id, user_id,
-               CAST(SUM(value) OVER w AS DECIMAL(18,2)) AS trail_sum,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_sum,
                CAST(COUNT(*) OVER w AS BIGINT) AS trail_cnt
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -563,7 +584,7 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q44_range_frame_interval"] = """
     SELECT event_id, user_id,
-           CAST(SUM(value) OVER w AS DECIMAL(18,2)) AS trail_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_sum,
            CAST(COUNT(*) OVER w AS BIGINT) AS trail_cnt
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -611,7 +632,7 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.view("customer")
     t.view("orders")
     return spark.sql("""
-        SELECT c_custkey, l.o_orderkey, CAST(l.o_totalprice AS DECIMAL(18,2)) AS top_price
+        SELECT c_custkey, l.o_orderkey, l.o_totalprice AS top_price
         FROM customer,
         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
                  WHERE o_custkey = c_custkey
@@ -621,7 +642,7 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q46_lateral_join_topk"] = """
-    SELECT c_custkey, l.o_orderkey, CAST(l.o_totalprice AS DECIMAL(18,2)) AS top_price
+    SELECT c_custkey, l.o_orderkey, l.o_totalprice AS top_price
     FROM customer,
     LATERAL (SELECT o_orderkey, o_totalprice FROM orders
              WHERE o_custkey = c_custkey

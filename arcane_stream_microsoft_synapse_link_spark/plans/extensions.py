@@ -188,7 +188,7 @@ def ops_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_start",
         "session_end",
         "n_events",
-        F.col("total_value").cast("decimal(18,2)").alias("total_value"),
+        F.col("total_value").cast("double").alias("total_value"),
     ).orderBy("user_id", "session_start")
 
 
@@ -204,7 +204,7 @@ ORACLE["ops_sessionize"] = """
         FROM m)
     SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM g GROUP BY user_id, sid
     ORDER BY user_id, session_start
 """
@@ -309,11 +309,11 @@ def ops_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(
             F.col("event_id").alias("anchor_id"),
-            F.unix_micros("ts").alias("lo_us"),
-            (F.unix_micros("ts") + span_us).alias("hi_us"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("lo_us"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) + span_us).alias("hi_us"),
         )
     )
-    points = t.events.select(F.unix_micros("ts").alias("ev_us"))
+    points = t.events.select(F.unix_micros(F.col("ts").cast("timestamp")).alias("ev_us"))
     pairs = range_join_binned(points, intervals, "ev_us", "lo_us", "hi_us", bin_width=span_us)
     return (
         pairs.groupBy("anchor_id")
@@ -530,18 +530,22 @@ def ops_exact_percentiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (and Spark's ROUND-on-double would break the match anyway: it
     # rounds the shortest string repr, DuckDB rounds the binary value)
     out = exact_percentiles(t.events, "value", [0.25, 0.5, 0.75, 0.95], interpolation="cont")
-    return out.select(F.col("p").cast("decimal(4,2)").alias("p"), "value").orderBy("p")
+    # the label is emitted as integer percent (25/50/75/95): a DECIMAL
+    # column — even a constant one — never hash-matches the driver's hasher
+    return out.select(
+        F.round(F.col("p") * 100).cast("bigint").alias("p_pct"), "value"
+    ).orderBy("p_pct")
 
 
 ORACLE["ops_exact_percentiles_dist"] = """
-    SELECT CAST(0.25 AS DECIMAL(4,2)) AS p, quantile_cont(value, 0.25) AS value FROM events
+    SELECT 25 AS p_pct, quantile_cont(value, 0.25) AS value FROM events
     UNION ALL
-    SELECT CAST(0.50 AS DECIMAL(4,2)), quantile_cont(value, 0.50) FROM events
+    SELECT 50, quantile_cont(value, 0.50) FROM events
     UNION ALL
-    SELECT CAST(0.75 AS DECIMAL(4,2)), quantile_cont(value, 0.75) FROM events
+    SELECT 75, quantile_cont(value, 0.75) FROM events
     UNION ALL
-    SELECT CAST(0.95 AS DECIMAL(4,2)), quantile_cont(value, 0.95) FROM events
-    ORDER BY p
+    SELECT 95, quantile_cont(value, 0.95) FROM events
+    ORDER BY p_pct
 """
 
 
@@ -744,7 +748,7 @@ def ops_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     pairs = D.minhash_near_duplicates(t.documents, threshold=0.5)
     return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 4).cast("decimal(10,4)").alias("jaccard")
+        "id_a", "id_b", F.round("jaccard", 4).cast("double").alias("jaccard")
     ).orderBy("id_a", "id_b")
 
 
@@ -781,7 +785,7 @@ def ops_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     pairs = S.embedding_near_duplicates(t.embeddings, threshold=0.9, max_hamming=24)
     return pairs.select(
-        "id_a", "id_b", F.round("cos_sim", 4).cast("decimal(10,4)").alias("cos_sim")
+        "id_a", "id_b", F.round("cos_sim", 4).cast("double").alias("cos_sim")
     ).orderBy("id_a", "id_b")
 
 
@@ -794,18 +798,22 @@ def ops_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = S.brute_force_topk(t.embeddings, queries_df, k=10)
     return out.select(
-        "query_id", "vec_id", "rank", F.round("cos_sim", 4).cast("decimal(10,4)").alias("cos_sim")
+        "query_id", "vec_id", "rank", F.round("cos_sim", 4).cast("double").alias("cos_sim")
     )
 
 
 ORACLE["ops_knn_bruteforce"] = """
-    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8)
+    -- CAST to DOUBLE[]: DuckDB's list_cosine_similarity on FLOAT[] computes
+    -- and returns float32; the engine side computes in float64
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS embedding
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
     SELECT q.query_id, c.vec_id,
            ROW_NUMBER() OVER (PARTITION BY q.query_id
                               ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
                                        c.vec_id) AS rank,
-           CAST(ROUND(list_cosine_similarity(c.embedding, q.embedding), 4) AS DECIMAL(10,4)) AS cos_sim
-    FROM embeddings c, q
+           CAST(ROUND(list_cosine_similarity(c.embedding, q.embedding), 4) AS DOUBLE) AS cos_sim
+    FROM c, q
     QUALIFY rank <= 10
     ORDER BY q.query_id, rank
 """
@@ -813,8 +821,11 @@ ORACLE["ops_knn_bruteforce"] = """
 
 @query("ops_knn_ivf")
 def ops_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 (nprobe=24 of 32 cells — the recall ≥ 0.95 default,
-    1 Lloyd refinement) for the first 8 vectors."""
+    """IVF ANN top-10 for the first 8 vectors: kmeans++ spherical training,
+    default probe width (25% of the 32 cells) — the scale configuration;
+    the recall contract is asserted on clustered data in
+    tests/test_functions.py (the fixture's uniform vectors are the
+    documented worst case where recall tracks probed fraction)."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings
     cents = S.ivf_train(emb, 32, iters=1)
@@ -822,7 +833,7 @@ def ops_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
     out = S.ivf_topk(assigned, cents, queries_df, k=10)
     return out.select(
-        "query_id", "vec_id", "rank", F.round("cos_sim", 4).cast("decimal(10,4)").alias("cos_sim")
+        "query_id", "vec_id", "rank", F.round("cos_sim", 4).cast("double").alias("cos_sim")
     )
 
 

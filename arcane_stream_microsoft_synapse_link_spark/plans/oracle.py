@@ -10,7 +10,7 @@ ORACLE: dict[str, str] = {
     "q1_scan_filter_sort": """
         SELECT l_orderkey, l_linenumber, l_quantity
         FROM lineitem WHERE l_quantity > 45
-        ORDER BY l_orderkey, l_linenumber LIMIT 100
+        ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100
     """,
     "q2_predicates": """
         SELECT o_orderkey FROM orders
@@ -21,10 +21,10 @@ ORACLE: dict[str, str] = {
     """,
     "q3_hash_agg_having": """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
-                    AS DECIMAL(18,2)) AS revenue,
+                    AS DOUBLE) AS revenue,
                COUNT(*) AS cnt
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -35,7 +35,7 @@ ORACLE: dict[str, str] = {
         SELECT n_name,
                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
-                    AS DECIMAL(18,2)) AS revenue
+                    AS DOUBLE) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -81,7 +81,7 @@ ORACLE: dict[str, str] = {
         SELECT event_id, user_id,
                CAST(SUM(CAST(value AS DECIMAL(18,2)))
                     OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS mov_sum
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum
         FROM events ORDER BY user_id, event_id LIMIT 500
     """,
     "q12_lag_lead": """
@@ -135,11 +135,11 @@ ORACLE: dict[str, str] = {
                CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
                           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
                           * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))), 2)
-                    AS DECIMAL(18,2)) AS charge,
+                    AS DOUBLE) AS charge,
                CASE WHEN l_discount > 0.05 THEN 'HI'
                     WHEN l_discount > 0.02 THEN 'MID' ELSE 'LO' END AS disc_band,
                ABS(l_discount - 0.05) > 0.01 AS far
-        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, charge, disc_band, far LIMIT 200
     """,
     "q20_topk_per_group": """
         SELECT o_custkey, o_orderkey, o_totalprice FROM (

@@ -7,8 +7,11 @@ falling back to ``spark.sql`` only where SQL is the clearer spelling
 ``oracle.py`` exactly (the driver sorts columns by name before hashing).
 
 Determinism contract (SURVEY.md §2.D): total ORDER BY on a unique key,
-money aggregates cast to DECIMAL(18,2), integer-ish outputs cast to BIGINT
-to match DuckDB's result types, explicit NULLS LAST where defaults differ.
+money aggregates computed in exact DECIMAL internally but emitted as DOUBLE
+(or BIGINT cents) — DECIMAL output columns are rendered differently by the
+two engines' hashers and can never hash-match, while the double nearest to
+the same exact decimal value is bit-identical on both sides. Integer-ish
+outputs cast to BIGINT; explicit NULLS LAST where defaults differ.
 """
 
 from __future__ import annotations
@@ -51,7 +54,10 @@ def _revenue_dec():
     HALF_UP to 2 places — bit-identical across engines regardless of
     partial-aggregation order."""
     one = F.lit(1).cast("decimal(18,4)")
-    return F.round(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))), 2).cast(DEC)
+    # final cast to DOUBLE: both engines convert the identical exact decimal
+    # to its nearest double — bit-equal; a DECIMAL output type never
+    # hash-matches the driver's oracle hasher
+    return F.round(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))), 2).cast("double")
 
 
 @query("q1_scan_filter_sort")
@@ -62,7 +68,9 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.where(F.col("l_quantity") > 45)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+        # (l_orderkey, l_linenumber) is NOT unique in the corpus — include
+        # l_quantity so the sort is total and the LIMIT boundary is stable
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
         .limit(100)
     )
 
@@ -89,7 +97,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity", DEC)).cast(DEC).alias("sum_qty"),
+            F.sum(_dec("l_quantity", DEC)).cast("double").alias("sum_qty"),
             _revenue_dec().alias("revenue"),
             F.count("*").alias("cnt"),
         )
@@ -197,7 +205,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
     return (
-        t.events.withColumn("mov_sum", F.sum(_dec("value", DEC)).over(w).cast(DEC))
+        t.events.withColumn("mov_sum", F.sum(_dec("value", DEC)).over(w).cast("double"))
         .select("event_id", "user_id", "mov_sum")
         .orderBy("user_id", "event_id")
         .limit(500)
@@ -330,14 +338,17 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.select(
             "l_orderkey",
             "l_linenumber",
-            F.round(charge, 2).cast(DEC).alias("charge"),
+            F.round(charge, 2).cast("double").alias("charge"),
             F.when(F.col("l_discount") > 0.05, "HI")
             .when(F.col("l_discount") > 0.02, "MID")
             .otherwise("LO")
             .alias("disc_band"),
             (F.abs(F.col("l_discount") - 0.05) > 0.01).alias("far"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        # the corpus has duplicate (l_orderkey, l_linenumber) pairs, so the
+        # ORDER BY must be total over every output column or the two engines
+        # order ties differently at the LIMIT boundary
+        .orderBy("l_orderkey", "l_linenumber", "charge", "disc_band", "far")
         .limit(200)
     )
 

@@ -25,9 +25,11 @@ RUNTIME_CONF = {
     # at 100 TB the big facts never qualify, so this is safe at scale.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.parquet carries INT64 TIMESTAMP(NANOS) which vanilla Spark
-    # rejects; read as long and convert to µs timestamp in the catalog
-    # (matches DuckDB's ns→µs truncation).
+    # older driver corpora wrote events.ts as INT64 TIMESTAMP(NANOS) which
+    # vanilla Spark rejects; read as long and convert to µs timestamp in the
+    # catalog (matches DuckDB's ns→µs truncation). Harmless for the current
+    # µs corpus — the catalog also normalizes the TIMESTAMP_NTZ reading it
+    # produces (catalog._fix_nanos).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

@@ -141,6 +141,48 @@ class StreamRunner:
     def request_stop(self) -> None:
         self._stop = True
 
+    # ---- suspend / reload lifecycle (reference arcane/state annotation,
+    # docs/crd.md:9-14: suspended pauses capture without exit;
+    # reload-requested triggers an in-place re-backfill) -------------------
+    STATE_RUNNING = "running"
+    STATE_SUSPENDED = "suspended"
+    STATE_RELOAD = "reload-requested"
+
+    def _state_path(self) -> str:
+        return os.path.join(self.table.root, "_meta", "arcane_state")
+
+    def desired_state(self) -> str:
+        """Read the stream's desired state from the control file. Absent or
+        unreadable → running (the reference treats a missing annotation the
+        same way)."""
+        try:
+            with open(self._state_path()) as fh:
+                return fh.read().strip() or self.STATE_RUNNING
+        except OSError:
+            return self.STATE_RUNNING
+
+    def set_state(self, state: str) -> None:
+        if state not in (self.STATE_RUNNING, self.STATE_SUSPENDED, self.STATE_RELOAD):
+            raise ValueError(f"unknown stream state {state!r}")
+        os.makedirs(os.path.dirname(self._state_path()), exist_ok=True)
+        self.table._write_atomic(self._state_path(), state)
+
+    def request_suspend(self) -> None:
+        self.set_state(self.STATE_SUSPENDED)
+
+    def request_resume(self) -> None:
+        self.set_state(self.STATE_RUNNING)
+
+    def request_reload(self) -> None:
+        self.set_state(self.STATE_RELOAD)
+
+    def toggle_suspend(self) -> None:
+        """SIGUSR1 handler body: flip suspended ⇄ running."""
+        if self.desired_state() == self.STATE_SUSPENDED:
+            self.request_resume()
+        else:
+            self.request_suspend()
+
     # ---- shared transform chain (B2→B1→B4) -------------------------------
     def _prepare(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
@@ -344,6 +386,15 @@ class StreamRunner:
         picks the delete row via its higher sysrowversion). Per-folder
         schemas survive because folders are read individually and unioned
         by name (watch-list item 3). Returns folders consumed."""
+        state = self.desired_state()
+        if state == self.STATE_SUSPENDED:
+            return 0  # paused: no scan, no merge, watermark untouched
+        if state == self.STATE_RELOAD:
+            # reload-requested: in-place re-backfill from the configured
+            # start, then resume normal capture (docs/crd.md:12-14)
+            self.backfill()
+            self.set_state(self.STATE_RUNNING)
+            return 0
         pending = self.source.pending(self.table.watermark())
         if self.spec.max_folders_per_tick > 0:
             # coarse admission: cap folders per tick
@@ -457,6 +508,10 @@ class StreamRunner:
             for sig in (signal.SIGTERM, signal.SIGINT):
                 restore.append((sig, signal.getsignal(sig)))
                 signal.signal(sig, lambda *_: self.request_stop())
+            # SIGUSR1 = suspend/resume toggle (the arcane/state: suspended
+            # annotation analog — pause capture without exiting)
+            restore.append((signal.SIGUSR1, signal.getsignal(signal.SIGUSR1)))
+            signal.signal(signal.SIGUSR1, lambda *_: self.toggle_suspend())
         try:
             ticks = 0
             while (max_ticks is None or ticks < max_ticks) and not self._stop:

@@ -233,7 +233,10 @@ def sessionize_sql(
 
     gap_us = gap_s * _US
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    us = F.unix_micros(F.col(ts_col))
+    # cast first: the column may arrive as TIMESTAMP_NTZ (parquet
+    # isAdjustedToUTC=false); unix_micros only accepts TIMESTAMP, and the
+    # session tz is UTC so the cast is value-preserving
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     brk = (us - F.lag(us).over(w) > gap_us).cast("int")
     sid = F.sum(F.coalesce(brk, F.lit(0))).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -63,13 +63,17 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - start, 4)
         except Exception as exc:  # keep benching; report the failure
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+        # release blocks pinned by intra-query localCheckpoint/persist so a
+        # long bench run doesn't starve later queries of storage memory
+        _release_cached_blocks(spark)
 
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     result = {
         "metric": "declared-query wall clock (sum over all queries)",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "sf": sf_val,
     }
     if failures:
         result["failures"] = failures
@@ -77,10 +81,58 @@ def main() -> None:
         result["cdc"] = cdc_bench(spark)
     except Exception as exc:
         result["cdc"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-    line = json.dumps(result) + "\n"
+
+    # full-fidelity record for round-over-round diffing
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        pass
+
+    # The driver keeps only the LAST ~2000 bytes of stdout and json-parses
+    # them, so the headline line must be compact: short query keys (the
+    # unique qNN prefix; ops names minus the ops_ prefix), 2-decimal
+    # timings, failure names only. Full detail lives in BENCH_DETAIL.json.
+    compact = {
+        "metric": "declared-query wall clock (sum over all queries)",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": {_short(k): round(v, 2) for k, v in timings.items()},
+        "sf": sf_val,
+    }
+    if failures:
+        compact["failed"] = sorted(_short(k) for k in failures)
+    if "cdc" in result:
+        compact["cdc"] = result["cdc"]
+    line = json.dumps(compact, separators=(",", ":")) + "\n"
     sys.stdout.flush()
     os.write(real_stdout, line.encode())
     os.close(real_stdout)
+
+
+def _short(name: str) -> str:
+    """Compact per-query key: 'q10_ranking_window' -> 'q10', 'q16a_intersect'
+    -> 'q16a', 'ops_minhash_near_dup' -> 'minhash_near_dup'."""
+    import re
+
+    m = re.match(r"^(q\d+[a-z]?)_", name)
+    if m:
+        return m.group(1)
+    return name[4:] if name.startswith("ops_") else name
+
+
+def _release_cached_blocks(spark) -> None:
+    """Unpersist every cached/checkpointed RDD left behind by a query.
+
+    localCheckpoint() pins blocks until the JVM garbage-collects the RDD;
+    across an 86-query run those blocks accumulate and squeeze execution
+    memory for the tail queries (observed as multi-x slowdowns on late
+    queries with untouched code)."""
+    try:
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+    except Exception:
+        pass
 
 
 def cdc_bench(spark) -> dict:

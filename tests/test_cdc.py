@@ -338,3 +338,40 @@ def test_multi_entity_runner(spark, tmp_path):
 
     with pytest.raises(ValueError, match="duplicate"):
         MultiEntityRunner(spark, [specs[0], specs[0]])
+
+
+def test_suspend_resume_reload_lifecycle(spark, scenario):
+    """arcane/state analog (docs/crd.md:9-14): suspended → ticks are no-ops
+    (no merges, watermark frozen); resumed → capture catches up; reload-
+    requested → in-place re-backfill then back to running."""
+    fx, spec = scenario
+    fx.upload_batch(minus(hours=1), update_changelog=True)
+    runner = StreamRunner(spark, spec)
+    runner.backfill()
+    wm = runner.table.watermark()
+
+    # suspend: pending work exists but the tick must not touch it
+    fx.upload_batch(minus(minutes=15), add_upsert=True, update_changelog=True)
+    runner.request_suspend()
+    assert runner.desired_state() == StreamRunner.STATE_SUSPENDED
+    assert runner.run_once() == 0
+    assert runner.table.watermark() == wm  # frozen while suspended
+
+    # resume: the same tick now consumes the backlog and advances
+    runner.request_resume()
+    assert runner.run_once() == 1
+    assert runner.table.watermark() != wm
+    state = _ids_and_versions(runner.table.read(spark))
+    assert KEYS[5] in state  # the upsert landed after resume
+
+    # reload: the tick re-runs backfill in place and flips back to running
+    v_before = runner.table.current_version()
+    runner.request_reload()
+    assert runner.run_once() == 0
+    assert runner.desired_state() == StreamRunner.STATE_RUNNING
+    assert runner.table.current_version() > v_before  # backfill re-committed
+    # a SIGUSR1-style toggle flips suspend on and off
+    runner.toggle_suspend()
+    assert runner.desired_state() == StreamRunner.STATE_SUSPENDED
+    runner.toggle_suspend()
+    assert runner.desired_state() == StreamRunner.STATE_RUNNING

@@ -152,6 +152,26 @@ def cdc_bench(spark) -> dict:
 
     tmp = tempfile.mkdtemp(prefix="cdc_bench_")
     try:
+        # warm the CSV-parse → dedup-window → merge → snapshot-commit
+        # codegen path on a throwaway 5-row scenario first: the metric is
+        # SUSTAINED intake (reference target 667 rows/s sustained), and an
+        # unwarmed first run charges JVM codegen + Python-worker spin-up to
+        # the timed window (measured 1.8k cold vs 15.7k warm rows/s on
+        # identical work)
+        wfx = SynapseFixture(os.path.join(tmp, "warm_source"))
+        wfx.upload_batch(datetime(2021, 5, 1, 0, 0, 0), update_changelog=True)
+        wrunner = StreamRunner(
+            spark,
+            StreamSpec(
+                entity_name=ENTITY,
+                source_root=wfx.root,
+                target_root=os.path.join(tmp, "warm_target"),
+            ),
+        )
+        wrunner.backfill()
+        wfx.upload_batch(datetime(2021, 5, 1, 1, 0, 0), add_upsert=True, update_changelog=True)
+        wrunner.run_once()
+
         fx = SynapseFixture(os.path.join(tmp, "source"))
         base_ts = datetime(2021, 6, 1, 12, 0, 0)
 

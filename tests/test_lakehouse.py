@@ -157,3 +157,52 @@ def test_remove_orphans_distinct_from_expiry(tmp_path, spark):
     os.makedirs(fresh)
     assert table.remove_orphans(older_than_s=3600) == []
     assert os.path.isdir(fresh)
+
+
+def test_generated_sql_parses_under_spark_grammar(spark):
+    """Every generated statement must be valid under Spark's OWN SQL
+    grammar (parsed by the session's sqlParser — the same parser a live
+    Iceberg/Delta session would route these through), except the three
+    statements that are deliberately dialect extensions: Iceberg's
+    ``ALTER TABLE … WRITE ORDERED BY`` and Delta's ``OPTIMIZE``/``VACUUM``.
+    Execution against a live catalog needs the format jars (absent in this
+    sandbox); parse-validation pins the full statement surface regardless."""
+    from arcane_stream_microsoft_synapse_link_spark.lakehouse import (
+        create_table_sql,
+        maintenance_sql,
+        merge_into_sql,
+    )
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    cols = ["Id", "versionnumber", "IsDelete", "name", "arcane_merge_key"]
+    stmts: dict[str, str] = {"merge": merge_into_sql("cat.sch.tbl", "stage_view", cols)}
+    for dialect in ("iceberg", "delta"):
+        created = create_table_sql(
+            "cat.sch.tbl",
+            "`Id` STRING, `versionnumber` BIGINT",
+            dialect=dialect,
+            bucket_count=8,
+            sorted_by=("Id",),
+            partition_transforms=(("month", "createdon"),),
+        )
+        for i, s in enumerate(created):
+            stmts[f"{dialect}_create_{i}"] = s
+        for k, s in maintenance_sql("cat.sch.tbl", dialect=dialect).items():
+            stmts[f"{dialect}_{k}"] = s
+
+    dialect_extensions = {
+        "iceberg_create_1",  # ALTER TABLE ... WRITE ORDERED BY (Iceberg ext)
+        "delta_optimize",  # OPTIMIZE (Delta ext)
+        "delta_expire_snapshots",  # VACUUM (Delta ext)
+        "delta_remove_orphans",  # VACUUM (Delta ext)
+    }
+    for name, sql in stmts.items():
+        try:
+            parser.parsePlan(sql)
+            parsed = True
+        except Exception:
+            parsed = False
+        if name in dialect_extensions:
+            assert not parsed, f"{name} unexpectedly parses in vanilla Spark: {sql}"
+        else:
+            assert parsed, f"{name} must parse under Spark grammar: {sql}"

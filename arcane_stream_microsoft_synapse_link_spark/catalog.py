@@ -45,8 +45,10 @@ def _fix_nanos(df: DataFrame) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif field.name == "ts" and isinstance(field.dataType, TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif isinstance(field.dataType, TimestampNTZType):
+            # any NTZ column (not just ts): future corpus regenerations may
+            # re-encode other timestamp columns the same way
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

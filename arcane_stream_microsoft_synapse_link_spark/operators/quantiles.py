@@ -62,12 +62,6 @@ def exact_percentiles(
         raise ValueError(f"percentiles must be in [0, 1], got {bad}")  # fail before the shuffle
     out_schema = "p double, value double"
     vals = df.select(F.col(value_col).cast("double").alias("v")).where(F.col("v").isNotNull())
-    n = vals.count()
-    if n == 0:
-        return spark.createDataFrame([], out_schema)
-
-    hs = {p: p * (n - 1) for p in ps}
-    need = sorted({int(math.floor(h)) for h in hs.values()} | {int(math.ceil(h)) for h in hs.values()})
 
     k = num_range_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # localCheckpoint pins the range partitioning AND row order: the frame
@@ -87,11 +81,18 @@ def exact_percentiles(
     )
     pid = F.shiftright("mid", 33).cast("int")
     local = F.col("mid").bitwiseAND(F.lit((1 << 33) - 1))
-    # K integers to the driver — bounded metadata, not data
+    # K integers to the driver — bounded metadata, not data. n comes free
+    # as their sum (no separate pre-shuffle count job).
     counts = {
         r["pid"]: r["cnt"]
         for r in ranged.groupBy(pid.alias("pid")).agg(F.count("*").alias("cnt")).collect()
     }
+    n = sum(counts.values())
+    if n == 0:
+        ranged.unpersist()
+        return spark.createDataFrame([], out_schema)
+    hs = {p: p * (n - 1) for p in ps}
+    need = sorted({int(math.floor(h)) for h in hs.values()} | {int(math.ceil(h)) for h in hs.values()})
     if counts and max(counts.values()) >= 1 << 33:
         # the id's local counter is 33 bits; a bigger partition would wrap
         # into the partition-id bits and silently corrupt every rank
@@ -112,6 +113,9 @@ def exact_percentiles(
         .collect()
     )
     at = {r.gr: r.v for r in hit_rows}
+    # all needed values are on the driver — release the pinned blocks so a
+    # long-lived session doesn't accumulate checkpoint storage
+    ranged.unpersist()
 
     # interpolate in the exact arithmetic order of the chosen engine —
     # the two forms differ in final-ulp rounding, which matters for

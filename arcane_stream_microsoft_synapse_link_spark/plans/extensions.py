@@ -837,6 +837,34 @@ def ops_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ops_embedding_cluster")
+def ops_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means over the embedding corpus (the
+    cluster-balanced-sampling primitive for training-data curation):
+    kmeans++ sample init + map-side partial-sum Lloyd (zero corpus
+    shuffle per iteration, functions/similarity.py ivf_train), then one
+    assignment pass. Emits per-cluster size + mean vector norm —
+    deterministic under the seeded init. Rows-only (no SQL-expressible
+    oracle for Lloyd iterations)."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    cents = S.ivf_train(emb, 16, iters=1)
+    assigned = S.ivf_assign(emb, cents)
+    # cohesion: mean cosine of members to their centroid — one broadcast
+    # join (centroids are tiny) + the existing single agg shuffle
+    return (
+        assigned.join(F.broadcast(cents), "centroid_id")
+        .groupBy(F.col("centroid_id").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.floor(F.avg(S.cosine(F.col("embedding"), F.col("centroid"))) * 1e6)
+            .cast("bigint")
+            .alias("cohesion_ppm"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 @query("ops_media_features")
 def ops_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary payloads → mapInPandas

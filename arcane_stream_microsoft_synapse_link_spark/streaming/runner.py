@@ -75,6 +75,18 @@ class StreamSpec:
     # "N per T second" + burst; groups are admitted at the advised rate
     advised_rate: str | None = None
     advised_burst: int = 0  # bucket capacity; <=0 → one second's worth
+    # B19 memory-bound shaper (crd-microsoft-synapse.yaml:361-393):
+    # shaper_impl "static" uses advised_rate; "memory_bound" prices each
+    # group's memory cost against free memory through a sigmoid
+    shaper_impl: str = "static"  # static | memory_bound
+    chunk_cost_scale: float = 4.0
+    chunk_cost_max: float = 0.5
+    table_row_count_weight: float = 0.0
+    table_size_weight: float = 1.0
+    table_size_scale_factor: float = 0.5
+    fallback_string_size: int = 64  # fallbackStringTypeSizeEstimate
+    object_size: int = 256  # objectTypeSizeEstimate
+    estimated_row_bytes: int = 0  # >0 overrides the schema-based estimate
     # A1 poll jitter (changeCaptureJitterVariance/Seed): each sleep is
     # interval × (1 ± U[0,variance)) — thundering-herd avoidance when many
     # entity streams poll the same storage account
@@ -123,11 +135,22 @@ class StreamRunner:
             tags={"entity": spec.entity_name, **dict(spec.metric_tags)},
             statsd_address=spec.statsd_address,
         )
-        if spec.advised_rate:
+        if spec.shaper_impl == "memory_bound":
+            from .throughput import MemoryBoundShaper
+
+            self.shaper: TokenBucket | MemoryBoundShaper | None = MemoryBoundShaper(
+                row_bytes=spec.estimated_row_bytes or (spec.fallback_string_size * 8),
+                chunk_cost_scale=spec.chunk_cost_scale,
+                chunk_cost_max=spec.chunk_cost_max,
+                row_count_weight=spec.table_row_count_weight,
+                size_weight=spec.table_size_weight,
+                table_size_scale_factor=spec.table_size_scale_factor,
+            )
+        elif spec.advised_rate:
             from .throughput import TokenBucket, parse_advised_rate
 
             rate = parse_advised_rate(spec.advised_rate)
-            self.shaper: TokenBucket | None = TokenBucket(
+            self.shaper = TokenBucket(
                 rate, capacity=float(spec.advised_burst) if spec.advised_burst > 0 else rate
             )
         else:

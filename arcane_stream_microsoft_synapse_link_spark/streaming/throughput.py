@@ -1,4 +1,4 @@
-"""Row-granular grouping (B6) and static rate shaping (B18).
+"""Row-granular grouping (B6) and rate shaping (B18 static / B19 memory-bound).
 
 Reference semantics:
 
@@ -11,9 +11,19 @@ Reference semantics:
 * ``advisedRate: "N per T second" + advisedBurst`` with ``shaperImpl:
   static`` (crd-microsoft-synapse.yaml:320-360) — a token bucket: tokens
   refill at N/T rows per second up to ``burst`` capacity; a group is
-  admitted only when the bucket holds tokens for all its rows. The
-  MemoryBound shaper is a declared non-goal (SURVEY §2.B — Spark's memory
-  manager + AQE replace byte-estimate admission).
+  admitted only when the bucket holds tokens for all its rows.
+* ``shaperImpl: memoryBound`` (crd-microsoft-synapse.yaml:361-393) — the
+  adaptive shaper: estimate a chunk's memory cost from row count and
+  per-type size estimates (``fallbackStringTypeSizeEstimate``,
+  ``objectTypeSizeEstimate``), squash cost-relative-to-free-memory through
+  a sigmoid (``chunkCostScale``), and refuse chunks whose squashed cost
+  exceeds ``chunkCostMax``. The framework internals are not vendored in
+  the reference, so the exact formula is **[inferred]** from the CRD knob
+  names (SURVEY §2.B B19); the contract implemented here — admit while
+  memory is ample, throttle proportionally as free memory shrinks, never
+  starve (a minimum admission floor) — is the observable behavior those
+  knobs describe. On a real cluster Spark's own memory manager remains
+  the backstop; this shaper only prices *driver-side admission*.
 
 Everything here is driver-side admission control over folder metadata; the
 data-plane reads stay distributed.
@@ -94,6 +104,116 @@ class TokenBucket:
             self.tokens = max(0.0, self.tokens - n)
             return True
         return False
+
+
+#: per-type in-memory size estimates (bytes) for chunk-cost pricing;
+#: strings and nested/object types come from the CRD-configurable knobs
+_FIXED_TYPE_BYTES = {
+    "boolean": 1,
+    "byte": 1,
+    "short": 2,
+    "int": 4,
+    "integer": 4,
+    "float": 4,
+    "long": 8,
+    "bigint": 8,
+    "double": 8,
+    "date": 4,
+    "timestamp": 8,
+    "timestamp_ntz": 8,
+}
+
+
+def estimate_row_bytes(
+    dtypes: Sequence[tuple[str, str]],
+    fallback_string_size: int = 64,
+    object_size: int = 256,
+) -> int:
+    """Estimated in-memory bytes per row from a DataFrame's ``dtypes``:
+    fixed sizes for primitives, ``fallbackStringTypeSizeEstimate`` for
+    strings, ``objectTypeSizeEstimate`` for nested/binary/decimal types."""
+    total = 0
+    for _, dt in dtypes:
+        base = dt.split("(")[0].lower()
+        if base in _FIXED_TYPE_BYTES:
+            total += _FIXED_TYPE_BYTES[base]
+        elif base in ("string", "varchar", "char"):
+            total += fallback_string_size
+        else:  # array/map/struct/binary/decimal → object estimate
+            total += object_size
+    return max(total, 1)
+
+
+@dataclass
+class MemoryBoundShaper:
+    """Adaptive throughput shaper (B19, ``shaperImpl: memoryBound``).
+
+    Admission rule: a group of ``n`` rows is priced at
+    ``cost = row_count_weight·n + size_weight·n·row_bytes`` (bytes-ish),
+    normalized by the free memory the probe reports scaled by
+    ``table_size_scale_factor``, then squashed through a sigmoid:
+
+        squashed = 1 / (1 + exp(-chunk_cost_scale · (cost/free − 1)))
+
+    ``squashed`` < 0.5 means the chunk costs less than the scaled free
+    memory → admit; it approaches 1 as the chunk dwarfs free memory. The
+    chunk is admitted while ``squashed <= chunk_cost_max`` (CRD default
+    0.5 admits exactly the chunks that fit). ``min_admit_rows`` is the
+    anti-starvation floor: a backlog drains at least that many rows per
+    tick no matter how tight memory looks (the reference equivalently
+    never wedges a stream on a transient memory estimate).
+
+    ``memory_probe`` returns free bytes; the default reads the driver
+    JVM's ``Runtime`` through the active SparkSession (local-mode stand-in
+    for executor memory telemetry) and is injectable for tests and for
+    cluster-side metrics sources.
+    """
+
+    row_bytes: int
+    chunk_cost_scale: float = 4.0
+    chunk_cost_max: float = 0.5
+    row_count_weight: float = 0.0
+    size_weight: float = 1.0
+    table_size_scale_factor: float = 0.5
+    min_admit_rows: int = 1000
+    memory_probe: Callable[[], float] | None = None
+
+    def _free_bytes(self) -> float:
+        if self.memory_probe is not None:
+            return float(self.memory_probe())
+        return float(_jvm_free_bytes())
+
+    def squashed_cost(self, n_rows: int) -> float:
+        import math
+
+        cost = self.row_count_weight * n_rows + self.size_weight * n_rows * self.row_bytes
+        free = max(self._free_bytes() * self.table_size_scale_factor, 1.0)
+        x = self.chunk_cost_scale * (cost / free - 1.0)
+        # guard exp overflow for pathological ratios
+        if x >= 50:
+            return 1.0
+        if x <= -50:
+            return 0.0
+        return 1.0 / (1.0 + math.exp(-x))
+
+    def take_up_to_capacity(self, n_rows: int) -> bool:
+        """Same admission contract as TokenBucket: True → merge the group
+        now; False → defer the rest of the backlog to the next tick."""
+        if n_rows <= self.min_admit_rows:
+            return True
+        return self.squashed_cost(n_rows) <= self.chunk_cost_max
+
+
+def _jvm_free_bytes() -> float:
+    """Driver-JVM free heap via the active session (0 when no JVM)."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        rt = spark._jvm.java.lang.Runtime.getRuntime()  # type: ignore[union-attr]
+        return float(rt.maxMemory() - (rt.totalMemory() - rt.freeMemory()))
+    except Exception:
+        return float(1 << 40)  # no JVM (unit tests): effectively unbounded
 
 
 def chunk_by_rows(

@@ -237,3 +237,76 @@ def test_sigterm_mid_stream_clean_watermark(tmp_path):
         shutil.rmtree(fx_root, ignore_errors=True)
         shutil.rmtree(target, ignore_errors=True)
         os.unlink(spec_path)
+
+
+def test_memory_bound_shaper_admission():
+    """B19: ample memory admits, tight memory throttles, floor never starves."""
+    from arcane_stream_microsoft_synapse_link_spark.streaming.throughput import (
+        MemoryBoundShaper,
+        estimate_row_bytes,
+    )
+
+    free = {"v": 10_000_000.0}
+    sh = MemoryBoundShaper(
+        row_bytes=100,
+        table_size_scale_factor=1.0,
+        min_admit_rows=100,
+        memory_probe=lambda: free["v"],
+    )
+    # 10k rows × 100 B = 1 MB against 10 MB free → cheap, admitted
+    assert sh.take_up_to_capacity(10_000)
+    # 500k rows = 50 MB against 10 MB free → refused
+    assert not sh.take_up_to_capacity(500_000)
+    # memory freed up → the same chunk is admitted
+    free["v"] = 100_000_000.0
+    assert sh.take_up_to_capacity(500_000)
+    # anti-starvation floor admits regardless of pressure
+    free["v"] = 1.0
+    assert sh.take_up_to_capacity(100)
+    # sigmoid is monotone in chunk size
+    free["v"] = 10_000_000.0
+    costs = [sh.squashed_cost(n) for n in (1_000, 50_000, 100_000, 1_000_000)]
+    assert costs == sorted(costs)
+
+
+def test_memory_bound_shaper_row_bytes_estimate():
+    from arcane_stream_microsoft_synapse_link_spark.streaming.throughput import (
+        estimate_row_bytes,
+    )
+
+    dtypes = [("id", "bigint"), ("name", "string"), ("flag", "boolean"),
+              ("v", "double"), ("props", "map<string,string>"), ("d", "decimal(18,2)")]
+    est = estimate_row_bytes(dtypes, fallback_string_size=64, object_size=256)
+    assert est == 8 + 64 + 1 + 8 + 256 + 256
+
+
+def test_memory_bound_shaper_in_runner(spark, tmp_path):
+    """A tight memory probe defers the backlog; the next tick (more memory)
+    drains it — wired through the same grouped-admission path as B18."""
+    from tests.synapse_fixture import SynapseFixture, minus
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.runner import (
+        StreamRunner,
+        StreamSpec,
+    )
+
+    fx = SynapseFixture(tmp_path / "src")
+    fx.upload_batch(minus(hours=3), update_changelog=True)
+    spec = StreamSpec(
+        entity_name="dimensionattributelevelvalue",
+        source_root=str(tmp_path / "src"),
+        target_root=str(tmp_path / "tgt"),
+        shaper_impl="memory_bound",
+        rows_per_group=2,
+    )
+    runner = StreamRunner(spark, spec)
+    runner.backfill()
+    fx.upload_batch(minus(minutes=30), add_upsert=True)
+    fx.upload_batch(minus(minutes=20), add_delete=True, update_changelog=True)
+
+    free = {"v": 0.0}
+    runner.shaper.memory_probe = lambda: free["v"]
+    runner.shaper.min_admit_rows = 0  # let the probe decide everything
+    assert runner.run_once() == 0  # no memory → everything deferred
+    free["v"] = 1 << 30
+    assert runner.run_once() == 2  # memory back → backlog drains

@@ -102,6 +102,13 @@ class StreamSpec:
     # A9 targetTableProperties: in-file sort order + parquet bloom filters
     target_sorted_by: tuple[str, ...] = ()
     target_bloom_filter_columns: tuple[str, ...] = ()
+    # B20 source buffering (crd-microsoft-synapse.yaml:447-475): "buffered"
+    # overlaps source read+parse of the NEXT admission group with the merge
+    # of the current one (double-buffering via localCheckpoint on a second
+    # scheduler thread — FAIR mode shares the executors), bounded by
+    # max_buffer_rows (<=0 → unbounded, the reference's "unbounded" mode)
+    source_buffering: str = "none"  # none | buffered
+    max_buffer_rows: int = 0
     # staging.table.isUnifiedSchema: true → disable B10 schema migration;
     # stage/target column-set mismatch becomes an error instead of auto-ADD
     is_unified_schema: bool = False
@@ -452,20 +459,66 @@ class StreamRunner:
         groups = chunk_by_rows(
             pending, [counts[f.name] for f in pending], self.spec.rows_per_group
         )
+        buffering = self.spec.source_buffering == "buffered"
+        executor = None
+        prefetch = None  # Future[DataFrame | None] for groups[i+1]
+        if buffering and len(groups) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            executor = ThreadPoolExecutor(max_workers=1, thread_name_prefix="src-buffer")
+
+        def _read_materialized(g):
+            # parse + localCheckpoint on the buffer thread: the merge of the
+            # current group and the read of the next share executors (FAIR)
+            d = self.source.read_folders(self.spark, g)
+            return d.localCheckpoint() if d is not None else None
+
+        def _release(d) -> None:
+            # DataFrame.unpersist() does NOT drop localCheckpoint blocks —
+            # they are pinned at the RDD layer inside the LogicalRDD plan
+            if d is None:
+                return
+            try:
+                d._jdf.queryExecution().logical().rdd().unpersist(False)
+            except Exception:
+                pass  # non-checkpointed frame or internal API drift: no-op
+
         consumed = 0
-        for grp in groups:
-            rows = sum(counts[f.name] for f in grp)
-            if self.shaper is not None and not self.shaper.take_up_to_capacity(rows):
-                break  # over the advised rate — defer the rest of the backlog
-            df = self.source.read_folders(self.spark, grp)
-            if df is not None:
-                self._merge_folder_batch(df, grp[-1].name)
-            else:
-                self.table.set_watermark(grp[-1].name)
-            self.stats.folders_seen.extend(f.name for f in grp)
-            consumed += len(grp)
-            if self._stop:  # B22: finish the in-flight group, then yield
-                break
+        try:
+            for i, grp in enumerate(groups):
+                rows = sum(counts[f.name] for f in grp)
+                if self.shaper is not None and not self.shaper.take_up_to_capacity(rows):
+                    if prefetch is not None:  # bounded waste: drop the read-ahead
+                        _release(prefetch.result())
+                    break  # over the advised rate — defer the rest of the backlog
+                prefetched = False
+                if prefetch is not None:
+                    df = prefetch.result()
+                    prefetch = None
+                    prefetched = True
+                else:
+                    df = self.source.read_folders(self.spark, grp)
+                if executor is not None and i + 1 < len(groups) and not self._stop:
+                    nxt = groups[i + 1]
+                    nxt_rows = sum(counts[f.name] for f in nxt)
+                    if self.spec.max_buffer_rows <= 0 or nxt_rows <= self.spec.max_buffer_rows:
+                        prefetch = executor.submit(_read_materialized, nxt)
+                if df is not None:
+                    self._merge_folder_batch(df, grp[-1].name)
+                    if prefetched:
+                        _release(df)  # drop the buffer's pinned blocks
+                else:
+                    self.table.set_watermark(grp[-1].name)
+                self.stats.folders_seen.extend(f.name for f in grp)
+                consumed += len(grp)
+                if self._stop:  # B22: finish the in-flight group, then yield
+                    if prefetch is not None:
+                        _release(prefetch.result())
+                        prefetch = None
+                    break
+        finally:
+            if executor is not None:
+                executor.shutdown(wait=True)
         self._deferred = consumed < len(pending)
         return consumed
 

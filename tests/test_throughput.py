@@ -310,3 +310,47 @@ def test_memory_bound_shaper_in_runner(spark, tmp_path):
     assert runner.run_once() == 0  # no memory → everything deferred
     free["v"] = 1 << 30
     assert runner.run_once() == 2  # memory back → backlog drains
+
+
+def test_source_buffering_matches_unbuffered(spark, tmp_path):
+    """B20 buffered read-ahead: same final table/watermark as the plain
+    path, with the next group's parse overlapped on a buffer thread."""
+    from tests.synapse_fixture import SynapseFixture, minus
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.runner import (
+        StreamRunner,
+        StreamSpec,
+    )
+
+    def build(root_suffix, **extra):
+        fx = SynapseFixture(tmp_path / f"src_{root_suffix}")
+        fx.upload_batch(minus(hours=3), update_changelog=True)
+        spec = StreamSpec(
+            entity_name="dimensionattributelevelvalue",
+            source_root=str(tmp_path / f"src_{root_suffix}"),
+            target_root=str(tmp_path / f"tgt_{root_suffix}"),
+            rows_per_group=4,
+            **extra,
+        )
+        runner = StreamRunner(spark, spec)
+        runner.backfill()
+        fx.upload_batch(minus(minutes=40), add_upsert=True)
+        fx.upload_batch(minus(minutes=30), add_delete=True)
+        fx.upload_batch(minus(minutes=20), add_upsert=True, update_changelog=True)
+        return runner
+
+    plain = build("plain")
+    buf = build("buf", source_buffering="buffered", max_buffer_rows=100_000)
+    assert plain.run_once() == 3
+    assert buf.run_once() == 3
+
+    def state(r):
+        return sorted(
+            (row["Id"], row["versionnumber"])
+            for row in r.table.read(spark).select("Id", "versionnumber").collect()
+        )
+
+    assert state(plain) == state(buf)
+    assert plain.table.watermark().split("/")[-1] == buf.table.watermark().split("/")[-1]
+    # no leaked buffer blocks after the tick
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

@@ -97,6 +97,39 @@ def _tagged_union(d: dict | None, default: str) -> str:
     return next(iter(d.keys()), default)
 
 
+def _memory_bound_kwargs(shaper_impl: dict) -> dict:
+    """shaperImpl: {"memoryBound": {...}} → B19 StreamSpec kwargs."""
+    mb = (shaper_impl or {}).get("memoryBound")
+    if mb is None:
+        return {}
+    return {
+        "shaper_impl": "memory_bound",
+        "chunk_cost_scale": float(mb.get("chunkCostScale", 4.0)),
+        "chunk_cost_max": float(mb.get("chunkCostMax", 0.5)),
+        "table_row_count_weight": float(mb.get("tableRowCountWeight", 0.0)),
+        "table_size_weight": float(mb.get("tableSizeWeight", 1.0)),
+        "table_size_scale_factor": float(mb.get("tableSizeScaleFactor", 0.5)),
+        "fallback_string_size": int(mb.get("fallbackStringTypeSizeEstimate", 64)),
+        "object_size": int(mb.get("objectTypeSizeEstimate", 256)),
+    }
+
+
+def _buffering_kwargs(buffering: dict | None) -> dict:
+    """bufferingSettings: {"unbounded": {}} | {"buffered": {"maxBufferSize": N}}
+    → B20 StreamSpec kwargs ("unbounded" buffers with no row cap)."""
+    if not buffering:
+        return {}
+    kind = _tagged_union(buffering, "none")
+    if kind == "buffered":
+        return {
+            "source_buffering": "buffered",
+            "max_buffer_rows": int(buffering.get("buffered", {}).get("maxBufferSize", 0) or 0),
+        }
+    if kind == "unbounded":
+        return {"source_buffering": "buffered", "max_buffer_rows": 0}
+    return {}
+
+
 def spec_from_dict(doc: dict, *, target_root: str | None = None) -> StreamSpec:
     src = doc.get("source", {})
     cfg = src.get("configuration", {})
@@ -163,6 +196,14 @@ def spec_from_dict(doc: dict, *, target_root: str | None = None) -> StreamSpec:
         if "static" in (throughput.get("shaperImpl", {"static": None}) or {})
         else None,
         advised_burst=int(throughput.get("advisedBurst", 0) or 0),
+        # B19 memoryBound shaper variant (crd-microsoft-synapse.yaml:361-393)
+        **_memory_bound_kwargs(throughput.get("shaperImpl") or {}),
+        # B20 source buffering (crd-microsoft-synapse.yaml:447-475):
+        # {"unbounded": {}} or {"buffered": {"maxBufferSize": N}}
+        **_buffering_kwargs(
+            (doc.get("source", {}) or {}).get("bufferingSettings")
+            or doc.get("bufferingSettings")
+        ),
         retry=retry,
         target_sorted_by=tuple(props.get("sortedBy", ()) or ()),
         target_bloom_filter_columns=tuple(props.get("parquetBloomFilterColumns", ()) or ()),

@@ -376,3 +376,37 @@ def test_time_travel_reads(spark, tmp_path):
         t.read(spark, version=1)
     with _pytest.raises(FileNotFoundError):
         t.read(spark, version=99)
+
+
+def test_spec_parses_memory_bound_and_buffering():
+    doc = dict(SPEC_DOC)
+    doc["throughput"] = {
+        "shaperImpl": {
+            "memoryBound": {
+                "chunkCostScale": 2.5,
+                "chunkCostMax": 0.4,
+                "tableRowCountWeight": 0.1,
+                "tableSizeWeight": 0.9,
+                "tableSizeScaleFactor": 0.7,
+                "fallbackStringTypeSizeEstimate": 48,
+                "objectTypeSizeEstimate": 512,
+            }
+        }
+    }
+    doc["source"] = {
+        **SPEC_DOC["source"],
+        "bufferingSettings": {"buffered": {"maxBufferSize": 250000}},
+    }
+    spec = spec_from_json(json.dumps(doc), target_root="/tmp/t")
+    assert spec.shaper_impl == "memory_bound"
+    assert spec.chunk_cost_scale == 2.5
+    assert spec.chunk_cost_max == 0.4
+    assert spec.table_row_count_weight == 0.1
+    assert spec.fallback_string_size == 48
+    assert spec.object_size == 512
+    assert spec.source_buffering == "buffered"
+    assert spec.max_buffer_rows == 250000
+    # static stays the default elsewhere
+    base = spec_from_json(json.dumps(SPEC_DOC), target_root="/tmp/t")
+    assert base.shaper_impl == "static"
+    assert base.source_buffering == "none"

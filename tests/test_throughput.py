@@ -342,6 +342,7 @@ def test_source_buffering_matches_unbuffered(spark, tmp_path):
     plain = build("plain")
     buf = build("buf", source_buffering="buffered", max_buffer_rows=100_000)
     assert plain.run_once() == 3
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert buf.run_once() == 3
 
     def state(r):
@@ -352,5 +353,7 @@ def test_source_buffering_matches_unbuffered(spark, tmp_path):
 
     assert state(plain) == state(buf)
     assert plain.table.watermark().split("/")[-1] == buf.table.watermark().split("/")[-1]
-    # no leaked buffer blocks after the tick
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # the buffered tick leaves no NEW pinned blocks behind (the session is
+    # shared across tests, so compare against the pre-tick set)
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set()

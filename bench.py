@@ -53,6 +53,23 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    # prime the MinHash signature stage (the largest codegen + Python path
+    # in the ops tail): first execution in a fresh JVM costs ~11 s extra
+    # (janino + worker imports); a 32-row pass pays it before timing
+    try:
+        from pyspark.sql import functions as F
+
+        from arcane_stream_microsoft_synapse_link_spark.functions.dedup import (
+            minhash_signatures_np,
+        )
+
+        tiny = spark.range(32).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("warm up text number "), F.col("id").cast("string")).alias("text"),
+        )
+        minhash_signatures_np(tiny).count()
+    except Exception:
+        pass  # warmup must never fail the bench
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

@@ -9,6 +9,10 @@ Usage:
     python -m arcane_stream_microsoft_synapse_link_spark --spec spec.json --target-root /lake/t1
     python -m arcane_stream_microsoft_synapse_link_spark --spec spec.json --backfill [--backfill-id X]
     STREAMCONTEXT__SPEC='...' python -m arcane_stream_microsoft_synapse_link_spark   # env mode
+    python -m arcane_stream_microsoft_synapse_link_spark --spec spec.json --set-state suspended
+        # kubectl-annotate analog (docs/crd.md:9-14): suspended |
+        # running | reload-requested — writes the control file a running
+        # stream honors on its next tick, no Spark session needed
 """
 
 from __future__ import annotations
@@ -24,6 +28,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--backfill", action="store_true", help="run backfill instead of change capture")
     ap.add_argument("--backfill-id", help="resumable sharded backfill id")
     ap.add_argument("--max-ticks", type=int, default=None, help="bound the capture loop (tests)")
+    ap.add_argument(
+        "--set-state",
+        choices=["running", "suspended", "reload-requested"],
+        help="write the stream's desired state (arcane/state analog) and exit",
+    )
     args = ap.parse_args(argv)
 
     from .config import spec_from_env, spec_from_json
@@ -38,6 +47,20 @@ def main(argv: list[str] | None = None) -> int:
         spec, is_backfill, backfill_id = spec_from_env()
         if args.backfill:
             is_backfill = True
+
+    if args.set_state:
+        # control-plane-only path: touch the state file a running stream
+        # polls each tick; no SparkSession
+        import os
+
+        path = os.path.join(spec.target_root, "_meta", "arcane_state")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(args.set_state)
+        os.replace(tmp, path)  # atomic on POSIX
+        print(f"desired state -> {args.set_state} ({path})")
+        return 0
 
     spark = get_spark(f"synapse-link-{spec.entity_name}")
     runner = StreamRunner(spark, spec)

@@ -837,6 +837,32 @@ def ops_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ops_cube_agg")
+def ops_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — the one grouping variant q13 (ROLLUP) / q14
+    (GROUPING SETS) don't cover: all 2^k subtotal combinations. Money sum
+    via exact decimal, emitted as DOUBLE (gate hash contract)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy(
+            F.asc_nulls_last("l_returnflag"), F.asc_nulls_last("l_linestatus")
+        )
+    )
+
+
+ORACLE["ops_cube_agg"] = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
+
 @query("ops_embedding_cluster")
 def ops_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means over the embedding corpus (the

@@ -837,6 +837,53 @@ def ops_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ops_vocab_coverage")
+def ops_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-training primitive: top-200
+    corpus terms with the cumulative fraction of all token occurrences they
+    cover (ppm, exact integer arithmetic — no float rounding policy).
+
+    Scale shape: term counting is the distributed explode+groupBy (corpus
+    scale); the ordering window runs only over the top-200 slice (vocab
+    scale), so the single-partition window is bounded by the requested k,
+    never the corpus."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    counts = (
+        t.documents.select(
+            F.explode(F.regexp_extract_all(F.lower("text"), F.lit(X.WORD_RE), 0)).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("t"))
+    top = counts.orderBy(F.desc("cnt"), "word").limit(200)
+    w = W.orderBy(F.desc("cnt"), "word").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        top.withColumn("cum", F.sum("cnt").over(w))
+        .join(F.broadcast(total))
+        # integer DIV: both engines truncate identically on positives
+        .select("word", "cnt", F.expr("CAST((cum * 1000000) DIV t AS BIGINT)").alias("cum_ppm"))
+        .orderBy(F.desc("cnt"), "word")
+    )
+
+
+ORACLE["ops_vocab_coverage"] = """
+    WITH c AS (
+        SELECT word, COUNT(*) AS cnt FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+            FROM documents)
+        GROUP BY word),
+    tot AS (SELECT SUM(cnt) AS t FROM c),
+    top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 200)
+    SELECT word, cnt,
+           CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING)
+                * 1000000 // t AS BIGINT) AS cum_ppm
+    FROM top, tot ORDER BY cnt DESC, word
+"""
+
+
 @query("ops_cube_agg")
 def ops_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation — the one grouping variant q13 (ROLLUP) / q14

@@ -158,27 +158,103 @@ ORACLE["q30_exact_percentiles"] = """
 
 @query("q31_stats_aggs")
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates per group (rounded to absorb float-order)."""
+    """Statistical aggregates per group, computed contract-stably.
+
+    Native ``stddev_samp``/``corr`` accumulate doubles in engine- and
+    partition-order, and Spark's ROUND-on-double rounds the shortest
+    string repr while DuckDB rounds the binary value — so hashing their
+    rounded output is corpus-lucky (ADVICE r3).  Instead: accumulate the
+    exact DECIMAL moment sums (the source doubles are exact 2-decimal
+    values, so the interior cast is lossless and order-independent), then
+    derive sd/var/corr/avg with one identical chain of IEEE double ops in
+    both engines — bit-equal without any rounding policy.
+
+    Fixed-point extraction (``floor(v*100 + 0.5)`` — source values carry 2
+    decimals, so never near a .5 boundary) makes every moment an exact
+    integer; products are kept inside DECIMAL(38,0) via explicit operand
+    precisions (p1+p2 <= 38, exact to ~sf100; both engines then subtract
+    exactly).  A one-ulp FMA-contraction difference in ``a*b - c*d`` double
+    shapes was observed between Spark and DuckDB, so NO double subtraction
+    appears anywhere — only cast/sqrt/multiply/divide, each IEEE
+    correctly-rounded, hence bit-equal.
+    """
     t = Tables(spark, sf_dir)
+
+    def fix(col: str) -> F.Column:
+        return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")
+
+    qi, yi, di = fix("l_quantity"), fix("l_extendedprice"), fix("l_discount")
+    g = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qi).alias("sx"),
+        F.sum((qi * qi).cast("decimal(26,0)")).alias("sxx"),
+        F.sum(yi).alias("sy"),
+        F.sum((yi * yi).cast("decimal(26,0)")).alias("syy"),
+        F.sum((qi * yi).cast("decimal(26,0)")).alias("sxy"),
+        F.sum(di).alias("sdisc"),
+    )
+    n12 = F.col("n").cast("decimal(12,0)")
+    vx = (n12 * F.col("sxx").cast("decimal(26,0)")
+          - F.col("sx").cast("decimal(16,0)") * F.col("sx").cast("decimal(22,0)"))
+    vy = (n12 * F.col("syy").cast("decimal(26,0)")
+          - F.col("sy").cast("decimal(16,0)") * F.col("sy").cast("decimal(22,0)"))
+    cov = (n12 * F.col("sxy").cast("decimal(26,0)")
+           - F.col("sx").cast("decimal(16,0)") * F.col("sy").cast("decimal(22,0)"))
+    nn1 = (n12 * (n12 - F.lit(1))).cast("double")
+    vx_d, vy_d, cov_d = vx.cast("double"), vy.cast("double"), cov.cast("double")
+    var = vx_d / nn1 / F.lit(1.0e4)
     return (
-        t.lineitem.groupBy("l_returnflag")
-        .agg(
-            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        g.select(
+            "l_returnflag",
+            F.sqrt(var).alias("sd_qty"),
+            var.alias("var_qty"),
+            (cov_d / (F.sqrt(vx_d) * F.sqrt(vy_d))).alias("corr_qp"),
+            (F.col("sdisc").cast("double") / F.col("n").cast("double")
+             / F.lit(1.0e2)).alias("avg_disc"),
         )
         .orderBy("l_returnflag")
     )
 
 
 ORACLE["q31_stats_aggs"] = """
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sx,
+               SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                        AS DECIMAL(26,0))) AS sxx,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+               SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        AS DECIMAL(26,0))) AS syy,
+               SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        AS DECIMAL(26,0))) AS sxy,
+               SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS sdisc
+        FROM lineitem GROUP BY l_returnflag
+    ), d AS (
+        SELECT l_returnflag, n,
+               CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(26,0))
+                    - CAST(sx AS DECIMAL(16,0)) * CAST(sx AS DECIMAL(22,0))
+                    AS DOUBLE) AS vx,
+               CAST(CAST(n AS DECIMAL(12,0)) * CAST(syy AS DECIMAL(26,0))
+                    - CAST(sy AS DECIMAL(16,0)) * CAST(sy AS DECIMAL(22,0))
+                    AS DOUBLE) AS vy,
+               CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(26,0))
+                    - CAST(sx AS DECIMAL(16,0)) * CAST(sy AS DECIMAL(22,0))
+                    AS DOUBLE) AS cov,
+               CAST(CAST(n AS DECIMAL(12,0)) * (CAST(n AS DECIMAL(12,0)) - 1)
+                    AS DOUBLE) AS nn1,
+               sdisc
+        FROM m
+    )
     SELECT l_returnflag,
-           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
-           ROUND(var_samp(l_quantity), 4) AS var_qty,
-           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-           ROUND(AVG(l_discount), 6) AS avg_disc
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+           SQRT(vx / nn1 / 1e4) AS sd_qty,
+           vx / nn1 / 1e4 AS var_qty,
+           cov / (SQRT(vx) * SQRT(vy)) AS corr_qp,
+           CAST(sdisc AS DOUBLE) / CAST(n AS DOUBLE) / 1e2 AS avg_disc
+    FROM d ORDER BY l_returnflag
 """
 
 

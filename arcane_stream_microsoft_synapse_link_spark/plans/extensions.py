@@ -821,17 +821,22 @@ ORACLE["ops_knn_bruteforce"] = """
 
 @query("ops_knn_ivf")
 def ops_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 for the first 8 vectors: kmeans++ spherical training,
-    default probe width (25% of the 32 cells) — the scale configuration;
-    the recall contract is asserted on clustered data in
-    tests/test_functions.py (the fixture's uniform vectors are the
-    documented worst case where recall tracks probed fraction)."""
+    """IVF ANN top-10 for the first 8 vectors: kmeans++ spherical training
+    with the probe width sized for THIS corpus's declared recall contract.
+
+    The shipped embeddings are near-uniform, the documented worst case
+    where recall tracks the probed fraction for any cell structure — so
+    this entry probes 28/32 cells (measured recall: 0.975 at sf0.01, 1.0
+    at sf0.1 vs brute force; nprobe=24 sits exactly at the 0.95 bound with
+    no margin). The library default (25% of cells) meets the same ≥0.95
+    bound on clustered embeddings; see SURVEY §2.D and
+    tests/test_functions.py::test_ops_knn_ivf_meets_declared_recall."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings
     cents = S.ivf_train(emb, 32, iters=1)
     assigned = S.ivf_assign(emb, cents)
     queries_df = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = S.ivf_topk(assigned, cents, queries_df, k=10)
+    out = S.ivf_topk(assigned, cents, queries_df, k=10, nprobe=28)
     return out.select(
         "query_id", "vec_id", "rank", F.round("cos_sim", 4).cast("double").alias("cos_sim")
     )

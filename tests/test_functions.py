@@ -159,6 +159,27 @@ def test_ivf_uniform_worst_case(spark):
     assert recall >= 0.5, recall  # ≈2× the probed fraction on pure noise
 
 
+def test_ops_knn_ivf_meets_declared_recall(spark):
+    """The declared product entry ops_knn_ivf must meet the SURVEY §2.D
+    bound (recall ≥ 0.95 vs brute force) on the corpus it actually runs
+    on: it probes 28/32 cells because the shipped embeddings are
+    near-uniform (measured 0.975 at sf0.01; nprobe=24 sits exactly at
+    0.95 with no margin)."""
+    from arcane_stream_microsoft_synapse_link_spark.plans import QUERIES
+    from .conftest import SF_CORRECT
+
+    t = Tables(spark, SF_CORRECT)
+    queries_df = t.embeddings.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = S.brute_force_topk(t.embeddings, queries_df, k=10).collect()
+    approx = QUERIES["ops_knn_ivf"](spark, SF_CORRECT).collect()
+    bset = {(r.query_id, r.vec_id) for r in brute}
+    aset = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(bset & aset) / len(bset)
+    assert recall >= 0.95, recall
+
+
 def test_embedding_near_dup_finds_planted(spark):
     """Planted noisy clones are found; unrelated random vectors are not."""
     rng = np.random.RandomState(3)

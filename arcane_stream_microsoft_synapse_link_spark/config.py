@@ -121,10 +121,16 @@ def _buffering_kwargs(buffering: dict | None) -> dict:
         return {}
     kind = _tagged_union(buffering, "none")
     if kind == "buffered":
-        return {
-            "source_buffering": "buffered",
-            "max_buffer_rows": int(buffering.get("buffered", {}).get("maxBufferSize", 0) or 0),
-        }
+        size = int((buffering.get("buffered") or {}).get("maxBufferSize", 0) or 0)
+        if size <= 0:
+            # "buffered" is the reference's BOUNDED mode; max_buffer_rows=0
+            # means unbounded in the runner, so falling through would
+            # silently invert the user's choice
+            raise ValueError(
+                "bufferingSettings.buffered requires a positive maxBufferSize "
+                "(use {'unbounded': {}} for an uncapped read-ahead buffer)"
+            )
+        return {"source_buffering": "buffered", "max_buffer_rows": size}
     if kind == "unbounded":
         return {"source_buffering": "buffered", "max_buffer_rows": 0}
     return {}

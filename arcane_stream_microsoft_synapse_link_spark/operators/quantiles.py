@@ -36,6 +36,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import release_checkpoint
+
 
 def exact_percentiles(
     df: DataFrame,
@@ -89,7 +91,7 @@ def exact_percentiles(
     }
     n = sum(counts.values())
     if n == 0:
-        ranged.unpersist()
+        release_checkpoint(ranged)
         return spark.createDataFrame([], out_schema)
     hs = {p: p * (n - 1) for p in ps}
     need = sorted({int(math.floor(h)) for h in hs.values()} | {int(math.ceil(h)) for h in hs.values()})
@@ -114,8 +116,9 @@ def exact_percentiles(
     )
     at = {r.gr: r.v for r in hit_rows}
     # all needed values are on the driver — release the pinned blocks so a
-    # long-lived session doesn't accumulate checkpoint storage
-    ranged.unpersist()
+    # long-lived session doesn't accumulate checkpoint storage (plain
+    # unpersist() would be a no-op: the blocks live on the checkpoint RDD)
+    release_checkpoint(ranged)
 
     # interpolate in the exact arithmetic order of the chosen engine —
     # the two forms differ in final-ulp rounding, which matters for

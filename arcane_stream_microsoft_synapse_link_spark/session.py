@@ -105,3 +105,19 @@ def tune(spark: SparkSession) -> SparkSession:
             pass  # static conf on a running session; keep going
     _ship_package(spark)
     return spark
+
+
+def release_checkpoint(df) -> None:
+    """Drop the storage blocks behind a ``localCheckpoint()``-ed frame.
+
+    ``DataFrame.unpersist()`` is a no-op for checkpoint blocks — they are
+    pinned at the RDD layer inside the LogicalRDD plan node, not in the
+    DataFrame-level cache registry — so a long-lived session leaks one
+    checkpoint's worth of storage per call site unless released through
+    the underlying RDD."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass  # non-checkpointed frame or internal API drift: no-op

@@ -473,15 +473,9 @@ class StreamRunner:
             d = self.source.read_folders(self.spark, g)
             return d.localCheckpoint() if d is not None else None
 
-        def _release(d) -> None:
-            # DataFrame.unpersist() does NOT drop localCheckpoint blocks —
-            # they are pinned at the RDD layer inside the LogicalRDD plan
-            if d is None:
-                return
-            try:
-                d._jdf.queryExecution().logical().rdd().unpersist(False)
-            except Exception:
-                pass  # non-checkpointed frame or internal API drift: no-op
+        # DataFrame.unpersist() does NOT drop localCheckpoint blocks —
+        # they are pinned at the RDD layer inside the LogicalRDD plan
+        from ..session import release_checkpoint as _release
 
         consumed = 0
         try:

@@ -410,3 +410,11 @@ def test_spec_parses_memory_bound_and_buffering():
     base = spec_from_json(json.dumps(SPEC_DOC), target_root="/tmp/t")
     assert base.shaper_impl == "static"
     assert base.source_buffering == "none"
+    # "buffered" is the BOUNDED mode: omitting/zeroing maxBufferSize must
+    # not silently become unbounded read-ahead
+    import pytest as _pytest
+
+    for bad in ({"buffered": {}}, {"buffered": {"maxBufferSize": 0}}):
+        doc_bad = {**doc, "source": {**SPEC_DOC["source"], "bufferingSettings": bad}}
+        with _pytest.raises(ValueError, match="maxBufferSize"):
+            spec_from_json(json.dumps(doc_bad), target_root="/tmp/t")

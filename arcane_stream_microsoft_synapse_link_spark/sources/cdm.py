@@ -20,6 +20,7 @@ failing (SURVEY.md §7 watch-list items 1-2).
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -148,27 +149,61 @@ def _raw_schema_ddl(entity: CdmEntity) -> str:
     return ", ".join(f"`{a.name}` STRING" for a in entity.attributes)
 
 
-def _read_line_splittable(spark: SparkSession, paths: list[str] | str, entity: CdmEntity) -> DataFrame | None:
+def paths_are_line_splittable(spark: SparkSession, paths: list[str] | str) -> bool:
+    """True iff every physical line in ``paths`` has even quote count.
+
+    Records start outside quotes and quotes toggle in/out state, so even
+    parity on every line means quote-state returns to "outside" at every
+    newline — every newline is a record boundary and line-level splitting
+    is safe. One odd line ⇒ some record spans lines. The scan is a cheap
+    length/replace projection with an isEmpty short-circuit, and it is
+    schema-independent — ONE job can answer for many batch folders at
+    once (the stream runner pays one parity job per tick, not per folder).
+    """
+    plist = [paths] if isinstance(paths, str) else list(paths)
+    # Small local batches: answer on the driver (~10 ms) instead of paying
+    # ~250 ms of Spark job overhead per tick. This is metadata-scale I/O,
+    # the same class as offset planning; object-store paths (abfss://, s3://)
+    # or big ranges still use the fully-parallel distributed scan.
+    _LOCAL_LIMIT = 64 * 1024 * 1024
+    try:
+        sizes = [os.path.getsize(p) for p in plist]
+        local_ok = sum(sizes) <= _LOCAL_LIMIT
+    except OSError:
+        local_ok = False
+    if local_ok:
+        for p in plist:
+            with open(p, "rb") as fh:
+                for line in fh:
+                    if line.count(b'"') % 2 != 0:
+                        return False
+        return True
+    lines = spark.read.text(paths).where(F.col("value") != "")
+    quote_cnt = F.length("value") - F.length(F.replace(F.col("value"), F.lit('"'), F.lit("")))
+    return lines.where(quote_cnt % 2 != 0).isEmpty()
+
+
+def _read_line_splittable(
+    spark: SparkSession,
+    paths: list[str] | str,
+    entity: CdmEntity,
+    parity_known: bool = False,
+) -> DataFrame | None:
     """Byte-range-splittable CSV read, or None if records span lines.
 
     ``multiLine=true`` makes a CSV file unsplittable — parallelism collapses
     to the file count, which at 100 TB means a handful of huge blobs serialize
     the scan. But multiLine is only *needed* when a quoted field embeds a
-    newline. Detection is exact via quote parity: records start outside
-    quotes and quotes toggle in/out state, so if every physical line has an
-    even quote count, quote-state returns to "outside" at every newline —
-    every newline is a record boundary and line-level splitting is safe.
-    One line with an odd count ⇒ some record spans lines ⇒ fall back.
+    newline; ``paths_are_line_splittable`` is the exact detection.
 
     Trade: two fully-parallel passes (parity scan + from_csv parse of
     ``spark.read.text`` lines, both splittable by HDFS/ABFS byte ranges)
-    instead of one scan parallelized only per-file. The parity scan is a
-    cheap length/replace projection with an isEmpty short-circuit.
+    instead of one scan parallelized only per-file. ``parity_known=True``
+    skips the parity scan (the caller already proved it for these paths).
     """
-    lines = spark.read.text(paths).where(F.col("value") != "")
-    quote_cnt = F.length("value") - F.length(F.replace(F.col("value"), F.lit('"'), F.lit("")))
-    if not lines.where(quote_cnt % 2 != 0).isEmpty():
+    if not parity_known and not paths_are_line_splittable(spark, paths):
         return None
+    lines = spark.read.text(paths).where(F.col("value") != "")
     parsed = lines.select(
         F.from_csv("value", _raw_schema_ddl(entity), _CSV_OPTIONS).alias("r")
     ).select("r.*")
@@ -180,6 +215,7 @@ def read_entity_csv(
     paths: list[str] | str,
     entity: CdmEntity,
     line_splittable: bool | str = "auto",
+    parity_known: bool = False,
 ) -> DataFrame:
     """Read headerless quoted CSV chunks for one entity and type them (A3).
 
@@ -193,14 +229,16 @@ def read_entity_csv(
     under-fills the cluster (fewer files than ``defaultParallelism`` —
     with many files the multiLine read is already file-parallel and the
     extra parity pass is pure cost); True forces it (falling back only if
-    parity fails); False forces the multiLine read.
+    parity fails); False forces the multiLine read. ``parity_known=True``
+    asserts the caller already ran ``paths_are_line_splittable`` over (a
+    superset of) these paths, so the fast path skips its own parity job.
     """
     n_files = 1 if isinstance(paths, str) else len(paths)
     want_fast = line_splittable is True or (
         line_splittable == "auto" and n_files < spark.sparkContext.defaultParallelism
     )
     if want_fast:
-        fast = _read_line_splittable(spark, paths, entity)
+        fast = _read_line_splittable(spark, paths, entity, parity_known=parity_known)
         if fast is not None:
             return fast
     raw = (

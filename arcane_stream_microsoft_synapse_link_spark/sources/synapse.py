@@ -28,7 +28,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .cdm import CdmEntity, parse_model, read_entity_csv
+from .cdm import CdmEntity, parse_model, paths_are_line_splittable, read_entity_csv
 
 FOLDER_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}\.\d{2}\.\d{2}Z$")
 
@@ -98,19 +98,27 @@ class SynapseLinkSource:
         raise FileNotFoundError(f"no model.json declares entity {self.entity_name!r}")
 
     # ---- data (A3/B21) -----------------------------------------------------
-    def read_batch(self, spark: SparkSession, folder: BatchFolder) -> DataFrame | None:
-        """All CSV chunks of one batch folder as one typed DataFrame."""
+    def batch_csvs(self, folder: BatchFolder) -> list[str]:
+        """CSV chunk paths of one batch folder (empty if none)."""
         entity_dir = os.path.join(folder.path, self.entity_name)
         if not os.path.isdir(entity_dir):
-            return None
-        csvs = [
+            return []
+        return [
             os.path.join(entity_dir, f)
             for f in sorted(os.listdir(entity_dir))
             if f.endswith(".csv")
         ]
+
+    def read_batch(
+        self, spark: SparkSession, folder: BatchFolder, parity_known: bool = False
+    ) -> DataFrame | None:
+        """All CSV chunks of one batch folder as one typed DataFrame."""
+        csvs = self.batch_csvs(folder)
         if not csvs:
             return None
-        return read_entity_csv(spark, csvs, self.entity_schema(folder))
+        return read_entity_csv(
+            spark, csvs, self.entity_schema(folder), parity_known=parity_known
+        )
 
     def folder_row_counts(
         self, spark: SparkSession, folders: list[BatchFolder]
@@ -121,10 +129,12 @@ class SynapseLinkSource:
         count job over all pending CSVs, not one job per folder."""
         from pyspark.sql import functions as F
 
+        all_csvs = [p for f in folders for p in self.batch_csvs(f)]
+        parity_known = bool(all_csvs) and paths_are_line_splittable(spark, all_csvs)
         tagged = [
             d.select(F.lit(f.name).alias("__folder"))
             for f in folders
-            if (d := self.read_batch(spark, f)) is not None
+            if (d := self.read_batch(spark, f, parity_known=parity_known)) is not None
         ]
         counts = {f.name: 0 for f in folders}
         if not tagged:
@@ -137,11 +147,34 @@ class SynapseLinkSource:
         return counts
 
     def read_folders(self, spark: SparkSession, folders: list[BatchFolder]) -> DataFrame | None:
-        """Union of several batch folders (backfill scan B13). Folders are
-        read per-folder because each may carry its own schema."""
-        dfs = [d for d in (self.read_batch(spark, f) for f in folders) if d is not None]
-        if not dfs:
+        """Union of several batch folders (backfill scan B13).
+
+        Each folder may carry its own schema (per-batch model.json), but in
+        the common no-evolution case every pending folder shares one —
+        consecutive same-schema folders are parsed as ONE read (one plan,
+        one scan; a 3-folder tick plans ~3x faster and unions nothing)
+        while schema changes still split the range folder-accurately. The
+        line-splittability quote-parity probe — schema-independent and
+        potentially an eager Spark job — likewise runs ONCE over every CSV
+        in the range, not once per folder."""
+        with_csvs = [(f, csvs) for f in folders if (csvs := self.batch_csvs(f))]
+        if not with_csvs:
             return None
+        parity_known = paths_are_line_splittable(
+            spark, [p for _, csvs in with_csvs for p in csvs]
+        )
+        # consecutive same-schema runs → one read each
+        runs: list[tuple[CdmEntity, list[str]]] = []
+        for f, csvs in with_csvs:
+            schema = self.entity_schema(f)
+            if runs and runs[-1][0] == schema:
+                runs[-1][1].extend(csvs)
+            else:
+                runs.append((schema, list(csvs)))
+        dfs = [
+            read_entity_csv(spark, csvs, schema, parity_known=parity_known)
+            for schema, csvs in runs
+        ]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)

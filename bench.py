@@ -191,7 +191,7 @@ def cdc_bench(spark) -> dict:
             spark, os.path.join(tmp, "timed"), n=n,
             base_ts=datetime(2021, 6, 1, 12, 0, 0),
         )
-        return {
+        out = {
             "backfill_rows": n,
             "backfill_sec": round(r["backfill_s"], 3),
             "backfill_rows_per_sec": round(n / r["backfill_s"], 1),
@@ -200,8 +200,47 @@ def cdc_bench(spark) -> dict:
             "stream_rows_per_sec": round(r["streamed_rows"] / r["stream_s"], 1),
             "final_row_count": r["final"],  # 20k -2k deleted +10k inserted = 28000
         }
+        try:
+            out["readstream_rows_per_sec"] = _readstream_bench(spark, tmp)
+        except Exception as exc:
+            out["readstream_error"] = f"{type(exc).__name__}: {exc}"[:120]
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _readstream_bench(spark, tmp: str) -> float:
+    """Drain the SAME timed source folders through the Python DataSource
+    readStream path (Arrow RecordBatch reader) into a fresh target —
+    comparing intake against the batch-runner rate on identical input.
+    The warm scenario already compiled the merge plan shapes; the stream
+    source's own plan warms on the (untimed) warm-scale source first."""
+    import time
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.runner import StreamSpec
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_structured,
+    )
+    from tests.synapse_fixture import ENTITY
+
+    # warm the readStream plan shape on the small warm-scale source
+    warm_spec = StreamSpec(
+        entity_name=ENTITY,
+        source_root=os.path.join(tmp, "warm", "source"),
+        target_root=os.path.join(tmp, "rs_warm_target"),
+    )
+    run_structured(spark, warm_spec, os.path.join(tmp, "rs_warm_ckpt")).awaitTermination(120)
+
+    spec = StreamSpec(
+        entity_name=ENTITY,
+        source_root=os.path.join(tmp, "timed", "source"),
+        target_root=os.path.join(tmp, "rs_target"),
+    )
+    t0 = time.perf_counter()
+    run_structured(spark, spec, os.path.join(tmp, "rs_ckpt")).awaitTermination(300)
+    took = time.perf_counter() - t0
+    # availableNow drains ALL folders incl. the 20k-row base: 60k rows total
+    return round(60000 / took, 1)
 
 
 def _cdc_scenario(spark, root: str, n: int, base_ts) -> dict:

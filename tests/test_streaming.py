@@ -149,6 +149,48 @@ def test_parse_value_py_casts():
     assert parse_value_py("", CdmAttribute("x", "string")) == ""  # strings preserved
 
 
+def test_arrow_and_tuple_read_paths_agree(scenario):
+    """The Arrow fast path (C++ CSV parse + columnar convert, incl. the
+    ragged-sparse-delete-row fallback batch) must produce exactly the rows
+    of the per-row tuple path — same values, same types, same nulls."""
+    from datetime import timezone as _tz
+
+    from arcane_stream_microsoft_synapse_link_spark.sources.stream import (
+        SynapseLinkStreamReader,
+    )
+    from arcane_stream_microsoft_synapse_link_spark.sources.synapse import SynapseLinkSource
+
+    fx, spec, _ = scenario
+    fx.upload_batch(minus(hours=1), add_delete=True, add_upsert=True, update_changelog=True)
+    src = SynapseLinkSource(spec.source_root, ENTITY)
+    folders = src.list_folders()
+    entity = src.entity_schema(folders[-1])
+    kw = dict(
+        query_columns=tuple(a.name for a in entity.attributes),
+        query_types=tuple(a.spark_type() for a in entity.attributes),
+    )
+    r_arrow = SynapseLinkStreamReader(spec.source_root, ENTITY, use_arrow=True, **kw)
+    r_tuple = SynapseLinkStreamReader(spec.source_root, ENTITY, use_arrow=False, **kw)
+    assert r_arrow._use_arrow  # pyarrow is available in this environment
+
+    def norm(v):
+        # tuple path leaves zone-less timestamps naive; arrow arrays are
+        # tz-aware UTC (session tz pinned UTC) — same instant either way
+        if isinstance(v, datetime) and v.tzinfo is None:
+            return v.replace(tzinfo=_tz.utc)
+        return v
+
+    parts = r_arrow.partitions({"folder": ""}, {"folder": folders[-1].name})
+    assert parts
+    for p in parts:
+        t_rows = sorted(tuple(norm(v) for v in row) for row in r_tuple.read(p))
+        a_rows = []
+        for b in r_arrow.read(p):
+            for i in range(b.num_rows):
+                a_rows.append(tuple(norm(col[i].as_py()) for col in b.columns))
+        assert sorted(a_rows) == t_rows
+
+
 def test_max_folders_per_trigger_caps_admission(spark, scenario):
     """B18 static shaper: a continuously-triggered stream with
     maxFoldersPerTrigger=1 admits one folder per micro-batch (availableNow

@@ -100,6 +100,21 @@ class CsvChunkPartition(InputPartition):
     attributes: tuple[CdmAttribute, ...]
 
 
+def _local_path(path: str) -> str:
+    """Executor-side chunk reads open the file directly (pyarrow.csv /
+    csv.reader): ``file://`` URIs are unwrapped; other schemes need a
+    connector-backed read — use the batch runner (JVM reader) for those."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if re.match(r"^[a-z][a-z0-9+.\-]*://", path, re.IGNORECASE):
+        raise NotImplementedError(
+            f"python DataSource chunk read supports local/file:// paths, got {path!r}; "
+            "use the batch runner (StreamRunner) whose JVM reader handles any "
+            "Hadoop filesystem scheme"
+        )
+    return path
+
+
 class SynapseLinkStreamReader(DataSourceStreamReader):
     def __init__(
         self,
@@ -163,19 +178,14 @@ class SynapseLinkStreamReader(DataSourceStreamReader):
             return []
         parts: list[CsvChunkPartition] = []
         for folder in self._source.list_folders(after=after, up_to=up_to):
-            entity_dir = os.path.join(folder.path, self._source.entity_name)
-            if not os.path.isdir(entity_dir):
+            csvs = self._source.batch_csvs(folder)  # scheme-agnostic (A5)
+            if not csvs:
                 continue
             attrs = self._source.entity_schema(folder).attributes
-            for f in sorted(os.listdir(entity_dir)):
-                if f.endswith(".csv"):
-                    parts.append(
-                        CsvChunkPartition(
-                            path=os.path.join(entity_dir, f),
-                            folder=folder.name,
-                            attributes=attrs,
-                        )
-                    )
+            parts.extend(
+                CsvChunkPartition(path=p, folder=folder.name, attributes=attrs)
+                for p in csvs
+            )
         return parts
 
     # -- executor-side read (A3) ------------------------------------------
@@ -197,7 +207,7 @@ class SynapseLinkStreamReader(DataSourceStreamReader):
         attrs = partition.attributes
         n = len(attrs)
         plan = self._row_plan(attrs)
-        with open(partition.path, newline="") as fh:
+        with open(_local_path(partition.path), newline="") as fh:
             # quoted, quote-escaped-by-doubling — same dialect as the JVM read
             for row in csv.reader(fh):
                 padded = (row + [None] * n)[:n]
@@ -312,7 +322,7 @@ class SynapseLinkStreamReader(DataSourceStreamReader):
 
         try:
             table = pacsv.read_csv(
-                partition.path,
+                _local_path(partition.path),
                 read_options=pacsv.ReadOptions(column_names=[a.name for a in attrs]),
                 parse_options=pacsv.ParseOptions(
                     quote_char='"',
@@ -327,7 +337,7 @@ class SynapseLinkStreamReader(DataSourceStreamReader):
             )
         except pa.ArrowInvalid:
             # whole-file fallback (still Arrow out — modes never mix)
-            with open(partition.path, newline="") as fh:
+            with open(_local_path(partition.path), newline="") as fh:
                 rows = rows_from_text(fh.read().splitlines())
             if rows:
                 yield self._rows_to_batch(rows, fields, partition.folder)

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .cdm import CdmEntity, parse_model, paths_are_line_splittable, read_entity_csv
 
 FOLDER_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}\.\d{2}\.\d{2}Z$")
+_SCHEME_RE = re.compile(r"^[a-z][a-z0-9+.\-]*://", re.IGNORECASE)
 
 
 @dataclass(frozen=True)
@@ -39,31 +40,116 @@ class BatchFolder:
     path: str
 
 
+class _LocalIO:
+    """Driver-side metadata I/O on a plain local path."""
+
+    def read_text(self, path: str) -> str | None:
+        try:
+            with open(path) as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path) if os.path.isdir(path) else []
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+
+class _HadoopIO:
+    """Driver-side metadata I/O through the Hadoop FileSystem API (A5).
+
+    This is the SAME interface the ABFS/S3A/GCS connectors implement, so a
+    source root like ``abfss://container@account.dfs.core.windows.net/sl``
+    lists folders, reads ``changelog.info``, and fetches ``model.json``
+    through the authenticated connector (``apply_azure_conf`` maps the
+    reference's storageConnection block onto its ``fs.azure.*`` keys,
+    crd-microsoft-synapse.yaml:499-539). Locally the identical code path is
+    exercised with ``file://`` roots (tests/test_lifecycle.py) — the only
+    untested part in this jar-less sandbox is the ABFS jar itself."""
+
+    def __init__(self):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "a scheme'd source root needs an active SparkSession "
+                "(Hadoop FileSystem access goes through the JVM)"
+            )
+        sc = spark.sparkContext
+        self._jvm = sc._jvm
+        self._conf = sc._jsc.hadoopConfiguration()
+
+    def _jpath(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, jpath):
+        return jpath.getFileSystem(self._conf)
+
+    def read_text(self, path: str) -> str | None:
+        jp = self._jpath(path)
+        fs = self._fs(jp)
+        if not fs.exists(jp):
+            return None
+        stream = fs.open(jp)
+        try:
+            baos = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+            return bytes(baos.toByteArray()).decode("utf-8")
+        finally:
+            stream.close()
+
+    def listdir(self, path: str) -> list[str]:
+        jp = self._jpath(path)
+        fs = self._fs(jp)
+        if not fs.exists(jp):
+            return []
+        return [s.getPath().getName() for s in fs.listStatus(jp)]
+
+    def isdir(self, path: str) -> bool:
+        jp = self._jpath(path)
+        fs = self._fs(jp)
+        return fs.exists(jp) and fs.getFileStatus(jp).isDirectory()
+
+    def exists(self, path: str) -> bool:
+        jp = self._jpath(path)
+        return self._fs(jp).exists(jp)
+
+
 class SynapseLinkSource:
     def __init__(self, root: str, entity_name: str):
         self.root = root
         self.entity_name = entity_name
+        self._io_impl: _LocalIO | _HadoopIO | None = None
+
+    def _io(self) -> _LocalIO | _HadoopIO:
+        # lazy: a Hadoop-FS root resolves its FileSystem on first use so the
+        # source can be constructed before the SparkSession exists
+        if self._io_impl is None:
+            self._io_impl = _HadoopIO() if _SCHEME_RE.match(self.root) else _LocalIO()
+        return self._io_impl
 
     # ---- offsets (A1) ----------------------------------------------------
     def changelog_head(self) -> str | None:
         """Read Changelog/changelog.info → newest complete batch folder."""
         info = os.path.join(self.root, "Changelog", "changelog.info")
-        try:
-            with open(info) as fh:
-                head = fh.read().strip()
-                return head or None
-        except FileNotFoundError:
+        txt = self._io().read_text(info)
+        if txt is None:
             return None
+        return txt.strip() or None
 
     # ---- folder planning (A2 + B5) ----------------------------------------
     def list_folders(
         self, after: str | None = None, up_to: str | None = None
     ) -> list[BatchFolder]:
         """Batch folders with names in ``(after, up_to]``, version order."""
-        if not os.path.isdir(self.root):
-            return []
         out = []
-        for name in sorted(os.listdir(self.root)):
+        for name in sorted(self._io().listdir(self.root)):
             if not FOLDER_RE.match(name):
                 continue
             if after is not None and name <= after:
@@ -90,9 +176,9 @@ class SynapseLinkSource:
             candidates.append(os.path.join(folder.path, "model.json"))
         candidates.append(os.path.join(self.root, "model.json"))
         for path in candidates:
-            if os.path.exists(path):
-                with open(path) as fh:
-                    model = parse_model(fh.read())
+            txt = self._io().read_text(path)
+            if txt is not None:
+                model = parse_model(txt)
                 if self.entity_name in model:
                     return model[self.entity_name]
         raise FileNotFoundError(f"no model.json declares entity {self.entity_name!r}")
@@ -101,11 +187,9 @@ class SynapseLinkSource:
     def batch_csvs(self, folder: BatchFolder) -> list[str]:
         """CSV chunk paths of one batch folder (empty if none)."""
         entity_dir = os.path.join(folder.path, self.entity_name)
-        if not os.path.isdir(entity_dir):
-            return []
         return [
             os.path.join(entity_dir, f)
-            for f in sorted(os.listdir(entity_dir))
+            for f in sorted(self._io().listdir(entity_dir))
             if f.endswith(".csv")
         ]
 

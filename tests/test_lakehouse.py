@@ -94,9 +94,41 @@ def test_merge_capable_catalog_probe_empty_without_jars(spark):
     assert merge_capable_catalogs(spark) == {}
 
 
-@pytest.mark.skipif(True, reason="no lakehouse jars in this container")
+def _delta_available() -> bool:
+    """Capability probe, not a hard-coded skip: True when the delta-spark
+    package (public PyPI) and its jars are importable. In THIS container it
+    is False — `import delta` fails, pyspark/jars has no delta/iceberg jar,
+    and the sandbox has no network to fetch either (verified 2026-08-13;
+    installs are disallowed here anyway) — so the e2e stays skipped, but
+    any environment with delta-spark installed runs it live without edits."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _delta_available(), reason="delta-spark not installed")
 def test_lakehouse_e2e_cdc(spark):  # pragma: no cover — runs where jars exist
     cats = merge_capable_catalogs(spark)
+    if not cats:
+        # configure an ephemeral Delta catalog on a fresh session so the
+        # probe has something real to find
+        from delta import configure_spark_with_delta_pip
+        from pyspark.sql import SparkSession
+
+        builder = (
+            SparkSession.builder.master("local[4]")
+            .appName("delta-e2e")
+            .config("spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension")
+            .config(
+                "spark.sql.catalog.spark_catalog",
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+            )
+        )
+        spark = configure_spark_with_delta_pip(builder).getOrCreate()
+        cats = merge_capable_catalogs(spark)
     if not cats:
         pytest.skip("no merge-capable catalog configured")
     name, dialect = next(iter(cats.items()))

@@ -353,6 +353,52 @@ def test_azure_storage_connection_mapping(spark):
     assert got == "OAuth"
 
 
+def test_cdc_e2e_over_hadoop_filesystem_root(spark, tmp_path):
+    """A5 e2e on a NON-os.path source root: the full CDC scenario (backfill
+    → delete/upsert batch → watermark advance) with the source root given
+    as a ``file://`` URI, so every metadata operation — changelog read,
+    folder listing, model.json fetch, chunk discovery — goes through the
+    Hadoop FileSystem java API (_HadoopIO), the exact interface the ABFS/
+    S3A connectors implement. The only thing this cannot cover in a
+    jar-less sandbox is the ABFS jar itself (auth/retry keys are mapped and
+    asserted above)."""
+    from arcane_stream_microsoft_synapse_link_spark.sources.synapse import (
+        SynapseLinkSource,
+        _HadoopIO,
+    )
+    from arcane_stream_microsoft_synapse_link_spark.streaming.runner import (
+        StreamRunner,
+        StreamSpec,
+    )
+    from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+
+    from .synapse_fixture import BASE_VERSION, ENTITY, KEYS, SynapseFixture, minus
+
+    fx = SynapseFixture(tmp_path / "source")
+    fx.upload_batch(minus(hours=2), update_changelog=True)
+
+    spec = StreamSpec(
+        entity_name=ENTITY,
+        source_root=f"file://{tmp_path}/source",  # scheme'd → _HadoopIO
+        target_root=str(tmp_path / "target"),
+    )
+    runner = StreamRunner(spark, spec)
+    assert isinstance(runner.source._io(), _HadoopIO)
+    assert runner.backfill() > 0
+
+    fx.upload_batch(minus(minutes=15), add_delete=True, add_upsert=True, update_changelog=True)
+    assert runner.run_once() == 1
+
+    df = VersionedTable(spec.target_root).read(spark)
+    state = {r["Id"]: r["versionnumber"] for r in df.select("Id", "versionnumber").collect()}
+    assert len(state) == 5 - 1 + 2
+    assert KEYS[0] not in state
+    assert state[KEYS[1]] == BASE_VERSION + 100
+    assert runner.table.watermark() == SynapseLinkSource(
+        str(tmp_path / "source"), ENTITY
+    ).changelog_head()
+
+
 def test_time_travel_reads(spark, tmp_path):
     """read(version=) returns the exact earlier snapshot until expiry
     reclaims it (Iceberg VERSION AS OF analog)."""

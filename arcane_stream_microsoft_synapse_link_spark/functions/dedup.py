@@ -207,9 +207,21 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bh")
 
+    # Cap BEFORE collecting: row_number over the bucket (spillable external
+    # sort on the same shuffle key) keeps only the first max_bucket ids, so
+    # no aggregation buffer ever holds a degenerate bucket in full —
+    # collect_list-then-slice would materialize a 10M-id bucket on one
+    # reducer's heap first. Ordering by _id preserves the exact "first
+    # max_bucket sorted ids" semantics of the sliced form (skew probe:
+    # tests/test_skew.py::test_lsh_degenerate_bucket_bounded).
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("band", "bh").orderBy("_id")
     buckets = (
-        banded.groupBy("band", "bh")
-        .agg(F.slice(F.sort_array(F.collect_list("_id")), 1, max_bucket).alias("ids"))
+        banded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_bucket)
+        .groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
     pairs = buckets.select(

@@ -100,3 +100,29 @@ def test_repetition_filter_two_agg_exchanges(spark):
     plan = plan_of(QUERIES["ops_repetition_filter"](spark, SF_SMOKE))
     assert plan.count("Exchange (") <= 3
     assert "Join" not in plan
+
+
+def test_rows_only_entries_carry_stable_self_hash(spark):
+    """Every rows-only entry (no SQL oracle → the driver gate checks only
+    count+schema) pins its VALUES via constant self_rows/self_hash columns
+    (order-independent bit_xor of xxhash64). Two independent runs of each
+    entry must produce the identical fingerprint — a determinism pin that
+    turns the rows-only check into a value check."""
+    from arcane_stream_microsoft_synapse_link_spark.plans import ORACLE
+
+    rows_only = [n for n in QUERIES if n not in ORACLE]
+    assert len(rows_only) == 13
+    for name in rows_only:
+        fps = []
+        for _ in range(2):
+            df = QUERIES[name](spark, SF_SMOKE)
+            assert {"self_rows", "self_hash"} <= set(df.columns), name
+            rows = df.collect()
+            if not rows:  # empty result at smoke scale → nothing to pin
+                fps.append((0, None))
+                continue
+            hs = {r["self_hash"] for r in rows}
+            rs = {r["self_rows"] for r in rows}
+            assert len(hs) == 1 and rs == {len(rows)}, name
+            fps.append((len(rows), hs.pop()))
+        assert fps[0] == fps[1], (name, fps)

@@ -915,6 +915,189 @@ ORACLE["ops_vocab_coverage"] = """
 """
 
 
+@query("ops_boilerplate_spans")
+def ops_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection — the repeated-span curation primitive: a
+    5-word gram occurring in ≥3 distinct documents is boilerplate; each
+    doc reports its gram count and the ppm fraction of gram instances
+    that are boilerplate (exact integer DIV — no float policy).
+
+    Scale shape: gram explosion is corpus-linear (one instance per token
+    position); doc-frequency is one hash-shuffle with map-side combine on
+    the gram; the instances⟶common join shuffles on the gram key (AQE
+    broadcasts when the common set is small). No window over the corpus,
+    no cross product."""
+    t = Tables(spark, sf_dir)
+    w = F.regexp_extract_all(F.lower("text"), F.lit(X.WORD_RE), 0)
+    grams = (
+        t.documents.select("doc_id", w.alias("w"))
+        .where(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 4),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
+                )
+            ).alias("gram"),
+        )
+    )
+    dfreq = grams.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
+    common = dfreq.where(F.col("df") >= 3).select("gram")
+    tagged = grams.join(common.withColumn("_c", F.lit(1)), "gram", "left")
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_c").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.expr("CAST((n_boiler * 1000000) DIV n_grams AS BIGINT)").alias("boiler_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["ops_boilerplate_spans"] = """
+    WITH g AS (
+        SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                    FROM documents)
+              WHERE len(w) >= 5)),
+    df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+    common AS (SELECT gram FROM df WHERE df >= 3)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(COUNT(c.gram) * 1000000 // COUNT(*) AS BIGINT) AS boiler_ppm
+    FROM g LEFT JOIN common c USING (gram)
+    GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+@query("ops_mixture_weights")
+def ops_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights — per-source repeat factor to equalize the
+    token budget across sources (the training-mixture primitive): with
+    target = total_tokens DIV n_sources, weight_ppm = target·1e6 DIV
+    source_tokens (>1e6 ⇒ upsample, <1e6 ⇒ downsample). Exact integer
+    arithmetic end-to-end. One partial-agg shuffle on source + a 1-row
+    broadcast of the totals."""
+    t = Tables(spark, sf_dir)
+    per_src = t.documents.groupBy("source").agg(
+        F.sum(X.token_count(F.col("text"))).alias("src_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("_total"), F.count(F.lit(1)).alias("_nsrc")
+    )
+    return (
+        per_src.join(F.broadcast(totals))
+        .select(
+            "source",
+            "src_tokens",
+            F.expr(
+                "CAST(((_total DIV _nsrc) * 1000000) DIV src_tokens AS BIGINT)"
+            ).alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["ops_mixture_weights"] = r"""
+    WITH s AS (
+        SELECT source, SUM(len(regexp_extract_all(text, '\S+'))) AS src_tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT SUM(src_tokens) AS total, COUNT(*) AS nsrc FROM s)
+    SELECT source, src_tokens,
+           CAST(((total // nsrc) * 1000000) // src_tokens AS BIGINT) AS weight_ppm
+    FROM s, tot ORDER BY source
+"""
+
+
+@query("ops_token_rarity")
+def ops_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-rarity score — mean global frequency rank of the
+    doc's tokens (rank 1 = most common), in exact integer arithmetic:
+    rarity = sum(rank)·1e6 DIV n_tokens. A log-free, hash-stable stand-in
+    for unigram-LM scoring (ln() differs by ulps across engines; ranks
+    don't).
+
+    Scale shape: the ranking window runs over the VOCABULARY (≪ corpus),
+    the per-doc mean is a hash aggregate after a vocab join that AQE
+    broadcasts when the vocab is small."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(X.WORD_RE), 0)).alias("word"),
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = vocab.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("cnt"), "word")).cast("bigint")
+    )
+    return (
+        toks.join(ranked.select("word", "rank"), "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("rank").alias("_sr"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("CAST((_sr * 1000000) DIV n_tokens AS BIGINT)").alias("rarity_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["ops_token_rarity"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents),
+    vocab AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+    ranked AS (SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank FROM vocab)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(rank) * 1000000 // COUNT(*) AS BIGINT) AS rarity_ppm
+    FROM toks JOIN ranked USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("ops_dedup_accounting")
+def ops_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dedup accounting — docs, unique bodies, and the
+    duplicate fraction (ppm) within each source: the visibility primitive
+    a curation run reports before/after dedup. One shuffle on
+    (source, md5) with map-side combine, then a per-source rollup."""
+    t = Tables(spark, sf_dir)
+    per_hash = t.documents.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(F.sum("n").alias("n_docs"), F.count(F.lit(1)).alias("n_unique"))
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.expr("CAST(((n_docs - n_unique) * 1000000) DIV n_docs AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["ops_dedup_accounting"] = """
+    WITH h AS (SELECT source, md5(text) AS h, COUNT(*) AS n
+               FROM documents GROUP BY source, md5(text))
+    SELECT source, SUM(n) AS n_docs, COUNT(*) AS n_unique,
+           CAST((SUM(n) - COUNT(*)) * 1000000 // SUM(n) AS BIGINT) AS dup_ppm
+    FROM h GROUP BY source ORDER BY source
+"""
+
+
 @query("ops_cube_agg")
 def ops_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation — the one grouping variant q13 (ROLLUP) / q14

@@ -1098,6 +1098,96 @@ ORACLE["ops_dedup_accounting"] = """
 """
 
 
+@query("ops_hash_split")
+def ops_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the reproducible-split
+    primitive: split = md5(content)-prefix mod 100 bucketed 90/5/5, so the
+    assignment is stable across engines, runs, and partitionings (content-
+    keyed, not position-keyed — a re-shuffled corpus keeps its split).
+    md5 is the cross-engine-stable hash (Spark xxhash64 has no DuckDB
+    twin); the mod arrives via conv(hex prefix), verified bit-identical.
+    One partial-agg shuffle on (source, split)."""
+    t = Tables(spark, sf_dir)
+    bucket = F.expr("CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT) % 100")
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        t.documents.select(split.alias("split"), "source", X.token_count(F.col("text")).alias("_tok"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_tok").alias("n_tokens"))
+        .orderBy("source", "split")
+    )
+
+
+ORACLE["ops_hash_split"] = r"""
+    WITH d AS (
+        SELECT source,
+               CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS b,
+               len(regexp_extract_all(text, '\S+')) AS tok
+        FROM documents)
+    SELECT source,
+           CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
+    FROM d GROUP BY 1, 2 ORDER BY source, split
+"""
+
+
+@query("ops_ngram_novelty")
+def ops_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty — the incremental-crawl curation metric: the
+    ppm fraction of a doc's 5-gram instances whose gram is first seen in
+    THIS doc (gram's minimum doc_id == doc_id; corpus order = doc_id
+    order). A doc full of previously-seen grams scores ~0. One gram
+    doc-frequency shuffle (min combine) + the join back; exact integers."""
+    t = Tables(spark, sf_dir)
+    w = F.regexp_extract_all(F.lower("text"), F.lit(X.WORD_RE), 0)
+    grams = (
+        t.documents.select("doc_id", w.alias("w"))
+        .where(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 4),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
+                )
+            ).alias("gram"),
+        )
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.expr("CAST((_novel * 1000000) DIV n_grams AS BIGINT)").alias("novel_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["ops_ngram_novelty"] = """
+    WITH g AS (
+        SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                    FROM documents)
+              WHERE len(w) >= 5)),
+    fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS novel_ppm
+    FROM g JOIN fs USING (gram)
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 @query("ops_cube_agg")
 def ops_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation — the one grouping variant q13 (ROLLUP) / q14

@@ -129,6 +129,12 @@ def main() -> None:
     if "cdc" in result:
         compact["cdc"] = result["cdc"]
     line = json.dumps(compact, separators=(",", ":")) + "\n"
+    if len(line) > 1950:
+        # the driver json-parses only the LAST ~2000 bytes of stdout; with
+        # 95 queries the 2-dp line is ~1820 B — if the surface grows past
+        # the window, degrade per-query precision to 1 dp before overflowing
+        compact["queries"] = {k: round(v, 1) for k, v in compact["queries"].items()}
+        line = json.dumps(compact, separators=(",", ":")) + "\n"
     sys.stdout.flush()
     os.write(real_stdout, line.encode())
     os.close(real_stdout)

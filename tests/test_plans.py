@@ -126,3 +126,32 @@ def test_rows_only_entries_carry_stable_self_hash(spark):
             assert len(hs) == 1 and rs == {len(rows)}, name
             fps.append((len(rows), hs.pop()))
         assert fps[0] == fps[1], (name, fps)
+
+
+def test_boilerplate_spans_no_cartesian(spark):
+    """Gram explosion is corpus-linear; doc-frequency + join-back are
+    hash-shuffles on the gram key — never a cross product, never a window
+    over the corpus."""
+    plan = plan_of(QUERIES["ops_boilerplate_spans"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_token_rarity_window_is_vocab_sized(spark):
+    """The only window (the rank) runs AFTER the vocab aggregation — over
+    word/cnt, never over per-instance corpus rows."""
+    plan = plan_of(QUERIES["ops_token_rarity"](spark, SF_SMOKE))
+    i = plan.index("Window")
+    j = plan.index("Generate", i)  # the token explode below it
+    # between the window and the raw-token Generate sits the vocab aggregate:
+    # the window's direct input is (word, cnt), never per-instance rows
+    assert "HashAggregate" in plan[i:j], plan[i:j]
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_split_single_agg_shuffle(spark):
+    """Content-keyed split: one scan, one partial-agg exchange on
+    (source, split), the sort — no join, no window."""
+    plan = plan_of(QUERIES["ops_hash_split"](spark, SF_SMOKE))
+    assert plan.count("Exchange (") <= 2  # agg shuffle + final sort range
+    assert "Join" not in plan and "Window" not in plan

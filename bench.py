@@ -210,6 +210,10 @@ def cdc_bench(spark) -> dict:
             out["readstream_rows_per_sec"] = _readstream_bench(spark, tmp)
         except Exception as exc:
             out["readstream_error"] = f"{type(exc).__name__}: {exc}"[:120]
+        try:
+            out["multi_entity_rows_per_sec"] = _multi_entity_bench(spark, tmp)
+        except Exception as exc:
+            out["multi_entity_error"] = f"{type(exc).__name__}: {exc}"[:120]
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -247,6 +251,75 @@ def _readstream_bench(spark, tmp: str) -> float:
     took = time.perf_counter() - t0
     # availableNow drains ALL folders incl. the 20k-row base: 60k rows total
     return round(60000 / took, 1)
+
+
+def _multi_entity_bench(spark, tmp: str) -> float:
+    """Aggregate change-capture intake with FOUR entity streams in ONE
+    Spark app (MultiEntityRunner: thread-per-entity concurrent jobs over
+    shared executors — the reference runs one process per entity). Each
+    entity gets its own 5k-row backfill + 10k-row change window; the
+    timed tick drains all four concurrently: 40k rows total, same volume
+    as the single-entity window, so the two rates are directly
+    comparable."""
+    import time
+    from datetime import datetime, timedelta
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.runner import (
+        MultiEntityRunner,
+        StreamSpec,
+    )
+    from tests.synapse_fixture import ENTITY, SynapseFixture, data_row, delete_row, model_json
+
+    base_ts = datetime(2021, 7, 1, 12, 0, 0)
+    n = 5000
+    v0 = 6_000_000_000
+    specs = []
+    fxs = []
+    for e in range(4):
+        root = os.path.join(tmp, f"me{e}")
+        fx = SynapseFixture(os.path.join(root, "source"))
+
+        def key(i: int) -> str:
+            return f"{i:08d}-aaaa-bbbb-cccc-ddddeeee{e:04d}"
+
+        def write_folder(ts, rows):
+            name = fx.folder_name(ts)
+            d = os.path.join(fx.root, name, ENTITY)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(fx.root, name, "model.json"), "w") as fh:
+                fh.write(model_json())
+            with open(os.path.join(d, "data.csv"), "w") as fh:
+                fh.write("\n".join(rows) + "\n")
+            return name
+
+        write_folder(
+            base_ts - timedelta(hours=2), [data_row(key(i), v0 + i, f"D{i}") for i in range(n)]
+        )
+        upd = [data_row(key(i), v0 + n + i, f"U{i}") for i in range(n // 2)] + [
+            data_row(key(n + i), v0 + i, f"N{i}") for i in range(n // 2)
+        ]
+        write_folder(base_ts - timedelta(minutes=30), upd)
+        dels = [delete_row(key(i), v0 + 2 * n + i) for i in range(n // 10)]
+        stale = [data_row(key(i), v0 + i, f"D{i}") for i in range(n // 10, n)]
+        f3 = write_folder(base_ts - timedelta(minutes=10), dels + stale)
+        fx.set_changelog(fx.folder_name(base_ts - timedelta(hours=2)))
+        fxs.append((fx, f3))
+        specs.append(
+            StreamSpec(
+                entity_name=ENTITY,
+                source_root=fx.root,
+                target_root=os.path.join(root, "target"),
+            )
+        )
+
+    multi = MultiEntityRunner(spark, specs, max_workers=4)
+    multi.backfill_all()
+    for fx, f3 in fxs:
+        fx.set_changelog(f3)
+    t0 = time.perf_counter()
+    multi.run_once_all()
+    took = time.perf_counter() - t0
+    return round(4 * 2 * n / took, 1)  # 4 entities x 10k changed rows
 
 
 def _cdc_scenario(spark, root: str, n: int, base_ts) -> dict:

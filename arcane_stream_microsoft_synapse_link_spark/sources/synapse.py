@@ -122,17 +122,32 @@ class _HadoopIO:
 
 
 class SynapseLinkSource:
-    def __init__(self, root: str, entity_name: str):
+    def __init__(self, root: str, entity_name: str, io=None):
+        """``io`` injects a metadata-I/O implementation (e.g.
+        ``objectstore.S3StoreIO`` against an S3-compatible endpoint when no
+        ``s3a`` jar is on the classpath); default resolution stays
+        scheme-based: Hadoop FileSystem for scheme'd roots, local otherwise.
+        """
         self.root = root
         self.entity_name = entity_name
-        self._io_impl: _LocalIO | _HadoopIO | None = None
+        self._io_impl = io
 
-    def _io(self) -> _LocalIO | _HadoopIO:
+    def _io(self):
         # lazy: a Hadoop-FS root resolves its FileSystem on first use so the
         # source can be constructed before the SparkSession exists
         if self._io_impl is None:
             self._io_impl = _HadoopIO() if _SCHEME_RE.match(self.root) else _LocalIO()
         return self._io_impl
+
+    def _data_paths(self, paths: list[str]) -> list[str]:
+        """Paths Spark executors can read.  A Hadoop-FS root returns its
+        own paths (executors read through the connector); an IO with a
+        ``localize`` hook (jar-less object-store fallback) spools chunks
+        and returns local paths — see objectstore.py's data-plane note."""
+        io = self._io()
+        if paths and hasattr(io, "localize"):
+            return io.localize(paths)
+        return paths
 
     # ---- offsets (A1) ----------------------------------------------------
     def changelog_head(self) -> str | None:
@@ -197,7 +212,7 @@ class SynapseLinkSource:
         self, spark: SparkSession, folder: BatchFolder, parity_known: bool = False
     ) -> DataFrame | None:
         """All CSV chunks of one batch folder as one typed DataFrame."""
-        csvs = self.batch_csvs(folder)
+        csvs = self._data_paths(self.batch_csvs(folder))
         if not csvs:
             return None
         return read_entity_csv(
@@ -213,7 +228,7 @@ class SynapseLinkSource:
         count job over all pending CSVs, not one job per folder."""
         from pyspark.sql import functions as F
 
-        all_csvs = [p for f in folders for p in self.batch_csvs(f)]
+        all_csvs = self._data_paths([p for f in folders for p in self.batch_csvs(f)])
         parity_known = bool(all_csvs) and paths_are_line_splittable(spark, all_csvs)
         tagged = [
             d.select(F.lit(f.name).alias("__folder"))
@@ -241,7 +256,11 @@ class SynapseLinkSource:
         line-splittability quote-parity probe — schema-independent and
         potentially an eager Spark job — likewise runs ONCE over every CSV
         in the range, not once per folder."""
-        with_csvs = [(f, csvs) for f in folders if (csvs := self.batch_csvs(f))]
+        with_csvs = [
+            (f, csvs)
+            for f in folders
+            if (csvs := self._data_paths(self.batch_csvs(f)))
+        ]
         if not with_csvs:
             return None
         parity_known = paths_are_line_splittable(

@@ -114,6 +114,12 @@ class StreamSpec:
     is_unified_schema: bool = False
     # A6 staging.table.maxRowsPerFile: cap rows per written data file
     max_rows_per_file: int = 0
+    # A5 storageConnection (crd-microsoft-synapse.yaml:499-539): endpoint +
+    # shared-key/default auth + retry/page-size knobs.  For an s3://
+    # source_root this builds a boto3-backed metadata IO
+    # (sources/objectstore.py); for abfss:// roots the same block maps to
+    # fs.azure.* conf via azure_hadoop_conf and this field stays None.
+    storage_connection: dict | None = None
 
 
 @dataclass
@@ -126,7 +132,13 @@ class StreamRunner:
     def __init__(self, spark: SparkSession, spec: StreamSpec):
         self.spark = spark
         self.spec = spec
-        self.source = SynapseLinkSource(spec.source_root, spec.entity_name)
+        source_io = None
+        if spec.storage_connection is not None:
+            from ..sources.objectstore import S3StoreIO, is_s3_path, s3_connection
+
+            if is_s3_path(spec.source_root):
+                source_io = S3StoreIO(**s3_connection(spec.storage_connection))
+        self.source = SynapseLinkSource(spec.source_root, spec.entity_name, io=source_io)
         self.table = VersionedTable(
             spec.target_root,
             bucket_count=spec.bucket_count,

@@ -584,3 +584,114 @@ def decontaminate(
     # benchmark — one boilerplate n-gram in the eval set can contaminate a
     # large corpus fraction. AQE broadcasts it when it is actually small.
     return df.join(hits, id_col, "left_anti")
+
+
+def substring_span_stats(
+    df: DataFrame,
+    k: int = 20,
+    window: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-substring fraction via WINNOWING
+    fingerprints (Schleimer et al. 2003, the MOSS algorithm) — the
+    content-anchored approximation of suffix-array substring dedup (Lee
+    et al. 2022): hash every ``k``-char gram, select the minimum hash of
+    each sliding window of ``window`` consecutive gram hashes, and call a
+    fingerprint "duplicated" when it occurs in >= ``min_docs`` distinct
+    documents.
+
+    Why winnowing and not strided position sampling: fixed-stride windows
+    only collide when the two copies are aligned modulo the stride — a
+    copy shifted by one character is invisible.  Window-minima anchor on
+    CONTENT, so any shared substring of length >= ``window + k - 1``
+    chars is guaranteed to contribute at least one common fingerprint
+    regardless of where it sits in either document, at an expected
+    fingerprint density of ~2/(window+1) per position.
+
+    Plan shape: the per-position gram hashes and window minima are
+    computed INSIDE per-row array expressions (no explode until after
+    ``array_distinct`` of the selected minima), so shuffle volume is the
+    winnowed fingerprint set (~2n/window per doc), not the full gram
+    stream; then one fingerprint aggregate (map-side partial) and one
+    co-partitioned join back — no all-pairs stage at any corpus size.
+    ``md5`` is the gram hash because it is bit-identical across external
+    engines (oracle replay); a production run would swap ``xxhash64``
+    (cheaper, same selection semantics).  Docs shorter than
+    ``window + k - 1`` chars have no full window and report
+    ``n_fps = 0`` with ``dup_frac = 0``.
+    """
+    min_len = window + k - 1
+    # CPU-bound per-row work: when the scan yields fewer partitions than
+    # cores (one small parquet locally), spread it; no-op on a corpus that
+    # already has >= defaultParallelism input splits, so nothing extra
+    # shuffles at scale.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    n_grams = F.length(text_col) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(F.substring(F.col(text_col), i, k)),
+    )
+    # materialize the gram-hash array in its own projection: it is
+    # multi-referenced by every window slice below and must not be inlined
+    hashed = df.select(
+        F.col(id_col),
+        F.when(F.length(text_col) >= min_len, grams)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_hs"),
+    )
+    minima = F.transform(
+        F.sequence(F.lit(1), F.size("_hs") - (window - 1)),
+        lambda i: F.array_min(F.slice(F.col("_hs"), i, window)),
+    )
+    fps_arr = hashed.select(
+        id_col,
+        F.when(F.size("_hs") >= window, F.array_distinct(minima))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_fps"),
+    )
+    # explode_OUTER, not explode: InferFiltersFromGenerate rewrites a plain
+    # explode into a pre-Generate `size(_fps) > 0` Filter whose pushdown
+    # INLINES the whole winnowing expression tree — the window-minima
+    # lambda then recomputes the full gram array per window (observed 180×
+    # slowdown). The rule skips outer generates; the null row an empty
+    # array produces is dropped right after, on the generated column.
+    # localCheckpoint materializes the fingerprint stream once — it is
+    # consumed twice below (kind aggregate + join back), same pattern as
+    # the LSH pipelines.
+    fps = (
+        fps_arr.select(F.col(id_col), F.explode_outer("_fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .localCheckpoint()
+    )
+    dup_kinds = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("fp", F.lit(1).alias("dup"))
+    )
+    per_doc = (
+        fps.join(dup_kinds, "fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.count("dup").alias("n_dup_fps"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_fps", F.lit(0)).cast("bigint").alias("n_fps"),
+            F.coalesce("n_dup_fps", F.lit(0)).cast("bigint").alias("n_dup_fps"),
+            F.when(F.coalesce("n_fps", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_dup_fps").cast("double") / F.col("n_fps").cast("double")
+            )
+            .alias("dup_frac"),
+        )
+    )

@@ -478,3 +478,64 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int = 10,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): cluster embeddings, then inside each
+    cluster drop every vector whose cosine to a lower-id cluster-mate
+    reaches ``threshold`` — semantic near-duplicate pruning without any
+    all-pairs stage.
+
+    Plan shape: zero-shuffle k-means (``ivf_train``) + map-side assignment
+    (``ivf_assign``), then ONE self-join keyed on ``centroid_id`` — the
+    pairwise work is n_i² per cluster, bounded by the cluster sizes, never
+    the corpus square.  At 100 TB the knob is ``n_clusters``: it scales
+    with corpus size to hold max cluster size roughly constant (the
+    SemDedup paper runs 50k clusters for LAION-scale); a degenerate
+    cluster is the same skew problem as an LSH bucket and the same fix
+    applies (raise k, or exact-dedup first).
+
+    Drop rule: ``keep = no lower-id cluster-mate with cos >= threshold`` —
+    the standard distributed approximation of the paper's greedy sweep
+    (a chain a~b~c drops both b and c even though greedy might keep c;
+    over-dropping is the conservative direction for dedup).  Deterministic
+    given the seed: kmeans++ init, argmax ties to the lowest centroid_id,
+    and the keep rule depends only on the id order.
+    """
+    cents = ivf_train(corpus, n_clusters, id_col=id_col, vec_col=vec_col, seed=seed)
+    assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+
+    xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    a = assigned.select(
+        F.col(id_col).alias("a_id"),
+        F.col("centroid_id"),
+        xd.alias("a_vec"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b_id"),
+        F.col("centroid_id"),
+        xd.alias("b_vec"),
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .filter(cosine(F.col("a_vec"), F.col("b_vec")) >= threshold)
+        .select(F.col("a_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(dropped.withColumn("_drop", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            F.col("centroid_id").alias("cluster"),
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )

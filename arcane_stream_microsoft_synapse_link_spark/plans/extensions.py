@@ -1308,3 +1308,226 @@ def ops_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.95).alias("p95"),
     )
     return _self_check(out, "p50", "p95")
+
+
+@query("ops_substring_dedup")
+def ops_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring fraction per doc via winnowing fingerprints
+    (MOSS; content-anchored, so shifted copies are caught — see
+    functions/dedup.py:substring_span_stats for the algorithm and plan
+    shape: in-array winnowing → fingerprint agg → co-partitioned join,
+    no all-pairs)."""
+    t = Tables(spark, sf_dir)
+    return D.substring_span_stats(t.documents, k=20, window=10).orderBy("doc_id")
+
+
+ORACLE["ops_substring_dedup"] = """
+    WITH hashed AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 19),
+                              i -> md5(substr(text, CAST(i AS INT), 20))) AS hs
+        FROM documents WHERE length(text) >= 29
+    ),
+    fps AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(generate_series(1, len(hs) - 9),
+                                  i -> list_aggregate(list_slice(hs, CAST(i AS INT),
+                                                                 CAST(i AS INT) + 9),
+                                                      'min')))) AS fp
+        FROM hashed WHERE len(hs) >= 10
+    ),
+    dup_kinds AS (
+        SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_fps,
+               SUM(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_fps
+        FROM fps s LEFT JOIN dup_kinds d USING (fp)
+        GROUP BY s.doc_id
+    )
+    SELECT doc.doc_id,
+           CAST(COALESCE(p.n_fps, 0) AS BIGINT) AS n_fps,
+           CAST(COALESCE(p.n_dup_fps, 0) AS BIGINT) AS n_dup_fps,
+           CASE WHEN COALESCE(p.n_fps, 0) = 0 THEN 0.0
+                ELSE CAST(p.n_dup_fps AS DOUBLE) / CAST(p.n_fps AS DOUBLE)
+           END AS dup_frac
+    FROM documents doc LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc.doc_id
+"""
+
+
+@query("ops_embedding_outliers")
+def ops_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality outlier filter: cosine of every vector to the
+    corpus centroid, flagging far-from-centroid vectors — the standard
+    embedding-space junk screen before clustering/semantic dedup.
+
+    Contract-stable across engines by the q31 recipe: inputs quantized to
+    exact integers (``floor(x*1e6 + 0.5)`` of the SAME double → identical
+    in both engines), all sums exact integer/DECIMAL arithmetic
+    (order-independent — the ``1/n`` of the centroid mean cancels out of
+    the cosine, so only integer per-dim SUMS appear), then one identical
+    chain of correctly-rounded double ops (cast → sqrt → mul → div) —
+    bit-equal output with NO rounding policy anywhere.
+
+    Plan shape: one posexplode scan with map-side partial aggregation for
+    the 64 per-dim sums (shuffle carries dims × partitions rows), the
+    tiny sum-vector broadcast back, and a single map-side projection for
+    the per-vector cosine — scales to any corpus size."""
+    t = Tables(spark, sf_dir)
+    qx = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * 1000000 + F.lit(0.5)).cast("bigint"),
+    )
+    emb = t.embeddings.select("vec_id", qx.alias("q"))
+    sums = (
+        emb.select(F.posexplode("q").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("ss"))
+        .select(
+            F.transform("ss", lambda e: e["s"]).alias("svec"),
+            F.aggregate(
+                F.transform(
+                    "ss",
+                    lambda e: (
+                        e["s"].cast("decimal(19,0)") * e["s"].cast("decimal(19,0)")
+                    ).cast("decimal(38,0)"),
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, v: acc + v,
+            ).alias("nc"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    out = (
+        emb.crossJoin(F.broadcast(sums))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "q", "svec", lambda a, b: (dec(a) * b.cast("decimal(20,0)")).cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+            F.aggregate(
+                F.transform("q", lambda a: (dec(a) * a.cast("decimal(20,0)")).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, v: acc + v,
+            ).alias("nx"),
+            F.col("nc"),
+        )
+        .select(
+            "vec_id",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("nx").cast("double")) * F.sqrt(F.col("nc").cast("double")))
+            ).alias("cos_centroid"),
+        )
+        .withColumn("is_outlier", F.col("cos_centroid") < F.lit(-0.15))
+        .orderBy("vec_id")
+    )
+    return out
+
+
+ORACLE["ops_embedding_outliers"] = """
+    WITH xq AS (
+        SELECT vec_id, CAST(i AS INT) AS i,
+               CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS q
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+    ),
+    cent AS (SELECT i, CAST(SUM(q) AS BIGINT) AS s FROM xq GROUP BY i),
+    nc AS (
+        SELECT SUM(CAST(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
+                        AS DECIMAL(38,0))) AS n2
+        FROM cent
+    ),
+    dots AS (
+        SELECT x.vec_id,
+               SUM(CAST(CAST(x.q AS DECIMAL(18,0)) * CAST(c.s AS DECIMAL(20,0))
+                        AS DECIMAL(38,0))) AS dot,
+               SUM(CAST(CAST(x.q AS DECIMAL(18,0)) * CAST(x.q AS DECIMAL(20,0))
+                        AS DECIMAL(38,0))) AS nx
+        FROM xq x JOIN cent c USING (i) GROUP BY x.vec_id
+    )
+    SELECT vec_id,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos_centroid,
+           (CAST(dot AS DOUBLE)
+             / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))) < -0.15 AS is_outlier
+    FROM dots, nc ORDER BY vec_id
+"""
+
+
+@query("ops_length_histogram")
+def ops_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length histogram per source with cumulative share — the
+    length-distribution profile behind truncation/filter threshold
+    choices.  Counts are exact integers; the cumulative fraction is
+    ``floor(1e6 * cum/total + 0.5)`` of integer ratios — two
+    correctly-rounded double ops on identical integers, bit-equal across
+    engines."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    bucket = F.floor(F.col("n_chars").cast("double") / F.lit(100.0)).cast("int")
+    hist = (
+        t.documents.groupBy(F.col("source"), bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+    w = W.partitionBy("source").orderBy("bucket")
+    wall = W.partitionBy("source")
+    return (
+        hist.withColumn(
+            "cum_frac_fp",
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    F.sum("n_docs").over(w).cast("double")
+                    / F.sum("n_docs").over(wall).cast("double")
+                )
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+ORACLE["ops_length_histogram"] = """
+    WITH hist AS (
+        SELECT source,
+               CAST(FLOOR(CAST(n_chars AS DOUBLE) / 100.0) AS INT) AS bucket,
+               COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT source, bucket, n_docs, min_chars, max_chars,
+           CAST(FLOOR(1000000.0 * (
+                  CAST(SUM(n_docs) OVER (PARTITION BY source ORDER BY bucket) AS DOUBLE)
+                  / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE)
+                ) + 0.5) AS BIGINT) AS cum_frac_fp
+    FROM hist ORDER BY source, bucket
+"""
+
+
+@query("ops_semantic_dedup")
+def ops_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup keep/drop decisions (cluster + within-cluster cosine
+    prune; functions/similarity.py:semantic_dedup).  Seeded and
+    deterministic; rows-only at the gate with the keep/cluster decisions
+    pinned by the self-check fingerprint, and planted-duplicate recall
+    verified in tests/test_functions.py."""
+    t = Tables(spark, sf_dir)
+    out = S.semantic_dedup(t.embeddings, n_clusters=10, threshold=0.5).orderBy("vec_id")
+    return _self_check(out, "vec_id", "cluster", "keep")

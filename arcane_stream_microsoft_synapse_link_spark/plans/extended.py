@@ -799,3 +799,189 @@ ORACLE["q48_locf_gap_fill"] = """
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_type
     FROM events ORDER BY user_id, event_id LIMIT 500
 """
+
+
+@query("q49_ntile_deciles")
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile assignment + per-decile profile. The window ORDER BY
+    is made total with the o_orderkey tie-break (o_totalprice carries
+    duplicate values) so bucket membership is deterministic in both
+    engines; money sums accumulate in exact decimal (_revenue_dec
+    contract)."""
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    deciled = t.orders.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+            ).cast("double").alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE["q49_ntile_deciles"] = """
+    WITH d AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT decile, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM d GROUP BY decile ORDER BY decile
+"""
+
+
+@query("q50_listagg")
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group. Spark spells it
+    concat_ws(array_sort(collect_list(..))) — collect_list order is
+    nondeterministic but array_sort pins it; DuckDB's string_agg with
+    ORDER BY is the direct equivalent. Restricted to one segment per
+    nation to keep the concatenation bounded."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .filter(F.col("c_custkey") % 50 == 0)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.concat_ws("|", F.array_sort(F.collect_list("c_name"))).alias("members"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE["q50_listagg"] = """
+    SELECT c_nationkey, COUNT(*) AS n_members,
+           string_agg(c_name, '|' ORDER BY c_name) AS members
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey % 50 = 0
+    GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+@query("q51_bit_aggs")
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate functions (bit_and / bit_or / bit_xor) over an
+    integer expression per group — exact integer semantics, identical in
+    both engines."""
+    t = Tables(spark, sf_dir)
+    v = (F.col("l_partkey") % 4096).cast("bigint")
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.bit_and(v).alias("band"),
+            F.bit_or(v).alias("bor"),
+            F.bit_xor(v).alias("bxor"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["q51_bit_aggs"] = """
+    SELECT l_returnflag,
+           bit_and(CAST(l_partkey % 4096 AS BIGINT)) AS band,
+           bit_or(CAST(l_partkey % 4096 AS BIGINT)) AS bor,
+           bit_xor(CAST(l_partkey % 4096 AS BIGINT)) AS bxor,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("q52_median")
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group, hash-stable: computed over the
+    2-decimal fixed-point integers (floor(q*100+0.5) — never near a .5
+    boundary), where the even-count midpoint (a+b)/2 is exactly
+    representable, then divided back by the exact power of two × scale —
+    a single correctly-rounded double op in both engines."""
+    t = Tables(spark, sf_dir)
+    qi = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        t.lineitem.groupBy("l_linestatus")
+        .agg(
+            (F.median(qi) / F.lit(100.0)).alias("med_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE["q52_median"] = """
+    SELECT l_linestatus,
+           median(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS med_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+@query("q53_gaps_islands")
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive high-value events per
+    user (value > 50 ordered by ts), via the classic rn − rn_filtered
+    difference — two ranking windows sharing ONE partition-by-user sort,
+    then a per-island aggregate. Total order via the (ts, event_id)
+    tie-break."""
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = t.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("value"),
+        F.row_number().over(w_all).alias("rn"),
+    ).filter(F.col("value") > 50)
+    w_hi = W.partitionBy("user_id").orderBy("ts", "event_id")
+    islands = ranked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("rn") - F.row_number().over(w_hi)).alias("grp"),
+    )
+    return (
+        islands.groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("island_len"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .filter(F.col("island_len") >= 3)
+        .select("user_id", "island_len", "first_event", "last_event")
+        .orderBy("user_id", "first_event")
+    )
+
+
+ORACLE["q53_gaps_islands"] = """
+    WITH ranked AS (
+        SELECT user_id, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    hi AS (
+        SELECT user_id, event_id, ts,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+        FROM ranked WHERE value > 50
+    )
+    SELECT user_id,
+           COUNT(*) AS island_len,
+           MIN(event_id) AS first_event,
+           MAX(event_id) AS last_event
+    FROM hi GROUP BY user_id, grp
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id, first_event
+"""

@@ -494,9 +494,10 @@ def semantic_dedup(
     all-pairs stage.
 
     Plan shape: zero-shuffle k-means (``ivf_train``) + map-side assignment
-    (``ivf_assign``), then ONE self-join keyed on ``centroid_id`` — the
-    pairwise work is n_i² per cluster, bounded by the cluster sizes, never
-    the corpus square.  At 100 TB the knob is ``n_clusters``: it scales
+    (``ivf_assign``), then ONE shuffle on ``centroid_id`` into a
+    per-cluster vectorized GEMM (``applyInPandas``) — the pairwise work is
+    n_i² per cluster, bounded by the cluster sizes, never the corpus
+    square.  At 100 TB the knob is ``n_clusters``: it scales
     with corpus size to hold max cluster size roughly constant (the
     SemDedup paper runs 50k clusters for LAION-scale); a degenerate
     cluster is the same skew problem as an LSH bucket and the same fix
@@ -512,30 +513,30 @@ def semantic_dedup(
     cents = ivf_train(corpus, n_clusters, id_col=id_col, vec_col=vec_col, seed=seed)
     assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
 
-    xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    a = assigned.select(
-        F.col(id_col).alias("a_id"),
-        F.col("centroid_id"),
-        xd.alias("a_vec"),
-    )
-    b = assigned.select(
-        F.col(id_col).alias("b_id"),
-        F.col("centroid_id"),
-        xd.alias("b_vec"),
-    )
-    dropped = (
-        a.join(b, "centroid_id")
-        .filter(F.col("b_id") < F.col("a_id"))
-        .filter(cosine(F.col("a_vec"), F.col("b_vec")) >= threshold)
-        .select(F.col("a_id").alias(id_col))
-        .distinct()
-    )
-    return (
-        assigned.select(id_col, "centroid_id")
-        .join(dropped.withColumn("_drop", F.lit(1)), id_col, "left")
-        .select(
-            id_col,
-            F.col("centroid_id").alias("cluster"),
-            F.col("_drop").isNull().alias("keep"),
+    # Within-cluster similarity as ONE applyInPandas pass (the paper's
+    # actual structure: a per-cluster m×m GEMM), not an expression-level
+    # self-join — the join spelling evaluates an interpreted 64-dim
+    # zip_with/aggregate per candidate PAIR (measured 6.4 s at sf0.1 vs
+    # ~1 s for the GEMM).  One shuffle on centroid_id; each group must fit
+    # a worker (the paper's constraint too — n_clusters is the knob that
+    # holds max cluster size roughly constant as the corpus grows).
+    id_dtype = corpus.schema[id_col].dataType.simpleString()
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        X = _unit_rows(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))[order]
+        sims = X @ X.T
+        # drop j when ANY earlier (lower-id) cluster-mate reaches threshold
+        m = len(ids)
+        tri = np.triu(sims >= threshold, k=1)  # [i, j] with i < j in id order
+        dropped_sorted = tri.any(axis=0)
+        keep = np.empty(m, dtype=bool)
+        keep[order] = ~dropped_sorted
+        return pd.DataFrame(
+            {id_col: pdf[id_col], "cluster": pdf["centroid_id"], "keep": keep}
         )
+
+    return assigned.groupBy("centroid_id").applyInPandas(
+        prune, schema=f"{id_col} {id_dtype}, cluster int, keep boolean"
     )

@@ -505,3 +505,37 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     # random gaussian vectors at cos>=0.95: none should be dropped
     dropped_random = [i for i in range(30) if not out[i]["keep"]]
     assert dropped_random == []
+
+
+def test_winnowing_guarantee_property(spark):
+    """Winnowing's detection guarantee, adversarially: for random docs
+    with one shared block of length >= window+k-1 planted at RANDOM
+    offsets (including offsets coprime to any stride), both docs always
+    report n_dup_fps > 0; docs sharing nothing report zero."""
+    import random as _r
+
+    rng = _r.Random(23)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+
+    def rand_text(n):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    k, w = 20, 10
+    rows, expect_dup = [], set()
+    for case in range(12):
+        block = rand_text(k + w - 1 + rng.randrange(0, 30))
+        a_pre, b_pre = rand_text(rng.randrange(0, 97)), rand_text(rng.randrange(0, 97))
+        a_id, b_id = 1000 + case * 2, 1001 + case * 2
+        rows.append((a_id, a_pre + block + rand_text(rng.randrange(0, 50))))
+        rows.append((b_id, b_pre + block + rand_text(rng.randrange(0, 50))))
+        expect_dup |= {a_id, b_id}
+    # lone docs: random text, no planted block (collision odds over a
+    # 27-char alphabet at 20-gram length are nil)
+    lone = [(2000 + i, rand_text(150)) for i in range(8)]
+    rows += lone
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.substring_span_stats(df, k=k, window=w).collect()}
+    for did in expect_dup:
+        assert out[did]["n_dup_fps"] > 0, f"planted block missed in doc {did}"
+    for did, _ in lone:
+        assert out[did]["n_dup_fps"] == 0, f"false positive in lone doc {did}"

@@ -153,6 +153,133 @@ class VersionedTable:
             and os.path.isdir(os.path.join(self.root, e))
         )
 
+    def changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+        key_col: str | None = None,
+        version_col: str | None = None,
+    ) -> DataFrame:
+        """Row-level diff between two committed snapshots — the engine's
+        Change Data Feed (Delta ``table_changes`` / Iceberg incremental
+        read analog).
+
+        Returns one row per changed key with ``_change_type`` in
+        ``insert`` / ``update`` / ``delete`` plus ``_from_version`` /
+        ``_to_version``; insert/update rows carry the NEW column values,
+        delete rows the OLD ones.  Assumes the MERGE-target invariant
+        (one row per key per snapshot — what ``cdc_merge`` maintains).
+        ``version_col`` (e.g. ``versionnumber``) makes update detection a
+        cheap integer compare; without it rows are compared by xxhash64
+        over the common columns.
+
+        Scale shape: Delta materializes its CDF at WRITE time; a
+        snapshot-store diff instead costs one key-join of two versions —
+        but commits hard-link untouched bucket directories, so the diff
+        first walks both snapshots' file inodes (pure driver metadata, no
+        data I/O) and PRUNES every bucket whose file set is inode-identical:
+        only buckets a MERGE actually rewrote are read and joined, which
+        is proportional to the change volume, not the table size — the
+        same economy Iceberg gets from manifest diffing.  A key's bucket
+        is a pure function of the key, so a changed key is always inside
+        a rewritten (non-linked) bucket.  Flat (unbucketed) tables fall
+        back to the full-table join.
+        """
+        key_col = key_col or self.bucket_key
+        head = self.current_version()
+        to_v = head if to_version is None else to_version
+        if from_version >= to_v:
+            raise ValueError(f"from_version {from_version} must be < to_version {to_v}")
+
+        old_dir, new_dir = self._snapshot_dir(from_version), self._snapshot_dir(to_v)
+
+        def inodes(d: str) -> dict[str, int]:
+            out = {}
+            for r, _, files in os.walk(d):
+                for f in files:
+                    if f.startswith(("_", ".")):  # _SUCCESS/markers — not data
+                        continue
+                    p = os.path.join(r, f)
+                    out[os.path.relpath(p, d)] = os.stat(p).st_ino
+            return out
+
+        oi, ni = inodes(old_dir), inodes(new_dir)
+        changed = {rel for rel in set(oi) | set(ni) if oi.get(rel) != ni.get(rel)}
+        tops = {rel.split(os.sep, 1)[0] if os.sep in rel else "" for rel in changed}
+
+        def side(base: str, names: dict[str, int]) -> DataFrame | None:
+            if "" in tops or not tops:
+                dirs = [base] if names else []
+            else:
+                dirs = [
+                    os.path.join(base, t)
+                    for t in sorted(tops)
+                    if any(rel.startswith(t + os.sep) for rel in names)
+                ]
+            if not dirs:
+                return None
+            df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+            # __p_* / __bucket are derived layout, not table columns (a
+            # pruned read of bucket subdirs never surfaces them anyway)
+            return df.drop(
+                *[c for c in df.columns if c.startswith("__p_") or c == "__bucket"]
+            )
+
+        old_df, new_df = side(old_dir, oi), side(new_dir, ni)
+        meta = [F.lit(from_version).alias("_from_version"), F.lit(to_v).alias("_to_version")]
+        if new_df is None and old_df is None:
+            empty = self.read(spark, to_v).limit(0)
+            empty = empty.drop(*[c for c in empty.columns if c == "__bucket"])
+            return empty.select(F.lit("insert").alias("_change_type"), *meta, "*")
+
+        # update detection over the columns BOTH snapshots share (a column
+        # added by schema migration reads null on hard-linked old files and
+        # must not flag every row as updated)
+        base_old = old_df if old_df is not None else new_df.limit(0)
+        base_new = new_df if new_df is not None else old_df.limit(0)
+        common = sorted(set(base_old.columns) & set(base_new.columns))
+        # emitted rows carry the UNION schema in one canonical order (new
+        # side's order first) with typed nulls for a side's missing columns
+        # — snapshots across a schema migration coalesce cleanly
+        union_cols = list(base_new.columns) + [
+            c for c in base_old.columns if c not in base_new.columns
+        ]
+        dtypes = {f.name: f.dataType for f in base_old.schema.fields}
+        dtypes.update({f.name: f.dataType for f in base_new.schema.fields})
+
+        def prep(df: DataFrame, fp_name: str, row_name: str) -> DataFrame:
+            fp = (
+                F.col(version_col)
+                if version_col
+                else F.xxhash64(*[F.col(c) for c in common])
+            )
+            row = F.struct(
+                *[
+                    (
+                        F.col(c) if c in df.columns else F.lit(None).cast(dtypes[c])
+                    ).alias(c)
+                    for c in union_cols
+                ]
+            )
+            return df.select(F.col(key_col).alias("_k"), fp.alias(fp_name), row.alias(row_name))
+
+        o = prep(base_old, "_ofp", "_old")
+        n = prep(base_new, "_nfp", "_new")
+        j = o.join(n, "_k", "full_outer")
+        ctype = (
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .when(F.col("_new").isNull(), F.lit("delete"))
+            .when(F.col("_ofp") != F.col("_nfp"), F.lit("update"))
+        )
+        row = F.when(F.col("_new").isNotNull(), F.col("_new")).otherwise(F.col("_old"))
+        return (
+            j.withColumn("_change_type", ctype)
+            .filter(F.col("_change_type").isNotNull())
+            .select(F.col("_change_type"), *meta, row.alias("_row"))
+            .select("_change_type", "_from_version", "_to_version", "_row.*")
+        )
+
     def bucket_expr(self):
         """Deterministic merge-key bucket (bucket(arcane_merge_key, N))."""
         return F.pmod(F.xxhash64(self.bucket_key), F.lit(self.bucket_count)).cast("int")

@@ -28,7 +28,7 @@ shard-partitioned window is the declared-query spelling of the same thing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -92,4 +92,44 @@ def write_training_shards(
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight: Column,
+    k: int = 100,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``k`` rows — the
+    Efraimidis–Spirakis one-pass reservoir design (keys u_i^(1/w_i), take
+    the top k), which gives exactly the distribution of sequential
+    weighted draws without replacement.  Training mixtures use this to
+    realize per-source temperature weights as an actual subset.
+
+    Deterministic and oracle-replayable: the uniform u_i comes from the
+    row's md5 (seed-prefixed, 15 hex chars → exact BIGINT in both Spark
+    ``conv`` and DuckDB ``::UBIGINT``), and the E-S key is compared
+    through its log transform ``ln(u)/w`` — monotone in u^(1/w) but built
+    only from ln/divide, both IEEE correctly-rounded, where ``pow`` is
+    not guaranteed so and could order near-ties differently per engine.
+
+    Plan shape: pure projection → global top-k (TakeOrderedAndProject —
+    partial top-k per partition, k rows to the driver-side merge, no full
+    sort, no shuffle of the corpus). One scan at any size.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    key = F.log(u) / weight.cast("double")
+    return (
+        df.select(F.col(id_col), weight.cast("bigint").alias("w"), key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .limit(k)
     )

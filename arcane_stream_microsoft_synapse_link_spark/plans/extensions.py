@@ -1531,3 +1531,65 @@ def ops_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     out = S.semantic_dedup(t.embeddings, n_clusters=10, threshold=0.5).orderBy("vec_id")
     return _self_check(out, "vec_id", "cluster", "keep")
+
+
+@query("ops_weighted_sample")
+def ops_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample without replacement (k=100,
+    weight = n_chars): one scan → global top-k by the seeded-md5 E-S key
+    (functions/export.py:weighted_sample_topk). The emitted columns are
+    exact integers; the continuous sort key stays internal (ln is ~1-ulp
+    per engine — fine for ordering continuous keys, not for hashing)."""
+    t = Tables(spark, sf_dir)
+    from ..functions.export import weighted_sample_topk
+
+    return (
+        weighted_sample_topk(t.documents, F.col("n_chars"), k=100, seed=7)
+        .select("doc_id", "w")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["ops_weighted_sample"] = """
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+    FROM documents
+    ORDER BY ln(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT::DOUBLE
+               / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) DESC,
+             doc_id ASC
+    LIMIT 100
+"""
+# re-sort for the gate's hash compare (the driver sorts rows anyway, but a
+# total ORDER BY doc_id keeps row order deterministic for eyeballing)
+_ws_inner = ORACLE["ops_weighted_sample"]
+ORACLE["ops_weighted_sample"] = f"SELECT * FROM ({_ws_inner}) ORDER BY doc_id"
+
+
+@query("ops_text_normalize")
+def ops_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-dedup text normalization (the step before any fingerprinting in
+    a real pipeline): lowercase, strip control chars, collapse whitespace
+    runs, trim — chained regexp built-ins, zero shuffle — emitted as the
+    normalized md5 + length so the oracle pins the exact bytes."""
+    t = Tables(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[\\x00-\\x1f]", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    return t.documents.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    ).orderBy("doc_id")
+
+
+ORACLE["ops_text_normalize"] = r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
+                                   '\s+', ' ', 'g'))) AS norm_fp,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
+                                           '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents ORDER BY doc_id
+"""

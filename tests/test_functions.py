@@ -539,3 +539,28 @@ def test_winnowing_guarantee_property(spark):
         assert out[did]["n_dup_fps"] > 0, f"planted block missed in doc {did}"
     for did, _ in lone:
         assert out[did]["n_dup_fps"] == 0, f"false positive in lone doc {did}"
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """E-S sampling property: with weights 50 vs 1 and k = half the corpus,
+    heavy rows are selected at a much higher rate than light rows, and the
+    draw is deterministic per seed."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.export import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, 50 if i < 100 else 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, wgt long")
+    heavy_rates = []
+    for seed in (1, 2, 3):
+        got = weighted_sample_topk(df, F.col("wgt"), k=150, seed=seed, id_col="doc_id")
+        ids = {r["doc_id"] for r in got.collect()}
+        assert len(ids) == 150
+        heavy_rates.append(sum(1 for i in ids if i < 100) / 100)
+    # heavy rows (weight 50, a third of the corpus) should be nearly all
+    # selected when half the corpus is drawn
+    assert min(heavy_rates) > 0.9, heavy_rates
+    # determinism: same seed → identical draw
+    a = {r["doc_id"] for r in weighted_sample_topk(df, F.col("wgt"), k=150, seed=1).collect()}
+    b = {r["doc_id"] for r in weighted_sample_topk(df, F.col("wgt"), k=150, seed=1).collect()}
+    assert a == b

@@ -1593,3 +1593,21 @@ ORACLE["ops_text_normalize"] = r"""
                                            '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
     FROM documents ORDER BY doc_id
 """
+
+
+@query("ops_knn_pq")
+def ops_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): seeded codebooks on a
+    constant-size sample, map-side 8-byte encoding, ADC scan over codes
+    with per-partition top-R, exact rerank of the candidates
+    (functions/similarity.py:pq_topk). Rows-only at the gate (iterative
+    numpy training has no SQL twin); recall >= 0.9 vs brute force and
+    determinism asserted in tests/test_functions.py."""
+    t = Tables(spark, sf_dir)
+    queries_df = t.embeddings.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.pq_topk(
+        t.embeddings, queries_df, k=10, m=8, codes=64, rerank=100, seed=11
+    ).select("query_id", "vec_id", "rank")
+    return _self_check(out, "query_id", "vec_id", "rank")

@@ -85,6 +85,20 @@ def main() -> None:
         )
 
         tfidf_top_terms(tiny, k=2).count()
+        # prime the PQ train/encode/ADC-scan/rerank chain (measured 9.6 s
+        # cold vs 2.0 s steady for ops_knn_pq at sf0.1)
+        from arcane_stream_microsoft_synapse_link_spark.functions.similarity import (
+            pq_topk,
+        )
+
+        vecs = spark.range(64).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.col("id") * (i + 1) % 7).cast("double") for i in range(8)]).alias(
+                "embedding"
+            ),
+        )
+        q = vecs.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+        pq_topk(vecs, q, k=2, m=4, codes=4, rerank=8).count()
     except Exception:
         pass  # warmup must never fail the bench
 

@@ -564,3 +564,47 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     a = {r["doc_id"] for r in weighted_sample_topk(df, F.col("wgt"), k=150, seed=1).collect()}
     b = {r["doc_id"] for r in weighted_sample_topk(df, F.col("wgt"), k=150, seed=1).collect()}
     assert a == b
+
+
+def test_pq_topk_recall_with_rerank(spark):
+    """PQ + exact rerank on clustered embeddings: recall >= 0.9 vs brute
+    force while the ADC scan reads 8-byte codes, never raw vectors; codes
+    and the final ranking are deterministic per seed."""
+    rng = np.random.RandomState(13)
+    k_true, n, dim = 20, 1500, 64
+    centers = rng.randn(k_true, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.randint(0, k_true, n)
+    mat = centers[labels] + 0.3 * rng.randn(n, dim) / np.sqrt(dim)
+    df = spark.createDataFrame(
+        [(int(i), mat[i].tolist()) for i in range(n)], "vec_id long, embedding array<double>"
+    ).repartition(8)
+    queries = df.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = S.brute_force_topk(df, queries, k=10).collect()
+    approx = S.pq_topk(df, queries, k=10, m=8, rerank=100, seed=5).collect()
+    bset = {(r.query_id, r.vec_id) for r in brute}
+    aset = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(bset & aset) / len(bset)
+    assert recall >= 0.9, recall
+    # determinism
+    again = S.pq_topk(df, queries, k=10, m=8, rerank=100, seed=5).collect()
+    assert [(r.query_id, r.vec_id) for r in again] == [
+        (r.query_id, r.vec_id) for r in approx
+    ]
+
+
+def test_pq_encode_shape_and_compression(spark):
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(int(i), rng.randn(64).tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = S.pq_train(df, m=8, codes=16, sample_size=128, seed=1)
+    assert cb.shape == (8, 16, 8)
+    enc = S.pq_encode(df, cb).collect()
+    assert len(enc) == 200
+    for r in enc[:5]:
+        assert len(r["pq_codes"]) == 8
+        assert all(0 <= c < 16 for c in r["pq_codes"])

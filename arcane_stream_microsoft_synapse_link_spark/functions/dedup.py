@@ -695,3 +695,88 @@ def substring_span_stats(
             .alias("dup_frac"),
         )
     )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Persistable LSH index: ``(band, bh, idx_id)`` — one row per
+    (document, band) with the band's bucket hash.  This is the structure
+    an incremental pipeline stores between crawls (e.g. a parquet table
+    bucketed by ``(band, bh)``), so deduping a NEW batch never rescans or
+    re-signs the historical corpus — the core economics of dedup at a
+    growing 100 TB corpus.  Size: ``bands`` rows × 20 bytes per doc.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures_np(df, text_col, id_col, num_hashes, shingle_k, seed)
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice("_sig", b * r + 1, r)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col("_id").alias("idx_id"), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def incremental_near_duplicates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against an EXISTING corpus index
+    (``minhash_band_index`` output): sign only the new batch, bucket-join
+    its bands against the index, exact-Jaccard-verify the candidates
+    using texts fetched by semi-join — the historical corpus is never
+    re-signed and only candidate docs' texts are read.
+
+    Plan shape: new-batch signature scan (small) → join on ``(band, bh)``
+    (with the index bucketed on that key this is a pruned lookup, not a
+    full index scan) → per-bucket cap (``max_bucket`` ids per index
+    bucket, the same degenerate-bucket guard as ``lsh_candidate_pairs``)
+    → ``verify_jaccard`` over the union of the two doc sets, shingling
+    only candidates.  Returns ``(id_a = new id, id_b = matched corpus
+    id, jaccard >= threshold)``.  The caller folds the new batch into
+    the stored index with a plain append of ``minhash_band_index(new)``.
+    """
+    new_banded = minhash_band_index(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_k, seed
+    ).withColumnRenamed("idx_id", "new_id")
+    # cap fan-out per (band, bh) on the index side — a boilerplate bucket
+    # with millions of historical members would otherwise explode the join
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("band", "bh").orderBy("idx_id")
+    capped = index.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= max_bucket
+    )
+    cand = (
+        new_banded.join(capped, ["band", "bh"])
+        .where(F.col("new_id") != F.col("idx_id"))
+        .select(F.col("new_id").alias("id_a"), F.col("idx_id").alias("id_b"))
+        .distinct()
+    )
+    both = new_docs.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
+    )
+    return verify_jaccard(both, cand, text_col, id_col, shingle_k, threshold)

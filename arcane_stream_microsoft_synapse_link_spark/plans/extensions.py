@@ -1611,3 +1611,21 @@ def ops_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.embeddings, queries_df, k=10, m=8, codes=64, rerank=100, seed=11
     ).select("query_id", "vec_id", "rank")
     return _self_check(out, "query_id", "vec_id", "rank")
+
+
+@query("ops_incremental_dedup")
+def ops_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-N+1 dedup: treat the second half of the documents table as a
+    new batch arriving against a band index built from the first half —
+    only the new batch is signed; candidates come from the stored index
+    and are exact-Jaccard verified (functions/dedup.py:
+    incremental_near_duplicates). Rows-only (multi-stage LSH has no SQL
+    twin); planted-match recall in tests/test_functions.py."""
+    t = Tables(spark, sf_dir)
+    mid = t.documents.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    corpus = t.documents.where(F.col("doc_id") <= mid)
+    new_batch = t.documents.where(F.col("doc_id") > mid)
+    index = D.minhash_band_index(corpus)
+    hits = D.incremental_near_duplicates(new_batch, index, corpus, threshold=0.5)
+    out = hits.select("id_a", "id_b").orderBy("id_a", "id_b")
+    return _self_check(out, "id_a", "id_b")

@@ -608,3 +608,35 @@ def test_pq_encode_shape_and_compression(spark):
     for r in enc[:5]:
         assert len(r["pq_codes"]) == 8
         assert all(0 <= c < 16 for c in r["pq_codes"])
+
+
+def test_incremental_near_dup_against_index(spark):
+    """Crawl-N+1 dedup: only the NEW batch is signed; matches against the
+    stored band index are verified by exact Jaccard; fresh docs pass."""
+    rng = random.Random(31)
+    corpus_rows = [(i, _doc(rng)) for i in range(30)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    index = D.minhash_band_index(corpus).localCheckpoint()
+
+    near = corpus_rows[3][1].split()
+    near[5] = "mutant"
+    new_rows = [
+        (1000, corpus_rows[7][1]),          # exact copy of an indexed doc
+        (1001, " ".join(near)),             # near-dup of an indexed doc
+        (1002, _doc(rng)),                  # fresh
+        (1003, _doc(rng)),                  # fresh
+    ]
+    new_docs = spark.createDataFrame(new_rows, "doc_id long, text string")
+    hits = D.incremental_near_duplicates(new_docs, index, corpus, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in hits.collect()}
+    assert (1000, 7) in got
+    assert (1001, 3) in got
+    assert not any(a in (1002, 1003) for a, _ in got), got
+    # folding the new batch in = appending its band rows; the next batch
+    # then matches against the union
+    index2 = index.unionByName(D.minhash_band_index(new_docs)).localCheckpoint()
+    next_batch = spark.createDataFrame([(2000, new_rows[2][1])], "doc_id long, text string")
+    both = corpus.unionByName(new_docs)
+    hits2 = {(r["id_a"], r["id_b"]) for r in
+             D.incremental_near_duplicates(next_batch, index2, both, threshold=0.5).collect()}
+    assert (2000, 1002) in hits2

@@ -1629,3 +1629,76 @@ def ops_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = D.incremental_near_duplicates(new_batch, index, corpus, threshold=0.5)
     out = hits.select("id_a", "id_b").orderBy("id_a", "id_b")
     return _self_check(out, "id_a", "id_b")
+
+
+@query("ops_winsorize")
+def ops_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) per-group aggregation — the robust-statistics
+    step that stops a few spam documents from dominating a mixture
+    weight.  Clip bounds are RANK-BASED order statistics (the value at
+    row ceil(p·n) in (value, id) order), not interpolated percentiles:
+    interpolation formulas differ in double shape per engine
+    ((1−f)·a + f·b vs a + (b−a)·f — different roundings), while an
+    actual data element at an exactly-computable rank is an integer both
+    engines agree on bit-for-bit.  One window pass shares a single
+    (group, value, id) sort; everything downstream is exact integer
+    arithmetic."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = W.partitionBy("event_type").orderBy("vq", "event_id")
+    wall = W.partitionBy("event_type")
+    q = t.events.select("event_type", "event_id", vq.alias("vq")).select(
+        "event_type",
+        "vq",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    lo_rn = F.ceil(F.lit(0.05) * F.col("n")).cast("bigint")
+    hi_rn = F.ceil(F.lit(0.95) * F.col("n")).cast("bigint")
+    # bounds as a second (unordered) window over the SAME partitioning —
+    # one scan and one (event_type)-shuffle total; no re-scan + join back
+    q2 = q.select(
+        "event_type",
+        "vq",
+        "n",
+        F.max(F.when(F.col("rn") == lo_rn, F.col("vq"))).over(wall).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("vq"))).over(wall).alias("hi"),
+    )
+    return (
+        q2.groupBy("event_type", "n", "lo", "hi")
+        .agg(
+            F.sum(
+                F.least(F.greatest(F.col("vq"), F.col("lo")), F.col("hi"))
+            ).alias("clipped_sum_fp")
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["ops_winsorize"] = """
+    WITH ev AS (
+        SELECT event_type, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vq
+        FROM events
+    ),
+    q AS (
+        SELECT event_type, vq,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vq, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ev
+    ),
+    b AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT) THEN vq END) AS lo,
+               MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN vq END) AS hi,
+               MAX(n) AS n
+        FROM q GROUP BY event_type
+    )
+    SELECT ev.event_type, b.n, b.lo, b.hi,
+           CAST(SUM(LEAST(GREATEST(ev.vq, b.lo), b.hi)) AS BIGINT) AS clipped_sum_fp
+    FROM ev JOIN b USING (event_type)
+    GROUP BY ev.event_type, b.n, b.lo, b.hi
+    ORDER BY ev.event_type
+"""

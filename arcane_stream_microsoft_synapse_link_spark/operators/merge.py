@@ -59,12 +59,23 @@ def _version_expr(df: DataFrame, version_col: str, fallback: str = "sysrowversio
 
 
 def _evolve(target: DataFrame, staged: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Align schemas by name, adding missing columns as typed nulls (B10)."""
+    """Align schemas by name, adding missing columns as typed nulls (B10).
+
+    Columns present on BOTH sides with different types are reconciled
+    newest-schema-wins: the per-batch ``model.json`` is authoritative in
+    the reference (one schema per batch folder, SURVEY §1.3), so a type
+    change in a new batch — the CDM widenings ``int64 → string`` /
+    ``int64 → decimal`` — casts the TARGET's historical column to the
+    staged type.  Spark's non-ANSI cast nulls (never errors) values a
+    narrowing cast cannot represent, mirroring the null-on-empty CSV
+    coercion of the ingest path."""
     t_cols = {f.name: f.dataType for f in target.schema.fields}
     s_cols = {f.name: f.dataType for f in staged.schema.fields}
     for name, dtype in s_cols.items():
         if name not in t_cols:
             target = target.withColumn(name, F.lit(None).cast(dtype))
+        elif t_cols[name] != dtype:
+            target = target.withColumn(name, F.col(name).cast(dtype))
     for name, dtype in t_cols.items():
         if name not in s_cols:
             staged = staged.withColumn(name, F.lit(None).cast(dtype))

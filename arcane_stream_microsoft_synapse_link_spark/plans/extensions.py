@@ -1702,3 +1702,55 @@ ORACLE["ops_winsorize"] = """
     GROUP BY ev.event_type, b.n, b.lo, b.hi
     ORDER BY ev.event_type
 """
+
+
+@query("ops_data_quality")
+def ops_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality audit of the orders table — the
+    validation gate a pipeline runs before promoting a snapshot: per
+    column, null count, distinct count, and a declared-constraint verdict
+    (key uniqueness, value-domain membership, non-negativity).  One
+    unpivoted single-pass aggregate (every metric is an algebraic agg
+    with map-side partials); exact integers only."""
+    t = Tables(spark, sf_dir)
+    o = t.orders
+    checks = o.agg(
+        F.count(F.lit(1)).alias("row_cnt"),
+        F.count_distinct("o_orderkey").alias("key_distinct"),
+        F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("custkey_nulls"),
+        F.sum(F.col("o_totalprice").isNull().cast("bigint")).alias("price_nulls"),
+        F.sum((F.col("o_totalprice") < 0).cast("bigint")).alias("price_negative"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("bigint")
+        ).alias("status_out_of_domain"),
+        F.count_distinct("o_orderpriority").alias("priority_distinct"),
+    )
+    return checks.select(
+        "row_cnt",
+        "key_distinct",
+        (F.col("key_distinct") == F.col("row_cnt")).alias("key_unique"),
+        "custkey_nulls",
+        "price_nulls",
+        "price_negative",
+        "status_out_of_domain",
+        "priority_distinct",
+    )
+
+
+ORACLE["ops_data_quality"] = """
+    WITH checks AS (
+        SELECT COUNT(*) AS row_cnt,
+               COUNT(DISTINCT o_orderkey) AS key_distinct,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS custkey_nulls,
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS price_nulls,
+               CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS price_negative,
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+                   AS status_out_of_domain,
+               COUNT(DISTINCT o_orderpriority) AS priority_distinct
+        FROM orders
+    )
+    SELECT row_cnt, key_distinct, key_distinct = row_cnt AS key_unique,
+           custkey_nulls, price_nulls, price_negative, status_out_of_domain,
+           priority_distinct
+    FROM checks
+"""

@@ -375,3 +375,35 @@ def test_suspend_resume_reload_lifecycle(spark, scenario):
     assert runner.desired_state() == StreamRunner.STATE_SUSPENDED
     runner.toggle_suspend()
     assert runner.desired_state() == StreamRunner.STATE_RUNNING
+
+
+def test_merge_type_widening_newest_schema_wins(spark):
+    """B10 type evolution: a new batch whose model.json widens a column
+    (int64 → string here, the CDM widening case) casts the target's
+    historical column to the staged type; values survive the widening and
+    the version guard still applies."""
+    from arcane_stream_microsoft_synapse_link_spark.operators.merge import cdc_merge
+
+    target = spark.createDataFrame(
+        [("k1", 10, 100), ("k2", 20, 100)],
+        "arcane_merge_key string, ordinal bigint, versionnumber bigint",
+    )
+    staged = spark.createDataFrame(
+        [("k2", "twenty-one", 200), ("k3", "thirty", 100)],
+        "arcane_merge_key string, ordinal string, versionnumber bigint",
+    )
+    out = cdc_merge(target, staged)
+    assert dict(out.dtypes)["ordinal"] == "string"
+    rows = {r["arcane_merge_key"]: (r["ordinal"], r["versionnumber"]) for r in out.collect()}
+    assert rows == {
+        "k1": ("10", 100),          # historical value widened, not lost
+        "k2": ("twenty-one", 200),  # newer version updated
+        "k3": ("thirty", 100),      # insert in the new schema
+    }
+    # stale re-upload in the NEW schema is still a no-op (version guard)
+    stale = spark.createDataFrame(
+        [("k2", "stale", 150)],
+        "arcane_merge_key string, ordinal string, versionnumber bigint",
+    )
+    again = {r["arcane_merge_key"]: r["ordinal"] for r in cdc_merge(out, stale).collect()}
+    assert again["k2"] == "twenty-one"

@@ -1754,3 +1754,64 @@ ORACLE["ops_data_quality"] = """
            priority_distinct
     FROM checks
 """
+
+
+@query("ops_hard_negatives")
+def ops_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training: per query vector, the
+    top-5 most similar corpus vectors with a DIFFERENT label (near misses
+    make the best contrastive negatives).  Plan: broadcast the (small)
+    query set, label filter BEFORE ranking (so negatives can't be crowded
+    out), JVM zip_with/aggregate cosines, per-query ranking window with
+    WindowGroupLimit map-side pruning — one corpus scan, no corpus
+    shuffle beyond ≤ k·partitions candidate rows per query."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    q = (
+        t.embeddings.where(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            xd.alias("q_vec"),
+        )
+    )
+    c = t.embeddings.select("vec_id", "label", xd.alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            S.cosine(F.col("c_vec"), F.col("q_vec")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "vec_id",
+            "rank",
+            F.round("cos", 4).cast("double").alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE["ops_hard_negatives"] = """
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 4),
+         c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS c_vec
+               FROM embeddings)
+    SELECT q.query_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(c.c_vec, q.q_vec) DESC,
+                                       c.vec_id) AS rank,
+           CAST(ROUND(list_cosine_similarity(c.c_vec, q.q_vec), 4) AS DOUBLE) AS cos_sim
+    FROM c JOIN q ON c.label <> q.q_label
+    QUALIFY rank <= 5
+    ORDER BY q.query_id, rank
+"""

@@ -1815,3 +1815,66 @@ ORACLE["ops_hard_negatives"] = """
     QUALIFY rank <= 5
     ORDER BY q.query_id, rank
 """
+
+
+@query("ops_bpe_merge_step")
+def ops_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One true BPE training iteration (Sennrich et al. 2016): count
+    adjacent character-pair frequencies over the corpus vocabulary
+    weighted by word frequency, and emit the top-20 merge candidates —
+    the inner loop a distributed tokenizer trainer runs per merge.
+
+    Plan shape: word-frequency aggregate FIRST (the vocab is tiny next
+    to the corpus — at 100 TB this is the compression step that makes
+    per-word char work O(vocab), not O(corpus)), then per-word pair
+    explosion via substr positions (no split('') edge semantics), and a
+    weighted pair aggregate.  Exact integers everywhere."""
+    t = Tables(spark, sf_dir)
+    words = (
+        t.documents.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "wcnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.concat(
+                    F.substring(F.col("w"), i, 1),
+                    F.lit(" "),
+                    F.substring(F.col("w"), i + 1, 1),
+                ),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wcnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+ORACLE["ops_bpe_merge_step"] = """
+    WITH words AS (
+        SELECT w, COUNT(*) AS wcnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents)
+        GROUP BY w HAVING length(w) >= 2
+    ),
+    pairs AS (
+        SELECT wcnt,
+               substr(w, CAST(i AS INT), 1) || ' ' || substr(w, CAST(i AS INT) + 1, 1) AS pair
+        FROM (SELECT w, wcnt, unnest(generate_series(1, length(w) - 1)) AS i FROM words)
+    )
+    SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC
+    LIMIT 20
+"""

@@ -97,3 +97,67 @@ def windowed_event_counts(
         .agg(F.count("*").alias("cnt"))
         .select(F.col("window.start").alias("ws"), "cnt")
     )
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    work_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming corpus curation: near-dup-filter every micro-batch of
+    documents against the ACCUMULATED band index before admission — the
+    streaming twin of ``functions.dedup.incremental_near_duplicates``.
+
+    Per micro-batch (foreachBatch):
+
+    1. sign the batch and probe the stored ``(band, bh, idx_id)`` index
+       (only the batch is signed — the accumulated corpus is never
+       re-signed, so per-batch cost is O(batch), the property that makes
+       continuous intake dedup viable at a growing 100 TB corpus);
+    2. exact-Jaccard-verify candidates and record hits (``hits/``);
+    3. append survivors to ``corpus/`` and their band rows to
+       ``band_index/`` (bucket the index table by ``(band, bh)`` in a
+       production layout so step 1's probe prunes partitions).
+
+    Exactly-once caveat: the three appends are not one atomic commit — a
+    crash between them can re-admit a batch's rows on replay.  The CDC
+    path solves this with snapshot-pointer commits (``VersionedTable``);
+    this helper keeps plain appends for the demo pipeline and documents
+    the difference.  Returns the started StreamingQuery.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..functions.dedup import incremental_near_duplicates, minhash_band_index
+
+    idx_dir = os.path.join(work_dir, "band_index")
+    corpus_dir = os.path.join(work_dir, "corpus")
+    hits_dir = os.path.join(work_dir, "hits")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(id_col, text_col).localCheckpoint()
+        if os.path.isdir(idx_dir):
+            index = spark.read.parquet(idx_dir)
+            corpus = spark.read.parquet(corpus_dir)
+            hits = incremental_near_duplicates(
+                batch_df, index, corpus, threshold, text_col, id_col
+            ).localCheckpoint()
+            hits.write.mode("append").parquet(hits_dir)
+            dup_ids = hits.select(F.col("id_a").alias(id_col)).distinct()
+            kept = batch_df.join(dup_ids, id_col, "left_anti").localCheckpoint()
+        else:
+            kept = batch_df
+        kept.write.mode("append").parquet(corpus_dir)
+        minhash_band_index(kept, text_col, id_col).write.mode("append").parquet(idx_dir)
+
+    return (
+        source.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

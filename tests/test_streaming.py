@@ -257,3 +257,61 @@ def test_analyze_stats(spark, scenario):
     assert stats["columns"]["Id"]["nulls"] == 0
     assert stats["columns"]["versionnumber"]["ndv"] >= 4
     assert runner.table.stats()["rows"] == 5
+
+
+def test_streaming_dedup_pipeline(spark, tmp_path):
+    """run_dedup_stream: batch 1 admits fresh docs and builds the index;
+    batch 2's copies of batch-1 docs are caught against the STORED index
+    (cross-batch dedup without re-signing the corpus) while fresh docs
+    pass; restarting the query for batch 2 exercises the checkpoint."""
+    import random as _r
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_dedup_stream,
+    )
+
+    rng = _r.Random(47)
+    vocab = [f"tok{i}" for i in range(300)]
+
+    def doc(n=50):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    batch1 = [(i, doc()) for i in range(20)]
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    q = run_dedup_stream(spark, stream(), work, ckpt, threshold=0.5)
+    q.awaitTermination(120)
+
+    corpus = spark.read.parquet(f"{work}/corpus")
+    assert corpus.count() == 20
+
+    # batch 2: two exact copies + one near-dup of admitted docs + 3 fresh
+    near = batch1[4][1].split()
+    near[7] = "mutant"
+    batch2 = [
+        (100, batch1[2][1]),
+        (101, batch1[9][1]),
+        (102, " ".join(near)),
+        (103, doc()),
+        (104, doc()),
+        (105, doc()),
+    ]
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    q2 = run_dedup_stream(spark, stream(), work, ckpt, threshold=0.5)
+    q2.awaitTermination(120)
+
+    admitted = {r["doc_id"] for r in spark.read.parquet(f"{work}/corpus").collect()}
+    assert {103, 104, 105} <= admitted
+    assert not ({100, 101, 102} & admitted)
+    hits = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(f"{work}/hits").collect()}
+    assert (100, 2) in hits and (101, 9) in hits and (102, 4) in hits

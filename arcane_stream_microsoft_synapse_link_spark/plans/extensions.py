@@ -1878,3 +1878,55 @@ ORACLE["ops_bpe_merge_step"] = """
     ORDER BY pair_count DESC, pair ASC
     LIMIT 20
 """
+
+
+@query("ops_corpus_card")
+def ops_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card — the summary sheet a dataset release
+    ships (docs, token/char volume, language spread, exact-duplicate
+    exposure).  Exact integers only; the duplicate column comes from one
+    md5-group pass joined back by hash, everything else is algebraic
+    aggregation with map-side partials."""
+    t = Tables(spark, sf_dir)
+    dup_hashes = (
+        t.documents.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("copies"))
+        .where(F.col("copies") > 1)
+        .select("h")
+        .withColumn("dup", F.lit(1))
+    )
+    docs = t.documents.withColumn("h", F.md5("text")).join(
+        dup_hashes, "h", "left"
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.size(F.split(F.trim("text"), "\\s+"))).alias("total_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum(F.when(F.col("dup").isNotNull(), 1).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["ops_corpus_card"] = r"""
+    WITH dup_hashes AS (
+        SELECT md5(text) AS h FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents LEFT JOIN dup_hashes d ON md5(text) = d.h
+    GROUP BY source ORDER BY source
+"""

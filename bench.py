@@ -115,12 +115,36 @@ def main() -> None:
         # long bench run doesn't starve later queries of storage memory
         _release_cached_blocks(spark)
 
+    # Steady-state pass for the entries that dominate the headline: the
+    # first timed run of a plan family still carries one-time codegen, so
+    # re-run everything over 1.5 s once more and record what a resident
+    # pipeline pays per invocation. Only the heavy tail is re-run — a
+    # full second sweep of all ~113 entries measurably inflates the later
+    # heavy pipelines (GC pressure from ~226 accumulated executions).
+    steady: dict[str, float] = {}
+    for name, first in timings.items():
+        if first <= 1.5:
+            continue
+        start = time.perf_counter()
+        try:
+            queries[name](spark, sf_dir).collect()
+            steady[name] = round(time.perf_counter() - start, 4)
+        except Exception:
+            pass
+        _release_cached_blocks(spark)
+
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     result = {
         "metric": "declared-query wall clock (sum over all queries)",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        # steady-state re-runs of the >1.5 s tail; entries absent here ran
+        # under 1.5 s on first execution
+        "steady": steady,
+        "steady_total_est": round(
+            sum(steady.get(k, v) for k, v in timings.items()), 4
+        ),
         "sf": sf_val,
     }
     if failures:
@@ -146,6 +170,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 2),
         "unit": "sec",
         "queries": {_short(k): round(v, 2) for k, v in timings.items()},
+        "steady_total_est": round(
+            sum(steady.get(k, v) for k, v in timings.items()), 2
+        ),
         "sf": sf_val,
     }
     if failures:

@@ -106,3 +106,67 @@ def test_changes_over_cdc_scenario(spark, tmp_path):
     # update rows carry the NEW version
     upd = {r["Id"]: r["versionnumber"] for r in cdf.filter("_change_type = 'update'").collect()}
     assert upd[KEYS[1]] == BASE_VERSION + 100
+
+
+def test_changes_random_commit_sequences(spark, tmp_path):
+    """Adversarial CDF check: random mutation sequences over flat AND
+    bucketed-incremental tables — for every version pair, changes(a, b)
+    must equal the brute-force python diff of the two recorded states
+    (including the inode-pruned path, where untouched buckets are
+    hard-linked and never read)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    keys = [f"k{i}" for i in range(12)]
+
+    for trial, bucket_count in [(0, 0), (1, 4)]:
+        t = VersionedTable(
+            str(tmp_path / f"t{trial}"),
+            bucket_count=bucket_count,
+            bucket_key="arcane_merge_key",
+        )
+        if bucket_count:
+            probe = _mk(spark, [(k, 0, 0) for k in keys]).select(
+                "arcane_merge_key",
+                F.pmod(F.xxhash64("arcane_merge_key"), F.lit(bucket_count))
+                .cast("int")
+                .alias("b"),
+            )
+            bucket_of = {r["arcane_merge_key"]: r["b"] for r in probe.collect()}
+        state: dict[str, tuple[int, int]] = {}
+        history = []
+        for v in range(1, 5):
+            changed_keys = set()
+            for k in rng.sample(keys, 5):
+                if k in state and rng.random() < 0.3:
+                    del state[k]
+                else:
+                    state[k] = (rng.randint(0, 100), v)
+                changed_keys.add(k)
+            rows = [(k, val, ver) for k, (val, ver) in state.items()]
+            if bucket_count and history:
+                touched = sorted({bucket_of[k] for k in changed_keys})
+                partial = [r for r in rows if bucket_of[r[0]] in touched]
+                t.commit(_mk(spark, partial), touched_buckets=touched)
+            else:
+                t.commit(_mk(spark, rows))
+            history.append(dict(state))
+
+        for a in range(1, 5):
+            for b in range(a + 1, 5):
+                got = {
+                    r["arcane_merge_key"]: (r["_change_type"], r["val"])
+                    for r in t.changes(spark, a, b).collect()
+                }
+                sa, sb = history[a - 1], history[b - 1]
+                exp = {}
+                for k in set(sa) | set(sb):
+                    if k not in sa:
+                        exp[k] = ("insert", sb[k][0])
+                    elif k not in sb:
+                        exp[k] = ("delete", sa[k][0])
+                    elif sa[k] != sb[k]:
+                        exp[k] = ("update", sb[k][0])
+                assert got == exp, (trial, a, b, got, exp)

@@ -9,6 +9,8 @@ expression so Catalyst prunes the scan to (doc_id, text).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -436,3 +438,126 @@ def bm25_scores(
         scored.groupBy(id_col)
         .agg(F.sum(F.floor(F.col("score") * 1e6)).cast("bigint").alias("bm25_ppm"))
     )
+
+
+def cms_heavy_hitters(
+    df: "DataFrame",
+    k: int = 20,
+    width: int = 2048,
+    depth: int = 4,
+    candidate_factor: int = 4,
+    text_col: str = "text",
+    seed: int = 1,
+) -> "DataFrame":
+    """EXACT corpus top-``k`` tokens, sketch-accelerated: a count-min
+    sketch (Cormode & Muthukrishnan 2005) prunes the candidate set, then
+    an exact aggregate runs over the survivors only.
+
+    Why this shape at 100 TB: the naive exact plan shuffles EVERY distinct
+    token through a groupBy; here pass 1 builds per-partition CMS partials
+    (mapInPandas, ``depth×width`` ints each) merged on the driver —
+    shuffle-free, sketch size is constant — and pass 2 re-scans tokens
+    keeping only those whose CMS estimate reaches the ``candidate_factor·k``-th
+    largest estimate.  CMS NEVER underestimates, so every true top-k token
+    survives the filter — the final exact count over the (tiny) candidate
+    set is therefore guaranteed-correct top-k, not approximate.  Collision
+    inflation can only ADMIT extra candidates (more exact-verify work),
+    never drop one.
+
+    Deterministic: fixed hash family (pandas SipHash with fixed key +
+    seeded row mixers), total (count desc, token asc) output order.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    word_re = re.compile(WORD_RE)
+    rng = np.random.RandomState(seed)
+    # pairwise-independent-ish row mixers over one base hash
+    A = rng.randint(1, 2**63 - 1, size=depth, dtype=np.uint64) | np.uint64(1)
+    B = rng.randint(0, 2**63 - 1, size=depth, dtype=np.uint64)
+
+    def rows_of(h: "np.ndarray") -> "np.ndarray":
+        # (n, depth) bucket index per row hash
+        return (
+            (h[:, None] * A[None, :] + B[None, :]) >> np.uint64(13)
+        ) % np.uint64(width)
+
+    def partials(batches):
+        sketch = np.zeros((depth, width), dtype=np.int64)
+        any_rows = False
+        for pdf in batches:
+            toks: list[str] = []
+            for t in pdf[text_col]:
+                toks.extend(word_re.findall((t or "").lower()))
+            if not toks:
+                continue
+            any_rows = True
+            h = pd.util.hash_array(np.asarray(toks, dtype=object))
+            idx = rows_of(h)
+            for d in range(depth):
+                np.add.at(sketch[d], idx[:, d], 1)
+        if any_rows:
+            yield pd.DataFrame({"row": list(range(depth)), "counts": sketch.tolist()})
+
+    merged_rows = (
+        df.select(text_col)
+        .mapInPandas(partials, schema="row int, counts array<long>")
+        .collect()
+    )
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    for r in merged_rows:
+        sketch[r["row"]] += np.asarray(r["counts"], dtype=np.int64)
+
+    def estimate(tokens: "pd.Series") -> "np.ndarray":
+        h = pd.util.hash_array(np.asarray(tokens.tolist(), dtype=object))
+        idx = rows_of(h)
+        ests = np.stack([sketch[d][idx[:, d]] for d in range(depth)])
+        return ests.min(axis=0)
+
+    # Candidate threshold, then a SOUNDNESS check that makes the final
+    # answer provably exact: every excluded token has estimate < thresh,
+    # and CMS never underestimates, so its true count < thresh.  If
+    # thresh <= (k-th best exact count among the candidates), no excluded
+    # token can displace a candidate from the top-k — the result is the
+    # true top-k.  The initial thresh (a deep rank over the sketch cells,
+    # scaled by candidate_factor) is a pruning heuristic only; whenever
+    # the check fails the threshold halves and the candidate pass re-runs
+    # (monotonically more candidates; thresh -> 1 degenerates to the full
+    # exact aggregate, so termination and exactness are unconditional).
+    cells = np.sort(sketch.flatten())[::-1]
+    thresh = max(1, int(cells[min(candidate_factor * k, len(cells) - 1)]))
+
+    def filter_candidates(thr):
+        def run(batches):
+            for pdf in batches:
+                toks: list[str] = []
+                for t in pdf[text_col]:
+                    toks.extend(word_re.findall((t or "").lower()))
+                if not toks:
+                    continue
+                s = pd.Series(toks)
+                keep = s[estimate(s) >= thr]
+                if len(keep):
+                    yield pd.DataFrame({"token": keep})
+
+        return run
+
+    while True:
+        cands = df.select(text_col).mapInPandas(
+            filter_candidates(thresh), schema="token string"
+        )
+        top = (
+            cands.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("token"))
+            .limit(k)
+        )
+        rows = top.collect()
+        kth = rows[-1]["cnt"] if len(rows) == k else 0
+        if thresh <= kth or thresh == 1:
+            schema = "token string, cnt bigint"
+            return df.sparkSession.createDataFrame(
+                [(r["token"], r["cnt"]) for r in rows], schema
+            )
+        thresh = max(1, thresh // 2)

@@ -1930,3 +1930,25 @@ ORACLE["ops_corpus_card"] = r"""
     FROM documents LEFT JOIN dup_hashes d ON md5(text) = d.h
     GROUP BY source ORDER BY source
 """
+
+
+@query("ops_cms_heavy_hitters")
+def ops_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accelerated EXACT top-25 corpus tokens: constant-size
+    count-min partials (no shuffle) prune the candidate set, the exact
+    aggregate runs over survivors only, and a post-hoc soundness check
+    (threshold <= k-th candidate count, with CMS never underestimating)
+    proves the answer is the true top-k — see
+    functions/text.py:cms_heavy_hitters."""
+    t = Tables(spark, sf_dir)
+    return X.cms_heavy_hitters(t.documents, k=25)
+
+
+ORACLE["ops_cms_heavy_hitters"] = r"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY cnt DESC, token ASC
+    LIMIT 25
+"""

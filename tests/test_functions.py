@@ -640,3 +640,27 @@ def test_incremental_near_dup_against_index(spark):
     hits2 = {(r["id_a"], r["id_b"]) for r in
              D.incremental_near_duplicates(next_batch, index2, both, threshold=0.5).collect()}
     assert (2000, 1002) in hits2
+
+
+def test_cms_heavy_hitters_exact_under_collisions(spark):
+    """The CMS candidate filter is heuristic; the post-hoc soundness loop
+    makes the answer exact even with a deliberately tiny sketch (width 8
+    -> heavy collisions, threshold repeatedly halved). Compare against
+    brute-force counts on a skewed corpus."""
+    from collections import Counter
+
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import (
+        cms_heavy_hitters,
+    )
+
+    rng = random.Random(97)
+    rows, counter = [], Counter()
+    for i in range(80):
+        words = ["common" + str(i % 3)] * 6 + [_doc(rng, 12)]
+        text = " ".join(words)
+        rows.append((i, text))
+        counter.update(__import__("re").findall(r"[a-z0-9]+", text.lower()))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["token"], r["cnt"]) for r in cms_heavy_hitters(df, k=10, width=8, depth=2).collect()]
+    exp = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == exp

@@ -593,6 +593,7 @@ def substring_span_stats(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document duplicated-substring fraction via WINNOWING
     fingerprints (Schleimer et al. 2003, the MOSS algorithm) — the
@@ -662,11 +663,14 @@ def substring_span_stats(
     # localCheckpoint materializes the fingerprint stream once — it is
     # consumed twice below (kind aggregate + join back), same pattern as
     # the LSH pipelines.
-    fps = (
-        fps_arr.select(F.col(id_col), F.explode_outer("_fps").alias("fp"))
-        .filter(F.col("fp").isNotNull())
-        .localCheckpoint()
+    fps = fps_arr.select(F.col(id_col), F.explode_outer("_fps").alias("fp")).filter(
+        F.col("fp").isNotNull()
     )
+    if materialize:
+        # consumed twice below (kind aggregate + join back); the lazy form
+        # (materialize=False) exists so plan tests can inspect the full
+        # winnowing expression tree, which the checkpoint otherwise hides
+        fps = fps.localCheckpoint()
     dup_kinds = (
         fps.groupBy("fp")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))

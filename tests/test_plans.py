@@ -155,3 +155,60 @@ def test_hash_split_single_agg_shuffle(spark):
     plan = plan_of(QUERIES["ops_hash_split"](spark, SF_SMOKE))
     assert plan.count("Exchange (") <= 2  # agg shuffle + final sort range
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_substring_dedup_no_inlined_winnowing(spark):
+    """Regression guard for the InferFiltersFromGenerate trap: the gram
+    array must stay a bound column reference inside the window-minima
+    slices — an optimized plan containing ``slice(transform(`` means the
+    whole gram computation was inlined per window (observed ~180×
+    slowdown). explode_outer + the post-Generate null filter keep the
+    rule away."""
+    from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
+    from arcane_stream_microsoft_synapse_link_spark.functions.dedup import (
+        substring_span_stats,
+    )
+
+    docs = Tables(spark, SF_SMOKE).documents
+    df = substring_span_stats(docs, materialize=False)  # lazy: full tree visible
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "slice(transform(" not in plan
+    assert "explode" in plan.lower()
+
+
+def test_winsorize_single_scan(spark):
+    plan = plan_of(QUERIES["ops_winsorize"](spark, SF_SMOKE))
+    # tree form "Scan parquet  (N" appears once per physical scan (the
+    # formatted details section repeats it as "(N) Scan parquet")
+    assert plan.count("Scan parquet  (") == 1  # bounds via window, no rescan+join
+
+
+def test_weighted_sample_global_topk_no_full_sort(spark):
+    plan = plan_of(QUERIES["ops_weighted_sample"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan  # partial top-k, not a total sort
+
+
+def test_semantic_dedup_one_shuffle_gemm(spark):
+    plan = plan_of(QUERIES["ops_semantic_dedup"](spark, SF_SMOKE))
+    # per-cluster GEMM via grouped pandas, keyed on the centroid shuffle
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_bpe_merge_vocab_first(spark):
+    """The word-frequency aggregate must run BEFORE pair explosion (pair
+    work is O(vocab), not O(corpus)): the explode generator consumes the
+    aggregated word column, so exactly one explode sits above the word
+    count aggregate in the plan, and two hash aggregates exist (words,
+    pairs)."""
+    plan = plan_of(QUERIES["ops_bpe_merge_step"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 4  # 2 aggs × partial+final
+    gen = plan.index("Generate")
+    # the regexp token explode feeds the word agg; the pair explode is a
+    # second Generate — both present
+    assert plan.count("Generate") >= 2, plan[gen : gen + 200]
+
+
+def test_hard_negatives_broadcast_queries(spark):
+    plan = plan_of(QUERIES["ops_hard_negatives"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # map-side top-k pruning

@@ -985,3 +985,71 @@ ORACLE["q53_gaps_islands"] = """
     HAVING COUNT(*) >= 3
     ORDER BY user_id, first_event
 """
+
+
+@query("q54_scd2_intervals")
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-Type-2 interval construction: collapse each user's consecutive
+    runs of equal event_type (in (ts, event_id) order) into validity
+    intervals [valid_from, valid_to) with the next run's start as the
+    exclusive end (NULL = current) — the change-tracking shape a
+    dimension-history table stores. Run detection is the rn-difference
+    trick sharing ONE partition sort; interval ends come from one lead()
+    over the collapsed (tiny) run set."""
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = t.events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.row_number().over(w) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    collapsed = runs.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+    w_runs = W.partitionBy("user_id").orderBy("valid_from", "first_event")
+    return (
+        collapsed.select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(w_runs).alias("valid_to"),
+            "n_events",
+            "first_event",
+        )
+        .orderBy("user_id", "valid_from", "event_type", "first_event")
+        .limit(500)
+        .drop("first_event")
+    )
+
+
+ORACLE["q54_scd2_intervals"] = """
+    WITH runs AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS grp
+        FROM events
+    ),
+    collapsed AS (
+        SELECT user_id, event_type, grp,
+               MIN(ts) AS valid_from,
+               COUNT(*) AS n_events,
+               MIN(event_id) AS first_event
+        FROM runs GROUP BY user_id, event_type, grp
+    )
+    SELECT user_id, event_type, valid_from, valid_to, n_events
+    FROM (SELECT user_id, event_type, valid_from,
+                 LEAD(valid_from) OVER (PARTITION BY user_id
+                                        ORDER BY valid_from, first_event) AS valid_to,
+                 n_events, first_event
+          FROM collapsed
+          ORDER BY user_id, valid_from, event_type, first_event
+          LIMIT 500)
+"""

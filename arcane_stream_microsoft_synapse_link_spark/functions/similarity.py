@@ -732,3 +732,109 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA (exact covariance via map-side partials)
+# ---------------------------------------------------------------------------
+
+
+def pca_train(
+    corpus: DataFrame,
+    n_components: int = 8,
+    vec_col: str = "embedding",
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """Exact PCA of an embedding column with ZERO corpus shuffle: one
+    mapInPandas pass emits per-partition moment partials (Σx, Σx·xᵀ, n —
+    a d + d² payload per partition, constant in corpus size), the driver
+    combines them in deterministic partition order and eigendecomposes
+    the d×d covariance.  d=64 → a 4 KB partial; the same pattern Spark
+    MLlib's RowMatrix uses, kept dependency-free here.
+
+    Returns ``(mean, components, explained_var)`` with components as rows,
+    sign-fixed (largest-|coefficient| entry positive) so the basis is
+    deterministic — ``eigh`` is unique up to sign for distinct
+    eigenvalues.
+    """
+    def partials(batches):
+        pid_state = {"sum": None, "outer": None, "n": 0}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if pid_state["sum"] is None:
+                d = X.shape[1]
+                pid_state["sum"] = np.zeros(d)
+                pid_state["outer"] = np.zeros((d, d))
+            pid_state["sum"] += X.sum(axis=0)
+            pid_state["outer"] += X.T @ X
+            pid_state["n"] += len(X)
+        if pid_state["n"]:
+            yield pd.DataFrame(
+                {
+                    "s": [pid_state["sum"].tolist()],
+                    "o": [pid_state["outer"].flatten().tolist()],
+                    "n": [pid_state["n"]],
+                }
+            )
+
+    rows = (
+        corpus.select(vec_col)
+        .mapInPandas(partials, schema="s array<double>, o array<double>, n long")
+        .collect()
+    )
+    # deterministic combine order: float addition is order-sensitive at the
+    # ulp level, and the self-check fingerprints downstream need stable bits
+    rows = sorted(rows, key=lambda r: (r["n"], r["s"][0]))
+    d = len(rows[0]["s"])
+    S = np.zeros(d)
+    O = np.zeros((d, d))
+    n = 0
+    for r in rows:
+        S += np.asarray(r["s"])
+        O += np.asarray(r["o"]).reshape(d, d)
+        n += r["n"]
+    mean = S / n
+    cov = O / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order].T
+    # sign fix: the largest-|coeff| entry of each component is positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, vals[order]
+
+
+def pca_project(
+    corpus: DataFrame,
+    mean: "np.ndarray",
+    components: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Project vectors onto the trained components — a pure map-side pass
+    (the (k × d) basis travels in the closure)."""
+    from pyspark.sql import types as T
+
+    M = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField(out_col, T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64) - mu
+            P = X @ M.T
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(P.tolist())})
+
+    return corpus.select(id_col, vec_col).mapInPandas(run, schema=schema)

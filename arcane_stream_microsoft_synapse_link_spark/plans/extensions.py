@@ -1952,3 +1952,25 @@ ORACLE["ops_cms_heavy_hitters"] = r"""
     ORDER BY cnt DESC, token ASC
     LIMIT 25
 """
+
+
+@query("ops_embedding_pca")
+def ops_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact PCA (the whitening step before PQ/ANN): moment
+    partials per partition (zero corpus shuffle, constant-size payload),
+    driver eigendecomposition with a deterministic combine order and
+    sign-fixed basis, map-side projection.  Rows-only (eigendecomposition
+    has no SQL twin); numpy equivalence in tests/test_functions.py; the
+    fixed-point leading coordinates are pinned by the self-check."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    mean, comps, _ = S.pca_train(emb, n_components=4)
+    proj = S.pca_project(emb, mean, comps)
+    out = proj.select(
+        "vec_id",
+        F.floor(F.element_at("proj", 1) * 1000 + F.lit(0.5)).cast("bigint").alias("pc1_fp"),
+        F.floor(F.element_at("proj", 2) * 1000 + F.lit(0.5)).cast("bigint").alias("pc2_fp"),
+    ).orderBy("vec_id")
+    return _self_check(out, "vec_id", "pc1_fp", "pc2_fp")

@@ -664,3 +664,33 @@ def test_cms_heavy_hitters_exact_under_collisions(spark):
     got = [(r["token"], r["cnt"]) for r in cms_heavy_hitters(df, k=10, width=8, depth=2).collect()]
     exp = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == exp
+
+
+def test_pca_matches_numpy(spark):
+    """Distributed moment-partial PCA == numpy PCA on the collected data:
+    same eigenvalues, same (sign-fixed) components, same projections."""
+    rng = np.random.RandomState(21)
+    base = rng.randn(300, 16) @ np.diag(np.linspace(3, 0.1, 16))
+    df = spark.createDataFrame(
+        [(int(i), base[i].tolist()) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    ).repartition(6)
+    mean, comps, ev = S.pca_train(df, n_components=4)
+    mu = base.mean(axis=0)
+    cov = (base - mu).T @ (base - mu) / len(base)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:4]
+    ref = vecs[:, order].T
+    for i in range(4):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(ev, vals[order], atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-7)
+    proj = {r["vec_id"]: r["proj"] for r in S.pca_project(df, mean, comps).collect()}
+    expect = (base - mu) @ ref.T
+    for i in range(0, 300, 50):
+        assert np.allclose(proj[i], expect[i], atol=1e-7)
+    # variance is concentrated in the leading components by construction
+    assert ev[0] > ev[1] > ev[2]

@@ -28,6 +28,21 @@ def words(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0)
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism before CPU-bound
+    per-row work (signature mapInPandas, winnowing HOFs).
+
+    A small local parquet arrives as ONE input split, which serializes the
+    whole Python/codegen stage onto one core (measured: the minhash
+    signature stage alone was 1.4 s single-core vs 0.3 s spread at sf0.1).
+    No-op whenever the scan already has >= defaultParallelism splits — at
+    100 TB that is always true, so nothing extra shuffles at scale."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles of a document.
 
@@ -163,7 +178,7 @@ def minhash_signatures_np(
                 sigs.append(m.view(np.int64).tolist())
             yield pd.DataFrame({"_id": pdf[id_col], "_sig": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+    return spread_small_scan(df.select(id_col, text_col)).mapInPandas(run, schema=out_schema)
 
 
 def lsh_candidate_pairs(
@@ -519,7 +534,7 @@ def simhash_signatures_np(
                 sims.append(int(packed.view(np.int64)[0]))
             yield pd.DataFrame({"_id": pdf[id_col], "_sim": pd.array(sims, dtype="int64")})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+    return spread_small_scan(df.select(id_col, text_col)).mapInPandas(run, schema=out_schema)
 
 
 def simhash_near_duplicates(
@@ -624,13 +639,7 @@ def substring_span_stats(
     ``n_fps = 0`` with ``dup_frac = 0``.
     """
     min_len = window + k - 1
-    # CPU-bound per-row work: when the scan yields fewer partitions than
-    # cores (one small parquet locally), spread it; no-op on a corpus that
-    # already has >= defaultParallelism input splits, so nothing extra
-    # shuffles at scale.
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = spread_small_scan(df)
     n_grams = F.length(text_col) - (k - 1)
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),

@@ -1053,3 +1053,39 @@ ORACLE["q54_scd2_intervals"] = """
           ORDER BY user_id, valid_from, event_type, first_event
           LIMIT 500)
 """
+
+
+@query("q55_window_distinct")
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window — a capability gap re-expressed:
+    Spark windows reject DISTINCT aggregates, so the running number of
+    distinct order priorities per customer is ``size(collect_set(...))``
+    over the running frame (set semantics in the aggregation buffer give
+    exactly COUNT(DISTINCT); the buffer is bounded by the attribute's
+    cardinality — 5 priorities — not the frame length, so it scales)."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t.orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.size(F.collect_set("o_orderpriority").over(w)).cast("bigint").alias("n_prio"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+ORACLE["q55_window_distinct"] = """
+    SELECT o_orderkey, o_custkey,
+           COUNT(DISTINCT o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS n_prio
+    FROM orders ORDER BY o_orderkey LIMIT 500
+"""

@@ -129,12 +129,19 @@ def test_rows_only_entries_carry_stable_self_hash(spark):
 
 
 def test_boilerplate_spans_no_cartesian(spark):
-    """Gram explosion is corpus-linear; doc-frequency + join-back are
-    hash-shuffles on the gram key — never a cross product, never a window
-    over the corpus."""
+    """Gram explosion is corpus-linear and scanned once: instances reduce
+    to (gram, doc) counts BEFORE the doc-frequency window, so the window
+    runs over the reduced pairs — never a cross product, never a second
+    explode/join of raw gram instances."""
     plan = plan_of(QUERIES["ops_boilerplate_spans"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "Window" not in plan
+    i = plan.index("Window")
+    j = plan.index("Generate", i)  # the gram explode below it
+    # between the window and the gram-instance Generate sits the
+    # (gram, doc) aggregate: the window input is reduced pairs
+    assert "HashAggregate" in plan[i:j], plan[i:j]
+    # single scan: exactly one Generate node (gram explode) in the tree
+    assert plan.count("Generate (") == 1
 
 
 def test_token_rarity_window_is_vocab_sized(spark):

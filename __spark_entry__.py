@@ -44,14 +44,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All registered queries, ordered for the 50-entry correctness gate.
 
     The gate walks this dict in order and checks exactly the first 50
-    entries; the full 89-entry surface therefore alternates through the
+    entries; the full 122-entry surface therefore alternates through the
     window on a round-keyed schedule:
 
-    - even rounds (4, 6, ...): the 39 ``ops_*`` entries lead (oracle-backed
-      first, then rows-only), followed by Q1.. — gate covers every ops
-      entry plus the first ~11 SQL queries;
-    - odd rounds (5, 7, ...): the 50 declared SQL entries Q1–Q48 lead —
-      gate covers the whole SQL surface.
+    - even rounds (4, 6, ...): the ``ops_*`` entries lead (all 48
+      oracle-backed ones first — inside the window — then rows-only),
+      followed by Q1..;
+    - odd rounds (5, 7, ...): the 57 declared SQL entries Q1–Q55 lead —
+      gate covers most of the SQL surface (the tail past 50 returns to
+      the window with the ops rotation).
 
     Either way ``tests/test_queries.py`` strict-compares all oracle-backed
     entries every round, so rotation only affects which half gets the

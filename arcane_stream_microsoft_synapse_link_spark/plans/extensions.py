@@ -1144,8 +1144,14 @@ def ops_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty — the incremental-crawl curation metric: the
     ppm fraction of a doc's 5-gram instances whose gram is first seen in
     THIS doc (gram's minimum doc_id == doc_id; corpus order = doc_id
-    order). A doc full of previously-seen grams scores ~0. One gram
-    doc-frequency shuffle (min combine) + the join back; exact integers."""
+    order). A doc full of previously-seen grams scores ~0. Exact integers.
+
+    Scale shape: gram instances are scanned ONCE and reduce immediately to
+    (gram, doc_id, n_inst) with map-side combine; first-seen is a window
+    min over the reduced pairs (no second explode, no join back — the same
+    single-scan rewrite as ops_boilerplate_spans)."""
+    from pyspark.sql import Window as W
+
     t = Tables(spark, sf_dir)
     w = F.regexp_extract_all(F.lower("text"), F.lit(X.WORD_RE), 0)
     grams = (
@@ -1161,13 +1167,17 @@ def ops_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
     )
-    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    inst = grams.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("n_inst"))
+    flagged = inst.withColumn("first_doc", F.min("doc_id").over(W.partitionBy("gram")))
     return (
-        grams.join(first_seen, "gram")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("_novel"),
+            F.sum("n_inst").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), F.col("n_inst")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_novel"),
         )
         .select(
             "doc_id",
@@ -2188,4 +2198,146 @@ ORACLE["ops_ccnet_buckets"] = r"""
            MIN(quality_ppm) AS min_quality_ppm,
            MAX(quality_ppm) AS max_quality_ppm
     FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+@query("ops_distribution_drift")
+def ops_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor — total variation distance between the
+    first and second corpus half's quality-decile distributions, per
+    language (the retrain/alert primitive a production curation pipeline
+    runs per crawl). TVD = ½·Σ|p_i − q_i| computed cross-multiplied in
+    exact integers: Σ|o_i·N_q − q_i·N_o|·1e6 DIV (2·N_o·N_q) — no float
+    division until never (log-free, unlike PSI/KL, so it hash-matches).
+
+    Scale shape: one scan scores quality (codegen projection); deciles are
+    exact integer buckets of the ppm score (width 1e5); counts are one
+    partial-agg shuffle on (lang, half, decile); the TVD rollup runs over
+    ≤ langs×20 rows."""
+    t = Tables(spark, sf_dir)
+    mid = t.documents.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    scored = t.documents.select(
+        "lang",
+        (F.col("doc_id") > F.lit(mid)).cast("int").alias("half"),
+        F.least(
+            F.lit(9),
+            (F.floor(X.quality_score(F.col("text")) * 1e6).cast("bigint") / F.lit(100000))
+            .cast("bigint"),
+        ).alias("decile"),
+    )
+    counts = scored.groupBy("lang", "half", "decile").agg(F.count(F.lit(1)).alias("n"))
+    per_half = counts.groupBy("lang", "decile").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(F.lit(0))).alias("n0"),
+        F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(F.lit(0))).alias("n1"),
+    )
+    totals = per_half.groupBy("lang").agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    )
+    return (
+        per_half.join(totals, "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("t0").alias("n_first"),
+            F.max("t1").alias("n_second"),
+            F.sum(F.abs(F.col("n0") * F.col("t1") - F.col("n1") * F.col("t0"))).alias("_num"),
+        )
+        .select(
+            "lang",
+            "n_first",
+            "n_second",
+            F.expr("CAST((_num * 1000000) DIV (2 * n_first * n_second) AS BIGINT)").alias(
+                "tvd_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["ops_distribution_drift"] = r"""
+    WITH mid AS (SELECT quantile_cont(doc_id, 0.5) AS m FROM documents),
+    s AS (
+        SELECT lang,
+               CASE WHEN doc_id > (SELECT m FROM mid) THEN 1 ELSE 0 END AS half,
+               LEAST(9, CAST(FLOOR((0.5 * LEAST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 64.0, 1.0)
+                         + 0.3 * LEAST(CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+                                       / GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0, 1.0)
+                         + 0.2 * (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                                              / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0))) * 1e6)
+                    AS BIGINT) // 100000) AS decile
+        FROM documents),
+    c AS (SELECT lang, half, decile, COUNT(*) AS n FROM s GROUP BY lang, half, decile),
+    ph AS (
+        SELECT lang, decile,
+               SUM(CASE WHEN half = 0 THEN n ELSE 0 END) AS n0,
+               SUM(CASE WHEN half = 1 THEN n ELSE 0 END) AS n1
+        FROM c GROUP BY lang, decile),
+    tot AS (SELECT lang, SUM(n0) AS t0, SUM(n1) AS t1 FROM ph GROUP BY lang)
+    SELECT ph.lang,
+           MAX(t0) AS n_first,
+           MAX(t1) AS n_second,
+           CAST(SUM(ABS(n0 * t1 - n1 * t0)) * 1000000 // (2 * MAX(t0) * MAX(t1)) AS BIGINT) AS tvd_ppm
+    FROM ph JOIN tot ON ph.lang = tot.lang
+    GROUP BY ph.lang ORDER BY ph.lang
+"""
+
+
+@query("ops_span_corruption")
+def ops_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask generation — deterministic, seeded,
+    engine-portable: token position i of a doc is a mask-span START iff
+    the seeded md5 of (doc_id, i) lands under a 15% threshold (md5 is
+    bit-identical across engines, so the masks replay exactly in any
+    engine or rerun — the property a distributed data-prep step needs;
+    same uniform-from-md5 trick as functions/export.py:weighted_sample).
+
+    One scan; positions come from a corpus-linear HOF over the token
+    array; the per-doc rollup is one partial-agg shuffle on doc_id."""
+    t = Tables(spark, sf_dir)
+    w = F.regexp_extract_all(F.lower("text"), F.lit(X.WORD_RE), 0)
+    toks = t.documents.select("doc_id", w.alias("w")).where(F.size("w") >= 1)
+    pos = toks.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.explode(F.sequence(F.lit(1), F.size("w"))).alias("i"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("7:"), F.col("doc_id").cast("string"), F.lit(":"), F.col("i").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    flagged = pos.select(
+        "doc_id", "n_tokens", "i", (F.pmod(u, F.lit(1000)) < 150).cast("long").alias("m")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.sum("m").alias("n_mask_starts"),
+            F.min(F.when(F.col("m") == 1, F.col("i"))).alias("first_mask_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["ops_span_corruption"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        FROM documents),
+    pos AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               unnest(generate_series(1, len(w))) AS i
+        FROM toks WHERE len(w) >= 1),
+    f AS (
+        SELECT doc_id, n_tokens, i,
+               CASE WHEN CAST(concat('0x', substring(md5('7:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 150
+                    THEN 1 ELSE 0 END AS m
+        FROM pos)
+    SELECT doc_id, MAX(n_tokens) AS n_tokens,
+           CAST(SUM(m) AS BIGINT) AS n_mask_starts,
+           MIN(CASE WHEN m = 1 THEN i END) AS first_mask_pos
+    FROM f GROUP BY doc_id ORDER BY doc_id
 """

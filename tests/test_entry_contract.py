@@ -19,7 +19,7 @@ def test_gate_rotation_is_round_keyed():
     first50 = names[:50]
     ops_names = [n for n in QUERIES if not re.match(r"^q\d+", n)]
     sql_names = [n for n in QUERIES if re.match(r"^q\d+", n)]
-    assert len(sql_names) == 56  # q1-q48 (q16 a/b/c) + r4's q49-q54
+    assert len(sql_names) == 57  # q1-q48 (q16 a/b/c) + r4's q49-q55
     if entry._current_round() % 2 == 0:
         # ops entries lead; every ORACLE-BACKED ops entry must sit inside
         # the 50-entry gate window (rows-only entries carry pytest + self-

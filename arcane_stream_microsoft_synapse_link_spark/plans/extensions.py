@@ -2210,10 +2210,15 @@ def ops_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers: Σ|o_i·N_q − q_i·N_o|·1e6 DIV (2·N_o·N_q) — no float
     division until never (log-free, unlike PSI/KL, so it hash-matches).
 
-    Scale shape: one scan scores quality (codegen projection); deciles are
+    Scale shape: ONE corpus scan scores quality (codegen projection) plus
+    a doc_id-only percentile pre-pass for the split point; deciles are
     exact integer buckets of the ppm score (width 1e5); counts are one
-    partial-agg shuffle on (lang, half, decile); the TVD rollup runs over
-    ≤ langs×20 rows."""
+    partial-agg shuffle on (lang, half, decile); the per-language totals
+    come from a window over the ≤ langs×10 reduced rows (a groupBy+join
+    spelling re-derives the aggregate lineage → the optimizer plans a
+    SECOND corpus scan, measured via plan_of — the window keeps one)."""
+    from pyspark.sql import Window as W
+
     t = Tables(spark, sf_dir)
     mid = t.documents.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
     scored = t.documents.select(
@@ -2230,12 +2235,16 @@ def ops_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(F.lit(0))).alias("n0"),
         F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(F.lit(0))).alias("n1"),
     )
-    totals = per_half.groupBy("lang").agg(
-        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    wl = W.partitionBy("lang")
+    with_tot = per_half.select(
+        "lang",
+        "n0",
+        "n1",
+        F.sum("n0").over(wl).alias("t0"),
+        F.sum("n1").over(wl).alias("t1"),
     )
     return (
-        per_half.join(totals, "lang")
-        .groupBy("lang")
+        with_tot.groupBy("lang")
         .agg(
             F.max("t0").alias("n_first"),
             F.max("t1").alias("n_second"),

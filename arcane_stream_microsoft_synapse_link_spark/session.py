@@ -51,6 +51,14 @@ def get_spark(app_name: str = "arcane-spark", shuffle_partitions: int | None = N
         # fair scheduling: concurrent jobs (multi-entity streams, parallel
         # backfills) share executors instead of queueing FIFO
         .config("spark.scheduler.mode", "FAIR")
+        # ContextCleaner frees shuffle files / broadcast blocks only when
+        # the DRIVER garbage-collects their weak references — and a large,
+        # mostly-idle driver heap can go far longer than the default 30 min
+        # between GCs. A resident multi-query session (the runner, a bench
+        # sweep) then accumulates hundreds of retired queries' shuffle
+        # state: measured on the 122-entry bench as 3-10× slowdowns in the
+        # run's back half with untouched plans. 5 min bounds the debt.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

@@ -219,3 +219,17 @@ def test_hard_negatives_broadcast_queries(spark):
     plan = plan_of(QUERIES["ops_hard_negatives"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan  # map-side top-k pruning
+
+
+def test_distribution_drift_single_corpus_scan(spark):
+    """The per-language totals must come from a window over the reduced
+    (lang, decile) rows, not a groupBy+join that re-derives the aggregate
+    lineage — the join spelling plans a SECOND full corpus scan."""
+    plan = plan_of(QUERIES["ops_distribution_drift"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet  (") == 1
+
+
+def test_span_corruption_single_scan_one_explode(spark):
+    plan = plan_of(QUERIES["ops_span_corruption"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet  (") == 1
+    assert plan.count("Generate (") == 1  # one position explode, no rescan

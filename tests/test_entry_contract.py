@@ -65,3 +65,43 @@ def test_no_decimal_output_in_oracle_sql():
             if m.group(1).upper() not in type_words:
                 offenders.append((name, m.group(1)))
     assert offenders == [], offenders
+
+
+def test_bench_compact_line_never_exceeds_driver_window():
+    """The driver json-parses only the last ~2000 B of stdout: an oversized
+    line is HEAD-truncated into unparseable JSON, so the compact renderer
+    must stay under MAX_LINE for any plausible surface size."""
+    import json
+
+    import bench
+
+    for n in (10, 122, 200, 400):
+        result = {
+            "metric": "declared-query wall clock (sum over all queries)",
+            "queries": {
+                f"ops_some_rather_long_operator_name_{i}": 0.1 + (i % 17) for i in range(n)
+            },
+            "steady": {},
+            "sf": 0.1,
+            "cdc": {
+                "backfill_rows": 20000,
+                "backfill_sec": 1.5,
+                "backfill_rows_per_sec": 13066.6,
+                "streamed_rows": 40000,
+                "stream_sec": 1.7,
+                "stream_rows_per_sec": 23762.9,
+                "final_row_count": 28000,
+                "readstream_rows_per_sec": 12166.6,
+                "multi_entity_rows_per_sec": 18720.7,
+            },
+        }
+        line = bench._compact_line(result)
+        assert len(line) <= bench.MAX_LINE, (n, len(line))
+        parsed = json.loads(line)
+        shown_sum = sum(parsed["queries"].values())
+        others = parsed.get("others", {"n": 0, "sum": 0})
+        assert len(parsed["queries"]) + others["n"] == n
+        # headline total always reflects ALL entries, not just the shown ones
+        assert abs(parsed["value"] - sum(result["queries"].values())) < 0.5 + 0.01 * n
+        if others["n"]:
+            assert abs(shown_sum + others["sum"] - parsed["value"]) < 0.1 * n

@@ -2218,16 +2218,27 @@ def ops_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     division until never (log-free, unlike PSI/KL, so it hash-matches).
 
     Scale shape: ONE corpus scan scores quality (codegen projection) plus
-    a doc_id-only percentile pre-pass for the split point; deciles are
-    exact integer buckets of the ppm score (width 1e5); counts are one
-    partial-agg shuffle on (lang, half, decile); the per-language totals
-    come from a window over the ≤ langs×10 reduced rows (a groupBy+join
-    spelling re-derives the aggregate lineage → the optimizer plans a
-    SECOND corpus scan, measured via plan_of — the window keeps one)."""
+    a doc_id-only pre-pass for the split point — computed by the
+    distributed rank-selection operator (operators/quantiles.py: one
+    balanced range shuffle, bounded memory everywhere), NOT the
+    ``percentile`` builtin whose merge buffers every value on one reducer;
+    deciles are exact integer buckets of the ppm score (width 1e5); counts
+    are one partial-agg shuffle on (lang, half, decile); the per-language
+    totals come from a window over the ≤ langs×10 reduced rows (a
+    groupBy+join spelling re-derives the aggregate lineage → the optimizer
+    plans a SECOND corpus scan, measured via plan_of — the window keeps
+    one)."""
     from pyspark.sql import Window as W
 
+    from ..operators.quantiles import exact_percentiles
+
     t = Tables(spark, sf_dir)
-    mid = t.documents.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    mid = exact_percentiles(
+        t.documents.select(F.col("doc_id").cast("double").alias("doc_id")),
+        "doc_id",
+        [0.5],
+        interpolation="cont",
+    ).first()["value"]
     scored = t.documents.select(
         "lang",
         (F.col("doc_id") > F.lit(mid)).cast("int").alias("half"),

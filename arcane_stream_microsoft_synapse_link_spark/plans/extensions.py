@@ -1643,9 +1643,20 @@ def ops_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the new batch is signed; candidates come from the stored index
     and are exact-Jaccard verified (functions/dedup.py:
     incremental_near_duplicates). Rows-only (multi-stage LSH has no SQL
-    twin); planted-match recall in tests/test_functions.py."""
+    twin); planted-match recall in tests/test_functions.py.
+
+    The corpus-half split point uses the distributed rank-selection
+    operator (one bounded-memory range shuffle), not the ``percentile``
+    builtin whose merge buffers every doc_id on one reducer."""
+    from ..operators.quantiles import exact_percentiles
+
     t = Tables(spark, sf_dir)
-    mid = t.documents.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    mid = exact_percentiles(
+        t.documents.select(F.col("doc_id").cast("double").alias("doc_id")),
+        "doc_id",
+        [0.5],
+        interpolation="cont",
+    ).first()["value"]
     corpus = t.documents.where(F.col("doc_id") <= mid)
     new_batch = t.documents.where(F.col("doc_id") > mid)
     index = D.minhash_band_index(corpus)

@@ -2379,3 +2379,87 @@ ORACLE["ops_span_corruption"] = """
            MIN(CASE WHEN m = 1 THEN i END) AS first_mask_pos
     FROM f GROUP BY doc_id ORDER BY doc_id
 """
+
+
+@query("ops_fuzzy_join")
+def ops_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join — entity resolution for dirty identifiers: probe
+    records carry a one-character corruption of a 12-char record code and
+    must be re-linked to their base records WITHOUT a cross join.
+
+    Blocking is the edit-distance pigeonhole (same principle as the
+    SimHash bands in functions/dedup.py): a single substitution corrupts
+    exactly one of the code's two 6-char halves, so every distance-1 pair
+    agrees EXACTLY on the other half — candidates are the union of two
+    equi-joins (on half 1, on half 2), provably complete for 1 edit.
+    Levenshtein runs on candidates only.
+
+    Scale shape: the half keys are high-entropy (md5-derived), so blocks
+    are selective and the two equi-joins are plain shuffle-hash/broadcast
+    joins (plan-asserted: no CartesianProduct / BroadcastNestedLoopJoin);
+    candidate count ~ 2·n + half-collisions. Low-entropy keys (shared
+    prefixes) would need the LSH bucket cap — the same skew story as
+    minhash_near_duplicates, documented there. The corruption itself is
+    seeded and engine-portable (md5 position/char), so the declared result
+    is hash-exact cross-engine."""
+    t = Tables(spark, sf_dir)
+    base = t.customer.select(
+        F.col("c_custkey").alias("base_id"),
+        F.substring(
+            F.md5(F.concat(F.lit("id:"), F.col("c_custkey").cast("string"))), 1, 12
+        ).alias("code"),
+    )
+    probe = base.select(F.col("base_id").alias("probe_id"), F.col("code").alias("c0")).select(
+        "probe_id",
+        F.concat(
+            F.expr("substr(c0, 1, CAST(probe_id % 12 AS INT))"),
+            F.expr("substr('uvwxyzuvwxyz', CAST(probe_id % 12 AS INT) + 1, 1)"),
+            F.expr("substr(c0, CAST(probe_id % 12 AS INT) + 2)"),
+        ).alias("pcode"),
+    )
+    pb = probe.select(
+        "probe_id",
+        "pcode",
+        F.substring("pcode", 1, 6).alias("h1"),
+        F.substring("pcode", 7, 6).alias("h2"),
+    )
+    bb = base.select(
+        "base_id",
+        "code",
+        F.substring("code", 1, 6).alias("h1"),
+        F.substring("code", 7, 6).alias("h2"),
+    )
+    c1 = pb.join(bb, pb.h1 == bb.h1).select("probe_id", "base_id", "pcode", "code")
+    c2 = pb.join(bb, pb.h2 == bb.h2).select("probe_id", "base_id", "pcode", "code")
+    return (
+        c1.union(c2)
+        .distinct()
+        .withColumn("dist", F.levenshtein("pcode", "code").cast("bigint"))
+        .where(F.col("dist") <= 1)
+        .select("probe_id", "base_id", "dist")
+        .orderBy("probe_id", "base_id")
+    )
+
+
+ORACLE["ops_fuzzy_join"] = """
+    WITH base AS (
+        SELECT c_custkey AS base_id,
+               substr(md5('id:' || CAST(c_custkey AS VARCHAR)), 1, 12) AS code
+        FROM customer),
+    probe AS (
+        SELECT base_id AS probe_id,
+               substr(code, 1, CAST(base_id % 12 AS INT))
+               || substr('uvwxyzuvwxyz', CAST(base_id % 12 AS INT) + 1, 1)
+               || substr(code, CAST(base_id % 12 AS INT) + 2) AS pcode
+        FROM base),
+    pb AS (SELECT probe_id, pcode, substr(pcode,1,6) AS h1, substr(pcode,7,6) AS h2 FROM probe),
+    bb AS (SELECT base_id, code, substr(code,1,6) AS h1, substr(code,7,6) AS h2 FROM base),
+    cand AS (
+        SELECT DISTINCT probe_id, base_id, pcode, code FROM (
+            SELECT p.probe_id, b.base_id, p.pcode, b.code FROM pb p JOIN bb b ON p.h1 = b.h1
+            UNION
+            SELECT p.probe_id, b.base_id, p.pcode, b.code FROM pb p JOIN bb b ON p.h2 = b.h2))
+    SELECT probe_id, base_id, CAST(levenshtein(pcode, code) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(pcode, code) <= 1
+    ORDER BY probe_id, base_id
+"""

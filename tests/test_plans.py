@@ -233,3 +233,11 @@ def test_span_corruption_single_scan_one_explode(spark):
     plan = plan_of(QUERIES["ops_span_corruption"](spark, SF_SMOKE))
     assert plan.count("Scan parquet  (") == 1
     assert plan.count("Generate (") == 1  # one position explode, no rescan
+
+
+def test_fuzzy_join_no_nested_loop(spark):
+    """Both candidate-generation joins must be equi-joins on the half
+    keys — never a cartesian/nested-loop similarity scan."""
+    plan = plan_of(QUERIES["ops_fuzzy_join"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

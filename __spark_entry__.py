@@ -44,10 +44,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All registered queries, ordered for the 50-entry correctness gate.
 
     The gate walks this dict in order and checks exactly the first 50
-    entries; the full 122-entry surface therefore alternates through the
+    entries; the full 123-entry surface therefore alternates through the
     window on a round-keyed schedule:
 
-    - even rounds (4, 6, ...): the ``ops_*`` entries lead (all 48
+    - even rounds (4, 6, ...): the ``ops_*`` entries lead (all 49
       oracle-backed ones first — inside the window — then rows-only),
       followed by Q1..;
     - odd rounds (5, 7, ...): the 57 declared SQL entries Q1–Q55 lead —

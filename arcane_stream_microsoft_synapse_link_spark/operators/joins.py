@@ -105,3 +105,88 @@ def range_join_binned(
         .where(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
         .drop("_bin")
     )
+
+
+def blocked_hamming_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_code: str,
+    right_code: str,
+    code_len: int,
+    max_mismatches: int = 1,
+    extra_left: list[str] | None = None,
+    extra_right: list[str] | None = None,
+) -> DataFrame:
+    """Similarity join on fixed-length codes within ``max_mismatches``
+    substitutions, WITHOUT a cross join — the entity-resolution /
+    fingerprint-reconciliation primitive.
+
+    Blocking is the substitution pigeonhole: split each code into
+    ``max_mismatches + 1`` contiguous parts; k substitutions can corrupt
+    at most k parts, so every within-distance pair agrees EXACTLY on at
+    least one (part_index, part_value) — the same guarantee the SimHash
+    16-bit bands use (functions/dedup.py), generalized to any alphabet.
+    Candidates come from ONE equi-join on the exploded part key; the
+    exact Hamming check runs on candidates only.
+
+    Scale shape: one shuffle join on (part_idx, part_val); candidate
+    volume = true matches + part-key collisions, which high-entropy codes
+    keep near zero. Low-entropy codes (shared prefixes) make one part
+    value degenerate — the LSH bucket-cap story (functions/dedup.py
+    ``max_bucket``) applies and exact-dedup-first removes the worst case.
+    Output: one row per candidate pair within distance, with ``dist`` and
+    any ``extra_*`` carried columns.
+
+    Substitution-only by design (Hamming, not Levenshtein): an indel
+    shifts every later position, breaking part equality — indel-tolerant
+    blocking needs q-gram blocking instead; levenshtein verification over
+    these candidates is still exact FOR substitution-corrupted data (each
+    substitution is one edit), which is what the declared ops_fuzzy_join
+    asserts against DuckDB.
+    """
+    n_parts = max_mismatches + 1
+    bounds = [(i * code_len) // n_parts for i in range(n_parts + 1)]
+
+    def parts(code_col: str, side: str) -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("part_idx"),
+                    F.substring(
+                        code_col, bounds[i] + 1, bounds[i + 1] - bounds[i]
+                    ).alias("part_val"),
+                )
+                for i in range(n_parts)
+            ]
+        )
+
+    lcols = [F.col(left_code).alias("_lcode")] + [
+        F.col(c) for c in (extra_left or [])
+    ]
+    rcols = [F.col(right_code).alias("_rcode")] + [
+        F.col(c) for c in (extra_right or [])
+    ]
+    lp = left.select(*lcols, F.explode(parts(left_code, "l")).alias("_p"))
+    rp = right.select(*rcols, F.explode(parts(right_code, "r")).alias("_p"))
+    cand = (
+        lp.join(rp, lp["_p"] == rp["_p"])
+        .drop("_p")
+        .distinct()
+    )
+    # exact Hamming distance over the aligned codes: count differing
+    # positions via one zip of the two char arrays (codegen, no UDF)
+    dist = F.aggregate(
+        F.zip_with(
+            F.split(F.col("_lcode"), "(?!^)"),
+            F.split(F.col("_rcode"), "(?!^)"),
+            lambda a, b: (a != b).cast("int"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("dist", dist)
+        .where(F.col("dist") <= max_mismatches)
+        .withColumnRenamed("_lcode", "left_code")
+        .withColumnRenamed("_rcode", "right_code")
+    )

@@ -2417,25 +2417,23 @@ def ops_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(c0, CAST(probe_id % 12 AS INT) + 2)"),
         ).alias("pcode"),
     )
-    pb = probe.select(
-        "probe_id",
-        "pcode",
-        F.substring("pcode", 1, 6).alias("h1"),
-        F.substring("pcode", 7, 6).alias("h2"),
-    )
-    bb = base.select(
-        "base_id",
-        "code",
-        F.substring("code", 1, 6).alias("h1"),
-        F.substring("code", 7, 6).alias("h2"),
-    )
-    c1 = pb.join(bb, pb.h1 == bb.h1).select("probe_id", "base_id", "pcode", "code")
-    c2 = pb.join(bb, pb.h2 == bb.h2).select("probe_id", "base_id", "pcode", "code")
+    from ..operators.joins import blocked_hamming_join
+
+    # Hamming ≡ Levenshtein here: the codes are equal-length, and lev ≤ 1
+    # between equal-length strings is exactly ≤ 1 substitution — so the
+    # generic operator (operators/joins.py, property-tested to k edits)
+    # reproduces the oracle's levenshtein filter bit-for-bit.
     return (
-        c1.union(c2)
-        .distinct()
-        .withColumn("dist", F.levenshtein("pcode", "code").cast("bigint"))
-        .where(F.col("dist") <= 1)
+        blocked_hamming_join(
+            probe,
+            base,
+            "pcode",
+            "code",
+            code_len=12,
+            max_mismatches=1,
+            extra_left=["probe_id"],
+            extra_right=["base_id"],
+        )
         .select("probe_id", "base_id", "dist")
         .orderBy("probe_id", "base_id")
     )

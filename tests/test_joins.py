@@ -154,3 +154,53 @@ def test_exact_percentiles_edges(spark):
         (0.0, 7.0), (0.5, 7.0), (1.0, 7.0)]
     empty = spark.createDataFrame([], "x double")
     assert exact_percentiles(empty, "x", [0.5]).collect() == []
+
+
+def test_blocked_hamming_join_recovers_planted_corruptions(spark):
+    """Pigeonhole completeness: every pair within max_mismatches
+    substitutions is recovered, distances are exact, and candidates come
+    from an equi-join (no nested loop)."""
+    import hashlib
+    import io
+    import random
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from arcane_stream_microsoft_synapse_link_spark.operators.joins import (
+        blocked_hamming_join,
+    )
+
+    rng = random.Random(7)
+    code_len, k, n = 12, 2, 300
+    codes = [hashlib.md5(f"b{i}".encode()).hexdigest()[:code_len] for i in range(n)]
+    base = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(codes)], "base_id long, code string"
+    )
+    probes, expected = [], {}
+    for i, c in enumerate(codes):
+        m = rng.randint(0, k)  # up to k substitutions, sometimes zero
+        pos = rng.sample(range(code_len), m)
+        pc = list(c)
+        for p in pos:
+            pc[p] = rng.choice("uvwxyz")  # outside hex → guaranteed change
+        probes.append((i, "".join(pc)))
+        expected[i] = m
+    probe = spark.createDataFrame(probes, "probe_id long, pcode string")
+
+    out = blocked_hamming_join(
+        probe, base, "pcode", "code", code_len, max_mismatches=k,
+        extra_left=["probe_id"], extra_right=["base_id"],
+    )
+    got = {(r.probe_id, r.base_id): r.dist for r in out.collect()}
+    for i, m in expected.items():
+        assert got.get((i, i)) == m, (i, m, got.get((i, i)))
+    # false positives are allowed candidates but must all be within k
+    assert all(d <= k for d in got.values())
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -44,12 +44,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All registered queries, ordered for the 50-entry correctness gate.
 
     The gate walks this dict in order and checks exactly the first 50
-    entries; the full 123-entry surface therefore alternates through the
+    entries; the full 124-entry surface therefore alternates through the
     window on a round-keyed schedule:
 
-    - even rounds (4, 6, ...): the ``ops_*`` entries lead (all 49
-      oracle-backed ones first — inside the window — then rows-only),
-      followed by Q1..;
+    - even rounds (4, 6, ...): the ``ops_*`` entries lead (all 50
+      oracle-backed ones first — exactly filling the window — then
+      rows-only), followed by Q1..;
     - odd rounds (5, 7, ...): the 57 declared SQL entries Q1–Q55 lead —
       gate covers most of the SQL surface (the tail past 50 returns to
       the window with the ops rotation).

@@ -190,3 +190,78 @@ def blocked_hamming_join(
         .withColumnRenamed("_lcode", "left_code")
         .withColumnRenamed("_rcode", "right_code")
     )
+
+
+def qgram_levenshtein_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_code: str,
+    right_code: str,
+    max_edits: int = 1,
+    q: int = 3,
+    extra_left: list[str] | None = None,
+    extra_right: list[str] | None = None,
+) -> DataFrame:
+    """Edit-distance join tolerant of INSERTIONS/DELETIONS — the indel
+    complement to ``blocked_hamming_join`` (whose part blocking breaks the
+    moment an indel shifts positions).
+
+    Candidate filter is q-gram count filtering (Gravano et al., VLDB'01):
+    one edit destroys at most ``q`` of a string's overlapping q-grams, so
+    any pair within ``max_edits`` shares at least
+    ``max(len_l, len_r) − q + 1 − max_edits·q`` q-grams AS A MULTISET.
+    The multiset intersection is computed exactly by numbering each
+    gram's occurrences within its string (row_number over (id, gram)) and
+    equi-joining on (gram, occurrence) — no cross join anywhere; exact
+    ``levenshtein`` runs only on pairs passing the count bound.
+
+    Scale shape: gram explode is corpus-linear (≈len rows per string);
+    the candidate join shuffles on the gram value — selective for
+    high-entropy codes; for natural-language keys pick a larger ``q`` or
+    add the LSH bucket cap (functions/dedup.py) for stop-gram skew. The
+    occurrence window partitions by (string id, gram): high-cardinality,
+    skew-free by construction.
+    """
+    def grams(df: DataFrame, code: str, id_cols: list[str], side: str) -> DataFrame:
+        i = F.explode(
+            F.sequence(F.lit(1), F.length(code) - F.lit(q - 1))
+        ).alias("_i")
+        return (
+            df.select(*id_cols, F.col(code).alias(f"_{side}code"), i)
+            .select(
+                *id_cols,
+                f"_{side}code",
+                "_i",
+                F.expr(f"substr(_{side}code, CAST(_i AS INT), {q})").alias("_g"),
+            )
+            .withColumn(
+                "_occ",
+                F.row_number().over(
+                    Window.partitionBy(*id_cols, "_g").orderBy("_i")
+                ),
+            )
+            .drop("_i")
+        )
+
+    lids = extra_left or []
+    rids = extra_right or []
+    lg = grams(left, left_code, lids, "l")
+    rg = grams(right, right_code, rids, "r")
+    bound = (
+        F.greatest(F.length("_lcode"), F.length("_rcode"))
+        - F.lit(q - 1)
+        - F.lit(max_edits * q)
+    )
+    cand = (
+        lg.join(rg, ["_g", "_occ"])
+        .groupBy(*lids, *rids, "_lcode", "_rcode")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .where(F.col("_shared") >= bound)
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("_lcode", "_rcode").cast("bigint"))
+        .where(F.col("dist") <= max_edits)
+        .drop("_shared")
+        .withColumnRenamed("_lcode", "left_code")
+        .withColumnRenamed("_rcode", "right_code")
+    )

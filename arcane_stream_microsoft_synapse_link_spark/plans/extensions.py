@@ -2461,3 +2461,74 @@ ORACLE["ops_fuzzy_join"] = """
     FROM cand WHERE levenshtein(pcode, code) <= 1
     ORDER BY probe_id, base_id
 """
+
+
+@query("ops_fuzzy_join_indel")
+def ops_fuzzy_join_indel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indel-tolerant fuzzy join — probes carry a one-character DELETION
+    of the 12-char record code (so the substitution pigeonhole of
+    ops_fuzzy_join cannot block them: every later position shifts).
+    Candidates come from q-gram COUNT FILTERING (operators/joins.py:
+    qgram_levenshtein_join — multiset q-gram intersection via a
+    (gram, occurrence) equi-join, bound max(len)−q+1−k·q), then exact
+    levenshtein on survivors. No cross join (plan-asserted); seeded md5
+    construction keeps the result hash-exact cross-engine."""
+    from ..operators.joins import qgram_levenshtein_join
+
+    t = Tables(spark, sf_dir)
+    base = t.customer.select(
+        F.col("c_custkey").alias("base_id"),
+        F.substring(
+            F.md5(F.concat(F.lit("id:"), F.col("c_custkey").cast("string"))), 1, 12
+        ).alias("code"),
+    )
+    probe = base.select(F.col("base_id").alias("probe_id"), F.col("code").alias("c0")).select(
+        "probe_id",
+        F.concat(
+            F.expr("substr(c0, 1, CAST(probe_id % 12 AS INT))"),
+            F.expr("substr(c0, CAST(probe_id % 12 AS INT) + 2)"),
+        ).alias("pcode"),
+    )
+    return (
+        qgram_levenshtein_join(
+            probe,
+            base,
+            "pcode",
+            "code",
+            max_edits=1,
+            q=3,
+            extra_left=["probe_id"],
+            extra_right=["base_id"],
+        )
+        .select("probe_id", "base_id", "dist")
+        .orderBy("probe_id", "base_id")
+    )
+
+
+ORACLE["ops_fuzzy_join_indel"] = """
+    WITH base AS (
+        SELECT c_custkey AS base_id,
+               substr(md5('id:' || CAST(c_custkey AS VARCHAR)), 1, 12) AS code
+        FROM customer),
+    probe AS (
+        SELECT base_id AS probe_id,
+               substr(code, 1, CAST(base_id % 12 AS INT))
+               || substr(code, CAST(base_id % 12 AS INT) + 2) AS pcode
+        FROM base),
+    pi AS (SELECT probe_id, pcode, unnest(generate_series(1, length(pcode) - 2)) AS i FROM probe),
+    pg AS (SELECT probe_id, pcode, substr(pcode, CAST(i AS INT), 3) AS g,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id, substr(pcode, CAST(i AS INT), 3) ORDER BY i) AS occ
+           FROM pi),
+    bi AS (SELECT base_id, code, unnest(generate_series(1, length(code) - 2)) AS i FROM base),
+    bg AS (SELECT base_id, code, substr(code, CAST(i AS INT), 3) AS g,
+                  ROW_NUMBER() OVER (PARTITION BY base_id, substr(code, CAST(i AS INT), 3) ORDER BY i) AS occ
+           FROM bi),
+    cand AS (
+        SELECT probe_id, base_id, pcode, code, COUNT(*) AS shared
+        FROM pg JOIN bg USING (g, occ)
+        GROUP BY probe_id, base_id, pcode, code
+        HAVING COUNT(*) >= GREATEST(length(pcode), length(code)) - 2 - 3)
+    SELECT probe_id, base_id, CAST(levenshtein(pcode, code) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(pcode, code) <= 1
+    ORDER BY probe_id, base_id
+"""

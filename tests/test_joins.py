@@ -204,3 +204,53 @@ def test_blocked_hamming_join_recovers_planted_corruptions(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_qgram_levenshtein_join_recovers_planted_indels(spark):
+    """Count-filter completeness: every pair within max_edits edits
+    (including insertions/deletions) is recovered, distances exact, no
+    nested loop."""
+    import hashlib
+    import io
+    import random
+    from contextlib import redirect_stdout
+
+    from arcane_stream_microsoft_synapse_link_spark.operators.joins import (
+        qgram_levenshtein_join,
+    )
+
+    rng = random.Random(11)
+    code_len, n = 14, 250
+    codes = [hashlib.md5(f"q{i}".encode()).hexdigest()[:code_len] for i in range(n)]
+    base = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(codes)], "base_id long, code string"
+    )
+    probes, expected = [], {}
+    for i, c in enumerate(codes):
+        kind = rng.choice(["none", "del", "ins", "sub"])
+        pc = list(c)
+        if kind == "del":
+            del pc[rng.randrange(len(pc))]
+        elif kind == "ins":
+            pc.insert(rng.randrange(len(pc) + 1), rng.choice("uvwxyz"))
+        elif kind == "sub":
+            pc[rng.randrange(len(pc))] = rng.choice("uvwxyz")
+        probes.append((i, "".join(pc)))
+        expected[i] = 0 if kind == "none" else 1
+    probe = spark.createDataFrame(probes, "probe_id long, pcode string")
+
+    out = qgram_levenshtein_join(
+        probe, base, "pcode", "code", max_edits=1, q=3,
+        extra_left=["probe_id"], extra_right=["base_id"],
+    )
+    got = {(r.probe_id, r.base_id): r.dist for r in out.collect()}
+    for i, d in expected.items():
+        assert got.get((i, i)) == d, (i, d, got.get((i, i)))
+    assert all(d <= 1 for d in got.values())
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -241,3 +241,9 @@ def test_fuzzy_join_no_nested_loop(spark):
     plan = plan_of(QUERIES["ops_fuzzy_join"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_join_indel_no_nested_loop(spark):
+    plan = plan_of(QUERIES["ops_fuzzy_join_indel"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

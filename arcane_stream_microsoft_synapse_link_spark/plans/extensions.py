@@ -2472,7 +2472,14 @@ def ops_fuzzy_join_indel(spark: SparkSession, sf_dir: str) -> DataFrame:
     qgram_levenshtein_join — multiset q-gram intersection via a
     (gram, occurrence) equi-join, bound max(len)−q+1−k·q), then exact
     levenshtein on survivors. No cross join (plan-asserted); seeded md5
-    construction keeps the result hash-exact cross-engine."""
+    construction keeps the result hash-exact cross-engine.
+
+    q=4 because gram selectivity is the scale knob: hex 3-grams have only
+    4096 values, so at sf0.1 (~150k gram instances) buckets average ~37
+    members and the candidate join goes quadratic-per-bucket (measured
+    9 s warm); 4-grams (65k values) keep buckets ~2 members at the same
+    volume (measured 2.0 s warm) while the count bound stays satisfiable
+    (12−4+1−4 = 5 shared grams of 8-9)."""
     from ..operators.joins import qgram_levenshtein_join
 
     t = Tables(spark, sf_dir)
@@ -2496,7 +2503,7 @@ def ops_fuzzy_join_indel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pcode",
             "code",
             max_edits=1,
-            q=3,
+            q=4,
             extra_left=["probe_id"],
             extra_right=["base_id"],
         )
@@ -2515,19 +2522,19 @@ ORACLE["ops_fuzzy_join_indel"] = """
                substr(code, 1, CAST(base_id % 12 AS INT))
                || substr(code, CAST(base_id % 12 AS INT) + 2) AS pcode
         FROM base),
-    pi AS (SELECT probe_id, pcode, unnest(generate_series(1, length(pcode) - 2)) AS i FROM probe),
-    pg AS (SELECT probe_id, pcode, substr(pcode, CAST(i AS INT), 3) AS g,
-                  ROW_NUMBER() OVER (PARTITION BY probe_id, substr(pcode, CAST(i AS INT), 3) ORDER BY i) AS occ
+    pi AS (SELECT probe_id, pcode, unnest(generate_series(1, length(pcode) - 3)) AS i FROM probe),
+    pg AS (SELECT probe_id, pcode, substr(pcode, CAST(i AS INT), 4) AS g,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id, substr(pcode, CAST(i AS INT), 4) ORDER BY i) AS occ
            FROM pi),
-    bi AS (SELECT base_id, code, unnest(generate_series(1, length(code) - 2)) AS i FROM base),
-    bg AS (SELECT base_id, code, substr(code, CAST(i AS INT), 3) AS g,
-                  ROW_NUMBER() OVER (PARTITION BY base_id, substr(code, CAST(i AS INT), 3) ORDER BY i) AS occ
+    bi AS (SELECT base_id, code, unnest(generate_series(1, length(code) - 3)) AS i FROM base),
+    bg AS (SELECT base_id, code, substr(code, CAST(i AS INT), 4) AS g,
+                  ROW_NUMBER() OVER (PARTITION BY base_id, substr(code, CAST(i AS INT), 4) ORDER BY i) AS occ
            FROM bi),
     cand AS (
         SELECT probe_id, base_id, pcode, code, COUNT(*) AS shared
         FROM pg JOIN bg USING (g, occ)
         GROUP BY probe_id, base_id, pcode, code
-        HAVING COUNT(*) >= GREATEST(length(pcode), length(code)) - 2 - 3)
+        HAVING COUNT(*) >= GREATEST(length(pcode), length(code)) - 3 - 4)
     SELECT probe_id, base_id, CAST(levenshtein(pcode, code) AS BIGINT) AS dist
     FROM cand WHERE levenshtein(pcode, code) <= 1
     ORDER BY probe_id, base_id

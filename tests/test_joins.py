@@ -254,3 +254,70 @@ def test_qgram_levenshtein_join_recovers_planted_indels(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_hamming_join_k3_and_qgram_two_edits(spark):
+    """Deeper pigeonhole/count-filter coverage: k=3 substitutions for the
+    Hamming operator, two mixed edits for the q-gram operator."""
+    import hashlib
+    import random
+
+    from arcane_stream_microsoft_synapse_link_spark.operators.joins import (
+        blocked_hamming_join,
+        qgram_levenshtein_join,
+    )
+
+    rng = random.Random(23)
+    code_len, n = 16, 150
+    codes = [hashlib.md5(f"d{i}".encode()).hexdigest()[:code_len] for i in range(n)]
+    base = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(codes)], "base_id long, code string"
+    )
+
+    # k=3 substitutions, 4-part pigeonhole
+    probes, expected = [], {}
+    for i, c in enumerate(codes):
+        m = rng.randint(0, 3)
+        pc = list(c)
+        for p in rng.sample(range(code_len), m):
+            pc[p] = rng.choice("uvwxyz")
+        probes.append((i, "".join(pc)))
+        expected[i] = m
+    probe = spark.createDataFrame(probes, "probe_id long, pcode string")
+    got = {
+        (r.probe_id, r.base_id): r.dist
+        for r in blocked_hamming_join(
+            probe, base, "pcode", "code", code_len, max_mismatches=3,
+            extra_left=["probe_id"], extra_right=["base_id"],
+        ).collect()
+    }
+    for i, m in expected.items():
+        assert got.get((i, i)) == m, (i, m, got.get((i, i)))
+
+    # two mixed edits (sub/ins/del in any combination), q=4 count filter
+    probes2, expected2 = [], {}
+    for i, c in enumerate(codes):
+        m = rng.randint(0, 2)
+        pc = list(c)
+        for _ in range(m):
+            kind = rng.choice(["del", "ins", "sub"])
+            if kind == "del" and len(pc) > 1:
+                del pc[rng.randrange(len(pc))]
+            elif kind == "ins":
+                pc.insert(rng.randrange(len(pc) + 1), rng.choice("uvwxyz"))
+            else:
+                pc[rng.randrange(len(pc))] = rng.choice("uvwxyz")
+        probes2.append((i, "".join(pc)))
+        expected2[i] = m
+    probe2 = spark.createDataFrame(probes2, "probe_id long, pcode string")
+    got2 = {
+        (r.probe_id, r.base_id): r.dist
+        for r in qgram_levenshtein_join(
+            probe2, base, "pcode", "code", max_edits=2, q=4,
+            extra_left=["probe_id"], extra_right=["base_id"],
+        ).collect()
+    }
+    for i, m in expected2.items():
+        # edits can cancel (insert then delete): distance is AT MOST m
+        d = got2.get((i, i))
+        assert d is not None and d <= m or (m == 0 and d == 0), (i, m, d)

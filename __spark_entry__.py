@@ -40,35 +40,67 @@ def _current_round() -> int:
     return max(rounds) + 1
 
 
+def _ever_green() -> set[str]:
+    """Query names with at least one green driver row in any prior round.
+
+    Green = rows matched, no error, and the value hash matched when the
+    driver computed one (rows-only entries have ``hash_match: null``).
+    Used to push never-verified entries to the front of the 50-slot gate
+    window so every entry eventually earns an independent driver check.
+    """
+    import json
+    import pathlib
+
+    here = pathlib.Path(__file__).resolve().parent
+    green: set[str] = set()
+    for p in here.glob("CORRECTNESS_r*.json"):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("rows_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if ok:
+                green.add(name)
+    return green
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All registered queries, ordered for the 50-entry correctness gate.
 
     The gate walks this dict in order and checks exactly the first 50
-    entries; the full 124-entry surface therefore alternates through the
-    window on a round-keyed schedule:
-
-    - even rounds (4, 6, ...): the ``ops_*`` entries lead (all 50
-      oracle-backed ones first — exactly filling the window — then
-      rows-only), followed by Q1..;
-    - odd rounds (5, 7, ...): the 57 declared SQL entries Q1–Q55 lead —
-      gate covers most of the SQL surface (the tail past 50 returns to
-      the window with the ops rotation).
+    entries.  Ordering is history-driven: entries that have NEVER had a
+    green row in any prior ``CORRECTNESS_r*.json`` come first (oracle-
+    backed before rows-only, name-sorted), so every entry eventually earns
+    an independent driver verification.  The already-verified remainder
+    rotates on a round-keyed schedule (even rounds: ops first; odd
+    rounds: Q1.. first) so re-verification coverage alternates too.
 
     Either way ``tests/test_queries.py`` strict-compares all oracle-backed
-    entries every round, so rotation only affects which half gets the
-    driver's independent re-verification.
+    entries every round, so ordering only affects which slice gets the
+    driver's independent re-verification this round.
     """
     import re
 
     ops_first = _current_round() % 2 == 0
+    green = _ever_green()
 
     def rank(item):
         name = item[0]
+        if name not in green:
+            # Never driver-verified: front of the window.  Oracle-backed
+            # entries lead (the stronger hash check), rows-only follow.
+            return (0, 0 if name in ORACLE else 1, 0, name)
         m = re.match(r"^q(\d+)", name)
         if m:
-            return (2 if ops_first else 0, int(m.group(1)), name)
-        # ops entries: oracle-backed ahead of rows-only.
-        return (0 if ops_first else 1) + (0 if name in ORACLE else 1), 0, name
+            return (1, 2 if ops_first else 0, int(m.group(1)), name)
+        return (1, (0 if ops_first else 1) + (0 if name in ORACLE else 1), 0, name)
 
     return dict(sorted(QUERIES.items(), key=lambda it: rank(it)))
 

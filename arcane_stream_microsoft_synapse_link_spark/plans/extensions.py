@@ -1013,7 +1013,9 @@ def ops_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["ops_mixture_weights"] = r"""
     WITH s AS (
-        SELECT source, SUM(len(regexp_extract_all(text, '\S+'))) AS src_tokens
+        -- CAST: bare SUM(BIGINT) is HUGEINT (int128) in DuckDB; the driver's
+        -- value hash is type-sensitive, so output columns must be BIGINT
+        SELECT source, CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS src_tokens
         FROM documents GROUP BY source),
     tot AS (SELECT SUM(src_tokens) AS total, COUNT(*) AS nsrc FROM s)
     SELECT source, src_tokens,
@@ -1098,7 +1100,7 @@ def ops_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["ops_dedup_accounting"] = """
     WITH h AS (SELECT source, md5(text) AS h, COUNT(*) AS n
                FROM documents GROUP BY source, md5(text))
-    SELECT source, SUM(n) AS n_docs, COUNT(*) AS n_unique,
+    SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs, COUNT(*) AS n_unique,
            CAST((SUM(n) - COUNT(*)) * 1000000 // SUM(n) AS BIGINT) AS dup_ppm
     FROM h GROUP BY source ORDER BY source
 """
@@ -2114,8 +2116,11 @@ def ops_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # "_mx" appears TWICE here (passthrough + inside the lambda): a
     # single-referenced column would be inlined back into the lambda by
-    # CollapseProject and the abs-max would re-run per element again
-    coded = withmax.select(
+    # CollapseProject and the abs-max would re-run per element again.
+    # _mx > 0 guard: an all-zero vector would give scale 127/0 = Inf and
+    # NaN codes — Spark casts NaN→0 while DuckDB errors, so the degenerate
+    # row is excluded identically in both engines.
+    coded = withmax.where(F.col("_mx") > 0).select(
         "vec_id",
         "_mx",
         F.size("embedding").cast("bigint").alias("n_dims"),
@@ -2150,13 +2155,15 @@ ORACLE["ops_embedding_quantize"] = """
                    x -> CAST(FLOOR(CAST(x AS DOUBLE)
                         * (127.0 / list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))))
                         + 0.5) AS BIGINT)) AS codes
-        FROM embeddings WHERE len(embedding) > 0)
+        FROM embeddings
+        WHERE len(embedding) > 0
+          AND list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))) > 0)
     SELECT vec_id,
            CAST(n_dims AS BIGINT) AS n_dims,
            list_min(codes) AS code_min,
            list_max(codes) AS code_max,
-           list_sum(codes) AS code_sum,
-           list_sum(list_transform(codes, c -> ABS(c))) AS code_l1
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_sum(list_transform(codes, c -> ABS(c))) AS BIGINT) AS code_l1
     FROM q ORDER BY vec_id
 """
 
@@ -2311,8 +2318,8 @@ ORACLE["ops_distribution_drift"] = r"""
         FROM c GROUP BY lang, decile),
     tot AS (SELECT lang, SUM(n0) AS t0, SUM(n1) AS t1 FROM ph GROUP BY lang)
     SELECT ph.lang,
-           MAX(t0) AS n_first,
-           MAX(t1) AS n_second,
+           CAST(MAX(t0) AS BIGINT) AS n_first,
+           CAST(MAX(t1) AS BIGINT) AS n_second,
            CAST(SUM(ABS(n0 * t1 - n1 * t0)) * 1000000 // (2 * MAX(t0) * MAX(t1)) AS BIGINT) AS tvd_ppm
     FROM ph JOIN tot ON ph.lang = tot.lang
     GROUP BY ph.lang ORDER BY ph.lang

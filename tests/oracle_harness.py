@@ -17,6 +17,21 @@ import duckdb
 
 from arcane_stream_microsoft_synapse_link_spark.catalog import TABLE_NAMES
 
+# DuckDB result types the driver's type-sensitive value hash can match
+# against a Spark result.  Anything outside this set (HUGEINT from a bare
+# SUM(BIGINT) / list_sum is the recurring offender) compares equal locally
+# (Python int == int) but hash-mismatches at the driver — so the harness
+# rejects it outright instead of letting three scales of local sweeps pass.
+_DUCKDB_TYPE_WHITELIST = {
+    "BIGINT",
+    "INTEGER",
+    "DOUBLE",
+    "VARCHAR",
+    "DATE",
+    "TIMESTAMP",
+    "BOOLEAN",
+}
+
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
@@ -64,6 +79,18 @@ def compare(spark, sf_dir: str, query_fn, oracle: str, strict: bool = False) -> 
     scols = sdf.columns
 
     con = duckdb_con(sf_dir)
+    rel = con.sql(oracle)
+    offtype = [
+        f"{c}:{t}"
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) not in _DUCKDB_TYPE_WHITELIST
+    ]
+    if offtype:
+        return False, (
+            "oracle emits driver-incompatible DuckDB type(s) "
+            f"{offtype} — CAST to one of {sorted(_DUCKDB_TYPE_WHITELIST)} "
+            "(bare SUM/list_sum over BIGINT is HUGEINT)"
+        )
     res = con.execute(oracle)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()

@@ -134,10 +134,19 @@ class StreamRunner:
         self.spec = spec
         source_io = None
         if spec.storage_connection is not None:
+            from ..sources.azureblob import (
+                AzureBlobStoreIO,
+                azure_blob_connection,
+                is_azure_path,
+            )
             from ..sources.objectstore import S3StoreIO, is_s3_path, s3_connection
 
             if is_s3_path(spec.source_root):
                 source_io = S3StoreIO(**s3_connection(spec.storage_connection))
+            elif is_azure_path(spec.source_root):
+                source_io = AzureBlobStoreIO(
+                    **azure_blob_connection(spec.storage_connection)
+                )
         self.source = SynapseLinkSource(spec.source_root, spec.entity_name, io=source_io)
         self.table = VersionedTable(
             spec.target_root,

@@ -1,0 +1,325 @@
+"""Azure Blob e2e for A5 — the Azurite analog (round-4 brief item 3).
+
+The reference's integration harness runs blob ingest against the Azurite
+emulator (docker-compose.yaml:35-45; Fixtures.scala:27-73 shows the
+container layout).  This is that test for the PySpark engine: a local
+HTTP server speaking the Azure Blob REST list/get surface — including
+*verifying* the SharedKey HMAC signature, so auth is exercised for real —
+with the synthetic Synapse Link batch layout stored as blobs, driven
+through ``AzureBlobStoreIO`` via the spec's ``storageConnection`` mapping
+on an ``abfss://``-shaped source root.  Listing uses a deliberately tiny
+``maxResultsPerPage`` so every folder listing must paginate via
+``NextMarker``.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from xml.sax.saxutils import escape
+
+import pytest
+
+from arcane_stream_microsoft_synapse_link_spark.sources.azureblob import (
+    AzureBlobStoreIO,
+    azure_blob_connection,
+    is_azure_path,
+    parse_azure_url,
+)
+from arcane_stream_microsoft_synapse_link_spark.sources.synapse import SynapseLinkSource
+from arcane_stream_microsoft_synapse_link_spark.streaming.runner import (
+    StreamRunner,
+    StreamSpec,
+)
+
+from .synapse_fixture import (
+    BASE_VERSION,
+    ENTITY,
+    KEYS,
+    SynapseFixture,
+    base_file,
+    delete_file,
+    minus,
+    model_json,
+    upsert_file,
+)
+
+ACCOUNT = "devaccount"
+CONTAINER = "synapse"
+PREFIX = "export"
+ACCOUNT_KEY = base64.b64encode(b"azurite-analog-test-key").decode()
+
+
+class _BlobHandler(BaseHTTPRequestHandler):
+    """Azure Blob REST surface: List Blobs (prefix/delimiter/maxresults/
+    marker) + Get Blob + Get Blob Properties, with SharedKey signature
+    verification (403 on mismatch — a wrong account key fails loudly)."""
+
+    server_version = "AzuriteAnalog/0.1"
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    # ---- SharedKey verification (mirror of the public signing scheme) ----
+    def _expected_sig(self, verb: str, path: str, query: list[tuple[str, str]]) -> str:
+        canon_headers = "".join(
+            f"{k.lower()}:{v}\n"
+            for k, v in sorted(self.headers.items(), key=lambda kv: kv[0].lower())
+            if k.lower().startswith("x-ms-")
+        )
+        canon_resource = f"/{ACCOUNT}{path}" + "".join(
+            f"\n{k.lower()}:{v}" for k, v in sorted(query)
+        )
+        string_to_sign = f"{verb}\n" + "\n" * 11 + canon_headers + canon_resource
+        return base64.b64encode(
+            hmac.new(
+                base64.b64decode(ACCOUNT_KEY),
+                string_to_sign.encode(),
+                hashlib.sha256,
+            ).digest()
+        ).decode()
+
+    def _authorized(self, verb: str) -> bool:
+        u = urllib.parse.urlparse(self.path)
+        # strip the /{account} emulator prefix from the resource path
+        path = urllib.parse.unquote(u.path)
+        assert path.startswith(f"/{ACCOUNT}")
+        query = urllib.parse.parse_qsl(u.query, keep_blank_values=True)
+        want = f"SharedKey {ACCOUNT}:{self._expected_sig(verb, path[len(ACCOUNT) + 1:], query)}"
+        return self.headers.get("Authorization") == want
+
+    # ---- request routing --------------------------------------------------
+    def _route(self, verb: str):
+        if not self._authorized(verb):
+            self.send_response(403)
+            self.end_headers()
+            return
+        u = urllib.parse.urlparse(self.path)
+        parts = urllib.parse.unquote(u.path).lstrip("/").split("/", 2)
+        # /{account}/{container}[/{blob...}]
+        container = parts[1] if len(parts) > 1 else ""
+        blob = parts[2] if len(parts) > 2 else ""
+        q = dict(urllib.parse.parse_qsl(u.query, keep_blank_values=True))
+        store = self.server.store  # type: ignore[attr-defined]
+        if q.get("comp") == "list" and container == CONTAINER:
+            self._list(store, q)
+        elif container == CONTAINER and (blob in store):
+            body = store[blob]
+            etag = '"' + hashlib.md5(body).hexdigest() + '"'
+            self.send_response(200)
+            self.send_header("ETag", etag)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if verb == "GET":
+                self.wfile.write(body)
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+    def _list(self, store: dict, q: dict):
+        prefix = q.get("prefix", "")
+        maxresults = int(q.get("maxresults", "5000"))
+        marker = q.get("marker", "")
+        # delimiter-collapsed children: blobs + BlobPrefix pseudo-dirs,
+        # lexicographically ordered (the service contract marker relies on)
+        items: list[tuple[str, bool]] = []
+        seen_prefixes: set[str] = set()
+        for name in sorted(store):
+            if not name.startswith(prefix):
+                continue
+            tail = name[len(prefix) :]
+            if "/" in tail:
+                p = prefix + tail.split("/", 1)[0] + "/"
+                if p not in seen_prefixes:
+                    seen_prefixes.add(p)
+                    items.append((p, True))
+            else:
+                items.append((name, False))
+        if marker:
+            items = [it for it in items if it[0] > marker]
+        page, rest = items[:maxresults], items[maxresults:]
+        xml = ["<?xml version='1.0' encoding='utf-8'?>", "<EnumerationResults><Blobs>"]
+        for name, is_prefix in page:
+            tag = "BlobPrefix" if is_prefix else "Blob"
+            xml.append(f"<{tag}><Name>{escape(name)}</Name></{tag}>")
+        xml.append("</Blobs>")
+        if rest:
+            xml.append(f"<NextMarker>{escape(page[-1][0])}</NextMarker>")
+        xml.append("</EnumerationResults>")
+        body = "".join(xml).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/xml")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        self._route("GET")
+
+    def do_HEAD(self):
+        self._route("HEAD")
+
+
+@pytest.fixture()
+def blob_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _BlobHandler)
+    srv.store = {}  # type: ignore[attr-defined]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    t.join(timeout=5)
+
+
+class AzureSynapseFixture:
+    """The SynapseFixture batch layout, stored as blobs in the emulator."""
+
+    def __init__(self, server):
+        self.store = server.store
+        self._put("model.json", model_json())
+
+    def _put(self, rel: str, body: str) -> None:
+        self.store[f"{PREFIX}/{rel}"] = body.encode("utf-8")
+
+    def upload_batch(self, ts, add_delete=False, update_changelog=False, add_upsert=False):
+        name = SynapseFixture.folder_name(ts)
+        self._put(f"{name}/model.json", model_json())
+        self._put(f"{name}/{ENTITY}/2021.csv", base_file())
+        if add_delete:
+            self._put(f"{name}/{ENTITY}/3.csv", delete_file())
+        if add_upsert:
+            self._put(f"{name}/{ENTITY}/5.csv", upsert_file())
+        if update_changelog:
+            self.set_changelog(name)
+        return name
+
+    def set_changelog(self, folder_name: str) -> None:
+        self._put("Changelog/changelog.info", folder_name)
+
+
+def _connection(server, key: str = ACCOUNT_KEY) -> dict:
+    """storageConnection block (stream-spec-yaml-example.yaml:84-96 analog)
+    with a page size small enough that every folder listing paginates."""
+    host, port = server.server_address
+    return {
+        "accountName": ACCOUNT,
+        "endpoint": f"http://{host}:{port}/{ACCOUNT}",
+        "credentialType": {"sharedKey": {"accessKey": key}},
+        "httpClient": {"httpMaxRetries": 4, "maxResultsPerPage": 2},
+    }
+
+
+def _io(server, tmp_path, key: str = ACCOUNT_KEY) -> AzureBlobStoreIO:
+    return AzureBlobStoreIO(
+        **azure_blob_connection(_connection(server, key)),
+        spool_dir=str(tmp_path / "spool"),
+    )
+
+
+ROOT = f"abfss://{CONTAINER}@{ACCOUNT}.dfs.core.windows.net/{PREFIX}"
+
+
+def test_url_parsing_and_scheme_detection():
+    assert is_azure_path(ROOT) and is_azure_path("wasb://c@a.blob.core.windows.net/p")
+    assert not is_azure_path("s3://bucket/p") and not is_azure_path("/local/p")
+    assert parse_azure_url(ROOT) == (ACCOUNT, CONTAINER, PREFIX)
+
+
+def test_key_env_fallback(monkeypatch):
+    from arcane_stream_microsoft_synapse_link_spark.sources.azure import ACCESS_KEY_ENV
+
+    monkeypatch.setenv(ACCESS_KEY_ENV, ACCOUNT_KEY)
+    conn = {"accountName": ACCOUNT, "credentialType": {"sharedKey": {}}}
+    assert azure_blob_connection(conn)["account_key"] == ACCOUNT_KEY
+
+
+def test_listing_paginates_and_read_text(blob_server, tmp_path):
+    fx = AzureSynapseFixture(blob_server)
+    names = [fx.upload_batch(minus(hours=h)) for h in (5, 4, 3, 2, 1)]
+    fx.set_changelog(names[-1])
+
+    io = _io(blob_server, tmp_path)
+    listed = io.listdir(ROOT)
+    # 5 batch folders + Changelog "dir" + model.json, through maxresults=2 pages
+    assert set(names) <= set(listed)
+    assert "Changelog" in listed and "model.json" in listed
+    assert io.read_text(f"{ROOT}/Changelog/changelog.info") == names[-1]
+    assert io.read_text(f"{ROOT}/nope.txt") is None
+    assert io.isdir(f"{ROOT}/{names[0]}") and not io.isdir(f"{ROOT}/ghost")
+
+    src = SynapseLinkSource(ROOT, ENTITY, io=io)
+    assert src.changelog_head() == names[-1]
+    folders = src.pending(watermark=None)
+    assert [f.name for f in folders] == names
+    # range filter (watermark, head] holds over the blob listing
+    assert [f.name for f in src.pending(watermark=names[1])] == names[2:]
+
+
+def test_wrong_shared_key_is_rejected(blob_server, tmp_path):
+    """The emulator VERIFIES the SharedKey HMAC — a wrong key is a 403,
+    proving the signature path is real, not a pass-through header."""
+    import urllib.error
+
+    fx = AzureSynapseFixture(blob_server)
+    fx.upload_batch(minus(hours=1), update_changelog=True)
+    bad = _io(blob_server, tmp_path, key=base64.b64encode(b"wrong-key").decode())
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        bad.read_text(f"{ROOT}/Changelog/changelog.info")
+    assert exc.value.code == 403
+    good = _io(blob_server, tmp_path)
+    assert good.read_text(f"{ROOT}/Changelog/changelog.info") is not None
+
+
+def test_localize_caches_and_revalidates(blob_server, tmp_path):
+    fx = AzureSynapseFixture(blob_server)
+    name = fx.upload_batch(minus(hours=1), update_changelog=True)
+    io = _io(blob_server, tmp_path)
+    path = f"{ROOT}/{name}/{ENTITY}/2021.csv"
+
+    first = io.localize([path])
+    assert first and open(first[0]).read() == base_file()
+    # unchanged blob → cache hit, same local path
+    assert io.localize([path]) == first
+    # re-uploaded (changed) blob → ETag differs → re-fetched
+    fx._put(f"{name}/{ENTITY}/2021.csv", upsert_file())
+    again = io.localize([path])
+    assert open(again[0]).read() == upsert_file()
+
+
+def test_cdc_scenario_over_azure_blob(spark, blob_server, tmp_path):
+    """Full reference oracle (StreamRunner.scala:176-235) with the source
+    on the abfss-shaped live endpoint: backfill 5 rows → stream upsert +
+    delete batches → exactly 6 rows, deleted key gone, update applied,
+    watermark at the frontier."""
+    fx = AzureSynapseFixture(blob_server)
+    fx.upload_batch(minus(hours=2))
+    newest = fx.upload_batch(minus(hours=1), update_changelog=True)
+
+    spec = StreamSpec(
+        entity_name=ENTITY,
+        source_root=ROOT,
+        target_root=str(tmp_path / "target"),
+        storage_connection=_connection(blob_server),
+    )
+    runner = StreamRunner(spark, spec)
+    assert isinstance(runner.source._io(), AzureBlobStoreIO)
+    assert runner.backfill() == 5
+    assert runner.table.watermark() == newest
+
+    fx.upload_batch(minus(minutes=15), add_delete=True, add_upsert=True)
+    frontier = fx.upload_batch(minus(minutes=5), update_changelog=True)
+    assert runner.run_once() == 2
+
+    state = {
+        r["Id"]: r["versionnumber"]
+        for r in runner.table.read(spark).select("Id", "versionnumber").collect()
+    }
+    assert len(state) == 6
+    assert KEYS[0] not in state
+    assert state[KEYS[1]] == BASE_VERSION + 100
+    assert KEYS[5] in state and KEYS[6] in state
+    assert runner.table.watermark() == frontier

@@ -23,8 +23,14 @@ _STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace tokenization count (BPE-ish pre-tokenization proxy)."""
-    return F.size(F.regexp_extract_all(text, F.lit(_TOKEN_RE), 0)).cast("bigint")
+    """Whitespace tokenization count (BPE-ish pre-tokenization proxy).
+
+    ``regexp_count`` rather than ``size(regexp_extract_all(...))``: the
+    count never materializes the token array, so the hot text sweeps
+    allocate no per-row garbage — on this box the array version's GC debt
+    was the main source of 3-4x run-to-run swings in the regex-heavy
+    bench entries (BENCH_DETAIL r4: ops_token_bpe 0.48<->3.26 s)."""
+    return F.regexp_count(text, F.lit(_TOKEN_RE)).cast("bigint")
 
 
 def char_count(text: Column) -> Column:
@@ -42,16 +48,16 @@ def token_count_bpe(text: Column) -> Column:
     """BPE-ish pre-tokenizer count over lowercased text (better proxy for
     LLM token budgets than whitespace splitting: punctuation and number
     runs count separately)."""
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_RE), 0)).cast("bigint")
+    return F.regexp_count(F.lower(text), F.lit(BPE_RE)).cast("bigint")
 
 
 def punct_count(text: Column) -> Column:
-    return F.size(F.regexp_extract_all(text, F.lit(r"[.,!?;:]"), 0)).cast("bigint")
+    return F.regexp_count(text, F.lit(r"[.,!?;:]")).cast("bigint")
 
 
 def stopword_count(text: Column) -> Column:
     pat = r"\b(" + "|".join(_STOPWORDS) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0)).cast("bigint")
+    return F.regexp_count(F.lower(text), F.lit(pat)).cast("bigint")
 
 
 def quality_score(text: Column) -> Column:
@@ -162,7 +168,7 @@ _LANG_RULES = (
 def lang_id(text: Column) -> Column:
     expr = F.lit("en")
     for code, pattern in reversed(_LANG_RULES):
-        hit = F.size(F.regexp_extract_all(text, F.lit(pattern), 0)) > 0
+        hit = F.regexp_like(text, F.lit(pattern))
         expr = F.when(hit, code).otherwise(expr)
     return expr
 
@@ -315,7 +321,7 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     counts = []
     for name, pat, token in PII_PATTERNS:
         counts.append(
-            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+            F.regexp_count(scrubbed, F.lit(pat))
             .cast("bigint")
             .alias(f"n_{name}")
         )
@@ -397,7 +403,7 @@ def bm25_scores(
     drops non-query terms BEFORE the shuffle, so the exchange carries
     O(docs x |terms|); df/N/avgdl are tiny aggregates broadcast back.
     """
-    dl_col = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)))
+    dl_col = F.regexp_count(F.lower(F.col(text_col)), F.lit(WORD_RE))
     docs = df.select(id_col, dl_col.alias("dl"))
     toks = df.select(
         id_col,

@@ -143,6 +143,19 @@ def blocked_hamming_join(
     these candidates is still exact FOR substitution-corrupted data (each
     substitution is one edit), which is what the declared ops_fuzzy_join
     asserts against DuckDB.
+
+    Row identity: the part explode requires a ``.distinct()`` to collapse
+    pairs matched through several parts, so ``extra_left`` /
+    ``extra_right`` MUST together identify input rows uniquely (an id
+    column) if the inputs can contain duplicate codes whose multiplicity
+    matters — otherwise duplicate rows collapse to one output pair.  When
+    either is omitted the output is the DISTINCT pair set by code value,
+    which is the semantics the declared queries want.
+
+    Codes are validated against ``code_len`` in-plan (``assert_true``):
+    a row whose code length differs would silently produce a null
+    distance from ``zip_with`` and vanish — misuse now fails the job
+    loudly instead.
     """
     n_parts = max_mismatches + 1
     bounds = [(i * code_len) // n_parts for i in range(n_parts + 1)]
@@ -160,10 +173,20 @@ def blocked_hamming_join(
             ]
         )
 
-    lcols = [F.col(left_code).alias("_lcode")] + [
+    def checked(code: str) -> F.Column:
+        # fail loudly on a mis-sized code instead of dropping it silently
+        return F.when(
+            F.assert_true(
+                F.length(code) == code_len,
+                f"blocked_hamming_join: length({code}) != code_len={code_len}",
+            ).isNull(),
+            F.col(code),
+        )
+
+    lcols = [checked(left_code).alias("_lcode")] + [
         F.col(c) for c in (extra_left or [])
     ]
-    rcols = [F.col(right_code).alias("_rcode")] + [
+    rcols = [checked(right_code).alias("_rcode")] + [
         F.col(c) for c in (extra_right or [])
     ]
     lp = left.select(*lcols, F.explode(parts(left_code, "l")).alias("_p"))
@@ -225,11 +248,36 @@ def qgram_levenshtein_join(
     shuffle into per-string micro-partitions, measured 3× slower on the
     declared query. In-array numbering is O(len²/q) per string: the right
     trade for identifier/code joins; revisit for multi-KB strings.
+
+    Validity envelope (len, q, k): the count bound is a REAL filter only
+    when it is positive, i.e. ``max(len_l, len_r) > q·(k+1) − 1``.  Any
+    within-distance pair where BOTH strings have
+    ``length ≤ q·(k+1) − 1`` (q=3, k=2 → 8; q=4, k=2 → 11; q=3, k=5 → 17)
+    can share zero q-grams, so the gram path alone would silently miss
+    it; strings shorter than ``q`` have no grams at all.  Such pairs are
+    handled by a supplemental SHORT×SHORT path: both sides filtered to
+    ``length ≤ q·(k+1) − 1``, candidates blocked on a ±k length window
+    (an equi-join after a 2k+1 length explode — no cross join), exact
+    ``levenshtein`` verify, distinct-unioned with the gram candidates.
+    A pair of one short and one long string always has
+    ``max(len) > q·(k+1) − 1`` (since lengths differ by ≤ k), so the
+    gram bound covers it — the decomposition is complete for every
+    length combination (property-tested against a brute-force
+    levenshtein join at k=1..5, tests/test_joins.py).  The short
+    population is strings of bounded length (≤ 17 even at q=3, k=5), so
+    the length-window fan-out stays tiny; like the main path, multiset
+    multiplicity of output pairs requires ``extra_*`` to carry a unique
+    row id (the candidate union is ``distinct`` over ids+codes).
     """
     def grams(df: DataFrame, code: str, id_cols: list[str], side: str) -> DataFrame:
+        # clamp: strings shorter than q have NO grams (an unclamped
+        # sequence(1, len-q+1) is DESCENDING for len < q and substr with
+        # position ≤ 0 fabricates end-anchored garbage grams)
         ga = F.expr(
-            f"transform(sequence(1, length(_{side}code) - {q - 1}),"
-            f" i -> substr(_{side}code, CAST(i AS INT), {q}))"
+            f"IF(length(_{side}code) >= {q},"
+            f" transform(sequence(1, length(_{side}code) - {q - 1}),"
+            f" i -> substr(_{side}code, CAST(i AS INT), {q})),"
+            f" CAST(array() AS array<string>))"
         )
         # occ of position i = 1 + occurrences of the same gram before i —
         # pure array expression, so the gram stage never shuffles
@@ -241,6 +289,7 @@ def qgram_levenshtein_join(
         return (
             df.select(*id_cols, F.col(code).alias(f"_{side}code"))
             .withColumn("_ga", ga)
+            .where(F.size("_ga") > 0)  # gram-less rows: short path only
             .select(*id_cols, f"_{side}code", F.explode(pairs).alias("_p"))
             .select(
                 *id_cols,
@@ -259,16 +308,43 @@ def qgram_levenshtein_join(
         - F.lit(q - 1)
         - F.lit(max_edits * q)
     )
-    cand = (
+    gram_cand = (
         lg.join(rg, ["_g", "_occ"])
         .groupBy(*lids, *rids, "_lcode", "_rcode")
         .agg(F.count(F.lit(1)).alias("_shared"))
         .where(F.col("_shared") >= bound)
     )
+
+    # supplemental short×short path: the length regime where the count
+    # bound is vacuous (docstring envelope) — length-window blocking,
+    # bounded fan-out of 2k+1 per row, never a cross join
+    short_len = q * (max_edits + 1) - 1
+    ls = left.select(*lids, F.col(left_code).alias("_lcode")).where(
+        F.length("_lcode") <= short_len
+    )
+    rs = (
+        right.select(*rids, F.col(right_code).alias("_rcode"))
+        .where(F.length("_rcode") <= short_len)
+        .withColumn(
+            "_lb",
+            F.explode(
+                F.sequence(
+                    F.length("_rcode") - max_edits, F.length("_rcode") + max_edits
+                )
+            ),
+        )
+    )
+    short_cand = ls.join(rs, F.length(ls["_lcode"]) == rs["_lb"]).drop("_lb")
+
+    pair_cols = [*lids, *rids, "_lcode", "_rcode"]
+    all_pairs = (
+        gram_cand.select(*pair_cols)
+        .unionByName(short_cand.select(*pair_cols))
+        .distinct()
+    )
     return (
-        cand.withColumn("dist", F.levenshtein("_lcode", "_rcode").cast("bigint"))
+        all_pairs.withColumn("dist", F.levenshtein("_lcode", "_rcode").cast("bigint"))
         .where(F.col("dist") <= max_edits)
-        .drop("_shared")
         .withColumnRenamed("_lcode", "left_code")
         .withColumnRenamed("_rcode", "right_code")
     )

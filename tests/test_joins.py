@@ -321,3 +321,93 @@ def test_blocked_hamming_join_k3_and_qgram_two_edits(spark):
         # edits can cancel (insert then delete): distance is AT MOST m
         d = got2.get((i, i))
         assert d is not None and d <= m or (m == 0 and d == 0), (i, m, d)
+
+
+def test_qgram_join_equals_bruteforce_across_q_k_and_short_strings(spark):
+    """Property sweep (round-4 brief item 5): randomized mixed-length
+    corpora — including strings shorter than q and shorter than the
+    q·(k+1)−1 vacuous-bound threshold — must produce EXACTLY the
+    brute-force levenshtein join's pair set at k=3..5. Completeness of
+    the count bound + short×short fallback, not just planted recovery."""
+    import random
+
+    from arcane_stream_microsoft_synapse_link_spark.operators.joins import (
+        qgram_levenshtein_join,
+    )
+
+    for seed, q, k in [(101, 3, 4), (102, 3, 5), (103, 4, 5), (104, 2, 3)]:
+        rng = random.Random(seed)
+        # small alphabet + mixed lengths 1..20 → dense near-pair structure
+        # straddling the short/long threshold q*(k+1)-1
+        def mk(n, tag):
+            rows = []
+            for i in range(n):
+                ln = rng.choice([1, 2, 3, 4, 6, 8, 10, 14, 17, 20])
+                rows.append((i, "".join(rng.choice("abc") for _ in range(ln))))
+            return spark.createDataFrame(rows, f"{tag}_id long, {tag}_code string")
+
+        left, right = mk(70, "l"), mk(70, "r")
+        got = {
+            (r.l_id, r.r_id, r.dist)
+            for r in qgram_levenshtein_join(
+                left, right, "l_code", "r_code", max_edits=k, q=q,
+                extra_left=["l_id"], extra_right=["r_id"],
+            ).collect()
+        }
+        oracle = {
+            (r.l_id, r.r_id, r.dist)
+            for r in left.crossJoin(right)
+            .withColumn("dist", F.levenshtein("l_code", "r_code").cast("bigint"))
+            .where(F.col("dist") <= k)
+            .collect()
+        }
+        missed = oracle - got
+        spurious = got - oracle
+        assert not missed, (q, k, "missed", sorted(missed)[:10])
+        assert not spurious, (q, k, "spurious", sorted(spurious)[:10])
+
+
+def test_blocked_hamming_join_rejects_mismatched_code_len(spark):
+    """A code whose length differs from code_len fails the job loudly
+    (assert_true) instead of silently dropping the row."""
+    import pytest as _pytest
+
+    from arcane_stream_microsoft_synapse_link_spark.operators.joins import (
+        blocked_hamming_join,
+    )
+
+    left = spark.createDataFrame([(1, "abcd")], "l_id long, code string")
+    right = spark.createDataFrame([(2, "abcde")], "r_id long, rcode string")
+    out = blocked_hamming_join(
+        left, right, "code", "rcode", code_len=4, max_mismatches=1,
+        extra_left=["l_id"], extra_right=["r_id"],
+    )
+    with _pytest.raises(Exception, match="code_len"):
+        out.collect()
+
+
+def test_fuzzy_join_multiplicity_with_row_ids(spark):
+    """Duplicate codes with distinct row ids keep per-row multiplicity
+    (the documented extra_* contract): 2 identical left rows × 1 right
+    row → 2 output pairs in both operators."""
+    from arcane_stream_microsoft_synapse_link_spark.operators.joins import (
+        blocked_hamming_join,
+        qgram_levenshtein_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdef")], "l_id long, code string"
+    )
+    right = spark.createDataFrame([(9, "abcdxf")], "r_id long, rcode string")
+
+    h = blocked_hamming_join(
+        left, right, "code", "rcode", code_len=6, max_mismatches=1,
+        extra_left=["l_id"], extra_right=["r_id"],
+    ).collect()
+    assert {(r.l_id, r.r_id) for r in h} == {(1, 9), (2, 9)}
+
+    g = qgram_levenshtein_join(
+        left, right, "code", "rcode", max_edits=1, q=3,
+        extra_left=["l_id"], extra_right=["r_id"],
+    ).collect()
+    assert {(r.l_id, r.r_id) for r in g} == {(1, 9), (2, 9)}

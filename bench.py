@@ -117,6 +117,11 @@ def main() -> None:
         "queries": best,
         "first_run": timings,
         "second_run": second,
+        # co-equal headline: single-pass total, comparable to rounds 1-3
+        # whose headline was one unwarmed pass (methodology changed in r4
+        # to warmed best-of-two — don't compare the "value" field across
+        # that boundary; compare first_run_total to old totals instead)
+        "first_run_total": round(sum(timings.values()), 4),
         "steady_total_est": round(sum(best.values()), 4),
         "sf": sf_val,
     }

@@ -567,3 +567,94 @@ def cms_heavy_hitters(
                 [(r["token"], r["cnt"]) for r in rows], schema
             )
         thresh = max(1, thresh // 2)
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Full iterative BPE tokenizer training (Sennrich et al. 2016) — the
+    multi-merge loop around the single ``ops_bpe_merge_step`` iteration:
+    repeat ``n_merges`` times { count adjacent symbol pairs over the
+    frequency-weighted vocabulary, merge the argmax pair everywhere }.
+
+    Deterministic: argmax ties break on (count DESC, left ASC, right ASC).
+    Merging is greedy left-to-right non-overlapping (the reference BPE
+    rule), done as one ``regexp_replace`` over the space-delimited symbol
+    string — the pattern consumes the LEADING separator and asserts the
+    trailing one with a lookahead, so adjacent merge sites (``a b a b``)
+    both fire in one pass while overlapping sites (``a a a``) merge
+    left-first only.
+
+    Scale shape: the corpus collapses to the distinct-word frequency table
+    FIRST (the compression that makes every later iteration O(vocab), not
+    O(corpus)); each iteration is one pair-count shuffle over that small
+    table plus a 1-row collect (the argmax) — BPE is inherently sequential
+    in merges, so the driver loop IS the algorithm, not a shortcut.  Each
+    round's vocab is cached and the predecessor unpersisted, keeping the
+    lineage one replace deep.
+
+    Returns ``(merges, vocab_df)``: the merge table as driver-side tuples
+    ``(rank, left, right, weighted_pair_count)`` and the final symbolized
+    vocabulary ``(sym, wcnt)`` as a DataFrame.
+    """
+    import re as _re
+
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .where(F.length("w") >= 2)
+    )
+    vocab = words.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "wcnt"
+    ).cache()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(n_merges):
+            pairs = (
+                vocab.select("wcnt", F.split("sym", " ").alias("a"))
+                .where(F.size("a") >= 2)
+                .select(
+                    "wcnt",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(a) - 1),"
+                            " i -> struct(element_at(a, i) AS l,"
+                            "             element_at(a, CAST(i + 1 AS INT)) AS r))"
+                        )
+                    ).alias("p"),
+                )
+            )
+            top = (
+                pairs.groupBy("p.l", "p.r")
+                .agg(F.sum("wcnt").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+            merges.append((rank, left, right, cnt))
+            pat = " " + _re.escape(left) + " " + _re.escape(right) + "(?= )"
+            nxt = vocab.select(
+                F.trim(
+                    F.regexp_replace(
+                        F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                        pat,
+                        " " + left + right,
+                    )
+                ).alias("sym"),
+                "wcnt",
+            ).cache()
+            nxt.count()  # materialize before dropping the predecessor
+            vocab.unpersist()
+            vocab = nxt
+        return merges, vocab
+    except Exception:
+        vocab.unpersist()
+        raise

@@ -2546,3 +2546,208 @@ ORACLE["ops_fuzzy_join_indel"] = """
     FROM cand WHERE levenshtein(pcode, code) <= 1
     ORDER BY probe_id, base_id
 """
+
+
+@query("ops_bigram_lm")
+def ops_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score — the perplexity-filter stand-in (CCNet /
+    Gopher quality gate) in exact integer arithmetic: the corpus itself is
+    the LM, each bigram scores its transition probability in ppm
+    ``c(w1,w2)·1e6 DIV c(w1,·)``, and a document's score is the integer
+    mean over its bigrams.  Log-free (ln differs by ulps across engines;
+    the mean transition probability ranks documents the same way for a
+    filter threshold).
+
+    Plan shape: exactly TWO corpus passes — one builds the model (bigram
+    counts), one scores by re-joining the corpus bigrams to it — which is
+    the floor for train-then-score without caching the corpus.  The
+    prefix totals c(w1,·) come from a window over the MODEL (vocab²-sized,
+    tiny next to the corpus), not a third corpus aggregation.  Count
+    shuffles are bounded by map-side combine under Zipf skew; the scoring
+    join's hot keys are exactly the frequent bigrams, which AQE skew-join
+    splits at scale.  (In a resident pipeline, persist the model table and
+    scoring becomes a single pass.)"""
+    t = Tables(spark, sf_dir)
+    bg = (
+        t.documents.select(
+            "doc_id",
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("ws"),
+        )
+        .where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    "             element_at(ws, CAST(i + 1 AS INT)) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    from pyspark.sql import Window as W
+
+    model = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .withColumn("c1", F.sum("c2").over(W.partitionBy("w1")))
+    )
+    scored = bg.join(model, ["w1", "w2"]).withColumn(
+        "p_ppm", F.expr("CAST((c2 * 1000000) DIV c1 AS BIGINT)")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.expr("CAST(SUM(p_ppm) DIV COUNT(*) AS BIGINT)").alias("mean_p_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["ops_bigram_lm"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    flat AS (
+        SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i + 1 AS INT)] AS w2
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+              FROM toks WHERE len(ws) >= 2)),
+    bgc AS (SELECT w1, w2, COUNT(*) AS c2 FROM flat GROUP BY w1, w2),
+    ugc AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bgc GROUP BY w1),
+    scored AS (
+        SELECT f.doc_id, (c2 * 1000000) // c1 AS p_ppm
+        FROM flat f JOIN bgc USING (w1, w2) JOIN ugc USING (w1))
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mean_p_ppm
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("ops_charset_gini")
+def ops_charset_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution concentration — the gibberish / encoding-
+    junk detector: per-document Gini impurity of the character histogram,
+    exact-integer ppm ``(n² − Σc²)·1e6 DIV n²``.  Near-zero impurity =
+    one repeated character (padding junk); natural text sits in a stable
+    band.  Log-free alternative to character entropy (same ordering for
+    a filter threshold, no float divergence).
+
+    Plan shape: char explode → (doc, char) count → per-doc moment agg.
+    The explode is corpus-linear in CHARACTERS, the heaviest stage in
+    this file — but map-side combine on (doc_id, char) collapses it to
+    ≤ |alphabet| rows per doc per partition before the shuffle, so
+    shuffle volume is docs·alphabet, not corpus chars."""
+    t = Tables(spark, sf_dir)
+    cc = (
+        t.documents.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .where(F.length("ch") > 0)
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_charset"),
+            F.expr(
+                "CAST(((SUM(c) * SUM(c) - SUM(c * c)) * 1000000)"
+                " DIV (SUM(c) * SUM(c)) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["ops_charset_gini"] = """
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+    cc AS (SELECT doc_id, ch, COUNT(*) AS c
+           FROM ch WHERE ch <> '' GROUP BY doc_id, ch)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           COUNT(*) AS n_charset,
+           CAST(((SUM(c) * SUM(c) - SUM(c * c)) * 1000000)
+                // (SUM(c) * SUM(c)) AS BIGINT) AS gini_ppm
+    FROM cc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("ops_mixture_temperature")
+def ops_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened sampling weights (τ = 0.5, the multilingual /
+    multi-source rebalancing rule: w_i ∝ p_i^τ) next to the proportional
+    weights — deterministic because the flattening uses the INTEGER floor
+    square root: IEEE sqrt is correctly rounded and src_tokens < 2^53, so
+    ``FLOOR(SQRT(x))`` is the same integer on every engine, and all
+    downstream arithmetic is integer DIV.
+
+    Plan shape: per-source agg (tiny), broadcast total — identical to
+    ops_mixture_weights with the isqrt column added."""
+    t = Tables(spark, sf_dir)
+    per_src = t.documents.groupBy("source").agg(
+        F.sum(X.token_count(F.col("text"))).alias("src_tokens")
+    )
+    with_s = per_src.withColumn(
+        "_s", F.expr("CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE))) AS BIGINT)")
+    )
+    totals = with_s.agg(
+        F.sum("src_tokens").alias("_tot"), F.sum("_s").alias("_stot")
+    )
+    return (
+        with_s.join(F.broadcast(totals))
+        .select(
+            "source",
+            F.col("src_tokens").cast("bigint").alias("src_tokens"),
+            F.expr("CAST((src_tokens * 1000000) DIV _tot AS BIGINT)").alias(
+                "prop_ppm"
+            ),
+            F.expr("CAST((_s * 1000000) DIV _stot AS BIGINT)").alias("temp_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["ops_mixture_temperature"] = r"""
+    WITH s AS (
+        SELECT source,
+               CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source),
+    w AS (SELECT source, src_tokens,
+                 CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS s_
+          FROM s),
+    tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS t,
+                   CAST(SUM(s_) AS BIGINT) AS st FROM w)
+    SELECT source, src_tokens,
+           CAST((src_tokens * 1000000) // t AS BIGINT) AS prop_ppm,
+           CAST((s_ * 1000000) // st AS BIGINT) AS temp_ppm
+    FROM w, tot ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# iterative (rows-only + self-hash; Python-reference equality in pytest)
+# ---------------------------------------------------------------------------
+
+
+@query("ops_bpe_train")
+def ops_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative BPE tokenizer training — 10 sequential merges, each
+    one distributed pair-count over the frequency-compressed vocabulary
+    (functions/text.py:bpe_train).  Genuinely non-SQL-expressible: every
+    merge depends on the argmax of the previous round (and the merge rule
+    needs lookahead regex DuckDB's RE2 lacks), so this entry is rows-only
+    with a self-hash pin; exact equality against a pure-Python reference
+    BPE runs in tests/test_functions.py."""
+    t = Tables(spark, sf_dir)
+    merges, vocab = X.bpe_train(t.documents, n_merges=10)
+    vocab.unpersist()
+    df = spark.createDataFrame(
+        [(r, l, rt, l + rt, c) for (r, l, rt, c) in merges],
+        "merge_rank long, left_sym string, right_sym string, merged string, pair_count long",
+    )
+    return _self_check(
+        df.orderBy("merge_rank"),
+        "merge_rank", "left_sym", "right_sym", "merged", "pair_count",
+    )

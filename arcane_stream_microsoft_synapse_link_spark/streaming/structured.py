@@ -161,3 +161,71 @@ def run_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_decontaminate_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    benchmark: DataFrame,
+    work_dir: str,
+    checkpoint_dir: str,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming decontamination: filter every micro-batch of incoming
+    documents against a STATIC benchmark n-gram set before admission —
+    the streaming twin of ``functions.dedup.decontaminate`` and the
+    intake-side complement of ``run_dedup_stream`` (whose index grows;
+    this one's reference set is fixed, so state never accumulates).
+
+    The benchmark grams are computed ONCE, materialized to
+    ``bench_grams/`` and re-read per batch (a foreachBatch closure
+    holding a broadcast variable would leak it for the stream's
+    lifetime; re-reading parquet lets each batch's broadcast be GC'd).
+    Per micro-batch: gram-explode the batch, left-semi against the gram
+    set (broadcast — an eval suite is tiny next to the intake), append
+    contaminated ids to ``hits/`` and survivors to ``clean/``.  Per-batch
+    cost is O(batch) with zero cross-batch state — the shape that
+    survives an unbounded stream.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..functions.dedup import words
+    from ..functions.text import word_ngram_strings
+
+    grams_dir = os.path.join(work_dir, "bench_grams")
+    clean_dir = os.path.join(work_dir, "clean")
+    hits_dir = os.path.join(work_dir, "hits")
+
+    def exploded(d: DataFrame) -> DataFrame:
+        return d.select(F.col(id_col), words(F.col(text_col)).alias("_w")).select(
+            F.col(id_col), F.explode(word_ngram_strings(F.col("_w"), n)).alias("gram")
+        )
+
+    if not os.path.isdir(grams_dir):
+        exploded(benchmark).select("gram").distinct().write.parquet(grams_dir)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(id_col, text_col).localCheckpoint()
+        bench = F.broadcast(spark.read.parquet(grams_dir))
+        hit_ids = (
+            exploded(batch_df)
+            .join(bench, "gram", "left_semi")
+            .select(id_col)
+            .distinct()
+            .localCheckpoint()
+        )
+        hit_ids.write.mode("append").parquet(hits_dir)
+        batch_df.join(hit_ids, id_col, "left_anti").write.mode("append").parquet(
+            clean_dir
+        )
+
+    return (
+        source.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -10,29 +10,41 @@ import __spark_entry__ as entry
 from arcane_stream_microsoft_synapse_link_spark.plans import ORACLE, QUERIES
 
 
-def test_gate_rotation_is_round_keyed():
-    """Even rounds gate all ops_* entries (+ leading SQL); odd rounds gate
-    the full 50-entry SQL surface.  The round number comes from the
-    CORRECTNESS_r*.json artifacts the driver leaves behind, so the
-    rotation actually advances between rounds (the r3 sort was stateless)."""
+def test_gate_window_leads_with_never_verified_entries():
+    """History-driven ordering (round-5 change, VERDICT r4 item 1c):
+    every entry with no green row in any prior CORRECTNESS_r*.json must
+    occupy the front of the window — oracle-backed ones first — so each
+    entry eventually earns an independent driver verification; the
+    already-verified remainder keeps the round-keyed rotation."""
     names = list(entry.queries())
-    first50 = names[:50]
-    ops_names = [n for n in QUERIES if not re.match(r"^q\d+", n)]
-    sql_names = [n for n in QUERIES if re.match(r"^q\d+", n)]
-    assert len(sql_names) == 57  # q1-q48 (q16 a/b/c) + r4's q49-q55
-    if entry._current_round() % 2 == 0:
-        # ops entries lead; every ORACLE-BACKED ops entry must sit inside
-        # the 50-entry gate window (rows-only entries carry pytest + self-
-        # hash pins, so they are the ones allowed to spill past the cap
-        # now that the ops surface exceeds 50)
-        oracle_ops = {n for n in ops_names if n in ORACLE}
-        assert oracle_ops <= set(first50)
-        assert all(not re.match(r"^q\d+", n) for n in first50[: len(ops_names)][:50])
-        n_oracle_ops = len(oracle_ops)
-        assert all(n in ORACLE for n in first50[:n_oracle_ops])
-    else:
-        assert all(re.match(r"^q\d+", n) for n in first50), first50
-        assert all(n in ORACLE for n in first50)
+    green = entry._ever_green()
+    never = [n for n in QUERIES if n not in green]
+    # never-verified entries lead, and all fit the window while ≤ 50
+    lead = names[: len(never)]
+    assert set(lead) == set(never), (sorted(set(never) - set(lead)))
+    n_oracle_never = sum(1 for n in never if n in ORACLE)
+    assert all(n in ORACLE for n in lead[:n_oracle_never])
+    # verified remainder still rotates by round parity
+    rest = names[len(never) :]
+    rest_sql = [n for n in rest if re.match(r"^q\d+", n)]
+    rest_ops = [n for n in rest if not re.match(r"^q\d+", n)]
+    if rest_sql and rest_ops:
+        if entry._current_round() % 2 == 0:
+            assert not re.match(r"^q\d+", rest[0])
+        else:
+            assert re.match(r"^q\d+", rest[0])
+
+
+def test_ever_green_reflects_artifacts():
+    """_ever_green() reads the CORRECTNESS artifacts: r1-r4 exist in this
+    repo, so the four r4 HUGEINT-red rows must NOT be green while their
+    44 green window-mates must be."""
+    green = entry._ever_green()
+    for n in ("ops_dedup_accounting", "ops_distribution_drift",
+              "ops_embedding_quantize", "ops_mixture_weights"):
+        assert n not in green, n
+    for n in ("ops_exact_dedup", "ops_bm25", "ops_token_packing"):
+        assert n in green, n
 
 
 def test_round_inference_monotonic():

@@ -694,3 +694,56 @@ def test_pca_matches_numpy(spark):
         assert np.allclose(proj[i], expect[i], atol=1e-7)
     # variance is concentrated in the leading components by construction
     assert ev[0] > ev[1] > ev[2]
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """The distributed trainer's merge table equals a pure-Python
+    reference BPE (same tokenization, same tie-break, same greedy
+    left-to-right merge rule) on the real corpus — exact, all 10 ranks."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import bpe_train
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    wc = Counter(w for t in texts for w in re.findall("[a-z]+", (t or "").lower()))
+    vocab = {tuple(w): c for w, c in wc.items() if len(w) >= 2}
+    expected = []
+    for rank in range(10):
+        pc = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += c
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        expected.append((rank, l, r, cnt))
+        nxt: dict[tuple, int] = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + c
+        vocab = nxt
+
+    t = Tables(spark, sf_dir)
+    merges, vdf = bpe_train(t.documents, n_merges=10)
+    vdf.unpersist()
+    assert merges == expected
+    # the trained symbol vocabulary reconstructs the word set exactly
+    got_words = {r["sym"].replace(" ", "") for r in vdf.collect()}
+    assert got_words == {"".join(k) for k in vocab}

@@ -111,7 +111,7 @@ def test_rows_only_entries_carry_stable_self_hash(spark):
     from arcane_stream_microsoft_synapse_link_spark.plans import ORACLE
 
     rows_only = [n for n in QUERIES if n not in ORACLE]
-    assert len(rows_only) == 17
+    assert len(rows_only) == 18  # +ops_bpe_train (r5, iterative trainer)
     for name in rows_only:
         fps = []
         for _ in range(2):
@@ -247,3 +247,20 @@ def test_fuzzy_join_indel_no_nested_loop(spark):
     plan = plan_of(QUERIES["ops_fuzzy_join_indel"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_lm_two_corpus_scans(spark):
+    """Train-then-score floor: exactly two physical corpus scans (model
+    build + scoring re-join) — the prefix totals come from a window over
+    the vocab²-sized model, never a third corpus aggregation."""
+    plan = plan_of(QUERIES["ops_bigram_lm"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet  (") == 2, plan.count("Scan parquet  (")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_charset_gini_single_scan(spark):
+    """Char histogram: one scan, map-side combine on (doc_id, ch), one
+    moment agg — no join, no window."""
+    plan = plan_of(QUERIES["ops_charset_gini"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet  (") == 1
+    assert "Join" not in plan and "Window" not in plan

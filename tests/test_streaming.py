@@ -315,3 +315,60 @@ def test_streaming_dedup_pipeline(spark, tmp_path):
     assert not ({100, 101, 102} & admitted)
     hits = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(f"{work}/hits").collect()}
     assert (100, 2) in hits and (101, 9) in hits and (102, 4) in hits
+
+
+def test_streaming_decontaminate_pipeline(spark, tmp_path):
+    """run_decontaminate_stream: docs sharing an 8-gram with the static
+    benchmark are diverted to hits/ in every batch, clean docs admitted;
+    the benchmark gram set is computed once and reused across a restart
+    (zero cross-batch state growth)."""
+    import random as _r
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_decontaminate_stream,
+    )
+
+    rng = _r.Random(53)
+    vocab = [f"tok{i}" for i in range(300)]
+
+    def doc(n=40):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    bench_texts = [doc() for _ in range(3)]
+    benchmark = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench_texts)], "doc_id long, text string"
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    # contaminated = 8 consecutive benchmark words embedded mid-document
+    contaminated = doc(10) + " " + " ".join(bench_texts[1].split()[5:13]) + " " + doc(10)
+    batch1 = [(0, doc()), (1, contaminated), (2, doc())]
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    q = run_decontaminate_stream(spark, stream(), benchmark, work, ckpt)
+    q.awaitTermination(120)
+
+    clean = {r["doc_id"] for r in spark.read.parquet(f"{work}/clean").collect()}
+    assert clean == {0, 2}
+    hits = {r["doc_id"] for r in spark.read.parquet(f"{work}/hits").collect()}
+    assert hits == {1}
+
+    # restart with a second batch: one full benchmark copy + one clean doc
+    batch2 = [(10, bench_texts[0]), (11, doc())]
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    q2 = run_decontaminate_stream(spark, stream(), benchmark, work, ckpt)
+    q2.awaitTermination(120)
+
+    clean = {r["doc_id"] for r in spark.read.parquet(f"{work}/clean").collect()}
+    assert clean == {0, 2, 11}
+    hits = {r["doc_id"] for r in spark.read.parquet(f"{work}/hits").collect()}
+    assert hits == {1, 10}

@@ -170,3 +170,201 @@ def fake_media_df(spark, n: int = 64) -> DataFrame:
         mt = ("image", "audio", "video")[i % 3]
         rows.append((i, payload, mt, 64 + i % 8, 48 + i % 6, 1000 + i))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# RAW-bitmap path: REAL decode / resize / frame math (numpy only).
+#
+# The stubs above stand in for COMPRESSED formats (jpeg/mp3/mp4 need PIL /
+# ffmpeg, absent here).  Raw bitmaps need no codec: an image payload is
+# width*height grayscale bytes, a video payload is n_frames such bitmaps
+# concatenated, an audio payload is little-endian int16 PCM samples.  For
+# these, decode IS byte reinterpretation and the math below (bilinear
+# resize, frame slicing, intensity statistics) is the real operation a
+# production pipeline runs after its codec stage — so everything from the
+# Arrow batch boundary inward is genuine, not a placeholder.
+# ---------------------------------------------------------------------------
+
+
+def decode_raw(payload: bytes, media_type: str, width: int, height: int):
+    """Reinterpret a raw payload as pixel/sample arrays (REAL decode for
+    uncompressed data; compressed formats go through ``decode_stub``).
+
+    image → uint8 array (height, width); video → uint8 array
+    (n_frames, height, width); audio → int16 1-D sample array.
+    Raises ``ValueError`` on a size mismatch instead of guessing."""
+    import numpy as np
+
+    if payload is None:
+        raise ValueError("null payload")
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if media_type == "image":
+        if buf.size != width * height:
+            raise ValueError(f"image payload {buf.size}B != {width}x{height}")
+        return buf.reshape(height, width)
+    if media_type == "video":
+        frame = width * height
+        if frame == 0 or buf.size % frame:
+            raise ValueError(f"video payload {buf.size}B not a multiple of {frame}")
+        return buf.reshape(-1, height, width)
+    if media_type == "audio":
+        if buf.size % 2:
+            raise ValueError("audio payload has odd byte length for int16 PCM")
+        return np.frombuffer(payload, dtype="<i2")
+    raise ValueError(f"unknown media_type {media_type!r}")
+
+
+def bilinear_resize(img, out_w: int, out_h: int):
+    """Real bilinear resample of a (h, w) uint8 array to (out_h, out_w) —
+    the standard align_corners=False pixel-center mapping, vectorized
+    numpy, deterministic.  This is the actual math PIL's BILINEAR does."""
+    import numpy as np
+
+    h, w = img.shape
+    src = img.astype(np.float64)
+    # target pixel centers mapped into source coordinates
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    fx = np.clip(xs - x0, 0.0, 1.0)
+    fy = np.clip(ys - y0, 0.0, 1.0)
+    top = src[y0][:, x0] * (1 - fx) + src[y0][:, x1] * fx
+    bot = src[y1][:, x0] * (1 - fx) + src[y1][:, x1] * fx
+    out = top * (1 - fy)[:, None] + bot * fy[:, None]
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def raw_media_df(spark, n: int = 64) -> DataFrame:
+    """Synthetic RAW media table: payloads are real uncompressed bitmaps /
+    PCM whose bytes decode_raw() reinterprets exactly — gradients and
+    checkerboards for images/video frames, a sawtooth for audio.
+    Deterministic in (i, width, height)."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 4) * 4, 12 + (i % 3) * 4
+        mt = ("image", "audio", "video")[i % 3]
+        if mt == "image":
+            payload = bytes(
+                ((x * 255) // max(w - 1, 1) + y + i) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            dur = 0
+        elif mt == "video":
+            n_frames = 2 + i % 3
+            payload = bytes(
+                (((x + y + f * 8 + i) % 2) * 255)
+                for f in range(n_frames)
+                for y in range(h)
+                for x in range(w)
+            )
+            dur = n_frames * 500
+        else:  # audio: int16 LE sawtooth
+            samples = 256 + (i % 7) * 64
+            payload = b"".join(
+                int((s * 257 + i * 13) % 4096 - 2048).to_bytes(2, "little", signed=True)
+                for s in range(samples)
+            )
+            dur = samples  # 1 kHz
+        rows.append((i, payload, mt, w, h, dur))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RAW_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("mean_milli", T.LongType()),
+        T.StructField("edge_milli", T.LongType()),
+        T.StructField("hist", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def extract_features_raw(df: DataFrame, bins: int = 8) -> DataFrame:
+    """REAL feature extraction over raw payloads (mapInPandas, Arrow
+    batches): per item the intensity mean and mean |horizontal gradient|
+    (edge energy) in exact integer milli-units, plus the ``bins``-bucket
+    value histogram — the decode is ``decode_raw``, the statistics are the
+    statistics.  Integer outputs → hash-stable across runs and engines."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "media_type", "n_values", "mean_milli", "edge_milli", "hist")}
+            for mid, p, mt, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"], pdf["width"], pdf["height"]
+            ):
+                arr = decode_raw(p, mt, int(w), int(h))
+                flat = arr.astype(np.int64).ravel()
+                if mt == "audio":
+                    lo, hi = -32768, 32768
+                    edge = int(np.abs(np.diff(flat)).sum()) * 1000 // max(flat.size - 1, 1)
+                else:
+                    lo, hi = 0, 256
+                    img2d = arr.reshape(-1, arr.shape[-1])
+                    d = np.abs(np.diff(img2d.astype(np.int64), axis=1))
+                    edge = int(d.sum()) * 1000 // max(d.size, 1)
+                histo = np.histogram(flat, bins=bins, range=(lo, hi))[0]
+                out["media_id"].append(mid)
+                out["media_type"].append(mt)
+                out["n_values"].append(int(flat.size))
+                out["mean_milli"].append(int(flat.sum()) * 1000 // flat.size)
+                out["edge_milli"].append(edge)
+                out["hist"].append([int(v) for v in histo])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=RAW_FEATURE_SCHEMA)
+
+
+def resize_images_raw(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL bilinear image resize over raw grayscale payloads — output
+    payload is the actual resized bitmap (width*height bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": [
+                        bilinear_resize(
+                            decode_raw(p, "image", int(w), int(h)), width, height
+                        ).tobytes()
+                        for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+                    ],
+                }
+            )
+
+    return df.where(F.col("media_type") == "image").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames_raw(df: DataFrame, every_ms: int = 500, frame_ms: int = 500) -> DataFrame:
+    """REAL frame sampling from raw video payloads: the payload is
+    n_frames concatenated bitmaps, a sampled frame is the actual
+    width*height byte slice at its index — fan-out stays inside
+    mapInPandas (no shuffle), one row per sampled frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            stride = max(every_ms // frame_ms, 1)
+            for mid, p, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                vid = decode_raw(p, "video", int(w), int(h))
+                for k in range(0, vid.shape[0], stride):
+                    ids.append(mid)
+                    idxs.append(k)
+                    tss.append(k * frame_ms)
+                    frames.append(vid[k].tobytes())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame": frames}
+            )
+
+    return df.where(F.col("media_type") == "video").mapInPandas(run, schema=FRAME_SCHEMA)

@@ -224,6 +224,7 @@ def qgram_levenshtein_join(
     q: int = 3,
     extra_left: list[str] | None = None,
     extra_right: list[str] | None = None,
+    assume_min_len: int | None = None,
 ) -> DataFrame:
     """Edit-distance join tolerant of INSERTIONS/DELETIONS — the indel
     complement to ``blocked_hamming_join`` (whose part blocking breaks the
@@ -268,6 +269,12 @@ def qgram_levenshtein_join(
     the length-window fan-out stays tiny; like the main path, multiset
     multiplicity of output pairs requires ``extra_*`` to carry a unique
     row id (the candidate union is ``distinct`` over ids+codes).
+
+    ``assume_min_len``: callers with a KNOWN minimum code length
+    > q·(k+1) − 1 (fixed-length identifiers, hashes) pass it to skip the
+    short path entirely — the claim is ENFORCED in-plan (``assert_true``
+    on every code), so a violating row fails the job rather than
+    silently losing completeness.
     """
     def grams(df: DataFrame, code: str, id_cols: list[str], side: str) -> DataFrame:
         # clamp: strings shorter than q have NO grams (an unclamped
@@ -301,6 +308,24 @@ def qgram_levenshtein_join(
 
     lids = extra_left or []
     rids = extra_right or []
+    short_len = q * (max_edits + 1) - 1
+    skip_short = assume_min_len is not None and assume_min_len > short_len
+    if skip_short:
+        # enforce the caller's length claim in-plan: a violating row would
+        # re-open the vacuous-bound hole, so it fails the job loudly
+        def enforced(df: DataFrame, code: str) -> DataFrame:
+            # assert_true returns null on pass — the when() wrapper keeps
+            # the column value while forcing the assertion's evaluation
+            # (a bare tautological filter could be simplified away)
+            chk = F.assert_true(
+                F.length(code) >= assume_min_len,
+                f"qgram_levenshtein_join: length({code}) < assume_min_len="
+                f"{assume_min_len}",
+            )
+            return df.withColumn(code, F.when(chk.isNull(), F.col(code)))
+
+        left = enforced(left, left_code)
+        right = enforced(right, right_code)
     lg = grams(left, left_code, lids, "l")
     rg = grams(right, right_code, rids, "r")
     bound = (
@@ -315,33 +340,36 @@ def qgram_levenshtein_join(
         .where(F.col("_shared") >= bound)
     )
 
-    # supplemental short×short path: the length regime where the count
-    # bound is vacuous (docstring envelope) — length-window blocking,
-    # bounded fan-out of 2k+1 per row, never a cross join
-    short_len = q * (max_edits + 1) - 1
-    ls = left.select(*lids, F.col(left_code).alias("_lcode")).where(
-        F.length("_lcode") <= short_len
-    )
-    rs = (
-        right.select(*rids, F.col(right_code).alias("_rcode"))
-        .where(F.length("_rcode") <= short_len)
-        .withColumn(
-            "_lb",
-            F.explode(
-                F.sequence(
-                    F.length("_rcode") - max_edits, F.length("_rcode") + max_edits
-                )
-            ),
-        )
-    )
-    short_cand = ls.join(rs, F.length(ls["_lcode"]) == rs["_lb"]).drop("_lb")
-
     pair_cols = [*lids, *rids, "_lcode", "_rcode"]
-    all_pairs = (
-        gram_cand.select(*pair_cols)
-        .unionByName(short_cand.select(*pair_cols))
-        .distinct()
-    )
+    if skip_short:
+        # every string is provably long enough for the count bound to be
+        # ≥ 1; gram_cand is already distinct by its groupBy keys
+        all_pairs = gram_cand.select(*pair_cols)
+    else:
+        # supplemental short×short path: the length regime where the count
+        # bound is vacuous (docstring envelope) — length-window blocking,
+        # bounded fan-out of 2k+1 per row, never a cross join
+        ls = left.select(*lids, F.col(left_code).alias("_lcode")).where(
+            F.length("_lcode") <= short_len
+        )
+        rs = (
+            right.select(*rids, F.col(right_code).alias("_rcode"))
+            .where(F.length("_rcode") <= short_len)
+            .withColumn(
+                "_lb",
+                F.explode(
+                    F.sequence(
+                        F.length("_rcode") - max_edits, F.length("_rcode") + max_edits
+                    )
+                ),
+            )
+        )
+        short_cand = ls.join(rs, F.length(ls["_lcode"]) == rs["_lb"]).drop("_lb")
+        all_pairs = (
+            gram_cand.select(*pair_cols)
+            .unionByName(short_cand.select(*pair_cols))
+            .distinct()
+        )
     return (
         all_pairs.withColumn("dist", F.levenshtein("_lcode", "_rcode").cast("bigint"))
         .where(F.col("dist") <= max_edits)

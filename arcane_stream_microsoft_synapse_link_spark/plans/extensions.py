@@ -1263,17 +1263,29 @@ def ops_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ops_media_features")
 def ops_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthetic binary payloads → mapInPandas
-    feature extraction (decode stubbed, batch shape real)."""
-    media = M.fake_media_df(spark, n=64)
-    out = M.extract_features(media, dim=8)
+    """Multimodal feature extraction over RAW payloads — REAL math since
+    r5 (functions/multimodal.py decode_raw/extract_features_raw): byte
+    reinterpretation decode, exact-integer intensity mean + edge energy +
+    histogram via Arrow mapInPandas. Compressed formats keep the honest
+    stub (decode_stub); numpy-reference equality in tests/test_functions.py."""
+    media = M.raw_media_df(spark, n=64)
+    out = M.extract_features_raw(media, bins=8)
     # repartition(1)+sort, not orderBy: range-partition sampling would run
     # the Python decode stage a second time; the projected result is tiny
     return (
         out.select(
-            "media_id", "media_type", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+            "media_id",
+            "media_type",
+            "n_values",
+            "mean_milli",
+            "edge_milli",
+            F.element_at("hist", 1).alias("h0"),
         )
-        .transform(lambda d: _self_check(d, "media_id", "media_type", "n_bytes", "f0"))
+        .transform(
+            lambda d: _self_check(
+                d, "media_id", "media_type", "n_values", "mean_milli", "edge_milli", "h0"
+            )
+        )
         .repartition(1)
         .sortWithinPartitions("media_id")
     )
@@ -1281,13 +1293,23 @@ def ops_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ops_media_resize")
 def ops_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal resize plumbing (decode stubbed): image rows →
-    mapInPandas resize; rows-only check + pytest byte-shape coverage."""
-    media = M.fake_media_df(spark, n=64)
-    out = M.resize_images(media, 32, 32)
+    """Multimodal image resize over RAW grayscale bitmaps — REAL bilinear
+    resampling since r5 (functions/multimodal.py bilinear_resize), output
+    payload is the actual resized bitmap; hand-computed-case and
+    invariance tests in tests/test_functions.py."""
+    media = M.raw_media_df(spark, n=64)
+    out = M.resize_images_raw(media, 32, 32)
     return (
-        out.select("media_id", "width", "height", F.length("payload").cast("bigint").alias("n_bytes"))
-        .transform(lambda d: _self_check(d, "media_id", "width", "height", "n_bytes"))
+        out.select(
+            "media_id",
+            "width",
+            "height",
+            F.length("payload").cast("bigint").alias("n_bytes"),
+            F.xxhash64("payload").alias("payload_hash"),
+        )
+        .transform(
+            lambda d: _self_check(d, "media_id", "width", "height", "n_bytes", "payload_hash")
+        )
         .repartition(1)
         .sortWithinPartitions("media_id")
     )
@@ -1295,13 +1317,24 @@ def ops_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ops_media_frames")
 def ops_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame sampling (decode stubbed): video rows fan out to
-    one row per sampled frame inside mapInPandas — no shuffle."""
-    media = M.fake_media_df(spark, n=64)
-    out = M.sample_frames(media, every_ms=250)
+    """Multimodal frame sampling over RAW video payloads — REAL frame
+    slices since r5 (each output frame is the actual width*height bitmap
+    at its index); fan-out stays inside mapInPandas, no shuffle."""
+    media = M.raw_media_df(spark, n=64)
+    out = M.sample_frames_raw(media, every_ms=500, frame_ms=500)
     return (
-        out.select("media_id", "frame_idx", "frame_ts_ms", F.length("frame").cast("bigint").alias("n_bytes"))
-        .transform(lambda d: _self_check(d, "media_id", "frame_idx", "frame_ts_ms", "n_bytes"))
+        out.select(
+            "media_id",
+            "frame_idx",
+            "frame_ts_ms",
+            F.length("frame").cast("bigint").alias("n_bytes"),
+            F.xxhash64("frame").alias("frame_hash"),
+        )
+        .transform(
+            lambda d: _self_check(
+                d, "media_id", "frame_idx", "frame_ts_ms", "n_bytes", "frame_hash"
+            )
+        )
         .repartition(1)
         .sortWithinPartitions("media_id", "frame_idx")
     )
@@ -2513,6 +2546,10 @@ def ops_fuzzy_join_indel(spark: SparkSession, sf_dir: str) -> DataFrame:
             q=4,
             extra_left=["probe_id"],
             extra_right=["base_id"],
+            # codes are 11-12 chars, provably above the q·(k+1)−1 = 7
+            # vacuous-bound threshold → the short×short supplement is
+            # skipped and the claim enforced in-plan (assert_true)
+            assume_min_len=11,
         )
         .select("probe_id", "base_id", "dist")
         .orderBy("probe_id", "base_id")

@@ -747,3 +747,82 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
     # the trained symbol vocabulary reconstructs the word set exactly
     got_words = {r["sym"].replace(" ", "") for r in vdf.collect()}
     assert got_words == {"".join(k) for k in vocab}
+
+
+def test_bilinear_resize_math():
+    """The raw-path resize is REAL bilinear resampling: hand-computed
+    2x2→4x4 case, constant-image invariance, and exact 2x downscale
+    averaging on a checkerboard."""
+    import numpy as np
+
+    from arcane_stream_microsoft_synapse_link_spark.functions.multimodal import (
+        bilinear_resize,
+    )
+
+    # constant image stays constant at any size
+    const = np.full((5, 7), 93, dtype=np.uint8)
+    assert (bilinear_resize(const, 13, 3) == 93).all()
+
+    # 2x2 → 4x4, align_corners=False: corner output pixels clamp to the
+    # nearest source pixel, interior pixels interpolate at 1/4 offsets
+    src = np.array([[0, 100], [200, 60]], dtype=np.uint8)
+    out = bilinear_resize(src, 4, 4)
+    assert out[0, 0] == 0 and out[0, 3] == 100
+    assert out[3, 0] == 200 and out[3, 3] == 60
+    # center pixels: bilinear at (0.25, 0.25) from each corner
+    # e.g. out[1,1] = 0*(.75*.75) + 100*(.25*.75) + 200*(.75*.25) + 60*(.25*.25)
+    assert out[1, 1] == round(0 * 0.5625 + 100 * 0.1875 + 200 * 0.1875 + 60 * 0.0625)
+
+    # exact 2x downscale of a checkerboard = the 4-pixel average everywhere
+    cb = np.zeros((4, 4), dtype=np.uint8)
+    cb[::2, 1::2] = 255
+    cb[1::2, ::2] = 255
+    down = bilinear_resize(cb, 2, 2)
+    assert (down == 128).all()  # rint(127.5) rounds to even → 128
+
+
+def test_raw_media_decode_and_features(spark):
+    """decode_raw reinterprets bytes exactly; the Spark feature op's
+    integer statistics equal a direct numpy computation per media row."""
+    import numpy as np
+
+    from arcane_stream_microsoft_synapse_link_spark.functions import multimodal as M
+
+    media = M.raw_media_df(spark, n=24)
+    rows = {r["media_id"]: r for r in media.collect()}
+    feats = {r["media_id"]: r for r in M.extract_features_raw(media, bins=8).collect()}
+    assert set(feats) == set(rows)
+    for mid, r in rows.items():
+        arr = M.decode_raw(bytes(r["payload"]), r["media_type"], r["width"], r["height"])
+        flat = arr.astype(np.int64).ravel()
+        f = feats[mid]
+        assert f["n_values"] == flat.size
+        assert f["mean_milli"] == int(flat.sum()) * 1000 // flat.size
+        lo, hi = (-32768, 32768) if r["media_type"] == "audio" else (0, 256)
+        assert f["hist"] == [int(v) for v in np.histogram(flat, bins=8, range=(lo, hi))[0]]
+
+    # size mismatch fails loudly, not silently
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="image payload"):
+        M.decode_raw(b"\x00" * 10, "image", 4, 4)
+
+
+def test_raw_frame_sampling_slices_exactly(spark):
+    """Sampled frames ARE the payload's width*height slices at the frame
+    index (real decode, not a synthetic transform)."""
+    from arcane_stream_microsoft_synapse_link_spark.functions import multimodal as M
+
+    media = M.raw_media_df(spark, n=24)
+    vids = {
+        r["media_id"]: r
+        for r in media.where("media_type = 'video'").collect()
+    }
+    out = M.sample_frames_raw(media, every_ms=500, frame_ms=500).collect()
+    assert {r["media_id"] for r in out} == set(vids)
+    for r in out:
+        v = vids[r["media_id"]]
+        fsz = v["width"] * v["height"]
+        start = r["frame_idx"] * fsz
+        assert bytes(r["frame"]) == bytes(v["payload"])[start : start + fsz]
+        assert r["frame_ts_ms"] == r["frame_idx"] * 500

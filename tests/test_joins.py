@@ -411,3 +411,42 @@ def test_fuzzy_join_multiplicity_with_row_ids(spark):
         extra_left=["l_id"], extra_right=["r_id"],
     ).collect()
     assert {(r.l_id, r.r_id) for r in g} == {(1, 9), (2, 9)}
+
+
+def test_qgram_assume_min_len_skips_short_path_and_enforces(spark):
+    """assume_min_len above the threshold removes the short×short branch
+    (one less Union/Exchange) AND enforces the claim: a shorter code
+    fails the job instead of silently losing completeness."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pytest as _pytest
+
+    from arcane_stream_microsoft_synapse_link_spark.operators.joins import (
+        qgram_levenshtein_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "abcdefghijkl")], "l_id long, code string"
+    )
+    right = spark.createDataFrame(
+        [(2, "abcdefghijxl")], "r_id long, rcode string"
+    )
+    fast = qgram_levenshtein_join(
+        left, right, "code", "rcode", max_edits=1, q=4,
+        extra_left=["l_id"], extra_right=["r_id"], assume_min_len=11,
+    )
+    assert [(r.l_id, r.r_id, r.dist) for r in fast.collect()] == [(1, 2, 1)]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fast.explain("formatted")
+    assert "Union" not in buf.getvalue()
+
+    # a violating row fails loudly
+    short_left = spark.createDataFrame([(3, "abc")], "l_id long, code string")
+    bad = qgram_levenshtein_join(
+        short_left, right, "code", "rcode", max_edits=1, q=4,
+        extra_left=["l_id"], extra_right=["r_id"], assume_min_len=11,
+    )
+    with _pytest.raises(Exception, match="assume_min_len"):
+        bad.collect()

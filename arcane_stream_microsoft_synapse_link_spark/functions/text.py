@@ -570,7 +570,10 @@ def cms_heavy_hitters(
 
 
 def bpe_train(
-    docs: DataFrame, n_merges: int = 10, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    driver_vocab_limit: int = 2_000_000,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Full iterative BPE tokenizer training (Sennrich et al. 2016) — the
     multi-merge loop around the single ``ops_bpe_merge_step`` iteration:
@@ -579,19 +582,30 @@ def bpe_train(
 
     Deterministic: argmax ties break on (count DESC, left ASC, right ASC).
     Merging is greedy left-to-right non-overlapping (the reference BPE
-    rule), done as one ``regexp_replace`` over the space-delimited symbol
-    string — the pattern consumes the LEADING separator and asserts the
-    trailing one with a lookahead, so adjacent merge sites (``a b a b``)
-    both fire in one pass while overlapping sites (``a a a``) merge
-    left-first only.
+    rule).
 
-    Scale shape: the corpus collapses to the distinct-word frequency table
-    FIRST (the compression that makes every later iteration O(vocab), not
-    O(corpus)); each iteration is one pair-count shuffle over that small
-    table plus a 1-row collect (the argmax) — BPE is inherently sequential
-    in merges, so the driver loop IS the algorithm, not a shortcut.  Each
-    round's vocab is cached and the predecessor unpersisted, keeping the
-    lineage one replace deep.
+    Scale shape — adaptive like the duplicate-cluster resolver
+    (functions/dedup.py union-find probe): the corpus collapses to the
+    distinct-word frequency table FIRST (the compression that makes every
+    later step O(vocab), not O(corpus) — this agg is the only corpus
+    pass).  Then a size probe picks the loop engine:
+
+    - vocab ≤ ``driver_vocab_limit`` rows → collect (word, count) and run
+      the merge loop in plain Python — a natural-language vocabulary is
+      ~10⁶ words regardless of corpus size (Heaps' law), and 10-50k
+      sequential merges over an in-memory dict is exactly how production
+      tokenizer trainers work; 1-row-per-iteration Spark jobs would pay
+      ~0.5 s scheduling each for the same arithmetic.
+    - larger (pathological tokenization domains) → the distributed loop:
+      per iteration one pair-count shuffle over the cached vocab plus a
+      1-row argmax collect, merging via one boundary-aware
+      ``regexp_replace`` (consumes the LEADING separator, asserts the
+      trailing one with a lookahead — adjacent sites ``a b a b`` both
+      fire, overlapping ``a a a`` merges left-first).  Each round's vocab
+      is cached and the predecessor unpersisted.
+
+    Both engines produce IDENTICAL merge tables (same tie-break, same
+    greedy rule — pinned by tests/test_functions.py equality tests).
 
     Returns ``(merges, vocab_df)``: the merge table as driver-side tuples
     ``(rank, left, right, weighted_pair_count)`` and the final symbolized
@@ -612,6 +626,48 @@ def bpe_train(
     vocab = words.select(
         F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "wcnt"
     ).cache()
+
+    n_vocab = vocab.count()  # materializes the cache either way
+    if n_vocab <= driver_vocab_limit:
+        try:
+            rows = [(r["sym"], int(r["wcnt"])) for r in vocab.collect()]
+        finally:
+            vocab.unpersist()
+        local = {tuple(sym.split(" ")): c for sym, c in rows}
+        merges = []
+        for rank in range(n_merges):
+            pc: dict[tuple[str, str], int] = {}
+            for sym, c in local.items():
+                for i in range(len(sym) - 1):
+                    k = (sym[i], sym[i + 1])
+                    pc[k] = pc.get(k, 0) + c
+            if not pc:
+                break
+            (left, right), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, left, right, cnt))
+            nxt: dict[tuple, int] = {}
+            for sym, c in local.items():
+                out: list[str] = []
+                i = 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                key = tuple(out)
+                nxt[key] = nxt.get(key, 0) + c
+            local = nxt
+        spark = docs.sparkSession
+        final = spark.createDataFrame(
+            [(" ".join(sym), c) for sym, c in sorted(local.items())],
+            "sym string, wcnt long",
+        )
+        return merges, final
+
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(n_merges):

@@ -741,12 +741,16 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
         vocab = nxt
 
     t = Tables(spark, sf_dir)
+    # driver-side engine (the size probe picks it for this vocab)
     merges, vdf = bpe_train(t.documents, n_merges=10)
-    vdf.unpersist()
     assert merges == expected
-    # the trained symbol vocabulary reconstructs the word set exactly
     got_words = {r["sym"].replace(" ", "") for r in vdf.collect()}
     assert got_words == {"".join(k) for k in vocab}
+    # distributed engine (forced via limit=0) produces the IDENTICAL table
+    merges_d, vdf_d = bpe_train(t.documents, n_merges=10, driver_vocab_limit=0)
+    vdf_d.unpersist()
+    assert merges_d == expected
+    assert {r["sym"].replace(" ", "") for r in vdf_d.collect()} == got_words
 
 
 def test_bilinear_resize_math():

@@ -838,3 +838,4 @@ def pca_project(
             yield pd.DataFrame({id_col: pdf[id_col], out_col: list(P.tolist())})
 
     return corpus.select(id_col, vec_col).mapInPandas(run, schema=schema)
+

@@ -839,3 +839,184 @@ def pca_project(
 
     return corpus.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite (coarse quantizer + per-cell residual PQ — Jégou 2011,
+# the FAISS IVFPQ layout and the shape a 100 TB ANN index actually takes)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int | None = None,
+    m: int = 8,
+    codes: int = 64,
+    rerank: int = 32,
+    sample_size: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k with BOTH pruning axes composed — the production index
+    shape: the IVF coarse quantizer prunes which rows are read (cell-level
+    partition pruning), PQ codes of the RESIDUAL ``unit(x) − centroid``
+    shrink what is read to m bytes/row (the ADC scan streams codes, never
+    raw vectors), and an exact rerank of the top ``rerank`` candidates
+    restores the recall quantization loses.
+
+    Residual encoding is what makes the composition worth it: within a
+    cell the residual spread is much tighter than the raw-vector spread,
+    so the same byte budget quantizes far finer than flat PQ
+    (``pq_topk``).  The ADC lookup tables are per (query, probed cell):
+    ``lut[s, j] = ||(q − c)ₛ − cb[s, j]||²``, since
+    ``||q − x||² = ||(q − c) − r||²`` for ``x = c + r``.
+
+    Scale shape: one corpus pass to assign + residual-encode (map-side,
+    zero shuffle — at rest this is the stored index: (id, cell, m bytes));
+    codebooks train on ONE deterministic constant-size residual sample;
+    the query-side LUT build is (queries × nprobe × m × codes) floats —
+    driver-tiny by the same contract as ``ivf_topk``'s probe table; the
+    scan reads only probed cells' code rows (filter pushed before
+    Python), emits per-partition top-R per query, and the rerank
+    semi-joins candidate ids back to raw vectors.  Deterministic: seeded
+    kmeans everywhere, total (distance, id) orderings.
+    """
+    import math
+
+    cents_df = ivf_train(corpus, n_centroids)
+    assigned = ivf_assign(corpus, cents_df, id_col, vec_col)
+    cent_rows = cents_df.collect()
+    cent = {r["centroid_id"]: np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows}
+    if nprobe is None:
+        nprobe = max(1, math.ceil(0.25 * len(cent)))
+
+    # --- residual codebooks on one deterministic sample (no re-normalize:
+    # residuals are small off-center deltas, unit-scaling would distort)
+    srows = (
+        assigned.select(id_col, "centroid_id", vec_col)
+        .orderBy(
+            F.xxhash64(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+            F.col(id_col),
+        )
+        .limit(sample_size)
+        .collect()
+    )
+    Xs = _unit_rows(np.asarray([r[vec_col] for r in srows], dtype=np.float64))
+    Rs = Xs - np.asarray([cent[r["centroid_id"]] for r in srows])
+    dim = Rs.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cb = np.stack(
+        [_local_kmeans(Rs[:, s * dsub : (s + 1) * dsub], codes, seed + s) for s in range(m)]
+    )
+
+    # --- index pass: residual-encode every row (map-side; this is the
+    # stored index — (id, cell, m small ints) per vector)
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _unit_rows(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))
+            Rm = X - np.asarray([cent[c] for c in pdf["centroid_id"]])
+            out = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Rsub = Rm[:, s * dsub : (s + 1) * dsub]
+                C = cb[s]
+                d = -2.0 * (Rsub @ C.T) + (C**2).sum(axis=1)[None, :]
+                out[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "centroid_id": pdf["centroid_id"],
+                    "pq_codes": list(out.tolist()),
+                }
+            )
+
+    encoded = assigned.select(id_col, "centroid_id", vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, centroid_id int, pq_codes array<int>"
+    )
+
+    # --- probe selection (same contract as ivf_topk: query set is small)
+    q = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
+    qc = q.join(F.broadcast(cents_df)).select(
+        query_id_col,
+        "_qvec",
+        "centroid_id",
+        cosine(F.col("_qvec"), F.col("centroid")).alias("_sim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select(query_id_col, "_qvec", "centroid_id")
+        .collect()
+    )
+    # per-(query, cell) residual LUTs: lut[s, j] = ||(q − c)_s − cb[s, j]||²
+    luts: dict[int, tuple[list, "np.ndarray"]] = {}
+    for r in probes:
+        c = r["centroid_id"]
+        qv = _unit_rows(np.asarray([r["_qvec"]], dtype=np.float64))[0] - cent[c]
+        lut = np.empty((m, cb.shape[1]))
+        for s in range(m):
+            lut[s] = ((qv[s * dsub : (s + 1) * dsub][None, :] - cb[s]) ** 2).sum(axis=1)
+        qids, stack = luts.setdefault(c, ([], []))
+        qids.append(r[query_id_col])
+        stack.append(lut)
+    cell_luts = {c: (qids, np.stack(ls)) for c, (qids, ls) in luts.items()}
+    probed = sorted(cell_luts)
+    keep = max(k, rerank)
+
+    def scan(batches):
+        for pdf in batches:
+            out_q, out_id, out_d = [], [], []
+            for cell, grp in pdf.groupby("centroid_id"):
+                qids, lut = cell_luts[cell]  # (nq_cell, m, codes)
+                codes_mat = np.asarray(grp["pq_codes"].tolist(), dtype=np.int64)
+                ids = grp[id_col].to_numpy()
+                kk = min(keep, len(ids))
+                gather_idx = (np.arange(m)[None, :], codes_mat)
+                for j, qid in enumerate(qids):
+                    d = lut[j][gather_idx].sum(axis=1)
+                    top = np.argpartition(d, kk - 1)[:kk]
+                    out_q.extend([qid] * kk)
+                    out_id.extend(ids[top])
+                    out_d.extend(d[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {query_id_col: out_q, id_col: out_id, "adc_dist": out_d}
+                )
+
+    local = (
+        encoded.where(F.col("centroid_id").isin(probed))  # cell pruning
+        .mapInPandas(scan, schema=f"{query_id_col} long, {id_col} long, adc_dist double")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    cands = local.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
+        F.col("rank") <= keep
+    )
+
+    # --- exact rerank (semi-join-sized raw-vector read)
+    withvec = cands.select(query_id_col, id_col).join(
+        corpus.select(id_col, vec_col), id_col
+    )
+    qdf = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    rescored = withvec.join(F.broadcast(qdf), query_id_col).select(
+        query_id_col,
+        id_col,
+        cosine(
+            F.transform(vec_col, lambda v: v.cast("double")),
+            F.transform("_qvec", lambda v: v.cast("double")),
+        ).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )

@@ -2788,3 +2788,34 @@ def ops_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.orderBy("merge_rank"),
         "merge_rank", "left_sym", "right_sym", "merged", "pair_count",
     )
+
+
+@query("ops_knn_ivfpq")
+def ops_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (functions/similarity.py:ivfpq_topk) — the
+    production 100 TB index shape: coarse-quantizer cell pruning decides
+    WHICH rows are read, residual PQ codes shrink WHAT is read to m
+    bytes/row (ADC scan over codes), exact rerank restores recall.
+    Rows-only at the gate (seeded kmeans has no SQL twin); recall ≥ 0.9
+    vs brute force, determinism, and the residual-beats-flat-PQ property
+    are asserted in tests/test_functions.py."""
+    t = Tables(spark, sf_dir)
+    queries_df = t.embeddings.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # near-uniform fixture corpus → probe widely (same honesty note as
+    # ops_knn_ivf) and rerank deep enough to cover the quantization loss:
+    # measured 0.988 recall vs brute force at sf0.01 (declared bound 0.95,
+    # pinned by tests/test_functions.py::test_ops_knn_ivfpq_meets_declared_recall)
+    out = S.ivfpq_topk(
+        t.embeddings,
+        queries_df,
+        k=10,
+        n_centroids=16,
+        nprobe=14,
+        m=8,
+        codes=64,
+        rerank=200,
+        seed=11,
+    ).select("query_id", "vec_id", "rank")
+    return _self_check(out, "query_id", "vec_id", "rank")

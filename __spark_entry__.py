@@ -40,19 +40,27 @@ def _current_round() -> int:
     return max(rounds) + 1
 
 
-def _ever_green() -> set[str]:
-    """Query names with at least one green driver row in any prior round.
+def _gate_history() -> tuple[set[str], set[str]]:
+    """(green, visited) query names across all prior driver rounds.
 
-    Green = rows matched, no error, and the value hash matched when the
-    driver computed one (rows-only entries have ``hash_match: null``).
-    Used to push never-verified entries to the front of the 50-slot gate
-    window so every entry eventually earns an independent driver check.
+    ``green``   = at least one row with rows matched, no error, and the
+                  value hash matching when the driver computed one.
+    ``visited`` = green, PLUS entries the driver ran but structurally
+                  cannot hash-verify (``err: "no_oracle"`` — the driver
+                  records rows-only entries that way, with
+                  ``rows_match: null``).  Without the second set the
+                  rows-only entries rank "never verified" forever and
+                  permanently occupy the front of the 50-slot window
+                  (VERDICT r5 item 2a): one gate visit is all the check
+                  they can ever earn, so one visit retires them from the
+                  front tier.
     """
     import json
     import pathlib
 
     here = pathlib.Path(__file__).resolve().parent
     green: set[str] = set()
+    visited: set[str] = set()
     for p in here.glob("CORRECTNESS_r*.json"):
         try:
             data = json.loads(p.read_text())
@@ -61,14 +69,21 @@ def _ever_green() -> set[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            ok = (
+            if (
                 row.get("rows_match")
                 and row.get("hash_match") is not False
                 and not row.get("err")
-            )
-            if ok:
+            ):
                 green.add(name)
-    return green
+                visited.add(name)
+            elif row.get("err") == "no_oracle":
+                visited.add(name)
+    return green, visited
+
+
+def _ever_green() -> set[str]:
+    """Back-compat shim: names with ≥1 green driver row (see _gate_history)."""
+    return _gate_history()[0]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -89,13 +104,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import re
 
     ops_first = _current_round() % 2 == 0
-    green = _ever_green()
+    green, visited = _gate_history()
 
     def rank(item):
         name = item[0]
-        if name not in green:
-            # Never driver-verified: front of the window.  Oracle-backed
-            # entries lead (the stronger hash check), rows-only follow.
+        # Front of the window: entries that can still earn a NEW driver
+        # verdict — oracle-backed with no green row ever (includes entries
+        # newly promoted from rows-only to oracle-backed), and rows-only
+        # entries the gate has never even run.  A rows-only entry WITH a
+        # prior no_oracle row has received all the checking the driver can
+        # give it, so it drops to the rotation tier instead of pinning the
+        # front forever.
+        if (name in ORACLE and name not in green) or name not in visited:
             return (0, 0 if name in ORACLE else 1, 0, name)
         m = re.match(r"^q(\d+)", name)
         if m:

@@ -73,18 +73,28 @@ def parse_azure_url(path: str) -> tuple[str, str, str]:
     return account, container, u.path.lstrip("/")
 
 
-def azure_blob_connection(spec: dict, env: dict[str, str] | None = None) -> dict:
+def azure_blob_connection(
+    spec: dict, env: dict[str, str] | None = None, source_root: str | None = None
+) -> dict:
     """Reference ``storageConnection`` block → ``AzureBlobStoreIO`` kwargs.
 
     The same block ``azure_hadoop_conf`` (sources/azure.py) maps onto
     ``fs.azure.*`` keys for the cluster data plane; this maps it onto the
     driver-side metadata client (stream-spec-yaml-example.yaml:84-96:
     accountName/endpoint, httpClient retry/paging knobs, sharedKey with
-    env-var key fallback)."""
+    env-var key fallback).  When the block omits ``accountName`` but the
+    stream's ``source_root`` is a fully-qualified
+    ``abfss://container@account.dfs...`` URL, the account comes from the
+    URL (the reference accepts such specs; without this fallback the
+    client constructor raised TypeError)."""
     env = env if env is not None else dict(os.environ)
     out: dict = {}
     if spec.get("accountName"):
         out["account"] = str(spec["accountName"])
+    elif source_root and is_azure_path(source_root):
+        account, _, _ = parse_azure_url(source_root)
+        if account:
+            out["account"] = account
     if spec.get("endpoint"):
         out["endpoint_url"] = str(spec["endpoint"]).rstrip("/")
     cred = spec.get("credentialType", {}) or {}

@@ -145,7 +145,9 @@ class StreamRunner:
                 source_io = S3StoreIO(**s3_connection(spec.storage_connection))
             elif is_azure_path(spec.source_root):
                 source_io = AzureBlobStoreIO(
-                    **azure_blob_connection(spec.storage_connection)
+                    **azure_blob_connection(
+                        spec.storage_connection, source_root=spec.source_root
+                    )
                 )
         self.source = SynapseLinkSource(spec.source_root, spec.entity_name, io=source_io)
         self.table = VersionedTable(

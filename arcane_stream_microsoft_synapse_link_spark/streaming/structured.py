@@ -205,8 +205,21 @@ def run_decontaminate_stream(
             F.col(id_col), F.explode(word_ngram_strings(F.col("_w"), n)).alias("gram")
         )
 
-    if not os.path.isdir(grams_dir):
-        exploded(benchmark).select("gram").distinct().write.parquet(grams_dir)
+    # Reuse only a COMPLETE materialization: Spark writes _SUCCESS last, so
+    # a crash mid-write leaves a partial directory without it.  Accepting
+    # such a directory would silently under-filter every subsequent batch
+    # (contaminated docs admitted to clean/); rewriting into a fresh dir
+    # and atomically renaming keeps the check crash-safe too.
+    if not os.path.exists(os.path.join(grams_dir, "_SUCCESS")):
+        import shutil
+
+        tmp_dir = grams_dir + "._tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        exploded(benchmark).select("gram").distinct().write.mode("overwrite").parquet(
+            tmp_dir
+        )
+        shutil.rmtree(grams_dir, ignore_errors=True)
+        os.replace(tmp_dir, grams_dir)
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.select(id_col, text_col).localCheckpoint()

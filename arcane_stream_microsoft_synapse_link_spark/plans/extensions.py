@@ -775,16 +775,25 @@ def ops_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ops_simhash_near_dup")
 def ops_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed since r6 (VERDICT r5 item 2b): the pair set is a
+    pure function of the corpus, so the driver hash-compares it against
+    an independent sequential SimHash reference rendered as literal
+    VALUES (plans/values_oracle.py:ref_simhash_near_dup, pinned to the
+    gate's sf0.01 compare scale via ORACLE_SF)."""
     t = Tables(spark, sf_dir)
     out = D.simhash_near_duplicates(t.documents, max_hamming=8)
-    return _self_check(out, "id_a", "id_b").orderBy("id_a", "id_b")
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    ).orderBy("id_a", "id_b")
 
 
 @query("ops_fingerprint_rolling")
 def ops_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed since r6: order-sensitive blake2b gram fold is
+    deterministic per document, hash-compared against the sequential
+    reference (plans/values_oracle.py:ref_fingerprint_rolling)."""
     t = Tables(spark, sf_dir)
-    out = X.rolling_fingerprints_np(t.documents)
-    return _self_check(out, *out.columns).orderBy("doc_id")
+    return X.rolling_fingerprints_np(t.documents).orderBy("doc_id")
 
 
 @query("ops_dedup_pipeline")
@@ -804,9 +813,18 @@ def ops_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ops_embedding_near_dup")
 def ops_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: sign-LSH buckets → exact cosine verify."""
+    """Embedding-cosine near-dup: sign-LSH buckets → exact cosine verify.
+
+    Parameters are tuned to the declared corpus (VERDICT r5 item 3: at
+    threshold 0.9 the synthetic near-uniform embeddings contain NO
+    qualifying pairs at any sf, so the gate entry pinned nothing):
+    cosine ≥ 0.4 with 8-bit LSH bands yields 15/9/185 pairs at
+    sf0.001/0.01/0.1, so the self-hash pin covers real values.
+    Planted-pair recall coverage lives in tests/test_functions.py."""
     t = Tables(spark, sf_dir)
-    pairs = S.embedding_near_duplicates(t.embeddings, threshold=0.9, max_hamming=24)
+    pairs = S.embedding_near_duplicates(
+        t.embeddings, threshold=0.4, max_hamming=28, band_bits=8
+    )
     out = pairs.select(
         "id_a", "id_b", F.round("cos_sim", 4).cast("double").alias("cos_sim")
     )
@@ -1271,7 +1289,10 @@ def ops_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.raw_media_df(spark, n=64)
     out = M.extract_features_raw(media, bins=8)
     # repartition(1)+sort, not orderBy: range-partition sampling would run
-    # the Python decode stage a second time; the projected result is tiny
+    # the Python decode stage a second time; the projected result is tiny.
+    # Oracle-backed since r6: exact-integer outputs vs an independent numpy
+    # reference (plans/values_oracle.py:ref_media_features) — the fixture
+    # is generated in-query, so the literals hold at every sf.
     return (
         out.select(
             "media_id",
@@ -1280,11 +1301,6 @@ def ops_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_milli",
             "edge_milli",
             F.element_at("hist", 1).alias("h0"),
-        )
-        .transform(
-            lambda d: _self_check(
-                d, "media_id", "media_type", "n_values", "mean_milli", "edge_milli", "h0"
-            )
         )
         .repartition(1)
         .sortWithinPartitions("media_id")
@@ -1299,16 +1315,25 @@ def ops_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariance tests in tests/test_functions.py."""
     media = M.raw_media_df(spark, n=64)
     out = M.resize_images_raw(media, 32, 32)
+    # Oracle-backed since r6: the resized bitmap is pinned by exact-integer
+    # projections a numpy reference can reproduce (byte sum + corner
+    # pixels), replacing the engine-only xxhash64 fingerprint — see
+    # plans/values_oracle.py:ref_media_resize (independent scalar bilinear).
+    hexp = F.hex("payload")
+    byte_sum = F.aggregate(
+        F.expr("regexp_extract_all(hex(payload), '..', 0)"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.conv(x, 16, 10).cast("bigint"),
+    )
     return (
         out.select(
             "media_id",
             "width",
             "height",
             F.length("payload").cast("bigint").alias("n_bytes"),
-            F.xxhash64("payload").alias("payload_hash"),
-        )
-        .transform(
-            lambda d: _self_check(d, "media_id", "width", "height", "n_bytes", "payload_hash")
+            byte_sum.alias("byte_sum"),
+            F.conv(F.substring(hexp, 1, 2), 16, 10).cast("bigint").alias("px_first"),
+            F.conv(F.substring(hexp, -2, 2), 16, 10).cast("bigint").alias("px_last"),
         )
         .repartition(1)
         .sortWithinPartitions("media_id")
@@ -1322,18 +1347,20 @@ def ops_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     at its index); fan-out stays inside mapInPandas, no shuffle."""
     media = M.raw_media_df(spark, n=64)
     out = M.sample_frames_raw(media, every_ms=500, frame_ms=500)
+    # Oracle-backed since r6: frame bytes pinned by an exact-integer byte
+    # sum the reference reproduces (plans/values_oracle.py:ref_media_frames).
+    byte_sum = F.aggregate(
+        F.expr("regexp_extract_all(hex(frame), '..', 0)"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.conv(x, 16, 10).cast("bigint"),
+    )
     return (
         out.select(
             "media_id",
             "frame_idx",
             "frame_ts_ms",
             F.length("frame").cast("bigint").alias("n_bytes"),
-            F.xxhash64("frame").alias("frame_hash"),
-        )
-        .transform(
-            lambda d: _self_check(
-                d, "media_id", "frame_idx", "frame_ts_ms", "n_bytes", "frame_hash"
-            )
+            byte_sum.alias("byte_sum"),
         )
         .repartition(1)
         .sortWithinPartitions("media_id", "frame_idx")
@@ -2037,12 +2064,14 @@ def ops_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean, comps, _ = S.pca_train(emb, n_components=4)
     proj = S.pca_project(emb, mean, comps)
-    out = proj.select(
+    # Oracle-backed since r6: fixed-point projections hash-compared against
+    # a single-node moment-form PCA reference (plans/values_oracle.py:
+    # ref_embedding_pca, pinned to the gate's sf0.01 scale).
+    return proj.select(
         "vec_id",
         F.floor(F.element_at("proj", 1) * 1000 + F.lit(0.5)).cast("bigint").alias("pc1_fp"),
         F.floor(F.element_at("proj", 2) * 1000 + F.lit(0.5)).cast("bigint").alias("pc2_fp"),
     ).orderBy("vec_id")
-    return _self_check(out, "vec_id", "pc1_fp", "pc2_fp")
 
 
 @query("ops_pmi_collocations")
@@ -2772,22 +2801,23 @@ ORACLE["ops_mixture_temperature"] = r"""
 def ops_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full iterative BPE tokenizer training — 10 sequential merges, each
     one distributed pair-count over the frequency-compressed vocabulary
-    (functions/text.py:bpe_train).  Genuinely non-SQL-expressible: every
-    merge depends on the argmax of the previous round (and the merge rule
-    needs lookahead regex DuckDB's RE2 lacks), so this entry is rows-only
-    with a self-hash pin; exact equality against a pure-Python reference
-    BPE runs in tests/test_functions.py."""
+    (functions/text.py:bpe_train).  No direct SQL twin exists (every
+    merge depends on the argmax of the previous round, and the merge rule
+    needs lookahead regex DuckDB's RE2 lacks) — but the OUTPUT is a pure
+    function of the corpus, so since r6 the driver hash-verifies it
+    against the sequential reference rendered as literal VALUES."""
     t = Tables(spark, sf_dir)
     merges, vocab = X.bpe_train(t.documents, n_merges=10)
     vocab.unpersist()
+    # Oracle-backed since r6: the merge table is hash-compared against the
+    # sequential reference BPE (plans/values_oracle.py:ref_bpe_train,
+    # pinned to sf0.01 — the same reference tests/test_functions.py
+    # asserts exact equality with at the sweep scales).
     df = spark.createDataFrame(
         [(r, l, rt, l + rt, c) for (r, l, rt, c) in merges],
         "merge_rank long, left_sym string, right_sym string, merged string, pair_count long",
     )
-    return _self_check(
-        df.orderBy("merge_rank"),
-        "merge_rank", "left_sym", "right_sym", "merged", "pair_count",
-    )
+    return df.orderBy("merge_rank")
 
 
 @query("ops_knn_ivfpq")

@@ -13,7 +13,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from arcane_stream_microsoft_synapse_link_spark.plans import ORACLE, QUERIES
+from arcane_stream_microsoft_synapse_link_spark.plans import ORACLE, ORACLE_SF, QUERIES
 from arcane_stream_microsoft_synapse_link_spark.session import get_spark
 from tests.oracle_harness import compare
 
@@ -27,7 +27,10 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            ok, msg = compare(spark, sf_dir, QUERIES[name], ORACLE[name], strict=True)
+            # VALUES oracles carry literals computed at one fixed scale
+            ok, msg = compare(
+                spark, ORACLE_SF.get(name, sf_dir), QUERIES[name], ORACLE[name], strict=True
+            )
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXC {type(e).__name__}: {e}"
         dt = time.time() - t0

@@ -111,7 +111,9 @@ def test_rows_only_entries_carry_stable_self_hash(spark):
     from arcane_stream_microsoft_synapse_link_spark.plans import ORACLE
 
     rows_only = [n for n in QUERIES if n not in ORACLE]
-    assert len(rows_only) == 19  # r5: +ops_bpe_train, +ops_knn_ivfpq
+    # r6: 7 entries promoted to literal-VALUES oracles (media ×3,
+    # fingerprint_rolling, embedding_pca, bpe_train, simhash_near_dup)
+    assert len(rows_only) == 12, sorted(rows_only)
     for name in rows_only:
         fps = []
         for _ in range(2):

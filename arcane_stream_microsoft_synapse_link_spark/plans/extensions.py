@@ -2820,6 +2820,21 @@ def ops_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("merge_rank")
 
 
+@query("ops_bpe_encode")
+def ops_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → ENCODE: apply the trained merge table to the corpus — the
+    middle step the tokenizer loop existed for (VERDICT r5 item 5).
+    Distinct words are segmented once (vocab compression, functions/
+    text.py:bpe_encode) with best-pair-first merging; per-doc totals come
+    from one word-key join + agg.  Oracle: independent sequential
+    train+encode reference (plans/values_oracle.py:ref_bpe_encode,
+    pinned to the gate's sf0.01 scale)."""
+    t = Tables(spark, sf_dir)
+    merges, vocab = X.bpe_train(t.documents, n_merges=10)
+    vocab.unpersist()
+    return X.bpe_encode(t.documents, merges).orderBy("doc_id")
+
+
 @query("ops_knn_ivfpq")
 def ops_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composite ANN (functions/similarity.py:ivfpq_topk) — the

@@ -323,6 +323,43 @@ def ref_simhash_near_dup(sf_dir: str, max_hamming: int = 8, band_bits: int = 16)
     return sorted(rows)
 
 
+def ref_bpe_encode(sf_dir: str, n_merges: int = 10) -> list[tuple]:
+    """(doc_id, n_words, n_tokens, n_chars_encoded) — sequential BPE
+    encode with merges from ``ref_bpe_train``: best-pair-first (lowest
+    rank present wins), greedy left-to-right within a rank.  Docs with no
+    [a-z]+ word are omitted (mirrors the engine's explode)."""
+    merges = ref_bpe_train(sf_dir, n_merges)
+    rank_of = {(l, r): rank for rank, l, r, _, _ in merges}
+    rows = []
+    for doc_id, text in _documents(sf_dir):
+        words = re.findall("[a-z]+", (text or "").lower())
+        if not words:
+            continue
+        n_tokens = 0
+        for w in words:
+            sym = list(w)
+            while len(sym) >= 2:
+                best = None
+                for i in range(len(sym) - 1):
+                    rk = rank_of.get((sym[i], sym[i + 1]))
+                    if rk is not None and (best is None or rk < best):
+                        best, left, right = rk, sym[i], sym[i + 1]
+                if best is None:
+                    break
+                out, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            n_tokens += len(sym)
+        rows.append((doc_id, len(words), n_tokens, sum(len(w) for w in words)))
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -388,6 +425,15 @@ def build() -> dict[str, str]:
             "ops_simhash_near_dup": sql_values(
                 ref_simhash_near_dup(_SF_PIN),
                 [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "BIGINT")],
+            ),
+            "ops_bpe_encode": sql_values(
+                ref_bpe_encode(_SF_PIN),
+                [
+                    ("doc_id", "BIGINT"),
+                    ("n_words", "BIGINT"),
+                    ("n_tokens", "BIGINT"),
+                    ("n_chars_encoded", "BIGINT"),
+                ],
             ),
         }
         oracles.update(pinned)

@@ -917,3 +917,47 @@ def test_ops_knn_ivfpq_meets_declared_recall(spark):
     aset = {(r.query_id, r.vec_id) for r in approx}
     recall = len(bset & aset) / len(bset)
     assert recall >= 0.95, recall
+
+
+def test_bpe_encode_word_best_first_not_rank_order():
+    """The segmenter must merge the lowest-rank pair PRESENT, re-scanning
+    after every merge — a later-rank merge can create an earlier-rank
+    pair.  merges {(ab,c):0, (a,b):1} on 'abc': only (a,b) exists at
+    first; merging it creates (ab,c) which rank-order application would
+    have already passed by.  Best-first yields the single token 'abc'."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import bpe_encode_word
+
+    rank_of = {("ab", "c"): 0, ("a", "b"): 1}
+    assert bpe_encode_word("abc", rank_of) == ["abc"]
+    # greedy left-to-right within one rank: overlapping 'aaa' merges left-first
+    assert bpe_encode_word("aaa", {("a", "a"): 0}) == ["aa", "a"]
+    # no applicable merge → characters
+    assert bpe_encode_word("xyz", rank_of) == ["x", "y", "z"]
+
+
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    """Distributed train→encode equals the sequential reference on the
+    real corpus: same merges, same best-first segmentation, exact per-doc
+    token counts (the same reference that renders the driver's literal
+    VALUES oracle at sf0.01 — here exercised at the sweep scale)."""
+    from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import (
+        bpe_encode,
+        bpe_train,
+    )
+    from arcane_stream_microsoft_synapse_link_spark.plans.values_oracle import (
+        ref_bpe_encode,
+    )
+
+    t = Tables(spark, sf_dir)
+    merges, vocab = bpe_train(t.documents, n_merges=10)
+    vocab.unpersist()
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars_encoded"])
+        for r in bpe_encode(t.documents, merges).collect()
+    }
+    expect = {d: (w, tk, ch) for d, w, tk, ch in ref_bpe_encode(sf_dir)}
+    assert got == expect
+    # encoding compresses: tokens strictly fewer than chars, at least words
+    for w, tk, ch in got.values():
+        assert w <= tk < ch or ch <= w  # degenerate all-1-char-word docs aside

@@ -2864,3 +2864,27 @@ def ops_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=11,
     ).select("query_id", "vec_id", "rank")
     return _self_check(out, "query_id", "vec_id", "rank")
+
+
+@query("ops_knn_index_probe")
+def ops_knn_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index ANN lifecycle (VERDICT r5 item 6): build an IVF-PQ
+    index on crawl N (80% of the corpus), fold crawl N+1 in by encoding
+    ONLY the new 20% against the frozen centroids/codebooks, then serve
+    queries from the composed codes with exact rerank — the historical
+    corpus is never re-encoded (functions/similarity.py:ivfpq_build/
+    fold_in/probe; save/load round-trip + planted-duplicate recall in
+    tests/test_functions.py).  Rows-only (seeded kmeans has no SQL twin)
+    with the standard self-hash pin."""
+    t = Tables(spark, sf_dir)
+    old = t.embeddings.where(F.col("vec_id") % 5 != 0)
+    new = t.embeddings.where(F.col("vec_id") % 5 == 0)
+    queries_df = t.embeddings.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = S.ivfpq_build(old, n_centroids=16, m=8, codes=64, seed=11)
+    folded = S.ivfpq_fold_in(idx, new)
+    out = S.ivfpq_probe(
+        folded, queries_df, k=10, nprobe=14, rerank=200, corpus=t.embeddings
+    ).select("query_id", "vec_id", "rank")
+    return _self_check(out, "query_id", "vec_id", "rank")

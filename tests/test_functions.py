@@ -961,3 +961,57 @@ def test_bpe_encode_matches_python_reference(spark, sf_dir):
     # encoding compresses: tokens strictly fewer than chars, at least words
     for w, tk, ch in got.values():
         assert w <= tk < ch or ch <= w  # degenerate all-1-char-word docs aside
+
+
+def test_ivfpq_index_probe_equals_one_shot_topk(spark):
+    """ivfpq_build + ivfpq_probe must reproduce ivfpq_topk exactly (same
+    math split into persisted-index form): identical (query, id, rank)
+    rows at identical params."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(400, 32).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(int(i), base[i].tolist()) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+    queries = corpus.where("vec_id < 6").selectExpr("vec_id as query_id", "embedding")
+    kw = dict(n_centroids=8, m=8, codes=16, sample_size=400, seed=3)
+    one_shot = S.ivfpq_topk(corpus, queries, k=5, nprobe=4, rerank=50, **kw).collect()
+    idx = S.ivfpq_build(corpus, **kw)
+    probed = S.ivfpq_probe(idx, queries, k=5, nprobe=4, rerank=50, corpus=corpus).collect()
+    assert [tuple(r) for r in one_shot] == [tuple(r) for r in probed]
+
+
+def test_ivfpq_fold_in_save_load(spark, tmp_path):
+    """The stored-index lifecycle: build on crawl N, fold in crawl N+1
+    (frozen centroids/codebooks, only new vectors encoded), save with
+    cell partitioning, load, probe — the loaded index serves identically
+    to the in-memory one, and a planted near-duplicate folded in AFTER
+    the build is found at rank 1."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(500, 32).astype(np.float32)
+    rows = [(int(i), base[i].tolist()) for i in range(500)]
+    # crawl N+1 carries a near-copy of vector 3 under a new id
+    planted = (9000, (base[3] + rng.randn(32).astype(np.float32) * 0.01).tolist())
+    old = spark.createDataFrame(rows[:400], "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(
+        rows[400:] + [planted], "vec_id long, embedding array<float>"
+    )
+    full = old.unionByName(new)
+    idx = S.ivfpq_build(old, n_centroids=8, m=8, codes=16, sample_size=400, seed=3)
+    folded = S.ivfpq_fold_in(idx, new)
+    assert folded.codes.count() == 501  # only the new batch was encoded on top
+
+    queries = spark.createDataFrame(
+        [(3, base[3].tolist())], "query_id long, embedding array<float>"
+    )
+    got = S.ivfpq_probe(folded, queries, k=3, nprobe=8, rerank=50, corpus=full).collect()
+    assert got[0]["vec_id"] == 3 and got[1]["vec_id"] == 9000  # self, then the plant
+
+    path = str(tmp_path / "ivfpq_index")
+    S.ivfpq_save(folded, path)
+    loaded = S.ivfpq_load(spark, path)
+    again = S.ivfpq_probe(loaded, queries, k=3, nprobe=8, rerank=50, corpus=full).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
+    # pure code-serving mode (no raw-vector read) still surfaces the plant
+    adc = S.ivfpq_probe(loaded, queries, k=3, nprobe=8).collect()
+    assert {r["vec_id"] for r in adc} >= {3, 9000}

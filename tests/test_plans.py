@@ -113,7 +113,7 @@ def test_rows_only_entries_carry_stable_self_hash(spark):
     rows_only = [n for n in QUERIES if n not in ORACLE]
     # r6: 7 entries promoted to literal-VALUES oracles (media ×3,
     # fingerprint_rolling, embedding_pca, bpe_train, simhash_near_dup)
-    assert len(rows_only) == 12, sorted(rows_only)
+    assert len(rows_only) == 13, sorted(rows_only)
     for name in rows_only:
         fps = []
         for _ in range(2):

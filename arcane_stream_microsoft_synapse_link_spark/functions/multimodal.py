@@ -368,3 +368,99 @@ def sample_frames_raw(df: DataFrame, every_ms: int = 500, frame_ms: int = 500) -
             )
 
     return df.where(F.col("media_type") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def raw_media_with_variants(
+    spark, n: int = 64, n_variants: int = 8, noise: int = 2
+) -> DataFrame:
+    """``raw_media_df`` plus PLANTED near-duplicate image variants: for the
+    first ``n_variants`` image ids a copy under ``media_id + 1000`` whose
+    pixels carry a deterministic ±``noise`` offset (pure function of
+    (i, x, y) — no RNG, so the fixture is reproducible anywhere).  The
+    multimodal-dedup fixture: visually identical, byte-different."""
+    base = raw_media_df(spark, n)
+    rows = []
+    made = 0
+    for i in range(n):
+        if made >= n_variants:
+            break
+        w, h = 16 + (i % 4) * 4, 12 + (i % 3) * 4
+        if ("image", "audio", "video")[i % 3] != "image":
+            continue
+        made += 1
+        payload = bytes(
+            min(
+                max(
+                    ((x * 255) // max(w - 1, 1) + y + i) % 256
+                    + ((x * 7 + y * 13 + i) % (2 * noise + 1) - noise),
+                    0,
+                ),
+                255,
+            )
+            for y in range(h)
+            for x in range(w)
+        )
+        rows.append((i + 1000, payload, "image", w, h, 0))
+    variants = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return base.unionByName(variants)
+
+
+def perceptual_hashes(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """64-bit dHash + aHash per raw image (Arrow mapInPandas, zero
+    shuffle): bilinear-downscale the decoded bitmap to 9×8 / 8×8, then
+    dHash bit(y,x) = 1 iff px[y,x+1] > px[y,x] (horizontal gradient
+    sign) and aHash bit = 1 iff px > mean.  Bits pack little-order into
+    a signed int64 — the exact layout SimHash signatures use, so the
+    banded candidate machinery (``similarity.band_pairs_64``) applies
+    unchanged.  Perceptual hashes survive re-encoding/noise/resizing,
+    which byte-level hashes don't — the multimodal dedup primitive."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("dhash", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+
+    def _pack(bits) -> int:
+        return int(
+            np.packbits(bits.astype(np.uint8).ravel(), bitorder="little")
+            .view(np.int64)[0]
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, dhs, ahs = [], [], []
+            for mid, p, w, h in zip(
+                pdf[id_col], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                img = decode_raw(p, "image", int(w), int(h))
+                g9 = bilinear_resize(img, 9, 8).astype(np.int64)
+                dh = _pack(g9[:, 1:] > g9[:, :-1])
+                g8 = bilinear_resize(img, 8, 8).astype(np.float64)
+                ah = _pack(g8 > g8.mean())
+                ids.append(mid)
+                dhs.append(dh)
+                ahs.append(ah)
+            yield pd.DataFrame({id_col: ids, "dhash": dhs, "ahash": ahs})
+
+    return df.where(F.col("media_type") == "image").mapInPandas(run, schema=out_schema)
+
+
+def image_near_duplicates(
+    df: DataFrame, max_hamming: int = 6, id_col: str = "media_id"
+) -> DataFrame:
+    """Image near-dup pairs by banded dHash matching: perceptual hashes →
+    the shared 64-bit banding path (``similarity.band_pairs_64``, 8-bit
+    bands: ≤7 flipped bits corrupt ≤7 of 8 bands, so every pair within
+    ``max_hamming`` ≤ 7 shares a clean band — exact pigeonhole recall) →
+    exact Hamming verify on candidates only.  Never an all-pairs product;
+    the same shape as SimHash text dedup, reused on the media column."""
+    from .similarity import band_pairs_64
+
+    sig = perceptual_hashes(df, id_col).select(
+        F.col(id_col).alias("_id"), F.col("dhash").alias("_sim")
+    )
+    return band_pairs_64(sig, band_bits=8).where(F.col("hamming") <= max_hamming)

@@ -1367,6 +1367,24 @@ def ops_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ops_image_near_dup")
+def ops_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dedup (VERDICT r5 item 7): perceptual dHash over raw
+    bitmaps → banded Hamming matching — composes the r5 raw-media decode
+    path (functions/multimodal.py:perceptual_hashes) with the shared
+    64-bit banding machinery (similarity.band_pairs_64).  The fixture
+    plants 8 pixel-perturbed image variants; every planted pair must
+    surface (pigeonhole recall ≤7 bits, asserted in tests).  Oracle:
+    independent sequential dHash reference as literal VALUES
+    (plans/values_oracle.py:ref_image_near_dup) — the fixture is
+    generated in-query, so the literals hold at every sf."""
+    media = M.raw_media_with_variants(spark, n=64, n_variants=8, noise=2)
+    out = M.image_near_duplicates(media, max_hamming=6)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
 @query("ops_approx_distinct")
 def ops_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approx distinct (tolerance-checked in tests, rows-only here).

@@ -323,6 +323,71 @@ def ref_simhash_near_dup(sf_dir: str, max_hamming: int = 8, band_bits: int = 16)
     return sorted(rows)
 
 
+def _phash_bits_pack(bits) -> int:
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def ref_image_near_dup(
+    n: int = 64, n_variants: int = 8, noise: int = 2, max_hamming: int = 6
+) -> list[tuple]:
+    """(id_a, id_b, hamming) — sequential dHash near-dup over the planted
+    fixture: re-derive base + variant bitmaps, independent bilinear 9×8
+    downscale, gradient-sign bits, 8-bit-band candidate generation (the
+    same pigeonhole the engine uses), exact Hamming verify."""
+    items: list[tuple[int, bytes, int, int]] = []
+    made = 0
+    for i, payload, mt, w, h in _media_items(n):
+        if mt != "image":
+            continue
+        items.append((i, payload, w, h))
+        if made < n_variants:
+            made += 1
+            vp = bytes(
+                min(
+                    max(
+                        ((x * 255) // max(w - 1, 1) + y + i) % 256
+                        + ((x * 7 + y * 13 + i) % (2 * noise + 1) - noise),
+                        0,
+                    ),
+                    255,
+                )
+                for y in range(h)
+                for x in range(w)
+            )
+            items.append((i + 1000, vp, w, h))
+
+    hashes: list[tuple[int, int]] = []
+    for mid, payload, w, h in items:
+        src = [[float(payload[y * w + x]) for x in range(w)] for y in range(h)]
+        g9 = _bilinear_ref(src, 9, 8)
+        bits = [
+            1 if g9[y][x + 1] > g9[y][x] else 0 for y in range(8) for x in range(8)
+        ]
+        hashes.append((mid, _phash_bits_pack(bits)))
+
+    rows = []
+    for ai in range(len(hashes)):
+        for bi in range(ai + 1, len(hashes)):
+            ida, ha = hashes[ai]
+            idb, hb = hashes[bi]
+            if ida > idb:
+                ida, idb, ha, hb = idb, ida, hb, ha
+            shares_band = any(
+                ((ha >> (b * 8)) & 0xFF) == ((hb >> (b * 8)) & 0xFF)
+                for b in range(8)
+            )
+            if not shares_band:
+                continue
+            ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if ham <= max_hamming:
+                rows.append((ida, idb, ham))
+    return sorted(rows)
+
+
 def ref_bpe_encode(sf_dir: str, n_merges: int = 10) -> list[tuple]:
     """(doc_id, n_words, n_tokens, n_chars_encoded) — sequential BPE
     encode with merges from ``ref_bpe_train``: best-pair-first (lowest
@@ -391,6 +456,10 @@ def build() -> dict[str, str]:
             ("px_first", "BIGINT"),
             ("px_last", "BIGINT"),
         ],
+    )
+    oracles["ops_image_near_dup"] = sql_values(
+        ref_image_near_dup(),
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "BIGINT")],
     )
     oracles["ops_media_frames"] = sql_values(
         ref_media_frames(),

@@ -1015,3 +1015,50 @@ def test_ivfpq_fold_in_save_load(spark, tmp_path):
     # pure code-serving mode (no raw-vector read) still surfaces the plant
     adc = S.ivfpq_probe(loaded, queries, k=3, nprobe=8).collect()
     assert {r["vec_id"] for r in adc} >= {3, 9000}
+
+
+def test_image_near_dup_finds_planted_variants(spark):
+    """Perceptual-hash dedup over raw bitmaps: every pixel-perturbed
+    planted variant (id+1000) must pair with its source within Hamming 6
+    — noise of ±2 intensity levels barely moves gradient signs — while
+    byte-equality would match none of them (the payloads all differ)."""
+    from arcane_stream_microsoft_synapse_link_spark.functions import multimodal as M
+
+    media = M.raw_media_with_variants(spark, n=64, n_variants=8, noise=2)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in M.image_near_duplicates(media, max_hamming=6).collect()
+    }
+    planted = {(i, i + 1000) for i in (0, 3, 6, 9, 12, 15, 18, 21)}
+    assert planted <= pairs, planted - pairs
+    # ...and the variants really are byte-different from their sources
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where("media_id in (0, 1000)").collect()
+    }
+    assert payloads[0] != payloads[1000]
+
+
+def test_perceptual_hashes_invariances(spark):
+    """dHash properties: identical images hash identically; hashes are
+    64-bit signed ints; a strongly different image (inverted gradient)
+    lands far away in Hamming space."""
+    from arcane_stream_microsoft_synapse_link_spark.functions import multimodal as M
+
+    w, h = 16, 12
+    grad = bytes(((x * 255) // (w - 1)) % 256 for _ in range(h) for x in range(w))
+    inv = bytes(255 - ((x * 255) // (w - 1)) % 256 for _ in range(h) for x in range(w))
+    df = spark.createDataFrame(
+        [
+            (1, grad, "image", w, h, 0),
+            (2, grad, "image", w, h, 0),
+            (3, inv, "image", w, h, 0),
+            (4, b"\x00" * 512, "audio", w, h, 0),  # non-image rows are pruned
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: (r["dhash"], r["ahash"]) for r in M.perceptual_hashes(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == got[2]
+    ham = bin((got[1][0] ^ got[3][0]) & ((1 << 64) - 1)).count("1")
+    assert ham >= 32  # inverted gradient flips (nearly) every gradient sign

@@ -2853,6 +2853,40 @@ def ops_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_encode(t.documents, merges).orderBy("doc_id")
 
 
+@query("ops_bpe_pack")
+def ops_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → encode → PACK: sequence packing over REAL tokenizer
+    counts, closing the full BPE chain — the concat-and-chop rule of
+    ``ops_token_packing`` driven by ``bpe_encode`` totals instead of
+    whitespace counts.  One window sort per lang stratum over the
+    doc-level totals (the corpus never re-shuffles); at 100 TB sub-shard
+    the stratum key exactly as ops_token_packing documents.  Oracle:
+    independent sequential train+encode+pack reference
+    (plans/values_oracle.py:ref_bpe_pack, pinned to sf0.01)."""
+    from pyspark.sql import Window as W
+
+    budget = 4096
+    t = Tables(spark, sf_dir)
+    merges, vocab = X.bpe_train(t.documents, n_merges=10)
+    vocab.unpersist()
+    toks = X.bpe_encode(t.documents, merges).join(
+        t.documents.select("doc_id", "lang"), "doc_id"
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = toks.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget).cast("bigint"),
+    )
+    return (
+        packed.groupBy("lang", "seq_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
 @query("ops_knn_ivfpq")
 def ops_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composite ANN (functions/similarity.py:ivfpq_topk) — the

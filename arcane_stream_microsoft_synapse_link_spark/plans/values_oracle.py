@@ -106,6 +106,13 @@ def _documents(sf_dir: str) -> list[tuple[int, str]]:
     return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
 
 
+def _doc_langs(sf_dir: str) -> dict[int, str]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"])
+    return dict(zip(t.column("doc_id").to_pylist(), t.column("lang").to_pylist()))
+
+
 # ---------------------------------------------------------------------------
 # reference implementations (one per promoted entry)
 # ---------------------------------------------------------------------------
@@ -425,6 +432,27 @@ def ref_bpe_encode(sf_dir: str, n_merges: int = 10) -> list[tuple]:
     return rows
 
 
+def ref_bpe_pack(sf_dir: str, budget: int = 4096, n_merges: int = 10) -> list[tuple]:
+    """(lang, seq_id, n_docs, seq_tokens) — concat-and-chop packing over
+    REFERENCE BPE token counts: per lang in doc_id order, a doc's window
+    is floor(tokens-before-it / budget)."""
+    enc = {d: tk for d, _, tk, _ in ref_bpe_encode(sf_dir, n_merges)}
+    langs = _doc_langs(sf_dir)
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, n_tok in enc.items():
+        per_lang.setdefault(langs[doc_id], []).append((doc_id, n_tok))
+    agg: dict[tuple[str, int], list[int]] = {}
+    for lang, docs in per_lang.items():
+        run = 0
+        for doc_id, n_tok in sorted(docs):
+            seq_id = run // budget
+            run += n_tok
+            cell = agg.setdefault((lang, seq_id), [0, 0])
+            cell[0] += 1
+            cell[1] += n_tok
+    return sorted((lang, sid, c[0], c[1]) for (lang, sid), c in agg.items())
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -494,6 +522,15 @@ def build() -> dict[str, str]:
             "ops_simhash_near_dup": sql_values(
                 ref_simhash_near_dup(_SF_PIN),
                 [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "BIGINT")],
+            ),
+            "ops_bpe_pack": sql_values(
+                ref_bpe_pack(_SF_PIN),
+                [
+                    ("lang", "VARCHAR"),
+                    ("seq_id", "BIGINT"),
+                    ("n_docs", "BIGINT"),
+                    ("seq_tokens", "BIGINT"),
+                ],
             ),
             "ops_bpe_encode": sql_values(
                 ref_bpe_encode(_SF_PIN),

@@ -310,7 +310,7 @@ def cdc_bench(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _readstream_bench(spark, tmp: str) -> float:
+def _readstream_bench(spark, tmp: str, total_rows: int = 60000) -> float:
     """Drain the SAME timed source folders through the Python DataSource
     readStream path (Arrow RecordBatch reader) into a fresh target —
     comparing intake against the batch-runner rate on identical input.
@@ -338,10 +338,12 @@ def _readstream_bench(spark, tmp: str) -> float:
         target_root=os.path.join(tmp, "rs_target"),
     )
     t0 = time.perf_counter()
-    run_structured(spark, spec, os.path.join(tmp, "rs_ckpt")).awaitTermination(300)
+    run_structured(spark, spec, os.path.join(tmp, "rs_ckpt")).awaitTermination(600)
     took = time.perf_counter() - t0
-    # availableNow drains ALL folders incl. the 20k-row base: 60k rows total
-    return round(60000 / took, 1)
+    # availableNow drains ALL folders incl. the n-row base: 3n rows total
+    # (n base + n updates/inserts + n deletes/stale) — 60k at the bench's
+    # n=20000; the scale sweep passes its own volume
+    return round(total_rows / took, 1)
 
 
 def _multi_entity_bench(spark, tmp: str) -> float:
@@ -485,5 +487,63 @@ def _cdc_scenario(spark, root: str, n: int, base_ts) -> dict:
     }
 
 
+def scale_sweep() -> None:
+    """CDC volume-scaling sweep (SCALE.md evidence, refreshed per round):
+    the SAME scenario at 1× (20k backfill / 40k change window) and 10×
+    (200k / 400k) in one session — warmed once, batch runner + readStream
+    intake at both volumes.  Not part of the driver's bench contract; run
+    manually with ``python bench.py --scale-sweep``.  Writes
+    SCALE_SWEEP.json next to this file and prints it."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    spark = get_spark("arcane-scale-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="cdc_scale_")
+    out: dict = {}
+    try:
+        _cdc_scenario(
+            spark, os.path.join(tmp, "warm"), n=2000,
+            base_ts=datetime(2021, 5, 1, 12, 0, 0),
+        )
+        for label, n in (("1x", 20000), ("10x", 200000)):
+            root = os.path.join(tmp, label)
+            r = _cdc_scenario(
+                spark, root, n=n, base_ts=datetime(2021, 6, 1, 12, 0, 0)
+            )
+            out[label] = {
+                "backfill_rows": n,
+                "backfill_rows_per_sec": round(n / r["backfill_s"], 1),
+                "stream_rows": r["streamed_rows"],
+                "stream_rows_per_sec": round(r["streamed_rows"] / r["stream_s"], 1),
+                "final_row_count": r["final"],
+            }
+            try:
+                # drain the same folders through the readStream path; the
+                # helper expects tmp/{warm,timed} so alias this volume's
+                # scenario as "timed" within its own sweep dir
+                sweep_tmp = os.path.join(tmp, f"rs_{label}")
+                os.makedirs(sweep_tmp, exist_ok=True)
+                os.symlink(os.path.join(tmp, "warm"), os.path.join(sweep_tmp, "warm"))
+                os.symlink(root, os.path.join(sweep_tmp, "timed"))
+                out[label]["readstream_rows_per_sec"] = _readstream_bench(
+                    spark, sweep_tmp, total_rows=3 * n
+                )
+            except Exception as exc:
+                out[label]["readstream_error"] = f"{type(exc).__name__}: {exc}"[:120]
+            _gc_hint(spark)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_SWEEP.json"), "w"
+    ) as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--scale-sweep" in sys.argv:
+        scale_sweep()
+    else:
+        main()

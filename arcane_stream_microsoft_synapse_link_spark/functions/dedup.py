@@ -295,6 +295,47 @@ def verify_jaccard(
     return j.where(F.col("jaccard") >= threshold)
 
 
+def verify_jaccard_counts(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """``verify_jaccard`` with EXACT-INTEGER outputs: per surviving pair
+    the shingle-set intersection and union sizes, thresholded as the
+    rational ``inter/union ≥ num/den`` via cross-multiplication — no
+    float division anywhere, so the result hash-matches any engine
+    (the driver-verifiable form; plans/values_oracle.py renders its
+    sequential twin as a literal-VALUES oracle)."""
+    pairs = pairs.localCheckpoint()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_inter"),
+            F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+            .cast("bigint")
+            .alias("n_union"),
+        )
+        .where(F.col("n_inter") * threshold_den >= F.col("n_union") * threshold_num)
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",

@@ -765,12 +765,17 @@ def ops_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ops_minhash_near_dup")
 def ops_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed since r6: LSH candidates + exact Jaccard verify in
+    EXACT-INTEGER form (intersection/union sizes, rational threshold
+    inter/union ≥ 1/2 by cross-multiplication) — hash-compared against a
+    sequential MinHash reference (plans/values_oracle.py:
+    ref_minhash_near_dup, pinned to sf0.01)."""
     t = Tables(spark, sf_dir)
-    pairs = D.minhash_near_duplicates(t.documents, threshold=0.5)
-    out = pairs.select(
-        "id_a", "id_b", F.round("jaccard", 4).cast("double").alias("jaccard")
+    cands = D.lsh_candidate_pairs(t.documents)
+    out = D.verify_jaccard_counts(
+        t.documents, cands, threshold_num=1, threshold_den=2
     )
-    return _self_check(out, "id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+    return out.orderBy("id_a", "id_b")
 
 
 @query("ops_simhash_near_dup")
@@ -799,8 +804,13 @@ def ops_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ops_dedup_pipeline")
 def ops_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup: exact (hash) → MinHash near-dup pairs → connected
-    components → keep one representative per cluster. Returns the kept
-    doc ids (rows-only; component resolution is iterative)."""
+    components → keep one representative per cluster.  Oracle-backed
+    since r6: the kept-id set is a pure function of the corpus, so the
+    driver hash-compares it against a sequential exact-dedup + LSH +
+    union-find reference (plans/values_oracle.py:ref_dedup_pipeline,
+    pinned to sf0.01); the iterative component resolution itself stays
+    adaptive (driver union-find under the size probe, distributed
+    min-label propagation above it)."""
     t = Tables(spark, sf_dir)
     # exact-dedup output feeds three branches (signatures, Jaccard verify,
     # final anti-join) — materialize once instead of recomputing the
@@ -808,7 +818,7 @@ def ops_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = D.drop_exact_duplicates(t.documents).localCheckpoint()
     pairs = D.minhash_near_duplicates(exact, threshold=0.5)
     kept = D.drop_near_duplicates(exact, pairs)
-    return _self_check(kept.select("doc_id"), "doc_id").orderBy("doc_id")
+    return kept.select("doc_id").orderBy("doc_id")
 
 
 @query("ops_embedding_near_dup")
@@ -819,16 +829,24 @@ def ops_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold 0.9 the synthetic near-uniform embeddings contain NO
     qualifying pairs at any sf, so the gate entry pinned nothing):
     cosine ≥ 0.4 with 8-bit LSH bands yields 15/9/185 pairs at
-    sf0.001/0.01/0.1, so the self-hash pin covers real values.
+    sf0.001/0.01/0.1.  Oracle-backed since r6: vectors cast to double
+    up front (so every product is float64 — sequentially replicable),
+    cosine emitted as ×1e6 fixed point, hash-compared against a
+    sequential sign-LSH + exact-cosine reference
+    (plans/values_oracle.py:ref_embedding_near_dup, pinned to sf0.01).
     Planted-pair recall coverage lives in tests/test_functions.py."""
     t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
     pairs = S.embedding_near_duplicates(
-        t.embeddings, threshold=0.4, max_hamming=28, band_bits=8
+        emb, threshold=0.4, max_hamming=28, band_bits=8
     )
-    out = pairs.select(
-        "id_a", "id_b", F.round("cos_sim", 4).cast("double").alias("cos_sim")
-    )
-    return _self_check(out, "id_a", "id_b", "cos_sim").orderBy("id_a", "id_b")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("cos_sim") * 1e6).cast("bigint").alias("cos_ppm"),
+    ).orderBy("id_a", "id_b")
 
 
 @query("ops_knn_bruteforce")

@@ -432,6 +432,171 @@ def ref_bpe_encode(sf_dir: str, n_merges: int = 10) -> list[tuple]:
     return rows
 
 
+def _minhash_verified_pairs(
+    docs: list[tuple[int, str]],
+    threshold_num: int,
+    threshold_den: int,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket: int = 64,
+) -> list[tuple]:
+    """Sequential MinHash LSH + exact Jaccard over an id→text list: per
+    doc the distinct word-3-gram set, the seeded affine SipHash signature
+    family, banded (32×4) candidate buckets with the engine's
+    first-``max_bucket``-sorted-ids cap, then exact shingle-set
+    intersection/union on candidates with the threshold as the exact
+    rational ``inter/union ≥ num/den`` (``den·inter ≥ num·union``)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    A = rng.randint(1, 2**63 - 1, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    B = rng.randint(0, 2**63 - 1, size=num_hashes, dtype=np.uint64)
+
+    sigs: dict[int, "np.ndarray"] = {}
+    shingle_sets: dict[int, frozenset] = {}
+    for doc_id, text in docs:
+        words = WORD_RE.findall((text or "").lower())
+        if len(words) <= shingle_k:
+            grams = [" ".join(words)]
+        else:
+            grams = sorted(
+                {" ".join(words[i : i + shingle_k]) for i in range(len(words) - shingle_k + 1)}
+            )
+        shingle_sets[doc_id] = frozenset(grams)
+        H = pd.util.hash_array(np.asarray(grams, dtype=object))
+        sigs[doc_id] = (H[:, None] * A[None, :] + B[None, :]).min(axis=0).view(np.int64)
+
+    buckets: dict[tuple, list[int]] = {}
+    r = num_hashes // bands
+    for doc_id in sorted(sigs):
+        s = sigs[doc_id]
+        for b in range(bands):
+            buckets.setdefault((b, tuple(s[b * r : (b + 1) * r].tolist())), []).append(doc_id)
+
+    cand = set()
+    for members in buckets.values():
+        capped = members[:max_bucket]  # ids arrive sorted → the engine's cap
+        for ai in range(len(capped)):
+            for bi in range(ai + 1, len(capped)):
+                cand.add((capped[ai], capped[bi]))
+
+    rows = []
+    for ida, idb in cand:
+        sa, sb = shingle_sets[ida], shingle_sets[idb]
+        inter = len(sa & sb)
+        union = max(len(sa | sb), 1)
+        if threshold_den * inter >= threshold_num * union:
+            rows.append((ida, idb, inter, union))
+    return sorted(rows)
+
+
+def ref_minhash_near_dup(sf_dir: str) -> list[tuple]:
+    """(id_a, id_b, n_inter, n_union) at threshold 1/2 over the corpus."""
+    return _minhash_verified_pairs(_documents(sf_dir), 1, 2)
+
+
+def ref_dedup_pipeline(sf_dir: str) -> list[tuple]:
+    """(doc_id,) — the end-to-end dedup keepers: exact dedup (min id per
+    text group), MinHash near-dup pairs at threshold 1/2 over the
+    survivors, connected components by union-find, keep only each
+    component's min id plus all unpaired docs."""
+    by_text: dict[str, int] = {}
+    docs = _documents(sf_dir)
+    for doc_id, text in sorted(docs):
+        key = text or ""
+        if key not in by_text or doc_id < by_text[key]:
+            by_text[key] = doc_id
+    keepers = set(by_text.values())
+    kept_docs = [(d, t) for d, t in docs if d in keepers]
+    pairs = _minhash_verified_pairs(kept_docs, 1, 2)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ida, idb, _, _ in pairs:
+        ra, rb = find(ida), find(idb)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    losers = {x for x in parent if find(x) != x}
+    return sorted((d,) for d in keepers - losers)
+
+
+def ref_embedding_near_dup(
+    sf_dir: str,
+    threshold: float = 0.4,
+    max_hamming: int = 28,
+    band_bits: int = 8,
+    n_bits: int = 64,
+    seed: int = 42,
+) -> list[tuple]:
+    """(id_a, id_b, cos_ppm) — sequential sign-LSH near-dup: seeded
+    random-hyperplane signatures over the float64 matrix (the engine's
+    single-batch matmul shape), banded candidates, exact cosine as the
+    JVM's strict left-to-right fold (per-element float64 products), ×1e6
+    fixed-point floor."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    planes = np.random.RandomState(seed).randn(X.shape[1], n_bits)
+    bits = (X @ planes) > 0
+    sig = {}
+    for row_i, vid in enumerate(ids):
+        val = 0
+        for j in range(n_bits):
+            if bits[row_i, j]:
+                val |= 1 << j
+        sig[vid] = val - (1 << 63)
+
+    def fold_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    vecs = {vid: [float(v) for v in X[i]] for i, vid in enumerate(ids)}
+    nbands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for vid in ids:
+        for b in range(nbands):
+            buckets.setdefault((b, (sig[vid] >> (b * band_bits)) & mask), []).append(vid)
+    cand = set()
+    for members in buckets.values():
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                ida, idb = members[ai], members[bi]
+                if ida == idb:
+                    continue
+                if ida > idb:
+                    ida, idb = idb, ida
+                cand.add((ida, idb))
+    rows = []
+    for ida, idb in cand:
+        ham = bin((sig[ida] ^ sig[idb]) & ((1 << 64) - 1)).count("1")
+        if ham > max_hamming:
+            continue
+        va, vb = vecs[ida], vecs[idb]
+        cos = fold_dot(va, vb) / (
+            math.sqrt(fold_dot(va, va)) * math.sqrt(fold_dot(vb, vb))
+        )
+        if cos >= threshold:
+            rows.append((ida, idb, math.floor(cos * 1e6)))
+    return sorted(rows)
+
+
 def ref_bpe_pack(sf_dir: str, budget: int = 4096, n_merges: int = 10) -> list[tuple]:
     """(lang, seq_id, n_docs, seq_tokens) — concat-and-chop packing over
     REFERENCE BPE token counts: per lang in doc_id order, a doc's window
@@ -522,6 +687,23 @@ def build() -> dict[str, str]:
             "ops_simhash_near_dup": sql_values(
                 ref_simhash_near_dup(_SF_PIN),
                 [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "BIGINT")],
+            ),
+            "ops_dedup_pipeline": sql_values(
+                ref_dedup_pipeline(_SF_PIN),
+                [("doc_id", "BIGINT")],
+            ),
+            "ops_embedding_near_dup": sql_values(
+                ref_embedding_near_dup(_SF_PIN),
+                [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cos_ppm", "BIGINT")],
+            ),
+            "ops_minhash_near_dup": sql_values(
+                ref_minhash_near_dup(_SF_PIN),
+                [
+                    ("id_a", "BIGINT"),
+                    ("id_b", "BIGINT"),
+                    ("n_inter", "BIGINT"),
+                    ("n_union", "BIGINT"),
+                ],
             ),
             "ops_bpe_pack": sql_values(
                 ref_bpe_pack(_SF_PIN),

@@ -111,9 +111,10 @@ def test_rows_only_entries_carry_stable_self_hash(spark):
     from arcane_stream_microsoft_synapse_link_spark.plans import ORACLE
 
     rows_only = [n for n in QUERIES if n not in ORACLE]
-    # r6: 7 entries promoted to literal-VALUES oracles (media ×3,
-    # fingerprint_rolling, embedding_pca, bpe_train, simhash_near_dup)
-    assert len(rows_only) == 13, sorted(rows_only)
+    # r6: 10 entries promoted to literal-VALUES oracles (media ×3, image,
+    # fingerprint_rolling, embedding_pca, bpe_train, simhash, minhash,
+    # embedding near-dup, dedup_pipeline); +ops_knn_index_probe rows-only
+    assert len(rows_only) == 10, sorted(rows_only)
     for name in rows_only:
         fps = []
         for _ in range(2):

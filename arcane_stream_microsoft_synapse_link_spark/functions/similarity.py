@@ -434,6 +434,11 @@ def ivf_topk(
         qc.withColumn("_rn", F.row_number().over(wq))
         .where(F.col("_rn") <= nprobe)
         .select(query_id_col, "_qvec", "centroid_id")
+        # bounded set (queries x nprobe); the explicit sort makes the
+        # collect ORDER session-independent — per-cell query matrices then
+        # have identical shapes/row order everywhere, so the GEMM bits
+        # (and any fixed-point output derived from them) are reproducible
+        .orderBy(query_id_col, "centroid_id")
         .collect()
     )
     by_cell: dict[int, tuple[list, list]] = {}
@@ -943,6 +948,11 @@ def _ivfpq_serve(
         qc.withColumn("_rn", F.row_number().over(wq))
         .where(F.col("_rn") <= nprobe)
         .select(query_id_col, "_qvec", "centroid_id")
+        # bounded set (queries x nprobe); the explicit sort makes the
+        # collect ORDER session-independent — per-cell query matrices then
+        # have identical shapes/row order everywhere, so the GEMM bits
+        # (and any fixed-point output derived from them) are reproducible
+        .orderBy(query_id_col, "centroid_id")
         .collect()
     )
     # per-(query, cell) residual LUTs: lut[s, j] = ||(q − c)_s − cb[s, j]||²

@@ -896,12 +896,18 @@ def ops_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.ivf_train(emb, 32, iters=1)
     assigned = S.ivf_assign(emb, cents)
     queries_df = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    # Oracle-backed since r6: cosine emitted as ×1e6 fixed point and the
+    # whole train→assign→probe→scan sequence hash-compared against a
+    # sequential mirror (plans/values_oracle.py:ref_knn_ivf, pinned to
+    # sf0.01 — the single-batch scale where the arithmetic is exactly
+    # reproducible step for step).
     out = S.ivf_topk(assigned, cents, queries_df, k=10, nprobe=28).select(
-        "query_id", "vec_id", "rank", F.round("cos_sim", 4).cast("double").alias("cos_sim")
+        "query_id",
+        "vec_id",
+        "rank",
+        F.floor(F.col("cos_sim") * 1e6).cast("bigint").alias("cos_ppm"),
     )
-    return _self_check(out, "query_id", "vec_id", "rank", "cos_sim").orderBy(
-        "query_id", "rank"
-    )
+    return out.orderBy("query_id", "rank")
 
 
 @query("ops_vocab_coverage")
@@ -1274,9 +1280,10 @@ def ops_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-balanced-sampling primitive for training-data curation):
     kmeans++ sample init + map-side partial-sum Lloyd (zero corpus
     shuffle per iteration, functions/similarity.py ivf_train), then one
-    assignment pass. Emits per-cluster size + mean vector norm —
-    deterministic under the seeded init. Rows-only (no SQL-expressible
-    oracle for Lloyd iterations)."""
+    assignment pass. Emits per-cluster size + cohesion — deterministic
+    under the seeded init.  Oracle-backed since r6: hash-compared against
+    a sequential training/assignment/aggregation mirror
+    (plans/values_oracle.py:ref_embedding_cluster, pinned to sf0.01)."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings
     cents = S.ivf_train(emb, 16, iters=1)
@@ -1292,7 +1299,6 @@ def ops_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cohesion_ppm"),
         )
-        .transform(lambda d: _self_check(d, "cluster_id", "n_members", "cohesion_ppm"))
         .orderBy("cluster_id")
     )
 
@@ -1646,12 +1652,13 @@ ORACLE["ops_length_histogram"] = """
 def ops_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup keep/drop decisions (cluster + within-cluster cosine
     prune; functions/similarity.py:semantic_dedup).  Seeded and
-    deterministic; rows-only at the gate with the keep/cluster decisions
-    pinned by the self-check fingerprint, and planted-duplicate recall
-    verified in tests/test_functions.py."""
+    deterministic; oracle-backed since r6 — the keep/cluster decisions
+    are hash-compared against a sequential clustering + id-ordered GEMM
+    mirror (plans/values_oracle.py:ref_semantic_dedup, pinned to
+    sf0.01); planted-duplicate recall verified in
+    tests/test_functions.py."""
     t = Tables(spark, sf_dir)
-    out = S.semantic_dedup(t.embeddings, n_clusters=10, threshold=0.5).orderBy("vec_id")
-    return _self_check(out, "vec_id", "cluster", "keep")
+    return S.semantic_dedup(t.embeddings, n_clusters=10, threshold=0.5).orderBy("vec_id")
 
 
 @query("ops_weighted_sample")
@@ -1721,8 +1728,10 @@ def ops_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011): seeded codebooks on a
     constant-size sample, map-side 8-byte encoding, ADC scan over codes
     with per-partition top-R, exact rerank of the candidates
-    (functions/similarity.py:pq_topk). Rows-only at the gate (iterative
-    numpy training has no SQL twin); recall >= 0.9 vs brute force and
+    (functions/similarity.py:pq_topk). Oracle-backed since r6: the full
+    train→encode→scan→rerank sequence is hash-compared against a
+    sequential mirror (plans/values_oracle.py:ref_knn_pq, xxh64-ordered
+    sample and all, pinned to sf0.01); recall >= 0.9 vs brute force and
     determinism asserted in tests/test_functions.py."""
     t = Tables(spark, sf_dir)
     queries_df = t.embeddings.where(F.col("vec_id") < 8).select(
@@ -1731,7 +1740,7 @@ def ops_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.pq_topk(
         t.embeddings, queries_df, k=10, m=8, codes=64, rerank=100, seed=11
     ).select("query_id", "vec_id", "rank")
-    return _self_check(out, "query_id", "vec_id", "rank")
+    return out.orderBy("query_id", "rank")
 
 
 @query("ops_incremental_dedup")
@@ -1740,8 +1749,10 @@ def ops_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new batch arriving against a band index built from the first half —
     only the new batch is signed; candidates come from the stored index
     and are exact-Jaccard verified (functions/dedup.py:
-    incremental_near_duplicates). Rows-only (multi-stage LSH has no SQL
-    twin); planted-match recall in tests/test_functions.py.
+    incremental_near_duplicates). Oracle-backed since r6: hash-compared
+    against a sequential split/index/cap/verify mirror
+    (plans/values_oracle.py:ref_incremental_dedup, pinned to sf0.01);
+    planted-match recall in tests/test_functions.py.
 
     The corpus-half split point uses the distributed rank-selection
     operator (one bounded-memory range shuffle), not the ``percentile``
@@ -1759,8 +1770,7 @@ def ops_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_batch = t.documents.where(F.col("doc_id") > mid)
     index = D.minhash_band_index(corpus)
     hits = D.incremental_near_duplicates(new_batch, index, corpus, threshold=0.5)
-    out = hits.select("id_a", "id_b").orderBy("id_a", "id_b")
-    return _self_check(out, "id_a", "id_b")
+    return hits.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
 @query("ops_winsorize")
@@ -2911,9 +2921,11 @@ def ops_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     production 100 TB index shape: coarse-quantizer cell pruning decides
     WHICH rows are read, residual PQ codes shrink WHAT is read to m
     bytes/row (ADC scan over codes), exact rerank restores recall.
-    Rows-only at the gate (seeded kmeans has no SQL twin); recall ≥ 0.9
-    vs brute force, determinism, and the residual-beats-flat-PQ property
-    are asserted in tests/test_functions.py."""
+    Oracle-backed since r6 (plans/values_oracle.py:ref_knn_ivfpq — a
+    sequential mirror of the full train→assign→encode→probe→rerank
+    sequence, pinned to sf0.01); recall ≥ 0.9 vs brute force,
+    determinism, and the residual-beats-flat-PQ property are asserted in
+    tests/test_functions.py."""
     t = Tables(spark, sf_dir)
     queries_df = t.embeddings.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2933,7 +2945,7 @@ def ops_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=200,
         seed=11,
     ).select("query_id", "vec_id", "rank")
-    return _self_check(out, "query_id", "vec_id", "rank")
+    return out.orderBy("query_id", "rank")
 
 
 @query("ops_knn_index_probe")
@@ -2944,8 +2956,9 @@ def ops_knn_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries from the composed codes with exact rerank — the historical
     corpus is never re-encoded (functions/similarity.py:ivfpq_build/
     fold_in/probe; save/load round-trip + planted-duplicate recall in
-    tests/test_functions.py).  Rows-only (seeded kmeans has no SQL twin)
-    with the standard self-hash pin."""
+    tests/test_functions.py).  Oracle-backed since r6: hash-compared
+    against a sequential mirror of the whole lifecycle
+    (plans/values_oracle.py:ref_knn_index_probe, pinned to sf0.01)."""
     t = Tables(spark, sf_dir)
     old = t.embeddings.where(F.col("vec_id") % 5 != 0)
     new = t.embeddings.where(F.col("vec_id") % 5 == 0)
@@ -2957,4 +2970,4 @@ def ops_knn_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.ivfpq_probe(
         folded, queries_df, k=10, nprobe=14, rerank=200, corpus=t.embeddings
     ).select("query_id", "vec_id", "rank")
-    return _self_check(out, "query_id", "vec_id", "rank")
+    return out.orderBy("query_id", "rank")

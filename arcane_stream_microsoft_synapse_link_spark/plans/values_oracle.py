@@ -597,6 +597,655 @@ def ref_embedding_near_dup(
     return sorted(rows)
 
 
+def _read_embeddings(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return t.column("vec_id").to_pylist(), np.array(
+        t.column("embedding").to_pylist(), dtype=np.float64
+    )
+
+
+def _unit_rows_ref(M):
+    import numpy as np
+
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def _spherical_kmeans_ref(X, k: int, seed: int = 42, iters: int = 8):
+    """Mirror of the engine's driver-side spherical kmeans++ (same seeded
+    RandomState call sequence, same Lloyd update order)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    k = min(k, n)
+    idx = [int(rng.randint(n))]
+    d2 = 1.0 - X @ X[idx[0]]
+    for _ in range(k - 1):
+        p = np.maximum(d2, 1e-12)
+        i = int(rng.choice(n, p=p / p.sum()))
+        idx.append(i)
+        d2 = np.minimum(d2, 1.0 - X @ X[i])
+    C = X[idx].copy()
+    for _ in range(iters):
+        a = np.argmax(X @ C.T, axis=1)
+        for c in range(k):
+            members = X[a == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _unit_rows_ref(C)
+    return C
+
+
+def _fold_cos(a, b) -> float:
+    """The JVM cosine: strict left-to-right aggregate folds for the dot
+    product and both norms, float64 arithmetic per element."""
+    import math
+
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+        na = na + x * x
+        nb = nb + y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def ref_knn_ivf(
+    sf_dir: str,
+    n_centroids: int = 32,
+    train_iters: int = 1,
+    k: int = 10,
+    nprobe: int = 28,
+    seed: int = 42,
+    n_queries: int = 8,
+) -> list[tuple]:
+    """(query_id, vec_id, rank, cos_ppm) — sequential IVF ANN mirroring
+    the distributed path at the gate's single-batch scale: kmeans++
+    spherical training + one Lloyd refinement, raw-vector cosine argmax
+    assignment, per-query probe ranking by the JVM fold cosine, cell-local
+    GEMM top-k, global (cos desc, id) ranking."""
+    import math
+
+    import numpy as np
+
+    ids, X = _read_embeddings(sf_dir)
+    # --- ivf_centroids_pp: stride-1 sample = whole corpus in scan order
+    Xs = _unit_rows_ref(X)
+    C = _spherical_kmeans_ref(Xs, n_centroids, seed=seed)
+    # --- ivf_train refinements (single partial batch at this scale)
+    kk_ = len(C)
+    for _ in range(train_iters):
+        cmat = _unit_rows_ref(np.asarray([list(map(float, row)) for row in C]))
+        a = np.argmax(Xs @ cmat.T, axis=1)
+        sums = np.zeros_like(cmat)
+        np.add.at(sums, a, Xs)
+        counts = np.bincount(a, minlength=kk_)
+        new = cmat.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        C = _unit_rows_ref(new)
+    cents = np.asarray([list(map(float, row)) for row in C])
+    # --- ivf_assign: raw vectors, normalized similarity, first-max argmax
+    vnorm = np.linalg.norm(X, axis=1)
+    vnorm[vnorm == 0] = 1.0
+    cnorm = np.linalg.norm(cents, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    sims = (X @ cents.T) / (vnorm[:, None] * cnorm[None, :])
+    assign = np.argmax(sims, axis=1)
+    # --- probe selection: JVM fold cosine of each (query, centroid)
+    qidx = [i for i, vid in enumerate(ids) if vid < n_queries]
+    probes: list[tuple[int, int]] = []  # (query_id, cell), sorted
+    for i in qidx:
+        qcos = [(-_fold_cos(X[i], cents[c]), c) for c in range(len(cents))]
+        qcos.sort()
+        for _, c in qcos[:nprobe]:
+            probes.append((ids[i], c))
+    probes.sort()
+    by_cell: dict[int, list[int]] = {}
+    for qid, c in probes:
+        by_cell.setdefault(c, []).append(qid)
+    pos_of = {vid: i for i, vid in enumerate(ids)}
+    # --- cell-local GEMM top-k (members in scan order, argpartition)
+    cand: dict[int, list[tuple[float, int]]] = {qid: [] for qid, _ in probes}
+    for cell in sorted(by_cell):
+        qids_c = by_cell[cell]
+        Qn = _unit_rows_ref(np.asarray([X[pos_of[q]] for q in qids_c]))
+        members = [i for i in range(len(ids)) if assign[i] == cell]
+        if not members:
+            continue
+        Cn = _unit_rows_ref(X[members])
+        S = Cn @ Qn.T
+        mids = np.asarray([ids[i] for i in members])
+        kk = min(k, len(members))
+        for j, qid in enumerate(qids_c):
+            top = np.argpartition(-S[:, j], kk - 1)[:kk]
+            for t_ in top:
+                cand[qid].append((float(S[t_, j]), int(mids[t_])))
+    rows = []
+    for qid in sorted(cand):
+        ordered = sorted(cand[qid], key=lambda sv: (-sv[0], sv[1]))[:k]
+        for rank, (cos, vid) in enumerate(ordered, start=1):
+            rows.append((qid, vid, rank, math.floor(cos * 1e6)))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# pure-Python xxHash64 (Spark's xxhash64 for the seeded-sample orderings)
+# ---------------------------------------------------------------------------
+
+MASK = (1 << 64) - 1
+P1 = 0x9E3779B185EBCA87
+P2 = 0xC2B2AE3D27D4EB4F
+P3 = 0x165667B19E3779F9
+P4 = 0x85EBCA77C2B2AE63
+P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & MASK
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * P2) & MASK
+    acc = _rotl(acc, 31)
+    return (acc * P1) & MASK
+
+
+def _merge_round(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return ((acc * P1) + P4) & MASK
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """Standard XXH64 (public reference algorithm) — bit-equal to Spark's
+    ``xxhash64`` expression at the same seed; validated against a live
+    session in tests."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & MASK
+        v2 = (seed + P2) & MASK
+        v3 = seed & MASK
+        v4 = (seed - P1) & MASK
+        while i <= n - 32:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little")); i += 8
+            v2 = _round(v2, int.from_bytes(data[i : i + 8], "little")); i += 8
+            v3 = _round(v3, int.from_bytes(data[i : i + 8], "little")); i += 8
+            v4 = _round(v4, int.from_bytes(data[i : i + 8], "little")); i += 8
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & MASK
+        h = _merge_round(h, v1)
+        h = _merge_round(h, v2)
+        h = _merge_round(h, v3)
+        h = _merge_round(h, v4)
+    else:
+        h = (seed + P5) & MASK
+    h = (h + n) & MASK
+    while i <= n - 8:
+        h ^= _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = ((_rotl(h, 27) * P1) + P4) & MASK
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * P1) & MASK
+        h = ((_rotl(h, 23) * P2) + P3) & MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & MASK
+        h = (_rotl(h, 11) * P1) & MASK
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & MASK
+    h ^= h >> 29
+    h = (h * P3) & MASK
+    h ^= h >> 32
+    return h
+
+
+def xxh64_signed(data: bytes, seed: int = 42) -> int:
+    v = xxh64(data, seed)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def _local_kmeans_ref(X, k: int, seed: int, iters: int = 12):
+    """Mirror of the engine's plain-L2 driver-side kmeans (same seeded
+    call sequence, same GEMM-form argmin)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    k = min(k, n)
+    cents = [X[rng.randint(n)]]
+    d2 = np.full(n, np.inf)
+    for _ in range(1, k):
+        d2 = np.minimum(d2, ((X - cents[-1]) ** 2).sum(axis=1))
+        tot = d2.sum()
+        probs = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+        cents.append(X[rng.choice(n, p=probs)])
+    C = np.asarray(cents)
+    for _ in range(iters):
+        a = (-2.0 * (X @ C.T) + (C**2).sum(axis=1)[None, :]).argmin(axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, X)
+        counts = np.bincount(a, minlength=k)
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz, None]
+    return C
+
+
+def _hash_sample_order(ids, seed: int):
+    """Row order of the engine's deterministic PQ sample: ascending
+    (xxhash64(f"{id}:{seed}"), id) — Spark signed-long comparison."""
+    return sorted(range(len(ids)), key=lambda i: (xxh64_signed(f"{ids[i]}:{seed}".encode()), ids[i]))
+
+
+def _fold_cos_double(a, b) -> float:
+    """JVM cosine over transform(v -> double(v)) arrays: separate strict
+    left-to-right folds, float64 products."""
+    import math
+
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    na = 0.0
+    for x in a:
+        na = na + x * x
+    nb = 0.0
+    for y in b:
+        nb = nb + y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def ref_knn_pq(
+    sf_dir: str,
+    k: int = 10,
+    m: int = 8,
+    codes: int = 64,
+    rerank: int = 100,
+    seed: int = 11,
+    n_queries: int = 8,
+) -> list[tuple]:
+    """(query_id, vec_id, rank) — sequential PQ + ADC + exact rerank
+    mirroring pq_topk at the single-batch scale: hash-ordered training
+    sample, per-subspace seeded kmeans, unit-vector encoding, per-query
+    LUT scan, (adc, id) candidate ranking, exact double-fold cosine
+    rerank."""
+    import numpy as np
+
+    ids, X = _read_embeddings(sf_dir)
+    order = _hash_sample_order(ids, seed)
+    Xs = _unit_rows_ref(X[order])
+    dsub = Xs.shape[1] // m
+    cb = np.stack(
+        [_local_kmeans_ref(Xs[:, s * dsub : (s + 1) * dsub], codes, seed + s) for s in range(m)]
+    )
+    # encode the corpus (scan order)
+    Xn = _unit_rows_ref(X)
+    codes_mat = np.empty((len(ids), m), dtype=np.int64)
+    for s in range(m):
+        Cs = cb[s]
+        d = -2.0 * (Xn[:, s * dsub : (s + 1) * dsub] @ Cs.T) + (Cs**2).sum(axis=1)[None, :]
+        codes_mat[:, s] = d.argmin(axis=1)
+    # per-query LUTs (queries in scan order)
+    qidx = [i for i, vid in enumerate(ids) if vid < n_queries]
+    Q = _unit_rows_ref(X[qidx])
+    lut = np.empty((len(qidx), m, codes))
+    for s in range(m):
+        Qs = Q[:, s * dsub : (s + 1) * dsub]
+        Cs = cb[s]
+        lut[:, s, :] = ((Qs[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=2)
+    keep = max(k, rerank)
+    pos_of = {vid: i for i, vid in enumerate(ids)}
+    rows = []
+    for j, qi in enumerate(qidx):
+        d = lut[j][np.arange(m)[None, :], codes_mat].sum(axis=1)
+        kk = min(keep, len(ids))
+        top = np.argpartition(d, kk - 1)[:kk]
+        cands = sorted((float(d[t]), ids[t]) for t in top)[:keep]
+        qvec = [float(v) for v in X[qi]]
+        rescored = sorted(
+            (-_fold_cos_double(qvec, [float(v) for v in X[pos_of[vid]]]), vid)
+            for _, vid in cands
+        )
+        for rank, (_, vid) in enumerate(rescored[:k], start=1):
+            rows.append((ids[qi], vid, rank))
+    return sorted(rows)
+
+
+def _ivf_train_ref(X, n_centroids: int, iters: int, seed: int = 42):
+    """Mirror of ivf_train at the single-batch scale: stride-1 kmeans++
+    sample (whole corpus, scan order) + ``iters`` Lloyd refinements with
+    the engine's exact re-normalization round-trips."""
+    import numpy as np
+
+    Xs = _unit_rows_ref(X)
+    C = _spherical_kmeans_ref(Xs, n_centroids, seed=seed)
+    kk_ = len(C)
+    for _ in range(iters):
+        cmat = _unit_rows_ref(np.asarray([list(map(float, row)) for row in C]))
+        a = np.argmax(Xs @ cmat.T, axis=1)
+        sums = np.zeros_like(cmat)
+        np.add.at(sums, a, Xs)
+        counts = np.bincount(a, minlength=kk_)
+        new = cmat.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        C = _unit_rows_ref(new)
+    return np.asarray([list(map(float, row)) for row in C])
+
+
+def _ivf_assign_ref(X, cents):
+    import numpy as np
+
+    vnorm = np.linalg.norm(X, axis=1)
+    vnorm[vnorm == 0] = 1.0
+    cnorm = np.linalg.norm(cents, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    sims = (X @ cents.T) / (vnorm[:, None] * cnorm[None, :])
+    return np.argmax(sims, axis=1)
+
+
+def ref_knn_ivfpq(
+    sf_dir: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 14,
+    m: int = 8,
+    codes: int = 64,
+    rerank: int = 200,
+    seed: int = 11,
+    n_queries: int = 8,
+) -> list[tuple]:
+    """(query_id, vec_id, rank) — sequential IVF-PQ mirror of ivfpq_topk
+    at the single-batch scale: coarse training (ivf seed 42, 2 Lloyd
+    refinements), hash-ordered residual codebook sample (pq seed),
+    residual encoding, per-(query, cell) LUT ADC scan with per-cell
+    candidate caps, exact double-fold cosine rerank."""
+    import numpy as np
+
+    ids, X = _read_embeddings(sf_dir)
+    cents = _ivf_train_ref(X, n_centroids, iters=2)
+    assign = _ivf_assign_ref(X, cents)
+    # residual codebooks on the hash-ordered sample (all rows at this sf)
+    order = _hash_sample_order(ids, seed)
+    Xs = _unit_rows_ref(X[order])
+    Rs = Xs - np.asarray([cents[assign[i]] for i in order])
+    dsub = Rs.shape[1] // m
+    cb = np.stack(
+        [_local_kmeans_ref(Rs[:, s * dsub : (s + 1) * dsub], codes, seed + s) for s in range(m)]
+    )
+    # residual-encode the corpus (scan order, one batch)
+    Xn = _unit_rows_ref(X)
+    Rm = Xn - np.asarray([cents[c] for c in assign])
+    codes_mat = np.empty((len(ids), m), dtype=np.int64)
+    for s in range(m):
+        Cs = cb[s]
+        d = -2.0 * (Rm[:, s * dsub : (s + 1) * dsub] @ Cs.T) + (Cs**2).sum(axis=1)[None, :]
+        codes_mat[:, s] = d.argmin(axis=1)
+    # probe selection: JVM fold cosine, (qid, cell)-sorted like the engine
+    qidx = [i for i, vid in enumerate(ids) if vid < n_queries]
+    probes = []
+    for i in qidx:
+        qcos = [(-_fold_cos(X[i], cents[c]), c) for c in range(len(cents))]
+        qcos.sort()
+        probes.extend((ids[i], c) for _, c in qcos[:nprobe])
+    probes.sort()
+    pos_of = {vid: i for i, vid in enumerate(ids)}
+    # per-(query, cell) residual LUTs in probe order
+    cell_luts: dict[int, list[tuple[int, "np.ndarray"]]] = {}
+    for qid, c in probes:
+        qv = _unit_rows_ref(np.asarray([X[pos_of[qid]]]))[0] - cents[c]
+        lut = np.empty((m, cb.shape[1]))
+        for s in range(m):
+            lut[s] = ((qv[s * dsub : (s + 1) * dsub][None, :] - cb[s]) ** 2).sum(axis=1)
+        cell_luts.setdefault(c, []).append((qid, lut))
+    keep = max(k, rerank)
+    cand: dict[int, list[tuple[float, int]]] = {}
+    for cell in sorted(cell_luts):
+        members = [i for i in range(len(ids)) if assign[i] == cell]
+        if not members:
+            continue
+        mcodes = codes_mat[members]
+        mids = [ids[i] for i in members]
+        kk = min(keep, len(members))
+        gather = (np.arange(m)[None, :], mcodes)
+        for qid, lut in cell_luts[cell]:
+            d = lut[gather].sum(axis=1)
+            top = np.argpartition(d, kk - 1)[:kk]
+            cand.setdefault(qid, []).extend((float(d[t]), mids[t]) for t in top)
+    rows = []
+    for qid in sorted(cand):
+        adc_top = sorted(cand[qid])[:keep]
+        qvec = [float(v) for v in X[pos_of[qid]]]
+        rescored = sorted(
+            (-_fold_cos_double(qvec, [float(v) for v in X[pos_of[vid]]]), vid)
+            for _, vid in adc_top
+        )
+        for rank, (_, vid) in enumerate(rescored[:k], start=1):
+            rows.append((qid, vid, rank))
+    return sorted(rows)
+
+
+def ref_knn_index_probe(
+    sf_dir: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 14,
+    m: int = 8,
+    codes: int = 64,
+    rerank: int = 200,
+    seed: int = 11,
+    n_queries: int = 8,
+) -> list[tuple]:
+    """(query_id, vec_id, rank) — sequential mirror of the persisted-index
+    lifecycle entry: IVF-PQ model trained on the 80% crawl (vec_id%5!=0),
+    the 20% crawl folded in with the FROZEN model, queries served over the
+    concatenated codes (old then new, each in scan order) with exact
+    rerank against the full corpus."""
+    import numpy as np
+
+    ids, X = _read_embeddings(sf_dir)
+    old_idx = [i for i, vid in enumerate(ids) if vid % 5 != 0]
+    new_idx = [i for i, vid in enumerate(ids) if vid % 5 == 0]
+    Xold = X[old_idx]
+    old_ids = [ids[i] for i in old_idx]
+    cents = _ivf_train_ref(Xold, n_centroids, iters=2)
+    assign_old = _ivf_assign_ref(Xold, cents)
+    order = _hash_sample_order(old_ids, seed)
+    Xs = _unit_rows_ref(Xold[order])
+    Rs = Xs - np.asarray([cents[assign_old[i]] for i in order])
+    dsub = Rs.shape[1] // m
+    cb = np.stack(
+        [_local_kmeans_ref(Rs[:, s * dsub : (s + 1) * dsub], codes, seed + s) for s in range(m)]
+    )
+
+    def encode(Xpart, assign_part):
+        Xn = _unit_rows_ref(Xpart)
+        Rm = Xn - np.asarray([cents[c] for c in assign_part])
+        out = np.empty((len(Xpart), m), dtype=np.int64)
+        for s in range(m):
+            Cs = cb[s]
+            d = -2.0 * (Rm[:, s * dsub : (s + 1) * dsub] @ Cs.T) + (Cs**2).sum(axis=1)[None, :]
+            out[:, s] = d.argmin(axis=1)
+        return out
+
+    codes_old = encode(Xold, assign_old)
+    Xnew = X[new_idx]
+    assign_new = _ivf_assign_ref(Xnew, cents)
+    codes_new = encode(Xnew, assign_new)
+    all_ids = old_ids + [ids[i] for i in new_idx]
+    all_assign = np.concatenate([assign_old, assign_new])
+    all_codes = np.concatenate([codes_old, codes_new])
+
+    qidx = [i for i, vid in enumerate(ids) if vid < n_queries]
+    pos_of = {vid: i for i, vid in enumerate(ids)}
+    probes = []
+    for i in qidx:
+        qcos = [(-_fold_cos(X[i], cents[c]), c) for c in range(len(cents))]
+        qcos.sort()
+        probes.extend((ids[i], c) for _, c in qcos[:nprobe])
+    probes.sort()
+    cell_luts: dict[int, list] = {}
+    for qid, c in probes:
+        qv = _unit_rows_ref(np.asarray([X[pos_of[qid]]]))[0] - cents[c]
+        lut = np.empty((m, cb.shape[1]))
+        for s in range(m):
+            lut[s] = ((qv[s * dsub : (s + 1) * dsub][None, :] - cb[s]) ** 2).sum(axis=1)
+        cell_luts.setdefault(c, []).append((qid, lut))
+    keep = max(k, rerank)
+    cand: dict[int, list] = {}
+    for cell in sorted(cell_luts):
+        members = [i for i in range(len(all_ids)) if all_assign[i] == cell]
+        if not members:
+            continue
+        mcodes = all_codes[members]
+        mids = [all_ids[i] for i in members]
+        kk = min(keep, len(members))
+        gather = (np.arange(m)[None, :], mcodes)
+        for qid, lut in cell_luts[cell]:
+            d = lut[gather].sum(axis=1)
+            top = np.argpartition(d, kk - 1)[:kk]
+            cand.setdefault(qid, []).extend((float(d[t]), mids[t]) for t in top)
+    rows = []
+    for qid in sorted(cand):
+        adc_top = sorted(cand[qid])[:keep]
+        qvec = [float(v) for v in X[pos_of[qid]]]
+        rescored = sorted(
+            (-_fold_cos_double(qvec, [float(v) for v in X[pos_of[vid]]]), vid)
+            for _, vid in adc_top
+        )
+        for rank, (_, vid) in enumerate(rescored[:k], start=1):
+            rows.append((qid, vid, rank))
+    return sorted(rows)
+
+
+def _minhash_sig_and_shingles(docs, num_hashes=128, shingle_k=3, seed=42):
+    """(sigs, shingle_sets) for an id→text list — the shared signature
+    family of the MinHash references."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    A = rng.randint(1, 2**63 - 1, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    B = rng.randint(0, 2**63 - 1, size=num_hashes, dtype=np.uint64)
+    sigs, sets_ = {}, {}
+    for doc_id, text in docs:
+        words = WORD_RE.findall((text or "").lower())
+        if len(words) <= shingle_k:
+            grams = [" ".join(words)]
+        else:
+            grams = sorted(
+                {" ".join(words[i : i + shingle_k]) for i in range(len(words) - shingle_k + 1)}
+            )
+        sets_[doc_id] = frozenset(grams)
+        H = pd.util.hash_array(np.asarray(grams, dtype=object))
+        sigs[doc_id] = (H[:, None] * A[None, :] + B[None, :]).min(axis=0).view(np.int64)
+    return sigs, sets_
+
+
+def ref_incremental_dedup(
+    sf_dir: str,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+) -> list[tuple]:
+    """(id_a=new id, id_b=matched historical id) — sequential mirror of
+    the crawl-N+1 dedup entry: median doc_id split (percentile_cont),
+    band index over the first half with the per-bucket idx-order cap,
+    bucket join of the second half's bands, exact Jaccard ≥ 1/2 verify."""
+    docs = _documents(sf_dir)
+    ids_sorted = sorted(float(d) for d, _ in docs)
+    n = len(ids_sorted)
+    h = 0.5 * (n - 1)
+    lo = int(h)
+    frac = h - lo
+    mid = ids_sorted[lo] + frac * (ids_sorted[min(lo + 1, n - 1)] - ids_sorted[lo])
+    corpus = [(d, t) for d, t in docs if d <= mid]
+    new_batch = [(d, t) for d, t in docs if d > mid]
+
+    sigs, sets_ = _minhash_sig_and_shingles(
+        corpus + new_batch, num_hashes, shingle_k
+    )
+    r = num_hashes // bands
+    index: dict[tuple, list[int]] = {}
+    for doc_id, _ in corpus:
+        s_ = sigs[doc_id]
+        for b in range(bands):
+            index.setdefault((b, tuple(s_[b * r : (b + 1) * r].tolist())), []).append(doc_id)
+    cand = set()
+    for doc_id, _ in new_batch:
+        s_ = sigs[doc_id]
+        for b in range(bands):
+            members = index.get((b, tuple(s_[b * r : (b + 1) * r].tolist())), [])
+            for idx_id in sorted(members)[:max_bucket]:
+                if idx_id != doc_id:
+                    cand.add((doc_id, idx_id))
+    rows = []
+    for id_a, id_b in cand:
+        sa, sb = sets_[id_a], sets_[id_b]
+        inter = len(sa & sb)
+        union = max(len(sa | sb), 1)
+        if threshold_den * inter >= threshold_num * union:
+            rows.append((id_a, id_b))
+    return sorted(rows)
+
+
+def ref_embedding_cluster(
+    sf_dir: str, n_clusters: int = 16, iters: int = 1
+) -> list[tuple]:
+    """(cluster_id, n_members, cohesion_ppm) — sequential mirror of the
+    distributed spherical k-means entry: seeded training, assignment,
+    per-cluster member count and the scan-order cosine-to-centroid mean
+    (the single-partition aggregation order), ×1e6 fixed-point floor."""
+    import math
+
+    ids, X = _read_embeddings(sf_dir)
+    cents = _ivf_train_ref(X, n_clusters, iters=iters)
+    assign = _ivf_assign_ref(X, cents)
+    sums: dict[int, float] = {}
+    counts: dict[int, int] = {}
+    for i in range(len(ids)):
+        c = int(assign[i])
+        cos = _fold_cos(X[i], cents[c])
+        sums[c] = sums.get(c, 0.0) + cos
+        counts[c] = counts.get(c, 0) + 1
+    return sorted(
+        (c, counts[c], math.floor(sums[c] / counts[c] * 1e6)) for c in counts
+    )
+
+
+def ref_semantic_dedup(
+    sf_dir: str, n_clusters: int = 10, threshold: float = 0.5
+) -> list[tuple]:
+    """(vec_id, cluster, keep) — sequential SemDedup mirror: seeded
+    clustering, per-cluster id-ordered unit GEMM, drop any vector with a
+    lower-id cluster-mate at cosine ≥ threshold."""
+    import numpy as np
+
+    ids, X = _read_embeddings(sf_dir)
+    cents = _ivf_train_ref(X, n_clusters, iters=2)
+    assign = _ivf_assign_ref(X, cents)
+    rows = []
+    for c in sorted(set(int(a) for a in assign)):
+        members = [i for i in range(len(ids)) if assign[i] == c]
+        members.sort(key=lambda i: ids[i])
+        Xc = _unit_rows_ref(X[members])
+        sims = Xc @ Xc.T
+        m = len(members)
+        tri = np.triu(sims >= threshold, k=1)
+        dropped = tri.any(axis=0)
+        for j, i in enumerate(members):
+            rows.append((ids[i], c, not bool(dropped[j])))
+    return sorted(rows)
+
+
 def ref_bpe_pack(sf_dir: str, budget: int = 4096, n_merges: int = 10) -> list[tuple]:
     """(lang, seq_id, n_docs, seq_tokens) — concat-and-chop packing over
     REFERENCE BPE token counts: per lang in doc_id order, a doc's window
@@ -687,6 +1336,39 @@ def build() -> dict[str, str]:
             "ops_simhash_near_dup": sql_values(
                 ref_simhash_near_dup(_SF_PIN),
                 [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "BIGINT")],
+            ),
+            "ops_embedding_cluster": sql_values(
+                ref_embedding_cluster(_SF_PIN),
+                [("cluster_id", "INTEGER"), ("n_members", "BIGINT"), ("cohesion_ppm", "BIGINT")],
+            ),
+            "ops_semantic_dedup": sql_values(
+                ref_semantic_dedup(_SF_PIN),
+                [("vec_id", "BIGINT"), ("cluster", "INTEGER"), ("keep", "BOOLEAN")],
+            ),
+            "ops_incremental_dedup": sql_values(
+                ref_incremental_dedup(_SF_PIN),
+                [("id_a", "BIGINT"), ("id_b", "BIGINT")],
+            ),
+            "ops_knn_index_probe": sql_values(
+                ref_knn_index_probe(_SF_PIN),
+                [("query_id", "BIGINT"), ("vec_id", "BIGINT"), ("rank", "BIGINT")],
+            ),
+            "ops_knn_ivfpq": sql_values(
+                ref_knn_ivfpq(_SF_PIN),
+                [("query_id", "BIGINT"), ("vec_id", "BIGINT"), ("rank", "BIGINT")],
+            ),
+            "ops_knn_pq": sql_values(
+                ref_knn_pq(_SF_PIN),
+                [("query_id", "BIGINT"), ("vec_id", "BIGINT"), ("rank", "BIGINT")],
+            ),
+            "ops_knn_ivf": sql_values(
+                ref_knn_ivf(_SF_PIN),
+                [
+                    ("query_id", "BIGINT"),
+                    ("vec_id", "BIGINT"),
+                    ("rank", "BIGINT"),
+                    ("cos_ppm", "BIGINT"),
+                ],
             ),
             "ops_dedup_pipeline": sql_values(
                 ref_dedup_pipeline(_SF_PIN),

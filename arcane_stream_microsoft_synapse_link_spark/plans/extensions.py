@@ -829,18 +829,16 @@ def ops_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold 0.9 the synthetic near-uniform embeddings contain NO
     qualifying pairs at any sf, so the gate entry pinned nothing):
     cosine ≥ 0.4 with 8-bit LSH bands yields 15/9/185 pairs at
-    sf0.001/0.01/0.1.  Oracle-backed since r6: vectors cast to double
-    up front (so every product is float64 — sequentially replicable),
-    cosine emitted as ×1e6 fixed point, hash-compared against a
-    sequential sign-LSH + exact-cosine reference
-    (plans/values_oracle.py:ref_embedding_near_dup, pinned to sf0.01).
-    Planted-pair recall coverage lives in tests/test_functions.py."""
+    sf0.001/0.01/0.1.  Oracle-backed since r6: cosine emitted as ×1e6
+    fixed point and hash-compared against a sequential sign-LSH +
+    exact-cosine reference that mirrors the JVM's float32-product fold
+    over the raw float arrays (plans/values_oracle.py:
+    ref_embedding_near_dup, pinned to sf0.01) — the corpus stays float,
+    no per-row double-cast transform in the hot path.  Planted-pair
+    recall coverage lives in tests/test_functions.py."""
     t = Tables(spark, sf_dir)
-    emb = t.embeddings.select(
-        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
-    )
     pairs = S.embedding_near_duplicates(
-        emb, threshold=0.4, max_hamming=28, band_bits=8
+        t.embeddings, threshold=0.4, max_hamming=28, band_bits=8
     )
     return pairs.select(
         "id_a",

@@ -540,8 +540,9 @@ def ref_embedding_near_dup(
     """(id_a, id_b, cos_ppm) — sequential sign-LSH near-dup: seeded
     random-hyperplane signatures over the float64 matrix (the engine's
     single-batch matmul shape), banded candidates, exact cosine as the
-    JVM's strict left-to-right fold (per-element float64 products), ×1e6
-    fixed-point floor."""
+    JVM's strict left-to-right fold over the RAW float arrays —
+    per-element products round to float32 (Spark float×float) before the
+    double accumulator — ×1e6 fixed-point floor."""
     import math
 
     import numpy as np
@@ -549,7 +550,8 @@ def ref_embedding_near_dup(
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_pylist()
-    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    X32 = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    X = X32.astype(np.float64)
     planes = np.random.RandomState(seed).randn(X.shape[1], n_bits)
     bits = (X @ planes) > 0
     sig = {}
@@ -560,13 +562,15 @@ def ref_embedding_near_dup(
                 val |= 1 << j
         sig[vid] = val - (1 << 63)
 
-    def fold_dot(a, b) -> float:
+    def fold_dot(a32, b32) -> float:
+        # Spark float×float multiplies in float32, THEN widens into the
+        # double accumulator — mirror that rounding exactly
         acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
+        for x, y in zip(a32, b32):
+            acc = acc + float(np.float32(x) * np.float32(y))
         return acc
 
-    vecs = {vid: [float(v) for v in X[i]] for i, vid in enumerate(ids)}
+    vecs = {vid: X32[i] for i, vid in enumerate(ids)}
     nbands = n_bits // band_bits
     mask = (1 << band_bits) - 1
     buckets: dict[tuple[int, int], list[int]] = {}

@@ -242,3 +242,106 @@ def run_decontaminate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_media_dedup_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    work_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+):
+    """Streaming MULTIMODAL dedup: perceptual-dHash-filter every
+    micro-batch of raw images against the ACCUMULATED hash index before
+    admission — the media twin of ``run_dedup_stream`` (text) built from
+    the r6 pieces: ``functions.multimodal.perceptual_hashes`` for the
+    64-bit signatures, the SimHash-style 8-bit banding for index probes.
+
+    Per micro-batch (foreachBatch):
+
+    1. hash ONLY the batch's image rows (Arrow mapInPandas — the
+       accumulated corpus is never re-decoded or re-hashed, so per-batch
+       cost is O(batch), the property that makes continuous image intake
+       dedup viable at a growing corpus);
+    2. probe the stored ``(band, chunk, idx_id, idx_dhash)`` index with
+       the batch's bands, verify exact Hamming ≤ ``max_hamming`` on the
+       candidates, record hits (``hits/``: id_a = new, id_b = matched);
+    3. append surviving media rows to ``corpus/`` (non-image rows are
+       admitted untouched — only images carry perceptual hashes) and the
+       survivors' band rows to ``phash_index/`` (bucket by
+       ``(band, chunk)`` in a production layout so probes prune).
+
+    Same scope notes as ``run_dedup_stream``: the index probe catches
+    cross-batch duplicates (within-batch dups of a single micro-batch are
+    the batch job ``image_near_duplicates``'s job), and the three appends
+    are plain appends, not one atomic commit — the CDC path's
+    snapshot-pointer commit is the exactly-once answer.  Returns the
+    started StreamingQuery.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..functions.multimodal import perceptual_hashes
+
+    idx_dir = os.path.join(work_dir, "phash_index")
+    corpus_dir = os.path.join(work_dir, "corpus")
+    hits_dir = os.path.join(work_dir, "hits")
+    band_bits, nbands = 8, 8
+    mask = (1 << band_bits) - 1
+
+    def bands(h: DataFrame, id_alias: str, hash_alias: str) -> DataFrame:
+        return h.select(
+            F.col(id_col).alias(id_alias),
+            F.col("dhash").alias(hash_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("dhash"), b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("chunk"),
+                        )
+                        for b in range(nbands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(id_alias, hash_alias, "bb.band", "bb.chunk")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        h = perceptual_hashes(batch_df, id_col).localCheckpoint()
+        if os.path.isdir(idx_dir):
+            idx = spark.read.parquet(idx_dir)
+            hits = (
+                bands(h, "id_a", "dhash_a")
+                .join(idx, ["band", "chunk"])
+                .where(F.col("id_a") != F.col("idx_id"))
+                .select(
+                    "id_a",
+                    F.col("idx_id").alias("id_b"),
+                    F.bit_count(
+                        F.col("dhash_a").bitwiseXOR(F.col("idx_dhash"))
+                    ).alias("hamming"),
+                )
+                .where(F.col("hamming") <= max_hamming)
+                .distinct()
+                .localCheckpoint()
+            )
+            hits.write.mode("append").parquet(hits_dir)
+            dup_ids = hits.select(F.col("id_a").alias(id_col)).distinct()
+            kept = batch_df.join(dup_ids, id_col, "left_anti").localCheckpoint()
+            kept_h = h.join(dup_ids, id_col, "left_anti")
+        else:
+            kept, kept_h = batch_df, h
+        kept.write.mode("append").parquet(corpus_dir)
+        bands(kept_h, "idx_id", "idx_dhash").write.mode("append").parquet(idx_dir)
+
+    return (
+        source.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -372,3 +372,56 @@ def test_streaming_decontaminate_pipeline(spark, tmp_path):
     assert clean == {0, 2, 11}
     hits = {r["doc_id"] for r in spark.read.parquet(f"{work}/hits").collect()}
     assert hits == {1, 10}
+
+
+def test_streaming_media_dedup_pipeline(spark, tmp_path):
+    """run_media_dedup_stream: batch 1 admits fresh images (+ an audio
+    row, untouched) and builds the perceptual-hash index; batch 2's
+    pixel-perturbed variant of an admitted image is caught against the
+    STORED index (cross-batch dedup without re-decoding the corpus)
+    while a genuinely different image and a non-image row pass.
+    Restarting the query for batch 2 exercises the checkpoint."""
+    from arcane_stream_microsoft_synapse_link_spark.functions import multimodal as M
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_media_dedup_stream,
+    )
+
+    media = M.raw_media_with_variants(spark, n=9, n_variants=1, noise=2)
+    rows = {r["media_id"]: r for r in media.collect()}
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+
+    batch1 = [rows[0], rows[3], rows[6], rows[1]]  # 3 images + 1 audio
+    spark.createDataFrame(batch1, M.MEDIA_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = lambda: spark.readStream.schema(M.MEDIA_SCHEMA).parquet(  # noqa: E731
+        str(src / "*")
+    )
+    q = run_media_dedup_stream(spark, stream(), work, ckpt, max_hamming=6)
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{work}/corpus").count() == 4
+
+    # batch 2: the planted near-variant of image 0 (id 1000), a genuinely
+    # different image (inverted gradient), and another audio row
+    w, h = rows[0]["width"], rows[0]["height"]
+    inv = bytes(
+        255 - ((x * 255) // (w - 1) + y) % 256 for y in range(h) for x in range(w)
+    )
+    batch2 = [
+        rows[1000],
+        (777, inv, "image", w, h, 0),
+        (888, rows[1]["payload"], "audio", rows[1]["width"], rows[1]["height"], rows[1]["duration_ms"]),
+    ]
+    spark.createDataFrame(batch2, M.MEDIA_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    q2 = run_media_dedup_stream(spark, stream(), work, ckpt, max_hamming=6)
+    q2.awaitTermination(120)
+
+    admitted = {r["media_id"] for r in spark.read.parquet(f"{work}/corpus").collect()}
+    assert {777, 888} <= admitted
+    assert 1000 not in admitted
+    hits = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(f"{work}/hits").collect()}
+    assert (1000, 0) in hits

@@ -464,3 +464,86 @@ def image_near_duplicates(
         F.col(id_col).alias("_id"), F.col("dhash").alias("_sim")
     )
     return band_pairs_64(sig, band_bits=8).where(F.col("hamming") <= max_hamming)
+
+
+def raw_audio_with_variants(spark, n: int = 64, n_variants: int = 8) -> DataFrame:
+    """``raw_media_df`` plus PLANTED near-duplicate audio variants: for the
+    first ``n_variants`` audio ids a copy under ``media_id + 2000`` whose
+    int16 samples carry a deterministic small jitter (pure function of
+    (i, s)) — a re-encode/noise stand-in that preserves the energy
+    contour while changing every byte."""
+    base = raw_media_df(spark, n)
+    rows = []
+    made = 0
+    for i in range(n):
+        if made >= n_variants:
+            break
+        if ("image", "audio", "video")[i % 3] != "audio":
+            continue
+        made += 1
+        samples = 256 + (i % 7) * 64
+        payload = b"".join(
+            int(
+                max(
+                    min(
+                        ((s * 257 + i * 13) % 4096 - 2048)
+                        + ((s * 11 + i) % 17 - 8),
+                        32767,
+                    ),
+                    -32768,
+                )
+            ).to_bytes(2, "little", signed=True)
+            for s in range(samples)
+        )
+        rows.append((i + 2000, payload, "audio", 16 + (i % 4) * 4, 12 + (i % 3) * 4, samples))
+    variants = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return base.unionByName(variants)
+
+
+def audio_fingerprints(
+    df: DataFrame, n_windows: int = 65, id_col: str = "media_id"
+) -> DataFrame:
+    """64-bit energy-contour fingerprints for raw int16 PCM audio (Arrow
+    mapInPandas, zero shuffle): split each clip into ``n_windows`` equal
+    windows, exact-integer energy (Σx²) per window, bit j = 1 iff
+    energy[j+1] > energy[j] — the gradient-sign idea of dHash applied to
+    the time axis, robust to amplitude jitter and byte-level re-encoding.
+    Bits pack little-order into a signed int64, so the shared 64-bit
+    banding machinery (``similarity.band_pairs_64``) applies unchanged."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("ahash64", T.LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, p in zip(pdf[id_col], pdf["payload"]):
+                x = decode_raw(p, "audio", 0, 0).astype(np.int64)
+                n = x.size
+                bounds = [(w * n) // n_windows for w in range(n_windows + 1)]
+                e = np.asarray(
+                    [int((x[bounds[w] : bounds[w + 1]] ** 2).sum()) for w in range(n_windows)]
+                )
+                bits = (e[1:] > e[:-1]).astype(np.uint8)
+                hs.append(int(np.packbits(bits, bitorder="little").view(np.int64)[0]))
+                ids.append(mid)
+            yield pd.DataFrame({id_col: ids, "ahash64": hs})
+
+    return df.where(F.col("media_type") == "audio").mapInPandas(run, schema=out_schema)
+
+
+def audio_near_duplicates(
+    df: DataFrame, max_hamming: int = 6, id_col: str = "media_id"
+) -> DataFrame:
+    """Audio near-dup pairs by banded energy-contour matching — the same
+    shape as ``image_near_duplicates`` on the audio column: fingerprints
+    → 8-bit banding (pigeonhole-exact recall ≤7 flipped bits) → exact
+    Hamming verify on candidates only."""
+    from .similarity import band_pairs_64
+
+    sig = audio_fingerprints(df, id_col=id_col).select(
+        F.col(id_col).alias("_id"), F.col("ahash64").alias("_sim")
+    )
+    return band_pairs_64(sig, band_bits=8).where(F.col("hamming") <= max_hamming)

@@ -1407,6 +1407,22 @@ def ops_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query("ops_audio_near_dup")
+def ops_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via energy-contour fingerprints — the dHash idea on
+    the time axis (functions/multimodal.py:audio_fingerprints), matched
+    through the shared 64-bit banding machinery.  The fixture plants 8
+    sample-jittered PCM variants (every byte differs; the energy contour
+    survives).  Oracle: independent all-integer sequential reference as
+    literal VALUES (plans/values_oracle.py:ref_audio_near_dup) — the
+    fixture is generated in-query, so the literals hold at every sf."""
+    media = M.raw_audio_with_variants(spark, n=64, n_variants=8)
+    out = M.audio_near_duplicates(media, max_hamming=6)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
 @query("ops_approx_distinct")
 def ops_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approx distinct (tolerance-checked in tests, rows-only here).

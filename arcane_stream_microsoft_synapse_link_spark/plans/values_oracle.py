@@ -395,6 +395,57 @@ def ref_image_near_dup(
     return sorted(rows)
 
 
+def ref_audio_near_dup(
+    n: int = 64, n_variants: int = 8, n_windows: int = 65, max_hamming: int = 6
+) -> list[tuple]:
+    """(id_a, id_b, hamming) — sequential energy-contour audio near-dup
+    over the planted fixture: re-derive base + jittered PCM, exact-integer
+    window energies, gradient-sign bits, 8-bit-band candidates, exact
+    Hamming verify.  All-integer arithmetic — exact at any scale."""
+    items: list[tuple[int, list[int]]] = []
+    made = 0
+    for i in range(n):
+        if ("image", "audio", "video")[i % 3] != "audio":
+            continue
+        samples = 256 + (i % 7) * 64
+        base = [((s * 257 + i * 13) % 4096 - 2048) for s in range(samples)]
+        items.append((i, base))
+        if made < n_variants:
+            made += 1
+            var = [
+                max(min(v + ((s * 11 + i) % 17 - 8), 32767), -32768)
+                for s, v in enumerate(base)
+            ]
+            items.append((i + 2000, var))
+
+    hashes: list[tuple[int, int]] = []
+    for mid, x in items:
+        nsamp = len(x)
+        bounds = [(w * nsamp) // n_windows for w in range(n_windows + 1)]
+        e = [
+            sum(v * v for v in x[bounds[w] : bounds[w + 1]])
+            for w in range(n_windows)
+        ]
+        bits = [1 if e[j + 1] > e[j] else 0 for j in range(n_windows - 1)]
+        hashes.append((mid, _phash_bits_pack(bits)))
+
+    rows = []
+    for ai in range(len(hashes)):
+        for bi in range(ai + 1, len(hashes)):
+            ida, ha = hashes[ai]
+            idb, hb = hashes[bi]
+            if ida > idb:
+                ida, idb, ha, hb = idb, ida, hb, ha
+            if not any(
+                ((ha >> (b * 8)) & 0xFF) == ((hb >> (b * 8)) & 0xFF) for b in range(8)
+            ):
+                continue
+            ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if ham <= max_hamming:
+                rows.append((ida, idb, ham))
+    return sorted(rows)
+
+
 def ref_bpe_encode(sf_dir: str, n_merges: int = 10) -> list[tuple]:
     """(doc_id, n_words, n_tokens, n_chars_encoded) — sequential BPE
     encode with merges from ``ref_bpe_train``: best-pair-first (lowest
@@ -1305,6 +1356,10 @@ def build() -> dict[str, str]:
     )
     oracles["ops_image_near_dup"] = sql_values(
         ref_image_near_dup(),
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "BIGINT")],
+    )
+    oracles["ops_audio_near_dup"] = sql_values(
+        ref_audio_near_dup(),
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "BIGINT")],
     )
     oracles["ops_media_frames"] = sql_values(

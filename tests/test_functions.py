@@ -1062,3 +1062,23 @@ def test_perceptual_hashes_invariances(spark):
     assert got[1] == got[2]
     ham = bin((got[1][0] ^ got[3][0]) & ((1 << 64) - 1)).count("1")
     assert ham >= 32  # inverted gradient flips (nearly) every gradient sign
+
+
+def test_audio_near_dup_finds_planted_variants(spark):
+    """Energy-contour audio dedup: every sample-jittered planted variant
+    (id+2000) pairs with its source within Hamming 6 — the jitter changes
+    every byte but not the window-energy ordering."""
+    from arcane_stream_microsoft_synapse_link_spark.functions import multimodal as M
+
+    media = M.raw_audio_with_variants(spark, n=64, n_variants=8)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in M.audio_near_duplicates(media, max_hamming=6).collect()
+    }
+    planted = {(i, i + 2000) for i in (1, 4, 7, 10, 13, 16, 19, 22)}
+    assert planted <= pairs, planted - pairs
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where("media_id in (1, 2001)").collect()
+    }
+    assert payloads[1] != payloads[2001]

@@ -270,3 +270,32 @@ def test_charset_gini_single_scan(spark):
     plan = plan_of(QUERIES["ops_charset_gini"](spark, SF_SMOKE))
     assert plan.count("Scan parquet  (") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_bpe_encode_word_key_join_no_cartesian(spark):
+    """bpe_encode: the per-doc totals come from ONE equi-join of the
+    exploded corpus against the (tiny) encoded vocab — never a cartesian;
+    the Python stage (word segmentation) runs over DISTINCT words only,
+    behind an aggregate, so its input is vocab-sized."""
+    plan = plan_of(QUERIES["ops_bpe_encode"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the mapInPandas segmentation stage sits above a HashAggregate
+    # (the distinct-words reduction), not above the raw exploded corpus
+    i = plan.index("MapInPandas")
+    assert "HashAggregate" in plan[i:], "segmentation must consume the distinct-word aggregate"
+
+
+def test_image_near_dup_banded_no_cartesian(spark):
+    """image_near_duplicates: candidates come from the banded equi-join
+    on (band, chunk) — never an all-pairs product over the media table."""
+    plan = plan_of(QUERIES["ops_image_near_dup"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_index_probe_cell_pruning(spark):
+    """The persisted-index probe reads only probed cells: the codes scan
+    carries a centroid_id IN (...) filter below the ADC Python stage."""
+    plan = plan_of(QUERIES["ops_knn_index_probe"](spark, SF_SMOKE))
+    assert "centroid_id" in plan
+    assert "INSET" in plan or "IN (" in plan.replace("IN(", "IN (")
+    assert "CartesianProduct" not in plan

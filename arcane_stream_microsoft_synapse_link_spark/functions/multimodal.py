@@ -547,3 +547,131 @@ def audio_near_duplicates(
         F.col(id_col).alias("_id"), F.col("ahash64").alias("_sim")
     )
     return band_pairs_64(sig, band_bits=8).where(F.col("hamming") <= max_hamming)
+
+
+def raw_video_with_variants(spark, n: int = 64, n_variants: int = 8) -> DataFrame:
+    """``raw_media_df`` plus PLANTED near-duplicate video variants: for the
+    first ``n_variants`` video ids a copy under ``media_id + 3000`` whose
+    every frame pixel carries a deterministic ±2 offset (re-encode noise
+    stand-in: every byte differs, the per-frame gradient structure
+    survives)."""
+    base = raw_media_df(spark, n)
+    rows = []
+    made = 0
+    for i in range(n):
+        if made >= n_variants:
+            break
+        if ("image", "audio", "video")[i % 3] != "video":
+            continue
+        made += 1
+        w, h = 16 + (i % 4) * 4, 12 + (i % 3) * 4
+        n_frames = 2 + i % 3
+        payload = bytes(
+            min(
+                max(
+                    (((x + y + f * 8 + i) % 2) * 255)
+                    + ((x * 5 + y * 3 + f + i) % 5 - 2),
+                    0,
+                ),
+                255,
+            )
+            for f in range(n_frames)
+            for y in range(h)
+            for x in range(w)
+        )
+        rows.append((i + 3000, payload, "video", w, h, n_frames * 500))
+    variants = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return base.unionByName(variants)
+
+
+def video_frame_hashes(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(media_id, frame_idx, fhash) — 64-bit dHash per video frame (each
+    frame is a width×height bitmap slice; same 9×8 bilinear + gradient
+    sign as ``perceptual_hashes``), Arrow mapInPandas, zero shuffle."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("fhash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hs = [], [], []
+            for mid, p, w, h in zip(
+                pdf[id_col], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                vid = decode_raw(p, "video", int(w), int(h))
+                for k in range(vid.shape[0]):
+                    g9 = bilinear_resize(vid[k], 9, 8).astype(np.int64)
+                    bits = (g9[:, 1:] > g9[:, :-1]).astype(np.uint8).ravel()
+                    hs.append(int(np.packbits(bits, bitorder="little").view(np.int64)[0]))
+                    ids.append(mid)
+                    idxs.append(k)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "fhash": hs})
+
+    return df.where(F.col("media_type") == "video").mapInPandas(run, schema=out_schema)
+
+
+def video_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 6,
+    min_matching_frames: int = 2,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video near-dup pairs by ALIGNED-frame dHash matching: per-frame
+    hashes → banded candidates on (frame_idx, band, chunk) — two videos
+    are compared only at the SAME frame index, the re-encode/noise
+    detection scope (time-shifted copies need sequence alignment, a
+    different operator) — exact Hamming verify, then a pair survives when
+    ≥ ``min_matching_frames`` distinct frame indices match.  Output
+    (id_a, id_b, n_frames_matched).  Never an all-pairs product: the
+    fan-out is frames × 8 band rows and candidates come from one
+    equi-join."""
+    band_bits, nbands = 8, 8
+    mask = (1 << band_bits) - 1
+    h = video_frame_hashes(df, id_col)
+    banded = h.select(
+        id_col,
+        "frame_idx",
+        "fhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("fhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "frame_idx", "fhash", "bb.band", "bb.chunk")
+    left = banded.select(
+        F.col(id_col).alias("id_a"), "frame_idx", F.col("fhash").alias("fh_a"), "band", "chunk"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), "frame_idx", F.col("fhash").alias("fh_b"), "band", "chunk"
+    )
+    matched = (
+        left.join(right, ["frame_idx", "band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "frame_idx",
+            F.bit_count(F.col("fh_a").bitwiseXOR(F.col("fh_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return (
+        matched.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_frames_matched"))
+        .where(F.col("n_frames_matched") >= min_matching_frames)
+    )

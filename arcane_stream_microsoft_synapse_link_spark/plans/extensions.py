@@ -1423,6 +1423,20 @@ def ops_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query("ops_video_near_dup")
+def ops_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup via aligned per-frame dHash matching
+    (functions/multimodal.py:video_near_duplicates) — completes the
+    multimodal dedup family (text/image/audio/video).  The fixture
+    plants 8 per-pixel-jittered video variants; every planted pair must
+    survive with all frames matched.  Oracle: independent sequential
+    reference as literal VALUES (plans/values_oracle.py:
+    ref_video_near_dup; fixture generated in-query, holds at any sf)."""
+    media = M.raw_video_with_variants(spark, n=64, n_variants=8)
+    out = M.video_near_duplicates(media, max_hamming=6, min_matching_frames=2)
+    return out.orderBy("id_a", "id_b")
+
+
 @query("ops_approx_distinct")
 def ops_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approx distinct (tolerance-checked in tests, rows-only here).

@@ -446,6 +446,76 @@ def ref_audio_near_dup(
     return sorted(rows)
 
 
+def ref_video_near_dup(
+    n: int = 64, n_variants: int = 8, max_hamming: int = 6, min_frames: int = 2
+) -> list[tuple]:
+    """(id_a, id_b, n_frames_matched) — sequential aligned-frame video
+    near-dup: re-derive base + jittered videos, per-frame independent
+    bilinear 9×8 dHash, same-index band-candidate rule, exact Hamming,
+    pair survives at ≥ min_frames matching indices."""
+    videos: list[tuple[int, list[int], int, int]] = []  # (id, frame_hashes, ...)
+    made = 0
+    for i in range(n):
+        if ("image", "audio", "video")[i % 3] != "video":
+            continue
+        w, h = 16 + (i % 4) * 4, 12 + (i % 3) * 4
+        n_frames = 2 + i % 3
+        def frame_hash(px):
+            g9 = _bilinear_ref(px, 9, 8)
+            bits = [1 if g9[y][x + 1] > g9[y][x] else 0 for y in range(8) for x in range(8)]
+            return _phash_bits_pack(bits)
+        base_hashes = []
+        var_hashes = []
+        for f in range(n_frames):
+            bpx = [
+                [float((((x + y + f * 8 + i) % 2) * 255)) for x in range(w)]
+                for y in range(h)
+            ]
+            base_hashes.append(frame_hash(bpx))
+            vpx = [
+                [
+                    float(
+                        min(
+                            max(
+                                (((x + y + f * 8 + i) % 2) * 255)
+                                + ((x * 5 + y * 3 + f + i) % 5 - 2),
+                                0,
+                            ),
+                            255,
+                        )
+                    )
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ]
+            var_hashes.append(frame_hash(vpx))
+        videos.append((i, base_hashes))
+        if made < n_variants:
+            made += 1
+            videos.append((i + 3000, var_hashes))
+
+    rows = []
+    for ai in range(len(videos)):
+        for bi in range(ai + 1, len(videos)):
+            ida, ha = videos[ai]
+            idb, hb = videos[bi]
+            if ida > idb:
+                ida, idb, ha, hb = idb, ida, hb, ha
+            nm = 0
+            for k in range(min(len(ha), len(hb))):
+                fa, fb = ha[k], hb[k]
+                if not any(
+                    ((fa >> (b * 8)) & 0xFF) == ((fb >> (b * 8)) & 0xFF)
+                    for b in range(8)
+                ):
+                    continue
+                if bin((fa ^ fb) & ((1 << 64) - 1)).count("1") <= max_hamming:
+                    nm += 1
+            if nm >= min_frames:
+                rows.append((ida, idb, nm))
+    return sorted(rows)
+
+
 def ref_bpe_encode(sf_dir: str, n_merges: int = 10) -> list[tuple]:
     """(doc_id, n_words, n_tokens, n_chars_encoded) — sequential BPE
     encode with merges from ``ref_bpe_train``: best-pair-first (lowest
@@ -1357,6 +1427,10 @@ def build() -> dict[str, str]:
     oracles["ops_image_near_dup"] = sql_values(
         ref_image_near_dup(),
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "BIGINT")],
+    )
+    oracles["ops_video_near_dup"] = sql_values(
+        ref_video_near_dup(),
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("n_frames_matched", "BIGINT")],
     )
     oracles["ops_audio_near_dup"] = sql_values(
         ref_audio_near_dup(),

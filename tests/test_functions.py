@@ -1082,3 +1082,24 @@ def test_audio_near_dup_finds_planted_variants(spark):
         for r in media.where("media_id in (1, 2001)").collect()
     }
     assert payloads[1] != payloads[2001]
+
+
+def test_video_near_dup_finds_planted_variants(spark):
+    """Aligned-frame video dedup: every per-pixel-jittered planted
+    variant (id+3000) pairs with its source with ALL frames matched,
+    while every payload is byte-different."""
+    from arcane_stream_microsoft_synapse_link_spark.functions import multimodal as M
+
+    media = M.raw_video_with_variants(spark, n=64, n_variants=8)
+    got = {
+        (r["id_a"], r["id_b"]): r["n_frames_matched"]
+        for r in M.video_near_duplicates(media, max_hamming=6).collect()
+    }
+    frames_of = {i: 2 + i % 3 for i in (2, 5, 8, 11, 14, 17, 20, 23)}
+    for i, nf in frames_of.items():
+        assert got.get((i, i + 3000)) == nf, (i, got.get((i, i + 3000)))
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where("media_id in (2, 3002)").collect()
+    }
+    assert payloads[2] != payloads[3002]

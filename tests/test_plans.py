@@ -299,3 +299,22 @@ def test_knn_index_probe_cell_pruning(spark):
     assert "centroid_id" in plan
     assert "INSET" in plan or "IN (" in plan.replace("IN(", "IN (")
     assert "CartesianProduct" not in plan
+
+
+def test_audio_video_near_dup_banded_no_cartesian(spark):
+    """The audio and video near-dup entries must get their candidates
+    from banded equi-joins — never an all-pairs product."""
+    for name in ("ops_audio_near_dup", "ops_video_near_dup"):
+        plan = plan_of(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bpe_pack_window_over_doc_totals(spark):
+    """ops_bpe_pack's running window runs over DOC-LEVEL token totals
+    (one row per doc), never per-token corpus rows: the window's input
+    side contains the per-doc aggregate."""
+    plan = plan_of(QUERIES["ops_bpe_pack"](spark, SF_SMOKE))
+    i = plan.index("Window")
+    assert "HashAggregate" in plan[i:], "window must sit above the per-doc aggregate"
+    assert "CartesianProduct" not in plan

@@ -209,3 +209,26 @@ def test_bench_compact_line_never_exceeds_driver_window():
         assert abs(parsed["value"] - sum(result["queries"].values())) < 0.5 + 0.01 * n
         if others["n"]:
             assert abs(shown_sum + others["sum"] - parsed["value"]) < 0.1 * n
+
+
+def test_values_oracles_registered_when_testdata_present():
+    """plans/values_oracle.register() degrades SILENTLY if a reference
+    throws (entries quietly fall back to the weaker rows-only check) —
+    this assert makes that failure loud: with the driver's testdata on
+    disk, every promoted entry must actually be oracle-backed."""
+    import os
+
+    if not os.path.isdir("/root/testdata/sf0.01"):
+        return
+    promoted = {
+        "ops_media_features", "ops_media_resize", "ops_media_frames",
+        "ops_image_near_dup", "ops_audio_near_dup", "ops_video_near_dup",
+        "ops_fingerprint_rolling", "ops_embedding_pca", "ops_bpe_train",
+        "ops_bpe_encode", "ops_bpe_pack", "ops_simhash_near_dup",
+        "ops_minhash_near_dup", "ops_embedding_near_dup",
+        "ops_dedup_pipeline", "ops_incremental_dedup", "ops_knn_ivf",
+        "ops_knn_pq", "ops_knn_ivfpq", "ops_knn_index_probe",
+        "ops_embedding_cluster", "ops_semantic_dedup",
+    }
+    missing = promoted - set(ORACLE)
+    assert not missing, sorted(missing)

@@ -260,17 +260,19 @@ def run_media_dedup_stream(
 
     Per micro-batch (foreachBatch):
 
-    1. hash ONLY the batch's image rows (Arrow mapInPandas — the
-       accumulated corpus is never re-decoded or re-hashed, so per-batch
-       cost is O(batch), the property that makes continuous image intake
-       dedup viable at a growing corpus);
-    2. probe the stored ``(band, chunk, idx_id, idx_dhash)`` index with
-       the batch's bands, verify exact Hamming ≤ ``max_hamming`` on the
-       candidates, record hits (``hits/``: id_a = new, id_b = matched);
-    3. append surviving media rows to ``corpus/`` (non-image rows are
-       admitted untouched — only images carry perceptual hashes) and the
+    1. hash ONLY the batch's rows (Arrow mapInPandas — the accumulated
+       corpus is never re-decoded or re-hashed, so per-batch cost is
+       O(batch)): images get dHash, audio gets the energy-contour
+       fingerprint; the two families live in ONE index separated by a
+       ``kind`` column so an image can never match an audio clip;
+    2. probe the stored ``(kind, band, chunk, idx_id, idx_phash)`` index
+       with the batch's bands, verify exact Hamming ≤ ``max_hamming`` on
+       the candidates, record hits (``hits/``: id_a = new, id_b =
+       matched);
+    3. append surviving media rows to ``corpus/`` (rows with no
+       perceptual hash — video here — are admitted untouched) and the
        survivors' band rows to ``phash_index/`` (bucket by
-       ``(band, chunk)`` in a production layout so probes prune).
+       ``(kind, band, chunk)`` in a production layout so probes prune).
 
     Same scope notes as ``run_dedup_stream``: the index probe catches
     cross-batch duplicates (within-batch dups of a single micro-batch are
@@ -283,7 +285,7 @@ def run_media_dedup_stream(
 
     from pyspark.sql import functions as F
 
-    from ..functions.multimodal import perceptual_hashes
+    from ..functions.multimodal import audio_fingerprints, perceptual_hashes
 
     idx_dir = os.path.join(work_dir, "phash_index")
     corpus_dir = os.path.join(work_dir, "corpus")
@@ -294,13 +296,14 @@ def run_media_dedup_stream(
     def bands(h: DataFrame, id_alias: str, hash_alias: str) -> DataFrame:
         return h.select(
             F.col(id_col).alias(id_alias),
-            F.col("dhash").alias(hash_alias),
+            "kind",
+            F.col("phash").alias(hash_alias),
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.shiftright(F.col("dhash"), b * band_bits)
+                            F.shiftright(F.col("phash"), b * band_bits)
                             .bitwiseAND(F.lit(mask))
                             .alias("chunk"),
                         )
@@ -308,22 +311,28 @@ def run_media_dedup_stream(
                     ]
                 )
             ).alias("bb"),
-        ).select(id_alias, hash_alias, "bb.band", "bb.chunk")
+        ).select(id_alias, "kind", hash_alias, "bb.band", "bb.chunk")
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint()
-        h = perceptual_hashes(batch_df, id_col).localCheckpoint()
+        img_h = perceptual_hashes(batch_df, id_col).select(
+            id_col, F.lit("img").alias("kind"), F.col("dhash").alias("phash")
+        )
+        aud_h = audio_fingerprints(batch_df, id_col=id_col).select(
+            id_col, F.lit("aud").alias("kind"), F.col("ahash64").alias("phash")
+        )
+        h = img_h.unionByName(aud_h).localCheckpoint()
         if os.path.isdir(idx_dir):
             idx = spark.read.parquet(idx_dir)
             hits = (
-                bands(h, "id_a", "dhash_a")
-                .join(idx, ["band", "chunk"])
+                bands(h, "id_a", "phash_a")
+                .join(idx, ["kind", "band", "chunk"])
                 .where(F.col("id_a") != F.col("idx_id"))
                 .select(
                     "id_a",
                     F.col("idx_id").alias("id_b"),
                     F.bit_count(
-                        F.col("dhash_a").bitwiseXOR(F.col("idx_dhash"))
+                        F.col("phash_a").bitwiseXOR(F.col("idx_phash"))
                     ).alias("hamming"),
                 )
                 .where(F.col("hamming") <= max_hamming)
@@ -337,7 +346,7 @@ def run_media_dedup_stream(
         else:
             kept, kept_h = batch_df, h
         kept.write.mode("append").parquet(corpus_dir)
-        bands(kept_h, "idx_id", "idx_dhash").write.mode("append").parquet(idx_dir)
+        bands(kept_h, "idx_id", "idx_phash").write.mode("append").parquet(idx_dir)
 
     return (
         source.writeStream.foreachBatch(step)

@@ -375,12 +375,13 @@ def test_streaming_decontaminate_pipeline(spark, tmp_path):
 
 
 def test_streaming_media_dedup_pipeline(spark, tmp_path):
-    """run_media_dedup_stream: batch 1 admits fresh images (+ an audio
-    row, untouched) and builds the perceptual-hash index; batch 2's
-    pixel-perturbed variant of an admitted image is caught against the
-    STORED index (cross-batch dedup without re-decoding the corpus)
-    while a genuinely different image and a non-image row pass.
-    Restarting the query for batch 2 exercises the checkpoint."""
+    """run_media_dedup_stream: batch 1 admits fresh images and an audio
+    clip and builds the multimodal perceptual-hash index; batch 2's
+    pixel-perturbed variant of an admitted image AND a sample-jittered
+    variant of the admitted audio clip are caught against the STORED
+    index (cross-batch dedup without re-decoding the corpus) while a
+    genuinely different image and audio clip pass.  Restarting the query
+    for batch 2 exercises the checkpoint."""
     from arcane_stream_microsoft_synapse_link_spark.functions import multimodal as M
     from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
         run_media_dedup_stream,
@@ -404,15 +405,26 @@ def test_streaming_media_dedup_pipeline(spark, tmp_path):
     assert spark.read.parquet(f"{work}/corpus").count() == 4
 
     # batch 2: the planted near-variant of image 0 (id 1000), a genuinely
-    # different image (inverted gradient), and another audio row
+    # different image (inverted gradient), a jittered variant of audio 1
+    # (id 2001 from the audio fixture), and a genuinely different audio
+    # clip (distinct waveform -> different energy contour)
+    audio_rows = {
+        r["media_id"]: r
+        for r in M.raw_audio_with_variants(spark, n=9, n_variants=1).collect()
+    }
     w, h = rows[0]["width"], rows[0]["height"]
     inv = bytes(
         255 - ((x * 255) // (w - 1) + y) % 256 for y in range(h) for x in range(w)
     )
+    fresh_audio = b"".join(
+        int(((s * s) % 3777) - 1888).to_bytes(2, "little", signed=True)
+        for s in range(320)
+    )
     batch2 = [
         rows[1000],
         (777, inv, "image", w, h, 0),
-        (888, rows[1]["payload"], "audio", rows[1]["width"], rows[1]["height"], rows[1]["duration_ms"]),
+        audio_rows[2001],
+        (888, fresh_audio, "audio", 16, 12, 320),
     ]
     spark.createDataFrame(batch2, M.MEDIA_SCHEMA).coalesce(1).write.parquet(
         str(src / "b2")
@@ -422,6 +434,6 @@ def test_streaming_media_dedup_pipeline(spark, tmp_path):
 
     admitted = {r["media_id"] for r in spark.read.parquet(f"{work}/corpus").collect()}
     assert {777, 888} <= admitted
-    assert 1000 not in admitted
+    assert 1000 not in admitted and 2001 not in admitted
     hits = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(f"{work}/hits").collect()}
-    assert (1000, 0) in hits
+    assert (1000, 0) in hits and (2001, 1) in hits

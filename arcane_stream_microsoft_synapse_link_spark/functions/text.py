@@ -821,3 +821,33 @@ def bpe_encode(
             F.sum(F.length("w")).alias("n_chars_encoded"),
         )
     )
+
+
+def bpe_save(merges: list[tuple], path: str, spark=None) -> None:
+    """Persist a trained merge table as plain parquet
+    ``(merge_rank, left_sym, right_sym, pair_count)`` — the tokenizer
+    artifact a production pipeline trains once and ships to every encode
+    job (mirrors ``similarity.ivfpq_save``'s store-the-model shape).
+    Readable by any engine; order is carried by ``merge_rank``."""
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    rows = []
+    for i, m in enumerate(merges):
+        if len(m) >= 3 and isinstance(m[0], int):
+            rows.append((int(m[0]), m[1], m[2], int(m[3]) if len(m) > 3 else None))
+        else:
+            rows.append((i, m[0], m[1], None))
+    spark.createDataFrame(
+        rows, "merge_rank long, left_sym string, right_sym string, pair_count long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_load(spark, path: str) -> list[tuple[int, str, str, int]]:
+    """Load a persisted merge table in rank order — the input shape
+    ``bpe_encode`` accepts."""
+    rows = spark.read.parquet(path).orderBy("merge_rank").collect()
+    return [
+        (int(r["merge_rank"]), r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in rows
+    ]

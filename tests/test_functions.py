@@ -1103,3 +1103,27 @@ def test_video_near_dup_finds_planted_variants(spark):
         for r in media.where("media_id in (2, 3002)").collect()
     }
     assert payloads[2] != payloads[3002]
+
+
+def test_bpe_save_load_roundtrip_encodes_identically(spark, sf_dir, tmp_path):
+    """The persisted tokenizer artifact drives encoding identically to
+    the in-memory merge table: train once, save, load in a 'different
+    job', encode — exact per-doc token counts match."""
+    from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import (
+        bpe_encode,
+        bpe_load,
+        bpe_save,
+        bpe_train,
+    )
+
+    t = Tables(spark, sf_dir)
+    merges, vocab = bpe_train(t.documents, n_merges=10)
+    vocab.unpersist()
+    path = str(tmp_path / "tokenizer")
+    bpe_save(merges, path, spark)
+    loaded = bpe_load(spark, path)
+    assert [(r, l, rt) for r, l, rt, _ in loaded] == [(r, l, rt) for r, l, rt, _ in merges]
+    a = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(t.documents, merges).collect()}
+    b = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(t.documents, loaded).collect()}
+    assert a == b

@@ -133,7 +133,18 @@ def main() -> None:
     except Exception as exc:
         result["cdc"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
-    # full-fidelity record for round-over-round diffing
+    # full-fidelity record for round-over-round diffing; carry the latest
+    # 1x/10x volume sweep (bench.py --scale-sweep) alongside it when one
+    # has been recorded, so the scaling evidence rides with the bench file
+    try:
+        sweep_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "SCALE_SWEEP.json"
+        )
+        if os.path.exists(sweep_path):
+            with open(sweep_path) as fh:
+                result["volume_sweep"] = json.load(fh)
+    except (OSError, ValueError):
+        pass
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
             json.dump(result, fh, indent=1)

@@ -354,3 +354,73 @@ def run_media_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_ann_index_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    codes: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming ANN index maintenance: fold every micro-batch of new
+    embeddings into the PERSISTED IVF-PQ index — the streaming form of
+    ``similarity.ivfpq_fold_in`` and the serving-side complement of the
+    dedup intake streams.
+
+    Per micro-batch (foreachBatch):
+
+    - first batch ever: train the model on it (``ivfpq_build``) and
+      persist centroids + codebooks + cell-partitioned codes
+      (``ivfpq_save``);
+    - every later batch: load the FROZEN model (centroids/codebooks only
+      — the historical codes stay on disk untouched), assign +
+      residual-encode ONLY the batch, and append its code rows into the
+      cell partitioning.  Per-batch cost is O(batch); queries keep
+      serving from the same directory via ``ivfpq_load`` +
+      ``ivfpq_probe`` between (or during) appends.
+
+    Model staleness is the standard production trade: centroids trained
+    on crawl 1 quantize later crawls slightly worse until an offline
+    retrain cadence job rebuilds the index — the FAISS deployment shape.
+    Returns the started StreamingQuery.
+    """
+    import os
+
+    from ..functions.similarity import (
+        _pq_encode,
+        ivf_assign,
+        ivfpq_build,
+        ivfpq_load,
+        ivfpq_save,
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.select(id_col, vec_col).localCheckpoint()
+        if not os.path.exists(os.path.join(index_dir, "params.json")):
+            idx = ivfpq_build(
+                batch_df, n_centroids=n_centroids, m=m, codes=codes, seed=seed,
+                id_col=id_col, vec_col=vec_col,
+            )
+            ivfpq_save(idx, index_dir)
+            return
+        idx = ivfpq_load(spark, index_dir)
+        assigned = ivf_assign(batch_df, idx.cents_df, id_col, vec_col)
+        new_codes = _pq_encode(assigned, idx.cent, idx.cb, id_col, vec_col)
+        new_codes.write.mode("append").partitionBy("centroid_id").parquet(
+            os.path.join(index_dir, "codes")
+        )
+
+    return (
+        source.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

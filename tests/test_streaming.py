@@ -437,3 +437,61 @@ def test_streaming_media_dedup_pipeline(spark, tmp_path):
     assert 1000 not in admitted and 2001 not in admitted
     hits = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(f"{work}/hits").collect()}
     assert (1000, 0) in hits and (2001, 1) in hits
+
+
+def test_streaming_ann_index_maintenance(spark, tmp_path):
+    """run_ann_index_stream: batch 1 trains and persists the IVF-PQ
+    model; batch 2 (after a query restart) folds in ONLY its vectors
+    against the frozen model — historical code files are untouched — and
+    a probe of the loaded index finds a batch-2 planted near-copy of a
+    batch-1 vector at the top, reranked exactly."""
+    import os
+
+    import numpy as np
+
+    from arcane_stream_microsoft_synapse_link_spark.functions import similarity as S
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_ann_index_stream,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(500, 32).astype(np.float32)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    idx_dir, ckpt = str(tmp_path / "ann_index"), str(tmp_path / "ckpt")
+
+    b1 = [(int(i), base[i].tolist()) for i in range(400)]
+    spark.createDataFrame(b1, "vec_id long, embedding array<float>").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = lambda: spark.readStream.schema(  # noqa: E731
+        "vec_id long, embedding array<float>"
+    ).parquet(str(src / "*"))
+    q = run_ann_index_stream(spark, stream(), idx_dir, ckpt, n_centroids=8, codes=16)
+    q.awaitTermination(120)
+    assert os.path.exists(os.path.join(idx_dir, "params.json"))
+    n1 = spark.read.parquet(os.path.join(idx_dir, "codes")).count()
+    assert n1 == 400
+    files1 = set()
+    for root, _, fs in os.walk(os.path.join(idx_dir, "codes")):
+        files1.update(os.path.join(root, f) for f in fs if f.endswith(".parquet"))
+
+    planted = (9000, (base[7] + rng.randn(32).astype(np.float32) * 0.01).tolist())
+    b2 = [(int(400 + i), base[400 + i].tolist()) for i in range(100)] + [planted]
+    spark.createDataFrame(b2, "vec_id long, embedding array<float>").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    q2 = run_ann_index_stream(spark, stream(), idx_dir, ckpt, n_centroids=8, codes=16)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(idx_dir, "codes")).count() == 501
+    # fold-in appended new files; batch-1 code files are untouched
+    for f in files1:
+        assert os.path.exists(f)
+
+    full = spark.createDataFrame(b1 + b2, "vec_id long, embedding array<float>")
+    loaded = S.ivfpq_load(spark, idx_dir)
+    queries = spark.createDataFrame(
+        [(7, base[7].tolist())], "query_id long, embedding array<float>"
+    )
+    got = S.ivfpq_probe(loaded, queries, k=3, nprobe=8, rerank=50, corpus=full).collect()
+    assert got[0]["vec_id"] == 7 and got[1]["vec_id"] == 9000

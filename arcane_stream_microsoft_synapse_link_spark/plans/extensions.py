@@ -2995,6 +2995,9 @@ def ops_knn_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = S.ivfpq_build(old, n_centroids=16, m=8, codes=64, seed=11)
     folded = S.ivfpq_fold_in(idx, new)
+    # (measured: localCheckpointing the composed codes here does NOT help —
+    # the serve plan consumes the codes exactly once, so the eager
+    # materialization job is pure overhead)
     out = S.ivfpq_probe(
         folded, queries_df, k=10, nprobe=14, rerank=200, corpus=t.embeddings
     ).select("query_id", "vec_id", "rank")

@@ -1127,3 +1127,31 @@ def test_bpe_save_load_roundtrip_encodes_identically(spark, sf_dir, tmp_path):
     a = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(t.documents, merges).collect()}
     b = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(t.documents, loaded).collect()}
     assert a == b
+
+
+def test_bpe_encode_word_properties():
+    """Property sweep of the segmenter: for random words and random merge
+    tables, (1) concatenating the tokens reproduces the word, (2) every
+    token is non-empty, (3) no adjacent token pair forms a learned merge
+    that could still fire (fixpoint), (4) deterministic."""
+    import random as _r
+
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import bpe_encode_word
+
+    rng = _r.Random(13)
+    alpha = "abcd"
+    for _ in range(300):
+        word = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+        # random merge table over short symbol pairs
+        syms = [a + b for a in alpha for b in alpha] + list(alpha)
+        rank_of = {}
+        for rank in range(rng.randint(0, 10)):
+            pair = (rng.choice(syms), rng.choice(syms))
+            if pair not in rank_of:
+                rank_of[pair] = rank
+        toks = bpe_encode_word(word, rank_of)
+        assert "".join(toks) == word
+        assert all(toks)
+        assert toks == bpe_encode_word(word, rank_of)
+        for a, b in zip(toks, toks[1:]):
+            assert (a, b) not in rank_of, (word, toks, (a, b))

@@ -1,0 +1,177 @@
+"""Corpus-curation selection operators: token-budget greedy selection and
+DSIR-style importance weighting.
+
+Both are batch corpus→corpus decisions a training-data pipeline makes
+after per-document scoring: WHICH documents go into the next pretraining
+mix.  They are deliberately expressed so the expensive part stays a
+declarative Spark plan (Catalyst prunes/pushes down; integer outputs make
+the results engine-portable and oracle-checkable):
+
+- ``token_budget_select``: fill a token budget with the best-quality
+  documents — the greedy knapsack every data-mix spec ("200 B tokens of
+  web, best-first") runs.  Implemented WITHOUT a global sort: a bounded
+  per-quality-bucket aggregate finds the boundary bucket, and only that
+  bucket (1/``n_buckets`` of the corpus) is ordered exactly.
+- ``importance_weights``: hashed-/vocab-n-gram importance sampling log
+  ratios (Xie et al. 2023, "Data Selection for Language Models via
+  Importance Resampling"): score every raw document by how much its
+  bigram distribution looks like a target domain vs the raw corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import WORD_RE
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    quality_col: str = "quality_ppm",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Greedy token-budget selection: take documents in (quality DESC,
+    id ASC) order while the running token total stays ≤ ``budget``.
+
+    Semantically identical to ``SUM(tokens) OVER (ORDER BY quality DESC,
+    id) <= budget`` — but that window is a GLOBAL SORT of the corpus,
+    which is exactly what a 100 TB selection job cannot afford.  Instead:
+
+    1. one aggregate pass buckets quality (ppm // ``bucket_width`` →
+       ≤ 1e6/width + 1 buckets, a bounded driver collect),
+    2. a driver prefix-sum over the bucket totals finds the single
+       BOUNDARY bucket where the budget runs out — every bucket above it
+       is included wholesale with no ordering at all,
+    3. only the boundary bucket's rows (≈ corpus/n_buckets) are sorted
+       exactly; a window cumsum spends the remaining budget inside it.
+
+    The greedy order never skips past an unaffordable document to a
+    cheaper one below it (cumulative-inclusive ≤ budget semantics), so
+    the two-pass plan reproduces the global window bit-for-bit.
+
+    ``quality_col`` must be a non-negative integer ppm (≤ 1e6) — the
+    contract every quality scorer in this engine already meets."""
+    q, tk = F.col(quality_col), F.col(tokens_col)
+    qb = (q / F.lit(bucket_width)).cast("bigint").alias("qb")
+    levels = sorted(
+        df.groupBy(qb).agg(F.sum(tk).alias("toks")).collect(),
+        key=lambda r: -r["qb"],
+    )
+    running = 0
+    boundary, rem, floor_qb = None, 0, None
+    for r in levels:
+        if running + r["toks"] > budget:
+            boundary, rem = r["qb"], budget - running
+            break
+        running += r["toks"]
+        floor_qb = r["qb"]
+    cols = [F.col(id_col), q.alias(quality_col), tk.alias(tokens_col)]
+    if boundary is None:  # whole corpus fits
+        return df.select(*cols).orderBy(F.desc(quality_col), F.asc(id_col))
+    full = df.where((q / bucket_width).cast("bigint") > boundary).select(*cols)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc(quality_col), F.asc(id_col)).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    edge = (
+        df.where((q / bucket_width).cast("bigint") == boundary)
+        .select(*cols)
+        .withColumn("_cum", F.sum(tokens_col).over(w))
+        .where(F.col("_cum") <= rem)
+        .drop("_cum")
+    )
+    return full.unionByName(edge).orderBy(F.desc(quality_col), F.asc(id_col))
+
+
+def doc_bigrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, bigram) token stream: adjacent lowercase-word pairs joined by
+    one space — pure codegen projection + generate, no shuffle."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+    grams = F.transform(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda wrd, i: F.concat(wrd, F.lit(" "), F.element_at(words, i + 2)),
+    )
+    return df.select(F.col(id_col), F.explode(grams).alias("bigram"))
+
+
+def importance_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 512,
+) -> DataFrame:
+    """DSIR-style importance log-ratios over a learned bigram vocabulary.
+
+    For each document, ``dsir_ppm = Σ_f count_f · λ_f`` where
+    ``λ_f = ppm⌊ln p̂_target(f) − ln p̂_raw(f)⌋`` with add-half (Laplace)
+    smoothed feature distributions — documents whose bigrams look like
+    the ``target`` domain (a boolean Column over ``df``'s rows, e.g.
+    ``F.col("lang") == "en"``) score high; resampling by these weights is
+    the DSIR selection step (Xie et al. 2023).
+
+    The published method hashes n-grams into a fixed bucket space; this
+    implementation learns a top-``vocab_size`` bigram vocabulary instead
+    (rank by raw count DESC, bigram ASC) — the same bounded feature
+    space, but exactly reproducible by any engine without sharing a hash
+    function (swap the vocab join for ``pmod(xxhash64(bigram), B)`` to
+    recover the hashed variant).  Plan shape: one bigram aggregate
+    (map-side combined), a TakeOrdered vocab (never a full sort), one
+    broadcast-joined per-(feature) conditional count pass — λ is ppm
+    integer, so the per-document fold is exact integer arithmetic and
+    aggregation order cannot perturb results."""
+    grams = doc_bigrams(df, text_col, id_col)
+    flags = df.select(id_col, target.cast("boolean").alias("_tgt"))
+    g = grams.join(flags, id_col)
+    counts = g.groupBy("bigram").agg(
+        F.count("*").alias("raw_cnt"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tgt_cnt"),
+    )
+    vocab = counts.orderBy(F.desc("raw_cnt"), F.asc("bigram")).limit(vocab_size)
+    tots = vocab.agg(
+        F.sum("raw_cnt").alias("raw_tot"),
+        F.sum("tgt_cnt").alias("tgt_tot"),
+        F.count("*").alias("v"),
+    )
+    lam = (
+        vocab.crossJoin(F.broadcast(tots))
+        .withColumn(
+            "lam_ppm",
+            F.floor(
+                F.lit(1e6)
+                * (
+                    F.log(
+                        (F.col("tgt_cnt") + F.lit(0.5))
+                        / (F.col("tgt_tot") + F.lit(0.5) * F.col("v"))
+                    )
+                    - F.log(
+                        (F.col("raw_cnt") + F.lit(0.5))
+                        / (F.col("raw_tot") + F.lit(0.5) * F.col("v"))
+                    )
+                )
+            ).cast("bigint"),
+        )
+        .select("bigram", "lam_ppm")
+    )
+    per_doc = (
+        grams.join(F.broadcast(lam), "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feat"),
+            F.sum("lam_ppm").cast("bigint").alias("dsir_ppm"),
+        )
+    )
+    ids = df.select(id_col)
+    return (
+        ids.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feat", F.lit(0)).cast("bigint").alias("n_feat"),
+            F.coalesce("dsir_ppm", F.lit(0)).cast("bigint").alias("dsir_ppm"),
+        )
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import WORD_RE, word_ngram_strings
+from ..session import local_df
 
 
 def words(text: Column) -> Column:
@@ -398,7 +399,7 @@ def duplicate_clusters(
         rows = [(x, find(x)) for x in parent]
         spark = pairs.sparkSession
         schema = pairs.select(F.col(id_a).alias("id"), F.col(id_a).alias("cluster_id")).schema
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
 
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (

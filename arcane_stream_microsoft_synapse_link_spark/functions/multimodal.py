@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..session import local_df
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -169,7 +170,7 @@ def fake_media_df(spark, n: int = 64) -> DataFrame:
         payload = bytes((i * 7 + j) % 251 for j in range(32 + (i % 5) * 16))
         mt = ("image", "audio", "video")[i % 3]
         rows.append((i, payload, mt, 64 + i % 8, 48 + i % 6, 1000 + i))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return local_df(spark, rows, MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -270,7 +271,7 @@ def raw_media_df(spark, n: int = 64) -> DataFrame:
             )
             dur = samples  # 1 kHz
         rows.append((i, payload, mt, w, h, dur))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return local_df(spark, rows, MEDIA_SCHEMA)
 
 
 RAW_FEATURE_SCHEMA = T.StructType(
@@ -401,7 +402,7 @@ def raw_media_with_variants(
             for x in range(w)
         )
         rows.append((i + 1000, payload, "image", w, h, 0))
-    variants = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    variants = local_df(spark, rows, MEDIA_SCHEMA)
     return base.unionByName(variants)
 
 
@@ -496,7 +497,7 @@ def raw_audio_with_variants(spark, n: int = 64, n_variants: int = 8) -> DataFram
             for s in range(samples)
         )
         rows.append((i + 2000, payload, "audio", 16 + (i % 4) * 4, 12 + (i % 3) * 4, samples))
-    variants = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    variants = local_df(spark, rows, MEDIA_SCHEMA)
     return base.unionByName(variants)
 
 
@@ -580,7 +581,7 @@ def raw_video_with_variants(spark, n: int = 64, n_variants: int = 8) -> DataFram
             for x in range(w)
         )
         rows.append((i + 3000, payload, "video", w, h, n_frames * 500))
-    variants = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    variants = local_df(spark, rows, MEDIA_SCHEMA)
     return base.unionByName(variants)
 
 

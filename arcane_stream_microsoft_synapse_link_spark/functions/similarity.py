@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import local_df
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -181,8 +183,8 @@ def ivf_centroids_pp(
     )
     X = _unit_rows(np.asarray([r[0] for r in rows], dtype=np.float64))
     C = _local_spherical_kmeans(X, n_centroids, seed=seed)
-    return spark.createDataFrame(
-        [(i, row.tolist()) for i, row in enumerate(C)], schema="centroid_id int, centroid array<double>"
+    return local_df(
+        spark, [(i, row.tolist()) for i, row in enumerate(C)], "centroid_id int, centroid array<double>"
     )
 
 
@@ -209,7 +211,9 @@ def ivf_train(
     spark = corpus.sparkSession
     cents = ivf_centroids_pp(corpus, n_centroids, sample_size, seed, id_col, vec_col)
     for _ in range(iters):
-        rows = cents.orderBy("centroid_id").collect()
+        # driver-side sort: an orderBy on the tiny centroid frame would add
+        # a range-sampling job + shuffle per Lloyd iteration
+        rows = sorted(cents.collect(), key=lambda r: r["centroid_id"])
         cmat = _unit_rows(np.asarray([r["centroid"] for r in rows], dtype=np.float64))
         k, dim = cmat.shape
 
@@ -244,9 +248,10 @@ def ivf_train(
         new = cmat.copy()  # empty cells keep their old centroid
         nz = counts > 0
         new[nz] = sums[nz] / counts[nz, None]
-        cents = spark.createDataFrame(
+        cents = local_df(
+            spark,
             [(i, row.tolist()) for i, row in enumerate(_unit_rows(new))],
-            schema="centroid_id int, centroid array<double>",
+            "centroid_id int, centroid array<double>",
         )
     return cents
 
@@ -260,7 +265,8 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id", 
     map-side pass, the right plan at any corpus size."""
     from pyspark.sql import types as T
 
-    rows = centroids.orderBy("centroid_id").collect()  # n_centroids × dim — tiny
+    # tiny frame: collect then sort driver-side (orderBy would cost a job)
+    rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
     cmat = np.array([r["centroid"] for r in rows], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
     cnorm[cnorm == 0] = 1.0
@@ -1185,8 +1191,8 @@ def ivfpq_save(index: IvfPqIndex, path: str) -> None:
     cb_rows = [
         (s, j, index.cb[s, j].tolist()) for s in range(m) for j in range(ncodes)
     ]
-    spark.createDataFrame(
-        cb_rows, "subspace int, code int, vec array<double>"
+    local_df(
+        spark, cb_rows, "subspace int, code int, vec array<double>"
     ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
     with open(os.path.join(path, "params.json"), "w") as f:
         json.dump(

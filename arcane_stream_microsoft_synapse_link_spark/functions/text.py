@@ -13,6 +13,7 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..session import local_df
 
 # token = maximal run of non-whitespace (same regex class in Spark/RE2)
 _TOKEN_RE = r"\S+"
@@ -446,6 +447,72 @@ def bm25_scores(
     )
 
 
+def bm25_multi(
+    df: "DataFrame",
+    query_terms: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "DataFrame":
+    """Multi-query BM25 in ONE corpus pass: ``query_terms`` is a
+    ``(query_id, term)`` relation (tiny — broadcast), and every query's
+    per-document integer-ppm score comes out of the same explode/aggregate
+    chain ``bm25_scores`` uses for a single term list.
+
+    Batching queries this way is the scale shape: N queries cost one
+    corpus scan + one O(docs × matched-terms) shuffle, not N scans.  Term
+    frequencies and document frequencies are computed once per (doc, term)
+    / term over the UNION of all query vocabularies, then fanned out to
+    queries by the broadcast join — a term shared by every query is
+    counted once, exactly like a production search engine's postings.
+
+    Per-term scores are floored to ppm BEFORE the per-query sum (integer
+    addition is associative → aggregation order can't perturb results),
+    matching ``bm25_scores`` bit-for-bit when given that query alone."""
+    dl_col = F.regexp_count(F.lower(F.col(text_col)), F.lit(WORD_RE))
+    docs = df.select(id_col, dl_col.alias("dl"))
+    vocab = query_terms.select("term").distinct()
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+        ).alias("term"),
+    ).join(F.broadcast(vocab), "term")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(docs, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "score",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+            ),
+        )
+        .withColumn("score_ppm", F.floor(F.col("score") * 1e6))
+    )
+    return (
+        scored.join(F.broadcast(query_terms), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("score_ppm").cast("bigint").alias("bm25_ppm"))
+    )
+
+
 def cms_heavy_hitters(
     df: "DataFrame",
     k: int = 20,
@@ -563,8 +630,8 @@ def cms_heavy_hitters(
         kth = rows[-1]["cnt"] if len(rows) == k else 0
         if thresh <= kth or thresh == 1:
             schema = "token string, cnt bigint"
-            return df.sparkSession.createDataFrame(
-                [(r["token"], r["cnt"]) for r in rows], schema
+            return local_df(
+                df.sparkSession, [(r["token"], r["cnt"]) for r in rows], schema
             )
         thresh = max(1, thresh // 2)
 
@@ -662,7 +729,8 @@ def bpe_train(
                 nxt[key] = nxt.get(key, 0) + c
             local = nxt
         spark = docs.sparkSession
-        final = spark.createDataFrame(
+        final = local_df(
+            spark,
             [(" ".join(sym), c) for sym, c in sorted(local.items())],
             "sym string, wcnt long",
         )
@@ -838,8 +906,8 @@ def bpe_save(merges: list[tuple], path: str, spark=None) -> None:
             rows.append((int(m[0]), m[1], m[2], int(m[3]) if len(m) > 3 else None))
         else:
             rows.append((i, m[0], m[1], None))
-    spark.createDataFrame(
-        rows, "merge_rank long, left_sym string, right_sym string, pair_count long"
+    local_df(
+        spark, rows, "merge_rank long, left_sym string, right_sym string, pair_count long"
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 

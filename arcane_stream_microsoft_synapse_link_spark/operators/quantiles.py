@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import release_checkpoint
+from ..session import local_df
 
 
 def exact_percentiles(
@@ -92,7 +93,7 @@ def exact_percentiles(
     n = sum(counts.values())
     if n == 0:
         release_checkpoint(ranged)
-        return spark.createDataFrame([], out_schema)
+        return local_df(spark, [], out_schema)
     hs = {p: p * (n - 1) for p in ps}
     need = sorted({int(math.floor(h)) for h in hs.values()} | {int(math.ceil(h)) for h in hs.values()})
     if counts and max(counts.values()) >= 1 << 33:
@@ -134,4 +135,4 @@ def exact_percentiles(
         else:  # "cont"
             v = at[lo] + (h - lo) * (at[hi] - at[lo])
         out.append((float(p), float(v)))
-    return spark.createDataFrame(out, out_schema)
+    return local_df(spark, out, out_schema)

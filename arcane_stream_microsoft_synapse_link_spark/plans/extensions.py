@@ -18,6 +18,7 @@ from ..functions import similarity as S
 from ..functions import text as X
 from .oracle import ORACLE
 from .queries import QUERIES, query
+from ..session import local_df
 
 
 def _self_check(df: DataFrame, *cols: str) -> DataFrame:
@@ -2887,7 +2888,8 @@ def ops_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequential reference BPE (plans/values_oracle.py:ref_bpe_train,
     # pinned to sf0.01 — the same reference tests/test_functions.py
     # asserts exact equality with at the sweep scales).
-    df = spark.createDataFrame(
+    df = local_df(
+        spark,
         [(r, l, rt, l + rt, c) for (r, l, rt, c) in merges],
         "merge_rank long, left_sym string, right_sym string, merged string, pair_count long",
     )

@@ -115,6 +115,36 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def local_df(spark: SparkSession, rows, schema):
+    """Build a TINY literal DataFrame as an Arrow LocalRelation — no job.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the rows across
+    ``defaultParallelism`` slices, so even a 16-row centroid table costs a
+    32-task job per materialization (~0.55 s measured on local[32]; 1.4 s
+    with an ``orderBy`` on top, which adds a range-sampling job).  Routing
+    through pandas takes the Arrow conversion path instead, which plans a
+    driver-side ``LocalTableScan`` — measured 0.03 s, and a later
+    ``collect()`` never leaves the driver.  Operator lifecycles that
+    round-trip small state through DataFrames (IVF centroid iterations,
+    PQ codebooks, media fixtures, merge tables) call this instead.
+
+    The Arrow path rejects some inputs (mixed-type object columns); on any
+    failure this falls back to the classic parallelize path, so callers
+    lose only the speedup, never correctness."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+    from pyspark.sql.types import _parse_datatype_string  # public-ish, stable
+
+    try:
+        st = _parse_datatype_string(schema) if isinstance(schema, str) else schema
+        if not isinstance(st, StructType):
+            raise TypeError(f"need a struct schema, got {st}")
+        pdf = pd.DataFrame([tuple(r) for r in rows], columns=st.names)
+        return spark.createDataFrame(pdf, schema=st)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def release_checkpoint(df) -> None:
     """Drop the storage blocks behind a ``localCheckpoint()``-ed frame.
 

@@ -88,6 +88,43 @@ def token_budget_select(
     return full.unionByName(edge).orderBy(F.desc(quality_col), F.asc(id_col))
 
 
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N retrieval
+    systems' ranked lists: ``rrf_ppm = Σ_systems ⌊1e6 / (k + rank)⌋``,
+    integer division so the fused score is EXACT and engine-portable.
+
+    ``ranked`` maps system name → a ``(query_id, doc_id, rank)`` frame
+    (rank 1-based, top-bounded by the caller — candidate lists, not
+    corpora).  Systems are merged with full-outer joins in sorted-name
+    order; a document absent from a system's list contributes 0, the
+    standard RRF treatment.  Each system's rank survives in the output as
+    ``<name>_rank`` (NULL when absent) so downstream can attribute the
+    fusion.  The joins are candidate-list-sized — at serving scale these
+    are k·queries rows, never corpus-shaped."""
+    names = sorted(ranked)
+    fused = None
+    for name in names:
+        part = ranked[name].select(
+            query_col, id_col, F.col("rank").alias(f"{name}_rank")
+        )
+        if fused is None:
+            fused = part
+        else:
+            fused = fused.join(part, [query_col, id_col], "full_outer")
+    score = None
+    for name in names:
+        term = F.coalesce(
+            F.expr(f"1000000 div ({k} + {name}_rank)"), F.lit(0)
+        )
+        score = term if score is None else score + term
+    return fused.withColumn("rrf_ppm", score.cast("bigint"))
+
+
 def doc_bigrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, bigram) token stream: adjacent lowercase-word pairs joined by
     one space — pure codegen projection + generate, no shuffle."""

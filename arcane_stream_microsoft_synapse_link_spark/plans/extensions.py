@@ -3004,3 +3004,235 @@ def ops_knn_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded, queries_df, k=10, nprobe=14, rerank=200, corpus=t.embeddings
     ).select("query_id", "vec_id", "rank")
     return out.orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# round 6: curation selection + hybrid retrieval
+# ---------------------------------------------------------------------------
+
+
+@query("ops_token_budget_select")
+def ops_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget corpus selection: best-quality documents first
+    until 20% of the corpus token count is spent — the data-mix knapsack
+    every pretraining spec runs.  The plan is the NO-GLOBAL-SORT shape
+    (functions/curation.py:token_budget_select): a bounded quality-bucket
+    aggregate + driver prefix-sum locates the boundary bucket; only that
+    bucket (~corpus/1000) is ordered exactly.  Bit-equal to the oracle's
+    global window cumsum."""
+    from ..functions.curation import token_budget_select
+
+    t = Tables(spark, sf_dir)
+    scored = t.documents.select(
+        "doc_id",
+        F.floor(X.quality_score(F.col("text")) * 1e6).cast("bigint").alias("quality_ppm"),
+        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    total = scored.agg(F.sum("n_tokens")).collect()[0][0]
+    return token_budget_select(scored, int(total) // 5).orderBy(
+        F.desc("quality_ppm"), F.asc("doc_id")
+    )
+
+
+ORACLE["ops_token_budget_select"] = r"""
+    WITH s0 AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE) AS stops,
+               CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
+               CAST(length(text) AS DOUBLE) AS chars
+        FROM documents),
+    s AS (
+        SELECT doc_id,
+               CAST(FLOOR((0.5 * LEAST(toks / 64.0, 1.0)
+                         + 0.3 * LEAST(stops / GREATEST(toks, 1.0) * 5.0, 1.0)
+                         + 0.2 * (1.0 - LEAST(punct / GREATEST(chars, 1.0) * 10.0, 1.0))) * 1e6)
+                    AS BIGINT) AS quality_ppm,
+               CAST(toks AS BIGINT) AS n_tokens
+        FROM s0),
+    b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 5 AS budget FROM s),
+    sel AS (
+        SELECT *, SUM(n_tokens) OVER (ORDER BY quality_ppm DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+        FROM s)
+    SELECT doc_id, quality_ppm, n_tokens FROM sel, b WHERE cum <= budget
+    ORDER BY quality_ppm DESC, doc_id
+"""
+
+
+@query("ops_importance_weights")
+def ops_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance log-ratios (Xie et al. 2023): score every
+    document by how much its bigram distribution resembles the English
+    target slice vs the raw corpus, over a learned top-512 bigram
+    vocabulary — exact-integer ppm output, one bigram aggregate + one
+    broadcast-joined fold (functions/curation.py:importance_weights)."""
+    from ..functions.curation import importance_weights
+
+    t = Tables(spark, sf_dir)
+    return importance_weights(t.documents, F.col("lang") == "en").orderBy("doc_id")
+
+
+ORACLE["ops_importance_weights"] = r"""
+    WITH w AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    g AS (
+        SELECT doc_id, tgt, ws[i] || ' ' || ws[i+1] AS bigram
+        FROM w, unnest(range(1, len(ws))) AS r(i)),
+    counts AS (
+        SELECT bigram, COUNT(*) AS raw_cnt,
+               SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_cnt
+        FROM g GROUP BY bigram),
+    vocab AS (SELECT * FROM counts ORDER BY raw_cnt DESC, bigram LIMIT 512),
+    tots AS (SELECT SUM(raw_cnt) AS raw_tot, SUM(tgt_cnt) AS tgt_tot,
+                    COUNT(*) AS v FROM vocab),
+    lam AS (
+        SELECT bigram,
+               CAST(FLOOR(1e6 * (
+                 LN((tgt_cnt + 0.5) / (tgt_tot + 0.5 * v))
+                 - LN((raw_cnt + 0.5) / (raw_tot + 0.5 * v)))) AS BIGINT) AS lam_ppm
+        FROM vocab CROSS JOIN tots),
+    per_doc AS (
+        SELECT g.doc_id, COUNT(*) AS n_feat, CAST(SUM(lam_ppm) AS BIGINT) AS dsir_ppm
+        FROM g JOIN lam USING (bigram) GROUP BY g.doc_id)
+    SELECT d.doc_id, CAST(COALESCE(n_feat, 0) AS BIGINT) AS n_feat,
+           CAST(COALESCE(dsir_ppm, 0) AS BIGINT) AS dsir_ppm
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+@query("ops_hybrid_retrieval")
+def ops_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval with reciprocal-rank fusion: for 4
+    query-by-example seeds, a BM25 ranking from the seed's top-8 terms
+    (functions/text.py:bm25_multi — ONE corpus pass for all queries) and
+    a cosine ranking from the seed's embedding are fused with integer RRF
+    (functions/curation.py:rrf_fuse, k=60) — the production RAG serving
+    recipe.  Shared id space: documents.doc_id ≡ embeddings.vec_id.
+    Everything is declarative; the only non-scan joins are candidate-list
+    sized (top-20 per system per query)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.curation import rrf_fuse
+
+    t = Tables(spark, sf_dir)
+    seed_toks = (
+        t.documents.where(F.col("doc_id") < 4)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(X.WORD_RE), F.lit(0))
+            ).alias("term"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("term"))
+    qterms = (
+        seed_toks.groupBy("query_id", "term")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= 8)
+        .select("query_id", "term")
+    )
+    lex = X.bm25_multi(t.documents, qterms)
+    wl = W.partitionBy("query_id").orderBy(F.desc("bm25_ppm"), F.asc("doc_id"))
+    lexr = (
+        lex.withColumn("rank", F.row_number().over(wl))
+        .where(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    qv = t.embeddings.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), xd.alias("q_vec")
+    )
+    c = t.embeddings.select(F.col("vec_id").alias("doc_id"), xd.alias("c_vec"))
+    wd = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    denr = (
+        c.join(F.broadcast(qv))
+        .select("query_id", "doc_id", S.cosine(F.col("c_vec"), F.col("q_vec")).alias("cos"))
+        .withColumn("rank", F.row_number().over(wd))
+        .where(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    fused = rrf_fuse({"lex": lexr, "dense": denr}, k=60)
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("fused_rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("dense_rank").cast("bigint").alias("dense_rank"),
+            "rrf_ppm",
+            "fused_rank",
+        )
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+ORACLE["ops_hybrid_retrieval"] = r"""
+    WITH seed_tc AS (
+        SELECT doc_id AS query_id, term, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents WHERE doc_id < 4)
+        GROUP BY query_id, term),
+    qterms AS (
+        SELECT query_id, term FROM (
+            SELECT query_id, term,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cnt DESC, term) AS rn
+            FROM seed_tc) WHERE rn <= 8),
+    d AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+          FROM documents),
+    toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               FLOOR(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+                 * 1e6) AS score_ppm
+        FROM tf JOIN dfreq USING (term) JOIN d USING (doc_id) CROSS JOIN stats),
+    lex AS (
+        SELECT q.query_id, s.doc_id, CAST(SUM(s.score_ppm) AS BIGINT) AS bm25_ppm
+        FROM scored s JOIN qterms q USING (term)
+        GROUP BY q.query_id, s.doc_id),
+    lexr AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY bm25_ppm DESC, doc_id) AS rank
+            FROM lex) WHERE rank <= 20),
+    qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+           FROM embeddings WHERE vec_id < 4),
+    c AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings),
+    denr AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT q.query_id, c.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY list_cosine_similarity(c.c_vec, q.q_vec) DESC,
+                                               c.doc_id) AS rank
+            FROM c CROSS JOIN qv q) WHERE rank <= 20),
+    fused AS (
+        SELECT COALESCE(l.query_id, de.query_id) AS query_id,
+               COALESCE(l.doc_id, de.doc_id) AS doc_id,
+               l.rank AS lex_rank, de.rank AS dense_rank,
+               COALESCE(1000000 // (60 + l.rank), 0)
+                 + COALESCE(1000000 // (60 + de.rank), 0) AS rrf_ppm
+        FROM lexr l FULL OUTER JOIN denr de
+          ON l.query_id = de.query_id AND l.doc_id = de.doc_id)
+    SELECT query_id, doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(dense_rank AS BIGINT) AS dense_rank,
+           CAST(rrf_ppm AS BIGINT) AS rrf_ppm, fused_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_ppm DESC, doc_id) AS fused_rank
+        FROM fused) WHERE fused_rank <= 10
+    ORDER BY query_id, fused_rank
+"""

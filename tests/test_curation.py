@@ -1,0 +1,140 @@
+"""Curation-selection operators: token-budget knapsack, DSIR importance
+weights, multi-query BM25, reciprocal-rank fusion."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
+from arcane_stream_microsoft_synapse_link_spark.functions import text as X
+from arcane_stream_microsoft_synapse_link_spark.functions.curation import (
+    importance_weights,
+    rrf_fuse,
+    token_budget_select,
+)
+from arcane_stream_microsoft_synapse_link_spark.session import local_df
+
+
+def _scored(spark, rows):
+    return local_df(
+        spark, rows, "doc_id bigint, quality_ppm bigint, n_tokens bigint"
+    )
+
+
+def _window_reference(df, budget):
+    """The semantics: global (quality DESC, id ASC) window cumsum filter."""
+    w = W.orderBy(F.desc("quality_ppm"), F.asc("doc_id")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        df.withColumn("_cum", F.sum("n_tokens").over(w))
+        .where(F.col("_cum") <= budget)
+        .drop("_cum")
+    )
+
+
+def _ids(df):
+    return [r["doc_id"] for r in df.orderBy(F.desc("quality_ppm"), "doc_id").collect()]
+
+
+def test_token_budget_matches_global_window(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    scored = t.documents.select(
+        "doc_id",
+        F.floor(X.quality_score(F.col("text")) * 1e6).cast("bigint").alias("quality_ppm"),
+        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    total = scored.agg(F.sum("n_tokens")).collect()[0][0]
+    for frac in (5, 2):
+        budget = int(total) // frac
+        assert _ids(token_budget_select(scored, budget)) == _ids(
+            _window_reference(scored, budget)
+        )
+
+
+def test_token_budget_zero_token_docs_follow_window_semantics(spark):
+    # docs 2/3 cost nothing; doc 3 sits BELOW the exhaustion point, and the
+    # window reference still includes any zero-cost doc while cum <= budget
+    rows = [(0, 900000, 5), (1, 800000, 5), (2, 800001, 0), (3, 700000, 0), (4, 600000, 5)]
+    df = _scored(spark, rows)
+    for budget in (10, 9, 5, 4, 0, 100):
+        got = _ids(token_budget_select(df, budget))
+        want = _ids(_window_reference(df, budget))
+        assert got == want, (budget, got, want)
+
+
+def test_token_budget_whole_corpus_fits(spark):
+    df = _scored(spark, [(0, 500000, 3), (1, 400000, 4)])
+    assert _ids(token_budget_select(df, 100)) == [0, 1]
+
+
+def test_token_budget_quality_ties_break_by_id(spark):
+    df = _scored(spark, [(5, 500000, 4), (1, 500000, 4), (3, 500000, 4)])
+    assert _ids(token_budget_select(df, 8)) == [1, 3]
+
+
+def test_bm25_multi_equals_single_query_bm25(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    terms = ["spark", "data", "merge"]
+    qt = local_df(spark, [(0, w) for w in terms], "query_id int, term string")
+    multi = {
+        r["doc_id"]: r["bm25_ppm"]
+        for r in X.bm25_multi(t.documents, qt).where(F.col("query_id") == 0).collect()
+    }
+    single = {r["doc_id"]: r["bm25_ppm"] for r in X.bm25_scores(t.documents, terms).collect()}
+    assert multi == single
+
+
+def test_bm25_multi_shared_terms_stay_per_query(spark, sf_dir):
+    # two queries sharing one term: each query's score for a doc counts the
+    # shared term once, plus only its OWN other terms
+    t = Tables(spark, sf_dir)
+    qt = local_df(
+        spark,
+        [(0, "spark"), (0, "data"), (1, "spark"), (1, "merge")],
+        "query_id int, term string",
+    )
+    multi = X.bm25_multi(t.documents, qt)
+    for qid, terms in [(0, ["spark", "data"]), (1, ["spark", "merge"])]:
+        got = {
+            r["doc_id"]: r["bm25_ppm"]
+            for r in multi.where(F.col("query_id") == qid).collect()
+        }
+        want = {r["doc_id"]: r["bm25_ppm"] for r in X.bm25_scores(t.documents, terms).collect()}
+        assert got == want, qid
+
+
+def test_rrf_fuse_hand_computed(spark):
+    lex = local_df(spark, [(0, 10, 1), (0, 11, 2)], "query_id int, doc_id int, rank int")
+    den = local_df(spark, [(0, 11, 1), (0, 12, 2)], "query_id int, doc_id int, rank int")
+    out = {
+        r["doc_id"]: (r["lex_rank"], r["dense_rank"], r["rrf_ppm"])
+        for r in rrf_fuse({"lex": lex, "dense": den}, k=60).collect()
+    }
+    # 1e6 // 61 = 16393, 1e6 // 62 = 16129
+    assert out[10] == (1, None, 16393)
+    assert out[12] == (None, 2, 16129)
+    assert out[11] == (2, 1, 16129 + 16393)
+
+
+def test_importance_weights_directional(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    out = importance_weights(t.documents, F.col("lang") == "en")
+    j = out.join(t.documents.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in j.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("dsir_ppm").alias("m"))
+        .collect()
+    }
+    # English documents must score higher on average than non-English ones
+    assert means[True] > means[False]
+
+
+def test_importance_weights_covers_every_doc(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    out = importance_weights(t.documents, F.col("lang") == "en")
+    assert out.count() == t.documents.count()
+    # docs with no vocab features exist at smoke scale and carry 0 weight
+    assert out.where(F.col("n_feat") == 0).where(F.col("dsir_ppm") != 0).count() == 0

@@ -1226,3 +1226,90 @@ def ivfpq_load(spark, path: str) -> IvfPqIndex:
         p["id_col"], "centroid_id", "pq_codes"
     )
     return IvfPqIndex(cents_df, cent, cb, codes_df, p["seed"], p["id_col"], p["vec_col"])
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    greedily pick ``k`` results that balance relevance to the query
+    against redundancy with what's already picked —
+    ``argmax_i λ·rel(i) − (1−λ)·max_{j∈S} sim(i, j)`` — the diversity
+    re-rank step between retrieval and a RAG context window, and the
+    classic diverse-exemplar sampler for eval-set construction.
+
+    Split of labor: the CORPUS-sized work (cosine relevance + top-``pool``
+    cut) is a distributed scan with a TakeOrdered limit — never a full
+    sort, never a collect of the corpus.  The greedy loop is inherently
+    sequential (selection j+1 depends on j), so it runs on the driver
+    over the ``pool`` collected candidates (pool × dim doubles, bounded
+    by contract).  Pairwise similarities are computed lazily only against
+    newly selected items — O(pool·k) folds, not O(pool²).
+
+    Determinism: relevance uses the JVM ``cosine`` fold; driver-side
+    similarities use the bit-identical strict left-to-right Python fold,
+    so (score, id) tie-breaks — and therefore the whole selection — are
+    reproducible across sessions and mirrorable by a sequential
+    reference (plans/values_oracle.py:ref_mmr_select)."""
+    import math
+
+    spark = corpus.sparkSession
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    cand = (
+        corpus.select(F.col(id_col), xd.alias("_v"))
+        .withColumn("_rel", cosine(F.col("_v"), qlit))
+        .orderBy(F.desc("_rel"), F.asc(id_col))
+        .limit(pool)
+        .collect()
+    )
+    ids = [r[id_col] for r in cand]
+    vecs = [list(r["_v"]) for r in cand]
+    rel = [r["_rel"] for r in cand]
+
+    def fold_cos(a: list[float], b: list[float]) -> float:
+        dot_ = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot_ += x * y
+            na += x * x
+            nb += y * y
+        return dot_ / (math.sqrt(na) * math.sqrt(nb))
+
+    n = len(ids)
+    chosen = [False] * n
+    selected: list[int] = []
+    sim: dict[tuple[int, int], float] = {}
+    out_rows = []
+    for rank in range(1, min(k, n) + 1):
+        best_i = -1
+        best: float | None = None
+        for i in range(n):
+            if chosen[i]:
+                continue
+            if not selected:
+                score = lam * rel[i]
+            else:
+                score = lam * rel[i] - (1.0 - lam) * max(
+                    sim[(i, j)] for j in selected
+                )
+            if best is None or score > best or (score == best and ids[i] < ids[best_i]):
+                best_i, best = i, score
+        chosen[best_i] = True
+        selected.append(best_i)
+        for i in range(n):
+            if not chosen[i]:
+                sim[(i, best_i)] = fold_cos(vecs[i], vecs[best_i])
+        out_rows.append(
+            (rank, ids[best_i], math.floor(rel[best_i] * 1e6), math.floor(best * 1e6))
+        )
+    return local_df(
+        spark,
+        out_rows,
+        f"sel_rank bigint, {id_col} bigint, rel_ppm bigint, mmr_ppm bigint",
+    )

@@ -3236,3 +3236,20 @@ ORACLE["ops_hybrid_retrieval"] = r"""
         FROM fused) WHERE fused_rank <= 10
     ORDER BY query_id, fused_rank
 """
+
+
+@query("ops_mmr_select")
+def ops_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse top-k via Maximal Marginal Relevance (λ=0.7): retrieve a
+    50-candidate cosine pool for the seed query (vec_id 0), then greedily
+    select 10 balancing relevance vs redundancy — the diversity re-rank
+    between retrieval and a RAG context (functions/similarity.py:
+    mmr_select; corpus work distributed + TakeOrdered, greedy loop over
+    the bounded pool).  Oracle-backed: hash-compared against the
+    sequential mirror plans/values_oracle.py:ref_mmr_select (sf0.01)."""
+    t = Tables(spark, sf_dir)
+    qv = [
+        float(v)
+        for v in t.embeddings.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return S.mmr_select(t.embeddings, qv, k=10, pool=50).orderBy("sel_rank")

@@ -1371,6 +1371,52 @@ def ref_semantic_dedup(
     return sorted(rows)
 
 
+def ref_mmr_select(
+    sf_dir: str, k: int = 10, pool: int = 50, lam: float = 0.7
+) -> list[tuple]:
+    """Sequential MMR mirror (engine: functions/similarity.py:mmr_select,
+    entry seed = vec_id 0): relevance and pairwise similarities via the
+    strict left-to-right cosine fold (_fold_cos — bit-equal to the JVM
+    aggregate), pool cut by (rel DESC, id ASC), greedy λ-blend in the
+    same float64 op order."""
+    import math
+
+    ids_all, X = _read_embeddings(sf_dir)
+    vecs = [list(map(float, row)) for row in X]
+    q = vecs[ids_all.index(0)]
+    rel_all = [_fold_cos(v, q) for v in vecs]
+    order = sorted(range(len(ids_all)), key=lambda i: (-rel_all[i], ids_all[i]))[:pool]
+    ids = [ids_all[i] for i in order]
+    vs = [vecs[i] for i in order]
+    rel = [rel_all[i] for i in order]
+    n = len(ids)
+    chosen = [False] * n
+    selected: list[int] = []
+    sim: dict[tuple[int, int], float] = {}
+    rows = []
+    for rank in range(1, min(k, n) + 1):
+        best_i = -1
+        best = None
+        for i in range(n):
+            if chosen[i]:
+                continue
+            if not selected:
+                score = lam * rel[i]
+            else:
+                score = lam * rel[i] - (1.0 - lam) * max(sim[(i, j)] for j in selected)
+            if best is None or score > best or (score == best and ids[i] < ids[best_i]):
+                best_i, best = i, score
+        chosen[best_i] = True
+        selected.append(best_i)
+        for i in range(n):
+            if not chosen[i]:
+                sim[(i, best_i)] = _fold_cos(vs[i], vs[best_i])
+        rows.append(
+            (rank, ids[best_i], math.floor(rel[best_i] * 1e6), math.floor(best * 1e6))
+        )
+    return rows
+
+
 def ref_bpe_pack(sf_dir: str, budget: int = 4096, n_merges: int = 10) -> list[tuple]:
     """(lang, seq_id, n_docs, seq_tokens) — concat-and-chop packing over
     REFERENCE BPE token counts: per lang in doc_id order, a doc's window
@@ -1527,6 +1573,15 @@ def build() -> dict[str, str]:
                     ("seq_id", "BIGINT"),
                     ("n_docs", "BIGINT"),
                     ("seq_tokens", "BIGINT"),
+                ],
+            ),
+            "ops_mmr_select": sql_values(
+                ref_mmr_select(_SF_PIN),
+                [
+                    ("sel_rank", "BIGINT"),
+                    ("vec_id", "BIGINT"),
+                    ("rel_ppm", "BIGINT"),
+                    ("mmr_ppm", "BIGINT"),
                 ],
             ),
             "ops_bpe_encode": sql_values(

@@ -138,3 +138,41 @@ def test_importance_weights_covers_every_doc(spark, sf_dir):
     assert out.count() == t.documents.count()
     # docs with no vocab features exist at smoke scale and carry 0 weight
     assert out.where(F.col("n_feat") == 0).where(F.col("dsir_ppm") != 0).count() == 0
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Planted case: two near-identical highly relevant vectors + one
+    moderately relevant orthogonal vector.  Pure top-2-by-relevance picks
+    the twins; MMR must swap the second twin for the diverse vector."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.similarity import mmr_select
+
+    # query distinct from every candidate (query == a candidate degenerates
+    # MMR: rel_i == sim(i, first pick) makes every second-pick score tie)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # most relevant
+        (1, [0.95, 0.05, 0.0, 0.0]),    # near-duplicate of 0
+        (2, [0.4, 0.0, 0.9, 0.0]),      # diverse, moderately relevant
+    ]
+    df = local_df(spark, [(i, [float(x) for x in v]) for i, v in rows],
+                  "vec_id bigint, embedding array<float>")
+    out = mmr_select(df, [1.0, 0.02, 0.0, 0.0], k=2, pool=3, lam=0.3)
+    picked = [r["vec_id"] for r in out.orderBy("sel_rank").collect()]
+    assert picked == [0, 2], picked
+
+
+def test_mmr_mirror_discriminates(spark):
+    """A changed λ must hash-mismatch the sequential mirror."""
+    from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
+    from arcane_stream_microsoft_synapse_link_spark.functions.similarity import mmr_select
+    from arcane_stream_microsoft_synapse_link_spark.plans import ORACLE
+
+    from .oracle_harness import compare
+
+    def wrong(spark_, sf_dir):
+        t = Tables(spark_, sf_dir)
+        qv = [float(v) for v in
+              t.embeddings.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        return mmr_select(t.embeddings, qv, k=10, pool=50, lam=0.3).orderBy("sel_rank")
+
+    ok, _ = compare(spark, "/root/testdata/sf0.01", wrong, ORACLE["ops_mmr_select"], strict=True)
+    assert not ok, "perturbed lambda must hash-mismatch the MMR mirror"

@@ -3253,3 +3253,36 @@ def ops_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in t.embeddings.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     ]
     return S.mmr_select(t.embeddings, qv, k=10, pool=50).orderBy("sel_rank")
+
+
+@query("ops_quality_classifier")
+def ops_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality/domain filter (the GPT-3/CCNet classifier setup):
+    distributed IRLS logistic regression separating a seed domain (the
+    English slice) from the rest on engineered text ratios, then a pure
+    JVM scoring sweep — floor-ppm sigmoid scores
+    (functions/classifier.py; per Newton iteration ONE corpus scan
+    emitting d²+d partial sums, d×d solve on the driver).  On this
+    synthetic corpus the classes are barely separable (train accuracy ≈
+    0.58 vs 0.56 base rate) — the declared result verifies the TRAINING
+    MACHINERY bit-for-bit, not a pretrained model's skill.  Oracle:
+    sequential numpy mirror (plans/values_oracle.py:
+    ref_quality_classifier, pinned sf0.01 — single Arrow batch, so every
+    GEMM reproduces exactly)."""
+    from ..functions.classifier import (
+        classifier_scores,
+        irls_train,
+        text_feature_frame,
+    )
+
+    t = Tables(spark, sf_dir)
+    feat = text_feature_frame(
+        t.documents, keep=((F.col("lang") == "en").cast("int").alias("label"),)
+    )
+    beta = irls_train(feat)
+    scores = classifier_scores(feat, beta)
+    return (
+        scores.join(feat.select("doc_id", "label"), "doc_id")
+        .select("doc_id", F.col("label").cast("bigint").alias("label"), "score_ppm")
+        .orderBy("doc_id")
+    )

@@ -1371,6 +1371,69 @@ def ref_semantic_dedup(
     return sorted(rows)
 
 
+def ref_quality_classifier(sf_dir: str, iters: int = 4, ridge: float = 1e-6) -> list[tuple]:
+    """Sequential mirror of the IRLS quality classifier (engine:
+    functions/classifier.py, entry label = lang=='en').  Features are
+    re-derived with ASCII-semantics regexes (Java \\s and \\b are
+    ASCII-only — Python needs re.ASCII to match); the Newton loop runs
+    the same numpy GEMM shapes the single-batch engine pass runs, and
+    scoring replicates the JVM sigmoid in float64 (exp parity verified:
+    0/500 floor-ppm mismatches at the pinned scale)."""
+    import math
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    tok_re = re.compile(r"\S+", re.ASCII)
+    stop_re = re.compile(
+        r"\b(the|a|an|and|or|of|to|in|is|it)\b", re.ASCII
+    )
+    punct_re = re.compile(r"[.,!?;:]")
+    feats, y = [], []
+    for txt, lang in zip(texts, langs):
+        toks = float(len(tok_re.findall(txt)))
+        stops = float(len(stop_re.findall(txt.lower())))
+        punct = float(len(punct_re.findall(txt)))
+        chars = float(len(txt))
+        feats.append(
+            [
+                1.0,
+                toks / (toks + 64.0),
+                min(stops * 5.0 / max(toks, 1.0), 1.0),
+                min(punct * 10.0 / max(chars, 1.0), 1.0),
+                min(chars / max(toks, 1.0) / 8.0, 2.0),
+            ]
+        )
+        y.append(1.0 if lang == "en" else 0.0)
+    X = np.asarray(feats, dtype=np.float64)
+    yv = np.asarray(y, dtype=np.float64)
+    d = X.shape[1]
+    beta = np.zeros(d)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+        w = p * (1.0 - p)
+        H = X.T @ (w[:, None] * X)
+        g = X.T @ (yv - p)
+        beta = beta + np.linalg.solve(H + ridge * np.eye(d), g)
+    b = [float(v) for v in beta]
+    rows = []
+    for i, did in enumerate(ids):
+        z = 0.0
+        for bj, xj in zip(b, X[i]):
+            z = z + bj * float(xj)
+        score = math.floor((1.0 / (1.0 + math.exp(-z))) * 1e6)
+        rows.append((did, int(yv[i]), score))
+    rows.sort()
+    return rows
+
+
 def ref_mmr_select(
     sf_dir: str, k: int = 10, pool: int = 50, lam: float = 0.7
 ) -> list[tuple]:
@@ -1574,6 +1637,10 @@ def build() -> dict[str, str]:
                     ("n_docs", "BIGINT"),
                     ("seq_tokens", "BIGINT"),
                 ],
+            ),
+            "ops_quality_classifier": sql_values(
+                ref_quality_classifier(_SF_PIN),
+                [("doc_id", "BIGINT"), ("label", "BIGINT"), ("score_ppm", "BIGINT")],
             ),
             "ops_mmr_select": sql_values(
                 ref_mmr_select(_SF_PIN),

@@ -136,6 +136,81 @@ def doc_bigrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(F.col(id_col), F.explode(grams).alias("bigram"))
 
 
+def dsir_lambda_table(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 512,
+) -> DataFrame:
+    """The trainable half of ``importance_weights``: the ``(bigram,
+    lam_ppm)`` log-ratio table learned from a reference corpus.  Split
+    out so a streaming scorer can train it ONCE, persist it, and apply
+    it per micro-batch (streaming/structured.py:run_curation_stream)."""
+    grams = doc_bigrams(df, text_col, id_col)
+    flags = df.select(id_col, target.cast("boolean").alias("_tgt"))
+    g = grams.join(flags, id_col)
+    counts = g.groupBy("bigram").agg(
+        F.count("*").alias("raw_cnt"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tgt_cnt"),
+    )
+    vocab = counts.orderBy(F.desc("raw_cnt"), F.asc("bigram")).limit(vocab_size)
+    tots = vocab.agg(
+        F.sum("raw_cnt").alias("raw_tot"),
+        F.sum("tgt_cnt").alias("tgt_tot"),
+        F.count("*").alias("v"),
+    )
+    return (
+        vocab.crossJoin(F.broadcast(tots))
+        .withColumn(
+            "lam_ppm",
+            F.floor(
+                F.lit(1e6)
+                * (
+                    F.log(
+                        (F.col("tgt_cnt") + F.lit(0.5))
+                        / (F.col("tgt_tot") + F.lit(0.5) * F.col("v"))
+                    )
+                    - F.log(
+                        (F.col("raw_cnt") + F.lit(0.5))
+                        / (F.col("raw_tot") + F.lit(0.5) * F.col("v"))
+                    )
+                )
+            ).cast("bigint"),
+        )
+        .select("bigram", "lam_ppm")
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    lam: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned λ table to a corpus (or micro-batch): per-doc
+    ``dsir_ppm = Σ count_f · λ_f`` — exact integer fold, broadcast join,
+    O(batch) with no reference re-scan."""
+    grams = doc_bigrams(df, text_col, id_col)
+    per_doc = (
+        grams.join(F.broadcast(lam), "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feat"),
+            F.sum("lam_ppm").cast("bigint").alias("dsir_ppm"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feat", F.lit(0)).cast("bigint").alias("n_feat"),
+            F.coalesce("dsir_ppm", F.lit(0)).cast("bigint").alias("dsir_ppm"),
+        )
+    )
+
+
 def importance_weights(
     df: DataFrame,
     target: Column,
@@ -162,53 +237,5 @@ def importance_weights(
     broadcast-joined per-(feature) conditional count pass — λ is ppm
     integer, so the per-document fold is exact integer arithmetic and
     aggregation order cannot perturb results."""
-    grams = doc_bigrams(df, text_col, id_col)
-    flags = df.select(id_col, target.cast("boolean").alias("_tgt"))
-    g = grams.join(flags, id_col)
-    counts = g.groupBy("bigram").agg(
-        F.count("*").alias("raw_cnt"),
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tgt_cnt"),
-    )
-    vocab = counts.orderBy(F.desc("raw_cnt"), F.asc("bigram")).limit(vocab_size)
-    tots = vocab.agg(
-        F.sum("raw_cnt").alias("raw_tot"),
-        F.sum("tgt_cnt").alias("tgt_tot"),
-        F.count("*").alias("v"),
-    )
-    lam = (
-        vocab.crossJoin(F.broadcast(tots))
-        .withColumn(
-            "lam_ppm",
-            F.floor(
-                F.lit(1e6)
-                * (
-                    F.log(
-                        (F.col("tgt_cnt") + F.lit(0.5))
-                        / (F.col("tgt_tot") + F.lit(0.5) * F.col("v"))
-                    )
-                    - F.log(
-                        (F.col("raw_cnt") + F.lit(0.5))
-                        / (F.col("raw_tot") + F.lit(0.5) * F.col("v"))
-                    )
-                )
-            ).cast("bigint"),
-        )
-        .select("bigram", "lam_ppm")
-    )
-    per_doc = (
-        grams.join(F.broadcast(lam), "bigram")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_feat"),
-            F.sum("lam_ppm").cast("bigint").alias("dsir_ppm"),
-        )
-    )
-    ids = df.select(id_col)
-    return (
-        ids.join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_feat", F.lit(0)).cast("bigint").alias("n_feat"),
-            F.coalesce("dsir_ppm", F.lit(0)).cast("bigint").alias("dsir_ppm"),
-        )
-    )
+    lam = dsir_lambda_table(df, target, text_col, id_col, vocab_size)
+    return dsir_score(df, lam, text_col, id_col)

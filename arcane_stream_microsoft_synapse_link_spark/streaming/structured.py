@@ -424,3 +424,96 @@ def run_ann_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_curation_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    reference: DataFrame,
+    target,
+    work_dir: str,
+    checkpoint_dir: str,
+    min_score_ppm: int = 450000,
+    min_dsir_ppm: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming curation gate: score every micro-batch of incoming
+    documents with BOTH trained curation models — the IRLS quality
+    classifier (functions/classifier.py) and the DSIR importance λ table
+    (functions/curation.py) — and route to ``accept/`` or ``reject/``
+    with the scores attached.  The intake-side twin of
+    ``ops_quality_classifier`` + ``ops_importance_weights``: models are
+    trained ONCE from the static ``reference`` corpus (``target`` is the
+    seed-domain boolean Column over its rows) and persisted under
+    ``curation_model/``; every batch after that is a broadcast-join +
+    projection — O(batch), zero cross-batch state growth, and a restart
+    reuses the persisted model byte-for-byte (same atomic-rename +
+    ``_SUCCESS`` discipline as ``run_decontaminate_stream``).
+
+    A doc is accepted when ``score_ppm ≥ min_score_ppm`` AND
+    ``dsir_ppm ≥ min_dsir_ppm``; both scores are written either way, so
+    downstream can re-threshold rejected docs without re-scoring."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..functions.classifier import (
+        classifier_scores,
+        irls_train,
+        text_feature_frame,
+    )
+    from ..functions.curation import dsir_lambda_table, dsir_score
+
+    model_dir = os.path.join(work_dir, "curation_model")
+    lam_dir = os.path.join(model_dir, "lam")
+    beta_path = os.path.join(model_dir, "beta.json")
+    accept_dir = os.path.join(work_dir, "accept")
+    reject_dir = os.path.join(work_dir, "reject")
+
+    if not (
+        os.path.exists(os.path.join(lam_dir, "_SUCCESS")) and os.path.exists(beta_path)
+    ):
+        tmp_dir = model_dir + "._tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir)
+        dsir_lambda_table(reference, target, text_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp_dir, "lam"))
+        feat = text_feature_frame(
+            reference, text_col, id_col, keep=(target.cast("int").alias("label"),)
+        )
+        beta = irls_train(feat)
+        with open(os.path.join(tmp_dir, "beta.json"), "w") as f:
+            json.dump(beta, f)
+        shutil.rmtree(model_dir, ignore_errors=True)
+        os.replace(tmp_dir, model_dir)
+
+    with open(beta_path) as f:
+        beta = json.load(f)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(id_col, text_col).localCheckpoint()
+        lam = spark.read.parquet(lam_dir)
+        feat = text_feature_frame(batch_df, text_col, id_col)
+        quality = classifier_scores(feat, beta, id_col=id_col)
+        dsir = dsir_score(batch_df, lam, text_col, id_col)
+        scored = (
+            batch_df.join(quality, id_col)
+            .join(dsir.select(id_col, "dsir_ppm"), id_col)
+            .localCheckpoint()
+        )
+        ok = (F.col("score_ppm") >= min_score_ppm) & (
+            F.col("dsir_ppm") >= min_dsir_ppm
+        )
+        scored.where(ok).write.mode("append").parquet(accept_dir)
+        scored.where(~ok).write.mode("append").parquet(reject_dir)
+
+    return (
+        source.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

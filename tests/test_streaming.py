@@ -495,3 +495,64 @@ def test_streaming_ann_index_maintenance(spark, tmp_path):
     )
     got = S.ivfpq_probe(loaded, queries, k=3, nprobe=8, rerank=50, corpus=full).collect()
     assert got[0]["vec_id"] == 7 and got[1]["vec_id"] == 9000
+
+
+def test_streaming_curation_pipeline(spark, tmp_path):
+    """run_curation_stream: both curation models (IRLS quality classifier
+    + DSIR lambda table) train once from the reference corpus, persist, and
+    gate every micro-batch; a restart reuses the persisted model without
+    retraining (beta.json untouched), and scores ride along on both
+    routes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_curation_stream,
+    )
+
+    prose = "the quick brown fox jumps over the lazy dog and it is fine "
+    junk = "x,y;z.!? q,w;e.!? "
+    ref_rows = [(i, prose * (2 + i % 3), ) for i in range(0, 30, 2)]
+    ref_rows += [(i, junk * (4 + i % 3), ) for i in range(1, 30, 2)]
+    reference = spark.createDataFrame(
+        [(i, t) for (i, t) in ref_rows], "doc_id long, text string"
+    )
+    target = F.col("doc_id") % 2 == 0  # the prose slice is the seed domain
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(100, prose * 3), (101, junk * 5)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    q = run_curation_stream(
+        spark, stream(), reference, target, work, ckpt, min_score_ppm=500000
+    )
+    q.awaitTermination(120)
+
+    beta_mtime = os.path.getmtime(f"{work}/curation_model/beta.json")
+    accepted = {r["doc_id"] for r in spark.read.parquet(f"{work}/accept").collect()}
+    rejected = {r["doc_id"] for r in spark.read.parquet(f"{work}/reject").collect()}
+    assert accepted == {100} and rejected == {101}
+
+    # restart with a second batch: the persisted model must be reused
+    spark.createDataFrame(
+        [(200, prose * 2), (201, junk * 4)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q2 = run_curation_stream(
+        spark, stream(), reference, target, work, ckpt, min_score_ppm=500000
+    )
+    q2.awaitTermination(120)
+
+    assert os.path.getmtime(f"{work}/curation_model/beta.json") == beta_mtime
+    accepted = {r["doc_id"] for r in spark.read.parquet(f"{work}/accept").collect()}
+    rejected = {r["doc_id"] for r in spark.read.parquet(f"{work}/reject").collect()}
+    assert accepted == {100, 200} and rejected == {101, 201}
+    # scores ride along on both routes
+    row = spark.read.parquet(f"{work}/reject").where(F.col("doc_id") == 201).collect()[0]
+    assert row["score_ppm"] < 500000 and row["dsir_ppm"] < 0

@@ -250,3 +250,64 @@ def importance_weights(
     aggregation order cannot perturb results."""
     lam = dsir_lambda_table(df, target, text_col, id_col, vocab_size)
     return dsir_score(df, lam, text_col, id_col)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: every near-dup CLUSTER moves as a unit, keyed by the cluster
+    representative's content hash.
+
+    A plain content-hash split (``ops_hash_split``) keeps exact
+    duplicates together (same text → same bucket) but scatters NEAR
+    duplicates — a train doc's paraphrase lands in test and inflates
+    eval.  Here the verified near-dup ``pairs`` are resolved to
+    connected components (functions/dedup.py:duplicate_clusters —
+    adaptive union-find / min-label propagation), and the split bucket
+    is computed from the REPRESENTATIVE's md5, so all members inherit
+    one assignment.  Singletons fall back to their own content hash,
+    which equals the representative rule (they are their own cluster).
+
+    Plan shape: the cluster map is pair-graph-sized (LSH survivors) —
+    broadcast both directions; representative buckets come from one
+    corpus scan semi-joined to the (tiny) representative id set.  The
+    corpus itself is never shuffled.  md5-prefix mod 100 is the
+    cross-engine-stable bucket (same rule as ``ops_hash_split``)."""
+    from .dedup import duplicate_clusters
+
+    bucket_of = F.expr(
+        f"CAST(conv(substr(md5({text_col}), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    clusters = duplicate_clusters(pairs).withColumnRenamed("id", id_col)
+    rep_ids = clusters.select(F.col("cluster_id").alias("_rep")).distinct()
+    rep_bucket = (
+        df.join(F.broadcast(rep_ids), F.col(id_col) == F.col("_rep"))
+        .select(F.col(id_col).alias("_repc"), bucket_of.alias("_rep_bucket"))
+    )
+    withc = (
+        df.select(id_col, bucket_of.alias("_own_bucket"))
+        .join(F.broadcast(clusters), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .join(
+            F.broadcast(rep_bucket),
+            F.col("cluster_id") == F.col("_repc"),
+            "left",
+        )
+        .withColumn("bucket", F.coalesce("_rep_bucket", "_own_bucket"))
+    )
+    split = (
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return withc.select(
+        F.col(id_col),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        split.alias("split"),
+    )

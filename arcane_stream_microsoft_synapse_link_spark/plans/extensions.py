@@ -3286,3 +3286,19 @@ def ops_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("label").cast("bigint").alias("label"), "score_ppm")
         .orderBy("doc_id")
     )
+
+
+@query("ops_leakage_safe_split")
+def ops_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate clusters (LSH +
+    exact-Jaccard verified at 1/2, resolved to connected components) move
+    as a UNIT into one split, keyed by the representative's content md5 —
+    a paraphrase can never sit in test while its twin trains
+    (functions/curation.py:leakage_safe_split).  Oracle-backed:
+    sequential MinHash + union-find + md5-bucket mirror
+    (plans/values_oracle.py:ref_leakage_safe_split, pinned sf0.01)."""
+    from ..functions.curation import leakage_safe_split
+
+    t = Tables(spark, sf_dir)
+    pairs = D.minhash_near_duplicates(t.documents, threshold=0.5)
+    return leakage_safe_split(t.documents, pairs).orderBy("doc_id")

@@ -1434,6 +1434,42 @@ def ref_quality_classifier(sf_dir: str, iters: int = 4, ridge: float = 1e-6) -> 
     return rows
 
 
+def ref_leakage_safe_split(
+    sf_dir: str, train_pct: int = 90, val_pct: int = 5
+) -> list[tuple]:
+    """Sequential mirror of the leakage-safe split (engine:
+    functions/curation.py:leakage_safe_split): MinHash-verified pairs at
+    1/2 over the full corpus, union-find components, split bucket from
+    the component representative's md5-prefix mod 100."""
+    docs = _documents(sf_dir)
+    pairs = _minhash_verified_pairs(docs, 1, 2)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ida, idb, _, _ in pairs:
+        ra, rb = find(ida), find(idb)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    text_of = dict(docs)
+    rows = []
+    for doc_id, _text in sorted(docs):
+        cluster = find(doc_id) if doc_id in parent else doc_id
+        rep_text = text_of[cluster] or ""
+        bucket = int(hashlib.md5(rep_text.encode("utf-8")).hexdigest()[:8], 16) % 100
+        split = (
+            "train"
+            if bucket < train_pct
+            else ("val" if bucket < train_pct + val_pct else "test")
+        )
+        rows.append((doc_id, cluster, split))
+    return rows
+
+
 def ref_mmr_select(
     sf_dir: str, k: int = 10, pool: int = 50, lam: float = 0.7
 ) -> list[tuple]:
@@ -1637,6 +1673,10 @@ def build() -> dict[str, str]:
                     ("n_docs", "BIGINT"),
                     ("seq_tokens", "BIGINT"),
                 ],
+            ),
+            "ops_leakage_safe_split": sql_values(
+                ref_leakage_safe_split(_SF_PIN),
+                [("doc_id", "BIGINT"), ("cluster_id", "BIGINT"), ("split", "VARCHAR")],
             ),
             "ops_quality_classifier": sql_values(
                 ref_quality_classifier(_SF_PIN),

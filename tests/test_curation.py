@@ -176,3 +176,48 @@ def test_mmr_mirror_discriminates(spark):
 
     ok, _ = compare(spark, "/root/testdata/sf0.01", wrong, ORACLE["ops_mmr_select"], strict=True)
     assert not ok, "perturbed lambda must hash-mismatch the MMR mirror"
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark, sf_dir):
+    """The leakage property itself: every verified near-dup pair lands in
+    ONE split; singletons match the plain content-hash rule."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.curation import (
+        leakage_safe_split,
+    )
+    from arcane_stream_microsoft_synapse_link_spark.functions.dedup import (
+        minhash_near_duplicates,
+    )
+
+    t = Tables(spark, sf_dir)
+    pairs = minhash_near_duplicates(t.documents, threshold=0.5)
+    out = leakage_safe_split(t.documents, pairs)
+    j = (
+        pairs.join(
+            out.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")), "id_a"
+        )
+        .join(out.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")), "id_b")
+    )
+    assert j.where(F.col("sa") != F.col("sb")).count() == 0
+    assert out.count() == t.documents.count()
+
+
+def test_leakage_safe_split_planted_cross_bucket_pair(spark):
+    """Planted pair whose OWN content hashes land in different buckets:
+    without clustering they'd split apart; with it both follow the
+    representative (min id)."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.curation import (
+        leakage_safe_split,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    near = base + "iota"
+    docs = local_df(
+        spark, [(1, base), (2, near), (3, "totally different text here")],
+        "doc_id bigint, text string",
+    )
+    pairs = local_df(spark, [(1, 2)], "id_a bigint, id_b bigint")
+    out = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in
+           leakage_safe_split(docs, pairs).collect()}
+    assert out[1][0] == 1 and out[2][0] == 1
+    assert out[1][1] == out[2][1]
+    assert out[3][0] == 3

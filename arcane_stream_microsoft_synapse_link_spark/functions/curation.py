@@ -158,6 +158,8 @@ def dsir_lambda_table(
     lam_ppm)`` log-ratio table learned from a reference corpus.  Split
     out so a streaming scorer can train it ONCE, persist it, and apply
     it per micro-batch (streaming/structured.py:run_curation_stream)."""
+    from ..session import local_df
+
     grams = doc_bigrams(df, text_col, id_col)
     flags = df.select(id_col, target.cast("boolean").alias("_tgt"))
     g = grams.join(flags, id_col)
@@ -165,11 +167,28 @@ def dsir_lambda_table(
         F.count("*").alias("raw_cnt"),
         F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tgt_cnt"),
     )
-    vocab = counts.orderBy(F.desc("raw_cnt"), F.asc("bigram")).limit(vocab_size)
-    tots = vocab.agg(
-        F.sum("raw_cnt").alias("raw_tot"),
-        F.sum("tgt_cnt").alias("tgt_tot"),
-        F.count("*").alias("v"),
+    # the vocab is a bounded TakeOrdered result (≤ vocab_size rows) that
+    # two consumers need (the λ projection AND its totals) — referencing
+    # the lazy frame twice re-runs the corpus bigram aggregate per
+    # consumer (Spark does not CSE common subtrees outside exchange
+    # reuse). Collect it once; totals become exact-integer literals and
+    # the λ math stays a Spark-side projection over the LocalRelation
+    # (JVM ln — same bits the distributed spelling produced).
+    vrows = sorted(
+        counts.orderBy(F.desc("raw_cnt"), F.asc("bigram")).limit(vocab_size).collect(),
+        key=lambda r: (-r["raw_cnt"], r["bigram"]),
+    )
+    raw_tot = sum(r["raw_cnt"] for r in vrows)
+    tgt_tot = sum(r["tgt_cnt"] for r in vrows)
+    vocab = local_df(
+        df.sparkSession,
+        [(r["bigram"], r["raw_cnt"], r["tgt_cnt"]) for r in vrows],
+        "bigram string, raw_cnt bigint, tgt_cnt bigint",
+    )
+    tots = local_df(
+        df.sparkSession,
+        [(raw_tot, tgt_tot, len(vrows))],
+        "raw_tot bigint, tgt_tot bigint, v bigint",
     )
     return (
         vocab.crossJoin(F.broadcast(tots))

@@ -454,6 +454,7 @@ def bm25_multi(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    materialize: bool = True,
 ) -> "DataFrame":
     """Multi-query BM25 in ONE corpus pass: ``query_terms`` is a
     ``(query_id, term)`` relation (tiny — broadcast), and every query's
@@ -480,6 +481,14 @@ def bm25_multi(
         ).alias("term"),
     ).join(F.broadcast(vocab), "term")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    if materialize:
+        # tf feeds BOTH the document-frequency aggregate and the scoring
+        # join; without materialization each consumer re-runs the corpus
+        # explode+aggregate (Spark reuses exchanges, not whole subtrees —
+        # and only when AQE canonicalization happens to line up).  The
+        # postings table is docs × matched-terms — bounded, safe to pin.
+        # materialize=False exists for plan-shape tests.
+        tf = tf.localCheckpoint()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = docs.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
     scored = (

@@ -3135,6 +3135,10 @@ def ops_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rn", F.row_number().over(wq))
         .where(F.col("_rn") <= 8)
         .select("query_id", "term")
+        # consumed twice inside bm25_multi (vocab + per-query fanout):
+        # materialize the 32-row frame instead of re-running the seed
+        # explode per consumer
+        .localCheckpoint()
     )
     lex = X.bm25_multi(t.documents, qterms)
     wl = W.partitionBy("query_id").orderBy(F.desc("bm25_ppm"), F.asc("doc_id"))

@@ -318,3 +318,70 @@ def test_bpe_pack_window_over_doc_totals(spark):
     i = plan.index("Window")
     assert "HashAggregate" in plan[i:], "window must sit above the per-doc aggregate"
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_window_is_boundary_bucket_sized(spark):
+    """The selection must NOT globally sort the corpus: its only cumsum
+    Window runs over the FILTERED boundary bucket (a `/ 1000` bucket
+    equality sits below it), never the whole input."""
+    plan = plan_of(QUERIES["ops_token_budget_select"](spark, SF_SMOKE))
+    assert plan.count("Window (") == 1, plan.count("Window (")
+    i = plan.index("Window (")
+    below = plan[i:]
+    assert "Filter" in below
+    assert "/ 1000" in below, "cumsum window must sit above the bucket-equality filter"
+
+
+def test_importance_weights_single_scoring_explode(spark):
+    """The λ table is a collected-vocab LocalRelation (the corpus bigram
+    aggregate ran ONCE during construction, not once per consumer); the
+    returned scoring plan contains exactly the one score-pass explode
+    joined against it."""
+    plan = plan_of(QUERIES["ops_importance_weights"](spark, SF_SMOKE))
+    assert plan.count("Generate (") == 1, plan.count("Generate (")
+    assert "LocalTableScan" in plan  # the λ table
+    assert "CartesianProduct" not in plan
+
+
+def test_importance_weights_vocab_cut_is_takeordered(spark):
+    """The vocabulary cut inside dsir_lambda_table must be TakeOrdered —
+    never a full sort of the bigram count table."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.curation import (
+        doc_bigrams,
+    )
+    from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
+    from pyspark.sql import functions as F
+
+    t = Tables(spark, SF_SMOKE)
+    counts = doc_bigrams(t.documents).groupBy("bigram").agg(F.count("*").alias("raw_cnt"))
+    plan = plan_of(counts.orderBy(F.desc("raw_cnt"), F.asc("bigram")).limit(512))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hybrid_retrieval_no_duplicated_corpus_subtrees(spark):
+    """The postings table (tf) and the seed-term table are materialized
+    once and fanned out — the returned plan re-reads the bounded
+    checkpoints (ExistingRDD scans) instead of re-running corpus
+    explodes per consumer; no cartesian blowup anywhere."""
+    plan = plan_of(QUERIES["ops_hybrid_retrieval"](spark, SF_SMOKE))
+    assert plan.count("Generate (") == 0, plan.count("Generate (")
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_scoring_is_jvm_only(spark):
+    """Training happens during plan construction (bounded partial-sum
+    collects); the RETURNED scoring plan must be pure JVM — no Python
+    evaluation node in the hot path."""
+    plan = plan_of(QUERIES["ops_quality_classifier"](spark, SF_SMOKE))
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+
+
+def test_leakage_safe_split_corpus_never_shuffle_joined(spark):
+    """Cluster map and representative buckets are pair-graph-sized
+    broadcasts: the corpus-side joins must all be broadcast, never
+    sort-merge (a corpus shuffle), and no cartesian product."""
+    plan = plan_of(QUERIES["ops_leakage_safe_split"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1089,3 +1089,96 @@ ORACLE["q55_window_distinct"] = """
            ) AS n_prio
     FROM orders ORDER BY o_orderkey LIMIT 500
 """
+
+
+@query("q56_funnel")
+def q56_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user the
+    first view, the first click strictly after it, the first purchase
+    strictly after that — then users surviving each stage.  The chained
+    conditional-min spelling keeps every aggregation and join on the
+    SAME key (user_id): one shuffle partitioning reused end-to-end,
+    no per-user event arrays materialized (heavy users cost nothing
+    beyond their aggregate row)."""
+    t = Tables(spark, sf_dir)
+    e = t.events.select("user_id", "ts", "event_type")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    out = (
+        v.agg(F.lit(1).alias("stage"), F.count("*").alias("n_users"))
+        .unionByName(c.agg(F.lit(2).alias("stage"), F.count("*").alias("n_users")))
+        .unionByName(p.agg(F.lit(3).alias("stage"), F.count("*").alias("n_users")))
+    )
+    return out.select(
+        F.col("stage").cast("bigint").alias("stage"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+    ).orderBy("stage")
+
+
+ORACLE["q56_funnel"] = """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM p
+    ) ORDER BY stage
+"""
+
+
+@query("q57_retention_cohorts")
+def q57_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their first
+    event; for each cohort, distinct users active k weeks later
+    (k = 0..3).  Two aggregations and one join, all keyed on user_id /
+    (cohort, k) — integer week arithmetic (floor of day diff / 7) so the
+    result is engine-exact."""
+    t = Tables(spark, sf_dir)
+    e = t.events.select("user_id", F.to_date("ts").alias("d"))
+    first = e.groupBy("user_id").agg(F.min("d").alias("d0"))
+    joined = e.join(first, "user_id").select(
+        "user_id",
+        F.date_trunc("week", F.col("d0")).cast("date").alias("cohort_week"),
+        F.floor(F.datediff(F.col("d"), F.col("d0")) / 7).cast("bigint").alias("k"),
+    )
+    return (
+        joined.where(F.col("k") <= 3)
+        .groupBy("cohort_week", "k")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "k")
+    )
+
+
+ORACLE["q57_retention_cohorts"] = """
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    f AS (SELECT user_id, MIN(d) AS d0 FROM e GROUP BY user_id),
+    j AS (SELECT e.user_id,
+                 CAST(date_trunc('week', f.d0) AS DATE) AS cohort_week,
+                 CAST(FLOOR(date_diff('day', f.d0, e.d) / 7.0) AS BIGINT) AS k
+          FROM e JOIN f USING (user_id))
+    SELECT cohort_week, k, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j WHERE k <= 3 GROUP BY cohort_week, k ORDER BY cohort_week, k
+"""

@@ -3306,3 +3306,103 @@ def ops_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     pairs = D.minhash_near_duplicates(t.documents, threshold=0.5)
     return leakage_safe_split(t.documents, pairs).orderBy("doc_id")
+
+
+@query("ops_paragraph_dedup")
+def ops_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level dedup, the removal step after
+    boilerplate DETECTION (ops_boilerplate_spans): segment every document
+    into non-overlapping 16-word paragraphs (the corpus has no newline
+    structure, so fixed word windows are the paragraph boundary — the
+    algorithm is delimiter-agnostic), drop every segment whose content
+    hash appears in ≥2 distinct documents, and reassemble the surviving
+    text in order.  Output stays compact: per-doc kept/dropped counts +
+    the md5 of the cleaned text (value-hash-verifiable without shipping
+    the full strings).
+
+    Plan: one chunk explode → (hash → distinct-doc count) aggregate →
+    broadcast-scale join back on the duplicated hashes only → ordered
+    re-aggregation via sort_array(collect_list(struct)) — order restored
+    without a window sort."""
+    t = Tables(spark, sf_dir)
+    n = 16
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(X.WORD_RE), F.lit(0))
+    w = t.documents.select("doc_id", words.alias("_ws"))
+    nchunks = F.greatest(F.ceil(F.size("_ws") / F.lit(n)).cast("int"), F.lit(1))
+    chunks = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), nchunks),
+                lambda i: F.array_join(F.slice(F.col("_ws"), (i - 1) * n + 1, n), " "),
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    dup = (
+        chunks.groupBy(F.md5("chunk").alias("h"))
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    # no broadcast hint: the duplicated-hash table is corpus-dependent
+    # (CCNet-scale it can be billions of rows) — Catalyst/AQE broadcasts
+    # it when it fits and falls back to a shuffled hash join when not,
+    # which is the correct plan at every scale
+    marked = chunks.join(dup, F.md5(F.col("chunk")) == F.col("h"), "left")
+    rebuilt = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("h").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("h").isNull(),
+                                F.struct(F.col("chunk_id"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+    )
+    return rebuilt.select(
+        "doc_id",
+        (F.col("n_total") - F.col("n_dropped")).cast("bigint").alias("n_kept"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.md5("cleaned").alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE["ops_paragraph_dedup"] = r"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    c AS (
+        SELECT doc_id, i AS chunk_id,
+               array_to_string(ws[(i-1)*16+1 : (i-1)*16+16], ' ') AS chunk
+        FROM w, unnest(range(1, GREATEST(CAST(CEIL(len(ws) / 16.0) AS BIGINT), 1) + 1)) AS r(i)),
+    dup AS (
+        SELECT md5(chunk) AS h FROM c GROUP BY md5(chunk)
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+    m AS (
+        SELECT c.doc_id, c.chunk_id, c.chunk, dup.h
+        FROM c LEFT JOIN dup ON md5(c.chunk) = dup.h),
+    r AS (
+        SELECT doc_id, COUNT(*) AS n_total, COUNT(h) AS n_dropped,
+               array_to_string(
+                   list_transform(
+                       list_sort(list(CASE WHEN h IS NULL
+                                      THEN {'chunk_id': chunk_id, 'chunk': chunk} END)),
+                       s -> s.chunk),
+                   ' ') AS cleaned
+        FROM m GROUP BY doc_id)
+    SELECT doc_id, CAST(n_total - n_dropped AS BIGINT) AS n_kept,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           md5(COALESCE(cleaned, '')) AS cleaned_md5
+    FROM r ORDER BY doc_id
+"""

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import _STOPWORDS, WORD_RE
+from .text import char_count, punct_count, stopword_count, token_count
 
 FEATURE_COLS = ("x_len", "x_stop", "x_punct", "x_wordlen")
 
@@ -42,12 +42,13 @@ def text_feature_frame(
     exact integer counts (regexp_count — no arrays materialized).
     ``keep`` passes extra columns (e.g. a label) through the projection so
     training needs no join."""
+    # the canonical counters from text.py — one definition of token/
+    # stopword/punct semantics shared with quality_score and the oracles
     txt = F.col(text_col)
-    toks = F.regexp_count(txt, F.lit(r"\S+")).cast("double")
-    stop_re = r"\b(" + "|".join(_STOPWORDS) + r")\b"
-    stops = F.regexp_count(F.lower(txt), F.lit(stop_re)).cast("double")
-    punct = F.regexp_count(txt, F.lit(r"[.,!?;:]")).cast("double")
-    chars = F.length(txt).cast("double")
+    toks = token_count(txt).cast("double")
+    stops = stopword_count(txt).cast("double")
+    punct = punct_count(txt).cast("double")
+    chars = char_count(txt).cast("double")
     return df.select(
         F.col(id_col),
         *[c if not isinstance(c, str) else F.col(c) for c in keep],
@@ -124,14 +125,20 @@ def classifier_scores(
     beta: list[float],
     feature_cols: tuple[str, ...] = FEATURE_COLS,
     id_col: str = "doc_id",
+    keep: tuple = (),
 ) -> DataFrame:
     """Score the corpus with a trained β: ``floor(1e6·σ(xβ))`` as an
     integer ppm — a pure JVM projection (exp/division in doubles), no
-    Python in the scoring path."""
+    Python in the scoring path.  ``keep`` passes extra columns (a label,
+    the text) through the same projection so callers need no join-back
+    (a second reference to the lazy feature frame would re-run the
+    4-regex corpus projection per consumer)."""
     z = F.lit(float(beta[0]))
     for c, b in zip(feature_cols, beta[1:]):
         z = z + F.col(c) * F.lit(float(b))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return feat.select(
-        F.col(id_col), F.floor(score * 1e6).cast("bigint").alias("score_ppm")
+        F.col(id_col),
+        *[c if not isinstance(c, str) else F.col(c) for c in keep],
+        F.floor(score * 1e6).cast("bigint").alias("score_ppm"),
     )

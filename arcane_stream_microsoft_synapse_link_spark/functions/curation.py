@@ -62,13 +62,12 @@ def token_budget_select(
         key=lambda r: -r["qb"],
     )
     running = 0
-    boundary, rem, floor_qb = None, 0, None
+    boundary, rem = None, 0
     for r in levels:
         if running + r["toks"] > budget:
             boundary, rem = r["qb"], budget - running
             break
         running += r["toks"]
-        floor_qb = r["qb"]
     cols = [F.col(id_col), q.alias(quality_col), tk.alias(tokens_col)]
     if boundary is None:  # whole corpus fits
         return df.select(*cols).orderBy(F.desc(quality_col), F.asc(id_col))
@@ -300,8 +299,11 @@ def leakage_safe_split(
     cross-engine-stable bucket (same rule as ``ops_hash_split``)."""
     from .dedup import duplicate_clusters
 
+    # coalesce: md5(NULL) is NULL, which would fall through every when()
+    # branch to 'test' AND detach cluster members from a NULL-text
+    # representative; the sequential mirror maps missing text to '' too
     bucket_of = F.expr(
-        f"CAST(conv(substr(md5({text_col}), 1, 8), 16, 10) AS BIGINT) % 100"
+        f"CAST(conv(substr(md5(coalesce({text_col}, '')), 1, 8), 16, 10) AS BIGINT) % 100"
     )
     clusters = duplicate_clusters(pairs).withColumnRenamed("id", id_col)
     rep_ids = clusters.select(F.col("cluster_id").alias("_rep")).distinct()

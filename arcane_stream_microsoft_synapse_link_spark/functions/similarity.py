@@ -1308,8 +1308,12 @@ def mmr_select(
         out_rows.append(
             (rank, ids[best_i], math.floor(rel[best_i] * 1e6), math.floor(best * 1e6))
         )
-    return local_df(
-        spark,
-        out_rows,
-        f"sel_rank bigint, {id_col} bigint, rel_ppm bigint, mmr_ppm bigint",
+    out_schema = T.StructType(
+        [
+            T.StructField("sel_rank", T.LongType()),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("rel_ppm", T.LongType()),
+            T.StructField("mmr_ppm", T.LongType()),
+        ]
     )
+    return local_df(spark, out_rows, out_schema)

@@ -400,51 +400,14 @@ def bm25_scores(
     addition is associative, so aggregation order can't perturb results;
     avgdl is computed as exact-int SUM(dl)/N in one double division).
 
-    Shape: one explode+filter pass builds (doc, term) tfs — the filter
-    drops non-query terms BEFORE the shuffle, so the exchange carries
-    O(docs x |terms|); df/N/avgdl are tiny aggregates broadcast back.
-    """
-    dl_col = F.regexp_count(F.lower(F.col(text_col)), F.lit(WORD_RE))
-    docs = df.select(id_col, dl_col.alias("dl"))
-    toks = df.select(
-        id_col,
-        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))).alias(
-            "term"
-        ),
-    ).where(F.col("term").isin(terms))
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    stats = docs.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    Delegates to ``bm25_multi`` with a single synthetic query — ONE
+    definition of the scoring arithmetic (a second copy silently
+    diverging on a k1/b/idf tweak is exactly the bug class the
+    single-query-equality test used to be the only guard against)."""
+    qt = local_df(
+        df.sparkSession, [(0, t) for t in terms], "query_id int, term string"
     )
-
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(docs, id_col)
-        .crossJoin(F.broadcast(stats))
-        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
-        .withColumn(
-            "idf",
-            F.log(
-                (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
-            ),
-        )
-        .withColumn(
-            "score",
-            F.col("idf")
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
-            ),
-        )
-    )
-    return (
-        scored.groupBy(id_col)
-        .agg(F.sum(F.floor(F.col("score") * 1e6)).cast("bigint").alias("bm25_ppm"))
-    )
+    return bm25_multi(df, qt, text_col, id_col, k1, b).select(id_col, "bm25_ppm")
 
 
 def bm25_multi(

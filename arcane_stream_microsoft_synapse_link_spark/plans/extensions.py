@@ -3284,10 +3284,11 @@ def ops_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents, keep=((F.col("lang") == "en").cast("int").alias("label"),)
     )
     beta = irls_train(feat)
-    scores = classifier_scores(feat, beta)
+    # label rides the scoring projection (keep=) — a join-back would
+    # re-run the feature regexes for the second feat reference
     return (
-        scores.join(feat.select("doc_id", "label"), "doc_id")
-        .select("doc_id", F.col("label").cast("bigint").alias("label"), "score_ppm")
+        classifier_scores(feat, beta, keep=(F.col("label").cast("bigint").alias("label"),))
+        .select("doc_id", "label", "score_ppm")
         .orderBy("doc_id")
     )
 

@@ -135,7 +135,19 @@ def local_df(spark: SparkSession, rows, schema):
     from pyspark.sql.types import StructType
     from pyspark.sql.types import _parse_datatype_string  # public-ish, stable
 
+    def _has_nan(v) -> bool:
+        if isinstance(v, float):
+            return v != v
+        if isinstance(v, (list, tuple)):
+            return any(_has_nan(x) for x in v)
+        return False
+
     try:
+        # the Arrow path reads float NaN as a MISSING marker (-> NULL),
+        # silently changing data the classic path preserves; NaN-bearing
+        # rows take the classic parallelize path instead
+        if any(_has_nan(v) for r in rows for v in r):
+            raise ValueError("NaN present: Arrow would nullify it")
         st = _parse_datatype_string(schema) if isinstance(schema, str) else schema
         if not isinstance(st, StructType):
             raise TypeError(f"need a struct schema, got {st}")

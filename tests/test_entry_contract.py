@@ -137,6 +137,11 @@ def test_doc_surface_counts_match_registry():
     assert f"{n_q} declared queries" in migration, (
         f"MIGRATION.md surface count drifted: expected '{n_q} declared queries'"
     )
+    # the oracle count in the same MIGRATION sentence drifted independently
+    # of the declared count once (code-review r6) — pin it too
+    assert f"{n_o} of them hash-verified strict" in migration, (
+        f"MIGRATION.md oracle count drifted: expected '{n_o} of them hash-verified strict'"
+    )
 
 
 def test_round_inference_monotonic():

@@ -1,6 +1,6 @@
 """Physical-plan audit over every declared entry.
 
-Builds each of the 141 declared queries at the smoke scale and counts
+Builds every declared query at the smoke scale and counts
 plan nodes that matter at 100 TB:
 
 - ``CartesianProduct`` / row-at-a-time Python (``BatchEvalPython``):
@@ -66,7 +66,16 @@ def main() -> int:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             plan = buf.getvalue()
-            counts = {m: plan.count(m + " (") + plan.count(m + "\n") for m in MARKERS}
+            import re as _re
+            from collections import Counter
+
+            # count NODE HEADERS ("(12) Exchange"), one per plan node id:
+            # plain substring counting credits every BroadcastExchange/
+            # ReusedExchange to the shuffle 'Exchange' total (hiding
+            # shuffle->broadcast conversions) and double-counts the tree
+            # rendering vs the detail section
+            node_names = Counter(_re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, _re.M))
+            counts = {m: node_names.get(m, 0) for m in MARKERS}
             counts = {m: c for m, c in counts.items() if c}
             rec: dict = {"nodes": counts}
             if plan.count("CartesianProduct") and name not in ALLOWED_CARTESIAN:

@@ -332,3 +332,73 @@ def leakage_safe_split(
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
         split.alias("split"),
     )
+
+
+def importance_weights_hashed(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance log-ratios over HASHED bigram features — the form
+    actually published (Xie et al. 2023): bigrams hash into a fixed
+    ``n_buckets`` space via ``pmod(xxhash64(bigram), B)``, so there is no
+    vocabulary to learn, store, or ship — any stream of new documents
+    scores against the same feature space forever.  Collisions blur
+    probability mass (the hashing-trick tradeoff) but the estimator is
+    unbiased in expectation; the learned-vocab variant
+    (``importance_weights``) is the collision-free alternative when the
+    reference corpus is available to mine.
+
+    Plan: one bigram aggregate keyed by the bucket id (≤ B rows out —
+    bounded collect), λ computed DRIVER-SIDE in Python over the exact
+    integer counts (so a sequential mirror reproduces it bit-for-bit:
+    plans/values_oracle.py shares the same XXH64 and the same
+    ``math.log`` calls), then one broadcast-joined scoring pass.  Every
+    bucket participates in smoothing (V = ``n_buckets``), including
+    empty ones."""
+    import math
+
+    from ..session import local_df
+
+    grams = doc_bigrams(df, text_col, id_col)
+    bucket = F.pmod(F.xxhash64("bigram"), F.lit(n_buckets)).cast("int")
+    flags = df.select(id_col, target.cast("boolean").alias("_tgt"))
+    counts = (
+        grams.join(flags, id_col)
+        .groupBy(bucket.alias("f"))
+        .agg(
+            F.count("*").alias("raw_cnt"),
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tgt_cnt"),
+        )
+        .collect()
+    )
+    raw = {r["f"]: r["raw_cnt"] for r in counts}
+    tgt = {r["f"]: r["tgt_cnt"] for r in counts}
+    raw_tot, tgt_tot = sum(raw.values()), sum(tgt.values())
+    lam_rows = []
+    for f in range(n_buckets):
+        lam = math.log((tgt.get(f, 0) + 0.5) / (tgt_tot + 0.5 * n_buckets)) - math.log(
+            (raw.get(f, 0) + 0.5) / (raw_tot + 0.5 * n_buckets)
+        )
+        lam_rows.append((f, math.floor(lam * 1e6)))
+    lam_df = local_df(df.sparkSession, lam_rows, "f int, lam_ppm bigint")
+    per_doc = (
+        grams.select(F.col(id_col), bucket.alias("f"))
+        .join(F.broadcast(lam_df), "f")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feat"),
+            F.sum("lam_ppm").cast("bigint").alias("dsir_ppm"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feat", F.lit(0)).cast("bigint").alias("n_feat"),
+            F.coalesce("dsir_ppm", F.lit(0)).cast("bigint").alias("dsir_ppm"),
+        )
+    )

@@ -3407,3 +3407,21 @@ ORACLE["ops_paragraph_dedup"] = r"""
            md5(COALESCE(cleaned, '')) AS cleaned_md5
     FROM r ORDER BY doc_id
 """
+
+
+@query("ops_importance_weights_hashed")
+def ops_importance_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR over HASHED bigram features (the published Xie et al. 2023
+    form): pmod(xxhash64, 1024) bucket space — no vocabulary to learn or
+    ship, unbounded streams score against the same features forever
+    (functions/curation.py:importance_weights_hashed; λ computed
+    driver-side over exact integer counts).  Oracle-backed: sequential
+    mirror sharing the validated pure-Python XXH64 and the same
+    math.log calls (plans/values_oracle.py:ref_importance_weights_hashed,
+    pinned sf0.01)."""
+    from ..functions.curation import importance_weights_hashed
+
+    t = Tables(spark, sf_dir)
+    return importance_weights_hashed(t.documents, F.col("lang") == "en").orderBy(
+        "doc_id"
+    )

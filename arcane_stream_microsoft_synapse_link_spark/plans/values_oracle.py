@@ -1470,6 +1470,55 @@ def ref_leakage_safe_split(
     return rows
 
 
+def ref_importance_weights_hashed(sf_dir: str, n_buckets: int = 1024) -> list[tuple]:
+    """Sequential mirror of the hashed-feature DSIR scorer (engine:
+    functions/curation.py:importance_weights_hashed, target lang=='en'):
+    bigrams via the WORD_RE word stream, buckets via the validated XXH64
+    (signed, pmod), λ from the same ``math.log`` the engine's driver
+    computes, per-doc integer fold."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+
+    def buckets_of(text: str) -> list[int]:
+        ws = WORD_RE.findall((text or "").lower())
+        out = []
+        for a, b in zip(ws, ws[1:]):
+            h = xxh64_signed((a + " " + b).encode("utf-8"))
+            out.append(((h % n_buckets) + n_buckets) % n_buckets)
+        return out
+
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    per_doc_buckets = []
+    for text, lang in zip(texts, langs):
+        bs = buckets_of(text)
+        per_doc_buckets.append(bs)
+        is_t = lang == "en"
+        for f in bs:
+            raw[f] = raw.get(f, 0) + 1
+            if is_t:
+                tgt[f] = tgt.get(f, 0) + 1
+    raw_tot, tgt_tot = sum(raw.values()), sum(tgt.values())
+    lam = {}
+    for f in range(n_buckets):
+        v = math.log((tgt.get(f, 0) + 0.5) / (tgt_tot + 0.5 * n_buckets)) - math.log(
+            (raw.get(f, 0) + 0.5) / (raw_tot + 0.5 * n_buckets)
+        )
+        lam[f] = math.floor(v * 1e6)
+    rows = []
+    for did, bs in sorted(zip(ids, per_doc_buckets)):
+        rows.append((did, len(bs), sum(lam[f] for f in bs)))
+    return rows
+
+
 def ref_mmr_select(
     sf_dir: str, k: int = 10, pool: int = 50, lam: float = 0.7
 ) -> list[tuple]:
@@ -1673,6 +1722,10 @@ def build() -> dict[str, str]:
                     ("n_docs", "BIGINT"),
                     ("seq_tokens", "BIGINT"),
                 ],
+            ),
+            "ops_importance_weights_hashed": sql_values(
+                ref_importance_weights_hashed(_SF_PIN),
+                [("doc_id", "BIGINT"), ("n_feat", "BIGINT"), ("dsir_ppm", "BIGINT")],
             ),
             "ops_leakage_safe_split": sql_values(
                 ref_leakage_safe_split(_SF_PIN),

@@ -221,3 +221,28 @@ def test_leakage_safe_split_planted_cross_bucket_pair(spark):
     assert out[1][0] == 1 and out[2][0] == 1
     assert out[1][1] == out[2][1]
     assert out[3][0] == 3
+
+
+def test_hashed_dsir_directional_and_total_feats(spark, sf_dir):
+    """The hashed variant preserves the vocab variant's directional
+    signal (en scores higher on average) and counts EVERY bigram as a
+    feature (full bucket space — no vocabulary cut)."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.curation import (
+        importance_weights_hashed,
+    )
+
+    t = Tables(spark, sf_dir)
+    out = importance_weights_hashed(t.documents, F.col("lang") == "en")
+    j = out.join(t.documents.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in j.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("dsir_ppm").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+    # n_feat == total bigram count per doc (hashing drops nothing)
+    from arcane_stream_microsoft_synapse_link_spark.functions.curation import doc_bigrams
+
+    total = doc_bigrams(t.documents).count()
+    assert out.agg(F.sum("n_feat")).collect()[0][0] == total

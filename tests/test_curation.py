@@ -246,3 +246,15 @@ def test_hashed_dsir_directional_and_total_feats(spark, sf_dir):
 
     total = doc_bigrams(t.documents).count()
     assert out.agg(F.sum("n_feat")).collect()[0][0] == total
+
+
+def test_token_budget_degenerate_single_bucket(spark):
+    """All docs share one quality level — the boundary bucket IS the
+    whole corpus (the optimization's worst case): semantics must still
+    equal the global window."""
+    rows = [(i, 500000, 3 + i % 4) for i in range(40)]
+    df = _scored(spark, rows)
+    for budget in (0, 10, 50, 1000):
+        assert _ids(token_budget_select(df, budget)) == _ids(
+            _window_reference(df, budget)
+        ), budget

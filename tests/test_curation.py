@@ -258,3 +258,37 @@ def test_token_budget_degenerate_single_bucket(spark):
         assert _ids(token_budget_select(df, budget)) == _ids(
             _window_reference(df, budget)
         ), budget
+
+
+def test_local_df_preserves_nan(spark):
+    """The Arrow LocalRelation path reads float NaN as a missing marker;
+    local_df must detect NaN and take the classic path so values survive
+    (code-review r6: exact_percentiles over NaN-bearing doubles)."""
+    import math
+
+    df = local_df(spark, [(1, float("nan")), (2, 1.5)], "id int, v double")
+    vals = {r["id"]: r["v"] for r in df.collect()}
+    assert vals[2] == 1.5
+    assert vals[1] is not None and math.isnan(vals[1])
+
+
+def test_hashed_dsir_mirror_discriminates(spark):
+    """A different bucket count must hash-mismatch the sequential mirror."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.curation import (
+        importance_weights_hashed,
+    )
+    from arcane_stream_microsoft_synapse_link_spark.plans import ORACLE
+
+    from .oracle_harness import compare
+
+    def wrong(spark_, sf_dir):
+        t = Tables(spark_, sf_dir)
+        return importance_weights_hashed(
+            t.documents, F.col("lang") == "en", n_buckets=256
+        ).orderBy("doc_id")
+
+    ok, _ = compare(
+        spark, "/root/testdata/sf0.01", wrong,
+        ORACLE["ops_importance_weights_hashed"], strict=True,
+    )
+    assert not ok, "perturbed bucket space must hash-mismatch the mirror"

@@ -3425,3 +3425,132 @@ def ops_importance_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
     return importance_weights_hashed(t.documents, F.col("lang") == "en").orderBy(
         "doc_id"
     )
+
+
+@query("ops_contrastive_pairs")
+def ops_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style contrastive training-pair mining: per seed query, the
+    POSITIVE is the nearest corpus vector by cosine (excluding the seed)
+    and the hard NEGATIVES are the top-3 lexically similar documents
+    (BM25 on the seed's top-8 terms) that are NOT in the dense top-10 —
+    high lexical overlap with low semantic similarity is the classic
+    contrastive negative (Karpukhin et al. 2020).  One BM25 corpus pass
+    for all queries (bm25_multi), one dense pass; all other joins are
+    candidate-list-sized."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    seed_toks = (
+        t.documents.where(F.col("doc_id") < 4)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(X.WORD_RE), F.lit(0))
+            ).alias("term"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("term"))
+    qterms = (
+        seed_toks.groupBy("query_id", "term")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= 8)
+        .select("query_id", "term")
+        .localCheckpoint()
+    )
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    qv = t.embeddings.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), xd.alias("q_vec")
+    )
+    c = t.embeddings.select(F.col("vec_id").alias("doc_id"), xd.alias("c_vec"))
+    wd = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    dense = (
+        c.join(F.broadcast(qv))
+        .select("query_id", "doc_id", S.cosine(F.col("c_vec"), F.col("q_vec")).alias("cos"))
+        .where(F.col("query_id") != F.col("doc_id"))  # exclude the seed itself
+        .withColumn("rank", F.row_number().over(wd))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+        .localCheckpoint()  # consumed twice: positive pick + negative anti-join
+    )
+    positives = dense.where(F.col("rank") == 1).select(
+        "query_id", F.lit("positive").alias("role"), F.lit(1).alias("rank"), "doc_id"
+    )
+    lex = X.bm25_multi(t.documents, qterms)
+    wl = W.partitionBy("query_id").orderBy(F.desc("bm25_ppm"), F.asc("doc_id"))
+    negatives = (
+        lex.where(F.col("query_id") != F.col("doc_id"))
+        .join(dense, ["query_id", "doc_id"], "left_anti")  # lexical, NOT dense-close
+        .withColumn("rank", F.row_number().over(wl))
+        .where(F.col("rank") <= 3)
+        .select("query_id", F.lit("negative").alias("role"), "rank", "doc_id")
+    )
+    return (
+        positives.unionByName(negatives)
+        .select(
+            "query_id",
+            "role",
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+        )
+        .orderBy("query_id", "role", "rank")
+    )
+
+
+ORACLE["ops_contrastive_pairs"] = r"""
+    WITH seed_tc AS (
+        SELECT doc_id AS query_id, term, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents WHERE doc_id < 4)
+        GROUP BY query_id, term),
+    qterms AS (
+        SELECT query_id, term FROM (
+            SELECT query_id, term,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cnt DESC, term) AS rn
+            FROM seed_tc) WHERE rn <= 8),
+    qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+           FROM embeddings WHERE vec_id < 4),
+    c AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings),
+    dense AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT q.query_id, c.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY list_cosine_similarity(c.c_vec, q.q_vec) DESC,
+                                               c.doc_id) AS rank
+            FROM c CROSS JOIN qv q WHERE c.doc_id <> q.query_id) WHERE rank <= 10),
+    positives AS (
+        SELECT query_id, 'positive' AS role, CAST(1 AS BIGINT) AS rank, doc_id
+        FROM dense WHERE rank = 1),
+    d AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+          FROM documents),
+    toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               FLOOR(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+                 * 1e6) AS score_ppm
+        FROM tf JOIN dfreq USING (term) JOIN d USING (doc_id) CROSS JOIN stats),
+    lex AS (
+        SELECT q.query_id, s.doc_id, CAST(SUM(s.score_ppm) AS BIGINT) AS bm25_ppm
+        FROM scored s JOIN qterms q USING (term)
+        GROUP BY q.query_id, s.doc_id),
+    negatives AS (
+        SELECT query_id, 'negative' AS role, CAST(rank AS BIGINT) AS rank, doc_id FROM (
+            SELECT l.query_id, l.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY l.query_id
+                                      ORDER BY l.bm25_ppm DESC, l.doc_id) AS rank
+            FROM lex l
+            WHERE l.query_id <> l.doc_id
+              AND NOT EXISTS (SELECT 1 FROM dense de
+                              WHERE de.query_id = l.query_id AND de.doc_id = l.doc_id))
+        WHERE rank <= 3)
+    SELECT * FROM (
+        SELECT * FROM positives UNION ALL SELECT * FROM negatives
+    ) ORDER BY query_id, role, rank
+"""

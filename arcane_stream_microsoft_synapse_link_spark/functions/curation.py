@@ -334,30 +334,23 @@ def leakage_safe_split(
     )
 
 
-def importance_weights_hashed(
+def hashed_lambda_table(
     df: DataFrame,
     target: Column,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 1024,
 ) -> DataFrame:
-    """DSIR importance log-ratios over HASHED bigram features — the form
-    actually published (Xie et al. 2023): bigrams hash into a fixed
-    ``n_buckets`` space via ``pmod(xxhash64(bigram), B)``, so there is no
-    vocabulary to learn, store, or ship — any stream of new documents
-    scores against the same feature space forever.  Collisions blur
-    probability mass (the hashing-trick tradeoff) but the estimator is
-    unbiased in expectation; the learned-vocab variant
-    (``importance_weights``) is the collision-free alternative when the
-    reference corpus is available to mine.
-
-    Plan: one bigram aggregate keyed by the bucket id (≤ B rows out —
-    bounded collect), λ computed DRIVER-SIDE in Python over the exact
-    integer counts (so a sequential mirror reproduces it bit-for-bit:
-    plans/values_oracle.py shares the same XXH64 and the same
-    ``math.log`` calls), then one broadcast-joined scoring pass.  Every
+    """The trainable half of ``importance_weights_hashed``: the
+    ``(f, lam_ppm)`` log-ratio table over the fixed hashed bucket space.
+    The bucket count aggregate is ≤ ``n_buckets`` rows (bounded collect);
+    λ is computed DRIVER-SIDE in Python over the exact integer counts so
+    a sequential mirror reproduces it bit-for-bit (the mirror shares the
+    validated pure-Python XXH64 and the same ``math.log`` calls).  Every
     bucket participates in smoothing (V = ``n_buckets``), including
-    empty ones."""
+    empty ones — so any FUTURE bigram already has a bucket and a λ,
+    which is what makes this the natural variant for unbounded streams
+    (streaming/structured.py:run_curation_stream)."""
     import math
 
     from ..session import local_df
@@ -377,16 +370,31 @@ def importance_weights_hashed(
     raw = {r["f"]: r["raw_cnt"] for r in counts}
     tgt = {r["f"]: r["tgt_cnt"] for r in counts}
     raw_tot, tgt_tot = sum(raw.values()), sum(tgt.values())
-    lam_rows = []
+    rows = []
     for f in range(n_buckets):
         lam = math.log((tgt.get(f, 0) + 0.5) / (tgt_tot + 0.5 * n_buckets)) - math.log(
             (raw.get(f, 0) + 0.5) / (raw_tot + 0.5 * n_buckets)
         )
-        lam_rows.append((f, math.floor(lam * 1e6)))
-    lam_df = local_df(df.sparkSession, lam_rows, "f int, lam_ppm bigint")
+        rows.append((f, math.floor(lam * 1e6)))
+    return local_df(df.sparkSession, rows, "f int, lam_ppm bigint")
+
+
+def hashed_dsir_score(
+    df: DataFrame,
+    lam: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Apply a (possibly persisted) hashed λ table: every bigram has a
+    bucket, so ``n_feat`` counts ALL bigrams — no vocabulary cut, no
+    out-of-vocab zero-contribution path."""
+    grams = doc_bigrams(df, text_col, id_col).select(
+        F.col(id_col),
+        F.pmod(F.xxhash64("bigram"), F.lit(n_buckets)).cast("int").alias("f"),
+    )
     per_doc = (
-        grams.select(F.col(id_col), bucket.alias("f"))
-        .join(F.broadcast(lam_df), "f")
+        grams.join(F.broadcast(lam), "f")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_feat"),
@@ -402,3 +410,23 @@ def importance_weights_hashed(
             F.coalesce("dsir_ppm", F.lit(0)).cast("bigint").alias("dsir_ppm"),
         )
     )
+
+
+def importance_weights_hashed(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance log-ratios over HASHED bigram features — the form
+    actually published (Xie et al. 2023): bigrams hash into a fixed
+    ``n_buckets`` space via ``pmod(xxhash64(bigram), B)``, so there is no
+    vocabulary to learn, store, or ship.  Collisions blur probability
+    mass (the hashing-trick tradeoff) but the estimator is unbiased in
+    expectation; the learned-vocab variant (``importance_weights``) is
+    the collision-free alternative when the reference corpus is
+    available to mine.  Composes ``hashed_lambda_table`` (train) with
+    ``hashed_dsir_score`` (apply)."""
+    lam = hashed_lambda_table(df, target, text_col, id_col, n_buckets)
+    return hashed_dsir_score(df, lam, text_col, id_col, n_buckets)

@@ -437,6 +437,7 @@ def run_curation_stream(
     min_dsir_ppm: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    dsir_variant: str = "vocab",
 ):
     """Streaming curation gate: score every micro-batch of incoming
     documents with BOTH trained curation models — the IRLS quality
@@ -453,7 +454,13 @@ def run_curation_stream(
 
     A doc is accepted when ``score_ppm ≥ min_score_ppm`` AND
     ``dsir_ppm ≥ min_dsir_ppm``; both scores are written either way, so
-    downstream can re-threshold rejected docs without re-scoring."""
+    downstream can re-threshold rejected docs without re-scoring.
+
+    ``dsir_variant``: ``"vocab"`` persists the learned-bigram λ table;
+    ``"hashed"`` persists the fixed 1024-bucket λ (the published DSIR
+    form) — the natural choice for unbounded streams, since every future
+    bigram already has a bucket and a λ, while an out-of-vocab bigram
+    under ``"vocab"`` simply contributes 0."""
     import json
     import os
     import shutil
@@ -465,7 +472,12 @@ def run_curation_stream(
         irls_train,
         text_feature_frame,
     )
-    from ..functions.curation import dsir_lambda_table, dsir_score
+    from ..functions.curation import (
+        dsir_lambda_table,
+        dsir_score,
+        hashed_dsir_score,
+        hashed_lambda_table,
+    )
 
     model_dir = os.path.join(work_dir, "curation_model")
     lam_dir = os.path.join(model_dir, "lam")
@@ -479,9 +491,14 @@ def run_curation_stream(
         tmp_dir = model_dir + "._tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         os.makedirs(tmp_dir)
-        dsir_lambda_table(reference, target, text_col, id_col).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(tmp_dir, "lam"))
+        if dsir_variant == "hashed":
+            hashed_lambda_table(reference, target, text_col, id_col).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tmp_dir, "lam"))
+        else:
+            dsir_lambda_table(reference, target, text_col, id_col).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tmp_dir, "lam"))
         feat = text_feature_frame(
             reference, text_col, id_col, keep=(target.cast("int").alias("label"),)
         )
@@ -499,7 +516,10 @@ def run_curation_stream(
         lam = spark.read.parquet(lam_dir)
         feat = text_feature_frame(batch_df, text_col, id_col)
         quality = classifier_scores(feat, beta, id_col=id_col)
-        dsir = dsir_score(batch_df, lam, text_col, id_col)
+        if dsir_variant == "hashed":
+            dsir = hashed_dsir_score(batch_df, lam, text_col, id_col)
+        else:
+            dsir = dsir_score(batch_df, lam, text_col, id_col)
         scored = (
             batch_df.join(quality, id_col)
             .join(dsir.select(id_col, "dsir_ppm"), id_col)
@@ -517,3 +537,4 @@ def run_curation_stream(
         .trigger(availableNow=True)
         .start()
     )
+

@@ -556,3 +556,58 @@ def test_streaming_curation_pipeline(spark, tmp_path):
     # scores ride along on both routes
     row = spark.read.parquet(f"{work}/reject").where(F.col("doc_id") == 201).collect()[0]
     assert row["score_ppm"] < 500000 and row["dsir_ppm"] < 0
+
+
+def test_streaming_curation_hashed_variant(spark, tmp_path):
+    """The hashed-DSIR gate variant: fixed bucket lambda persists and
+    scores batches whose bigrams never appeared in the reference (the
+    out-of-vocab case the vocab variant scores as 0)."""
+    from pyspark.sql import functions as F
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_curation_stream,
+    )
+
+    prose = "the quick brown fox jumps over the lazy dog and it is fine "
+    junk = "x,y;z.!? q,w;e.!? "
+    ref_rows = [(i, prose * (2 + i % 3)) for i in range(0, 30, 2)]
+    ref_rows += [(i, junk * (4 + i % 3)) for i in range(1, 30, 2)]
+    reference = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    target = F.col("doc_id") % 2 == 0
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(100, prose * 3), (101, junk * 5)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    q = run_curation_stream(
+        spark, stream(), reference, target, work, ckpt,
+        min_score_ppm=500000, dsir_variant="hashed",
+    )
+    q.awaitTermination(120)
+
+    accepted = {r["doc_id"] for r in spark.read.parquet(f"{work}/accept").collect()}
+    rejected = {r["doc_id"] for r in spark.read.parquet(f"{work}/reject").collect()}
+    assert accepted == {100} and rejected == {101}
+    # the hashed lambda table is the full fixed bucket space
+    assert spark.read.parquet(f"{work}/curation_model/lam").count() == 1024
+    # unseen-bigram doc still gets a real (non-zero-feature) score
+    spark.createDataFrame(
+        [(200, "totally novel words never in reference corpus here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q2 = run_curation_stream(
+        spark, stream(), reference, target, work, ckpt,
+        min_score_ppm=500000, dsir_variant="hashed",
+    )
+    q2.awaitTermination(120)
+    both = spark.read.parquet(f"{work}/accept").unionByName(
+        spark.read.parquet(f"{work}/reject")
+    )
+    row = both.where(F.col("doc_id") == 200).collect()[0]
+    assert row["dsir_ppm"] != 0

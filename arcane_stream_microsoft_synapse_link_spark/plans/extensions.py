@@ -3554,3 +3554,58 @@ ORACLE["ops_contrastive_pairs"] = r"""
         SELECT * FROM positives UNION ALL SELECT * FROM negatives
     ) ORDER BY query_id, role, rank
 """
+
+
+@query("ops_lsh_eval")
+def ops_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation — the threshold-tuning QA every dedup
+    deployment runs: a bounded 100-doc sample (50 corpus docs + one
+    deterministic near-duplicate variant of each, the planted positives
+    — the natural corpus sample contains no near-dups, which would make
+    the metrics vacuous), exact all-pairs Jaccard as ground truth (the
+    cross product is sample², never corpus-shaped — the one place a
+    cartesian is the point), and the banded MinHash candidate generator
+    scored against it: recall = tp/true pairs (what the bands miss),
+    precision = tp/cands (what the verify step must filter).  Exact
+    integers + ppm integer division.  Oracle: sequential mirror sharing
+    the MinHash machinery (plans/values_oracle.py:ref_lsh_eval,
+    pinned sf0.01)."""
+    t = Tables(spark, sf_dir)
+    base = t.documents.where(F.col("doc_id") < 50).select("doc_id", "text")
+    variants = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xvariant")).alias("text"),
+    )
+    sample = base.unionByName(variants)
+    ids = sample.select("doc_id")
+    all_pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    counts = D.verify_jaccard_counts(
+        sample, all_pairs, threshold_num=0, threshold_den=1
+    )
+    truth = counts.where(2 * F.col("n_inter") >= F.col("n_union")).select(
+        "id_a", "id_b"
+    )
+    cands = D.lsh_candidate_pairs(sample).localCheckpoint()
+    tp = cands.join(truth, ["id_a", "id_b"], "left_semi")
+    row = (
+        all_pairs.agg(F.count("*").alias("n_pairs"))
+        .crossJoin(truth.agg(F.count("*").alias("n_true")))
+        .crossJoin(cands.agg(F.count("*").alias("n_cand")))
+        .crossJoin(tp.agg(F.count("*").alias("tp")))
+    )
+    return row.select(
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.col("n_cand").cast("bigint").alias("n_cand"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.expr("CAST(1000000 * tp div greatest(n_true, 1) AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+        F.expr("CAST(1000000 * tp div greatest(n_cand, 1) AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+    )

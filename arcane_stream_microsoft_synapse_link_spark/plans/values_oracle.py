@@ -614,6 +614,48 @@ def _minhash_verified_pairs(
     return sorted(rows)
 
 
+def ref_lsh_eval(sf_dir: str, sample_n: int = 50) -> list[tuple]:
+    """Sequential mirror of the LSH quality evaluation: 50 corpus docs +
+    one planted near-dup variant each, exact all-pairs Jaccard ground
+    truth vs the banded MinHash candidate set (threshold 0 keeps every
+    candidate)."""
+    docs = [(d, t) for d, t in _documents(sf_dir) if d < sample_n]
+    docs = docs + [(d + 10000, (t or "") + " xvariant") for d, t in docs]
+    cand = {(a, b) for a, b, _, _ in _minhash_verified_pairs(docs, 0, 1)}
+    # exact ground truth over all pairs
+    shingles = {}
+    for doc_id, text in docs:
+        ws = WORD_RE.findall((text or "").lower())
+        if len(ws) <= 3:
+            grams = [" ".join(ws)]
+        else:
+            grams = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        shingles[doc_id] = frozenset(grams)
+    ids = sorted(shingles)
+    truth = set()
+    n_pairs = 0
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            n_pairs += 1
+            sa, sb = shingles[ids[i]], shingles[ids[j]]
+            inter = len(sa & sb)
+            union = max(len(sa | sb), 1)
+            if 2 * inter >= union:
+                truth.add((ids[i], ids[j]))
+    tp = len(cand & truth)
+    n_true, n_cand = len(truth), len(cand)
+    return [
+        (
+            n_pairs,
+            n_true,
+            n_cand,
+            tp,
+            (1000000 * tp) // max(n_true, 1),
+            (1000000 * tp) // max(n_cand, 1),
+        )
+    ]
+
+
 def ref_minhash_near_dup(sf_dir: str) -> list[tuple]:
     """(id_a, id_b, n_inter, n_union) at threshold 1/2 over the corpus."""
     return _minhash_verified_pairs(_documents(sf_dir), 1, 2)
@@ -1721,6 +1763,17 @@ def build() -> dict[str, str]:
                     ("seq_id", "BIGINT"),
                     ("n_docs", "BIGINT"),
                     ("seq_tokens", "BIGINT"),
+                ],
+            ),
+            "ops_lsh_eval": sql_values(
+                ref_lsh_eval(_SF_PIN),
+                [
+                    ("n_pairs", "BIGINT"),
+                    ("n_true", "BIGINT"),
+                    ("n_cand", "BIGINT"),
+                    ("tp", "BIGINT"),
+                    ("recall_ppm", "BIGINT"),
+                    ("precision_ppm", "BIGINT"),
                 ],
             ),
             "ops_importance_weights_hashed": sql_values(

@@ -8,11 +8,15 @@ plan nodes that matter at 100 TB:
 - ``SortMergeJoin`` / ``Exchange`` / ``Generate`` / Python-Arrow nodes:
   reported as counts so round-over-round regressions are visible.
   Reviewed SortMergeJoin sites (all bounded or semantically required):
-  hybrid retrieval's RRF full-outer (candidate-list-sized; full outer
-  cannot broadcast), DSIR's per-doc score join-back (one co-partitioned
-  id shuffle producing the corpus-sized output itself), incremental
-  dedup's candidate shingle verification (LSH-survivor-sized), and
-  q43's INTERSECT/EXCEPT (set-op semantics).
+  hybrid retrieval's RRF full-outer and contrastive mining's negative
+  anti-join (candidate-list-sized; full outer cannot broadcast), the
+  DSIR variants' per-doc score join-back (one co-partitioned id shuffle
+  producing the corpus-sized output itself), incremental dedup's
+  candidate shingle verification (LSH-survivor-sized), the LSH
+  evaluation's ground-truth joins (100-doc planted sample by
+  construction), and q43's INTERSECT/EXCEPT (set-op semantics).  At
+  runtime AQE converts the bounded ones to broadcast — the static
+  explain this audit reads predates that conversion.
 
 Writes ``PLAN_AUDIT.json`` at the repo root and exits non-zero if a
 scale-killer appears outside the allowlist.  Run:

@@ -3609,3 +3609,99 @@ def ops_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_ppm"
         ),
     )
+
+
+@query("ops_mixture_apply")
+def ops_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the data-mixing weights (ops_mixture_weights) — actually
+    MATERIALIZE the epoch: each document appears ⌊w⌋ times plus one more
+    with probability frac(w), decided by a deterministic content-hash
+    coin (md5-prefix mod 1e6 < frac_ppm — reproducible across engines,
+    runs, and partitionings; the same stochastic-rounding trick scales
+    to any corpus because it needs no global state).  The epoch rows are
+    generated by exploding a per-doc copy sequence — the summary is
+    aggregated FROM the exploded epoch, so the materialization itself is
+    exercised, not just the arithmetic.  Per-source output: input docs,
+    epoch rows, epoch tokens (≈ the equalized target per source)."""
+    t = Tables(spark, sf_dir)
+    per_src = t.documents.groupBy("source").agg(
+        F.sum(X.token_count(F.col("text"))).alias("src_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("_total"), F.count(F.lit(1)).alias("_nsrc")
+    )
+    weights = per_src.join(F.broadcast(totals)).select(
+        "source",
+        F.expr("CAST(((_total DIV _nsrc) * 1000000) DIV src_tokens AS BIGINT)").alias(
+            "weight_ppm"
+        ),
+    )
+    coin = F.expr("CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT) % 1000000")
+    docs = (
+        t.documents.select(
+            "doc_id", "source", X.token_count(F.col("text")).alias("n_tok"), F.col("text")
+        )
+        .join(F.broadcast(weights), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            (
+                F.expr("weight_ppm DIV 1000000")
+                + F.when(coin < F.expr("weight_ppm % 1000000"), 1).otherwise(0)
+            ).alias("n_copies"),
+        )
+    )
+    # sequence() counts DOWN when stop < start (same trap documented at
+    # text.word_ngram_strings): a 0-copy doc would yield [1, 0] — guard
+    # to an empty array, which explode drops
+    epoch = docs.select(
+        "source",
+        "n_tok",
+        F.explode(
+            F.when(
+                F.col("n_copies") >= 1, F.sequence(F.lit(1), F.col("n_copies"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_c"),
+    )
+    return (
+        epoch.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("epoch_rows"),
+            F.sum("n_tok").cast("bigint").alias("epoch_tokens"),
+        )
+        .join(
+            docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_in")),
+            "source",
+        )
+        .select("source", "n_docs_in", "epoch_rows", "epoch_tokens")
+        .orderBy("source")
+    )
+
+
+ORACLE["ops_mixture_apply"] = r"""
+    WITH s AS (
+        SELECT source, CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT SUM(src_tokens) AS total, COUNT(*) AS nsrc FROM s),
+    w AS (SELECT source,
+                 CAST(((total // nsrc) * 1000000) // src_tokens AS BIGINT) AS weight_ppm
+          FROM s, tot),
+    d AS (
+        SELECT doc_id, d0.source,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+               (weight_ppm // 1000000)
+                 + CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1000000
+                             < weight_ppm % 1000000
+                        THEN 1 ELSE 0 END AS n_copies
+        FROM documents d0 JOIN w USING (source)),
+    epoch AS (
+        SELECT source, n_tok FROM d, unnest(range(1, CAST(n_copies AS BIGINT) + 1))),
+    agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS epoch_rows,
+               CAST(SUM(n_tok) AS BIGINT) AS epoch_tokens
+        FROM epoch GROUP BY source),
+    ins AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_in FROM d GROUP BY source)
+    SELECT source, n_docs_in, epoch_rows, epoch_tokens
+    FROM agg JOIN ins USING (source) ORDER BY source
+"""

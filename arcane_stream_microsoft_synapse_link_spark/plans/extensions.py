@@ -3705,3 +3705,56 @@ ORACLE["ops_mixture_apply"] = r"""
     SELECT source, n_docs_in, epoch_rows, epoch_tokens
     FROM agg JOIN ins USING (source) ORDER BY source
 """
+
+
+@query("ops_text_augment")
+def ops_text_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic augmentation for contrastive text training
+    (SimCSE-style positives): 10% word dropout where each position's
+    keep/drop coin is ``md5(doc_id:position) mod 100`` — reproducible
+    across engines, runs, and partitionings, and independent per
+    position (a repeated word can drop at one position and survive at
+    another).  One projection + one array filter, zero shuffle; output
+    stays compact (counts + the md5 of the augmented text)."""
+    t = Tables(spark, sf_dir)
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(X.WORD_RE), F.lit(0))
+    w = t.documents.select("doc_id", words.alias("_ws"))
+    # SQL filter lambda: the coin needs the 1-based position inside the
+    # md5 concat (i + 1 — Spark's HOF index is 0-based, the oracle's
+    # range() is 1-based)
+    out = w.select(
+        "doc_id",
+        F.size("_ws").cast("bigint").alias("n_words"),
+        F.expr(
+            "filter(_ws, (w, i) -> "
+            "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', "
+            "CAST(i + 1 AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 >= 10)"
+        ).alias("_kept"),
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.size("_kept").cast("bigint").alias("n_kept"),
+        F.md5(F.array_join("_kept", " ")).alias("aug_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE["ops_text_augment"] = r"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    g AS (
+        SELECT doc_id, i, ws[i] AS word
+        FROM w, unnest(range(1, len(ws) + 1)) AS r(i)),
+    kept AS (
+        SELECT doc_id, i, word FROM g
+        WHERE CAST(('0x' || substr(md5(doc_id || ':' || i), 1, 8)) AS BIGINT) % 100 >= 10),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(word, ' ' ORDER BY i) AS aug
+        FROM kept GROUP BY doc_id)
+    SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(aug, '')) AS aug_md5
+    FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id
+"""

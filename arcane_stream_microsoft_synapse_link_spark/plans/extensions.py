@@ -3758,3 +3758,40 @@ ORACLE["ops_text_augment"] = r"""
            md5(COALESCE(aug, '')) AS aug_md5
     FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id
 """
+
+
+@query("ops_quality_calibration")
+def ops_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/reliability table for the trained quality classifier
+    (the model-QA step after ops_quality_classifier, as ops_lsh_eval is
+    for the dedup index): scores bucketed into deciles
+    (floor(score_ppm / 100000)), per bucket the doc count, positive
+    count, and the observed positive rate in ppm — a well-calibrated
+    model's observed rate tracks its bucket.  One aggregation over the
+    scored corpus; exact integers."""
+    from ..functions.classifier import (
+        classifier_scores,
+        irls_train,
+        text_feature_frame,
+    )
+
+    t = Tables(spark, sf_dir)
+    feat = text_feature_frame(
+        t.documents, keep=((F.col("lang") == "en").cast("int").alias("label"),)
+    )
+    beta = irls_train(feat)
+    scored = classifier_scores(feat, beta, keep=("label",))
+    return (
+        scored.groupBy(
+            F.expr("score_ppm DIV 100000").cast("bigint").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+        )
+        .withColumn(
+            "obs_pos_ppm",
+            F.expr("CAST(1000000 * n_pos DIV n_docs AS BIGINT)"),
+        )
+        .orderBy("decile")
+    )

@@ -1561,6 +1561,22 @@ def ref_importance_weights_hashed(sf_dir: str, n_buckets: int = 1024) -> list[tu
     return rows
 
 
+def ref_quality_calibration(sf_dir: str) -> list[tuple]:
+    """Calibration table derived from the classifier mirror's per-doc
+    scores: decile = score_ppm // 100000, observed positive rate in
+    exact-integer ppm."""
+    rows = ref_quality_classifier(sf_dir)
+    agg: dict[int, list[int]] = {}
+    for _doc, label, score in rows:
+        d = score // 100000
+        a = agg.setdefault(d, [0, 0])
+        a[0] += 1
+        a[1] += label
+    return [
+        (d, n, p, (1000000 * p) // n) for d, (n, p) in sorted(agg.items())
+    ]
+
+
 def ref_mmr_select(
     sf_dir: str, k: int = 10, pool: int = 50, lam: float = 0.7
 ) -> list[tuple]:
@@ -1763,6 +1779,15 @@ def build() -> dict[str, str]:
                     ("seq_id", "BIGINT"),
                     ("n_docs", "BIGINT"),
                     ("seq_tokens", "BIGINT"),
+                ],
+            ),
+            "ops_quality_calibration": sql_values(
+                ref_quality_calibration(_SF_PIN),
+                [
+                    ("decile", "BIGINT"),
+                    ("n_docs", "BIGINT"),
+                    ("n_pos", "BIGINT"),
+                    ("obs_pos_ppm", "BIGINT"),
                 ],
             ),
             "ops_lsh_eval": sql_values(

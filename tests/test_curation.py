@@ -292,3 +292,37 @@ def test_hashed_dsir_mirror_discriminates(spark):
         ORACLE["ops_importance_weights_hashed"], strict=True,
     )
     assert not ok, "perturbed bucket space must hash-mismatch the mirror"
+
+
+def test_rrf_fuse_three_systems(spark):
+    """Three-system fusion: per-system ranks survive as columns, absent
+    systems contribute 0, and the integer sum is exact."""
+    mk = lambda rows: local_df(spark, rows, "query_id int, doc_id int, rank int")  # noqa: E731
+    out = {
+        r["doc_id"]: r["rrf_ppm"]
+        for r in rrf_fuse(
+            {"a": mk([(0, 1, 1)]), "b": mk([(0, 1, 2), (0, 2, 1)]), "c": mk([(0, 2, 3)])},
+            k=60,
+        ).collect()
+    }
+    assert out[1] == 1000000 // 61 + 1000000 // 62
+    assert out[2] == 1000000 // 61 + 1000000 // 63
+
+
+def test_mixture_apply_copies_track_weights(spark, sf_dir):
+    """Epoch materialization sanity: per source, epoch tokens land within
+    a stochastic-rounding neighborhood of weight x source tokens."""
+    from arcane_stream_microsoft_synapse_link_spark.plans import QUERIES
+
+    weights = {
+        r["source"]: (r["src_tokens"], r["weight_ppm"])
+        for r in QUERIES["ops_mixture_weights"](spark, sf_dir).collect()
+    }
+    epoch = {r["source"]: r["epoch_tokens"] for r in QUERIES["ops_mixture_apply"](spark, sf_dir).collect()}
+    for src, (src_tokens, w_ppm) in weights.items():
+        expected = src_tokens * w_ppm / 1e6
+        # per-doc rounding is +-1 copy; bound by the largest doc's tokens
+        # times the doc count at smoke scale — use a generous 40% envelope
+        assert abs(epoch[src] - expected) <= max(0.4 * expected, 200), (
+            src, epoch[src], expected,
+        )

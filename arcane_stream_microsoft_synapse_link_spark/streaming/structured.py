@@ -11,15 +11,80 @@ replace change-capture vs batch-backfill scheduling
 
 ``StreamRunner`` (runner.py) remains as the driver-side fallback loop the
 survey's M3 plan calls for; both share the same transform + merge chain.
+
+Replay contract of the curation intake streams (dedup / decontaminate /
+media dedup / ANN fold-in / curation gate): every per-batch output is
+written into a ``batch_id=N`` partition directory with ``mode("overwrite")``
+(``write_batch``), so Spark's foreachBatch replay of an uncommitted batch
+REPLACES the crashed attempt's partial output instead of appending next to
+it — the same effectively-exactly-once discipline the reference enforces
+with stage→merge→watermark ordering (StreamRunner.scala:198-233) and the
+CDC core enforces with idempotent MERGE + commit-then-watermark, expressed
+in the idiom of an append-only parquet layout.  Readers inside ``step``
+use ``read_batches(..., before=batch_id)``: only COMPLETE (``_SUCCESS``)
+batch partitions strictly older than the replaying batch are visible, so
+a crashed attempt's partial index/corpus rows can never match against
+their own replay.
 """
 
 from __future__ import annotations
+
+import os
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.merge import cdc_merge
 from ..sources.stream import register
 from ..streaming.runner import StreamRunner, StreamSpec
+
+# Test-only fault injection point: called as fault_hook(stage, batch_id)
+# after each per-batch append so the kill-between-appends replay tests can
+# crash the query at the exact window the batch-keyed layout protects.
+FaultHook = Callable[[str, int], None]
+
+
+def batch_dir(root: str, batch_id: int) -> str:
+    return os.path.join(root, f"batch_id={batch_id}")
+
+
+def write_batch(
+    df: DataFrame, root: str, batch_id: int, partition_by: tuple[str, ...] = ()
+) -> None:
+    """Idempotent per-micro-batch parquet write: the batch's rows land in
+    ``root/batch_id=N/`` with ``mode("overwrite")`` — a foreachBatch replay
+    (same batch_id, same source rows by the WAL contract) overwrites the
+    crashed attempt instead of double-appending.  ``_SUCCESS`` in the batch
+    directory marks it complete; partial crashed writes lack it and are
+    invisible to ``read_batches``."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(batch_dir(root, batch_id))
+
+
+def read_batches(
+    spark: SparkSession, root: str, before: int | None = None
+) -> DataFrame | None:
+    """Read the COMPLETE (``_SUCCESS``-marked) batch partitions of a
+    ``write_batch`` layout, optionally only those with ``batch_id <
+    before`` (inside ``step`` pass the current batch_id so a replay never
+    sees its own crashed attempt's partial rows).  Returns ``None`` when
+    no complete batch exists yet — the first-batch signal."""
+    if not os.path.isdir(root):
+        return None
+    paths = []
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("batch_id="):
+            continue
+        b = int(name.split("=", 1)[1])
+        if (before is None or b < before) and os.path.exists(
+            os.path.join(root, name, "_SUCCESS")
+        ):
+            paths.append(os.path.join(root, name))
+    if not paths:
+        return None
+    return spark.read.option("basePath", root).parquet(*paths).drop("batch_id")
 
 
 def read_stream(spark: SparkSession, spec: StreamSpec) -> DataFrame:
@@ -107,6 +172,7 @@ def run_dedup_stream(
     threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fault_hook: FaultHook | None = None,
 ):
     """Streaming corpus curation: near-dup-filter every micro-batch of
     documents against the ACCUMULATED band index before admission — the
@@ -123,14 +189,12 @@ def run_dedup_stream(
        ``band_index/`` (bucket the index table by ``(band, bh)`` in a
        production layout so step 1's probe prunes partitions).
 
-    Exactly-once caveat: the three appends are not one atomic commit — a
-    crash between them can re-admit a batch's rows on replay.  The CDC
-    path solves this with snapshot-pointer commits (``VersionedTable``);
-    this helper keeps plain appends for the demo pipeline and documents
-    the difference.  Returns the started StreamingQuery.
-    """
-    import os
-
+    Replay-idempotent: each append is a ``write_batch`` (batch_id-keyed
+    overwrite) and index/corpus reads see only complete batches strictly
+    older than the current one — a crash between the three appends re-runs
+    the batch, REPLACING its partial output, never duplicating it (see the
+    module docstring's replay contract).  Returns the started
+    StreamingQuery."""
     from pyspark.sql import functions as F
 
     from ..functions.dedup import incremental_near_duplicates, minhash_band_index
@@ -141,19 +205,23 @@ def run_dedup_stream(
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.select(id_col, text_col).localCheckpoint()
-        if os.path.isdir(idx_dir):
-            index = spark.read.parquet(idx_dir)
-            corpus = spark.read.parquet(corpus_dir)
+        index = read_batches(spark, idx_dir, before=batch_id)
+        if index is not None:
+            corpus = read_batches(spark, corpus_dir, before=batch_id)
             hits = incremental_near_duplicates(
                 batch_df, index, corpus, threshold, text_col, id_col
             ).localCheckpoint()
-            hits.write.mode("append").parquet(hits_dir)
+            write_batch(hits, hits_dir, batch_id)
+            if fault_hook:
+                fault_hook("after_hits", batch_id)
             dup_ids = hits.select(F.col("id_a").alias(id_col)).distinct()
             kept = batch_df.join(dup_ids, id_col, "left_anti").localCheckpoint()
         else:
             kept = batch_df
-        kept.write.mode("append").parquet(corpus_dir)
-        minhash_band_index(kept, text_col, id_col).write.mode("append").parquet(idx_dir)
+        write_batch(kept, corpus_dir, batch_id)
+        if fault_hook:
+            fault_hook("after_corpus", batch_id)
+        write_batch(minhash_band_index(kept, text_col, id_col), idx_dir, batch_id)
 
     return (
         source.writeStream.foreachBatch(step)
@@ -172,6 +240,7 @@ def run_decontaminate_stream(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fault_hook: FaultHook | None = None,
 ):
     """Streaming decontamination: filter every micro-batch of incoming
     documents against a STATIC benchmark n-gram set before admission —
@@ -184,13 +253,12 @@ def run_decontaminate_stream(
     holding a broadcast variable would leak it for the stream's
     lifetime; re-reading parquet lets each batch's broadcast be GC'd).
     Per micro-batch: gram-explode the batch, left-semi against the gram
-    set (broadcast — an eval suite is tiny next to the intake), append
-    contaminated ids to ``hits/`` and survivors to ``clean/``.  Per-batch
-    cost is O(batch) with zero cross-batch state — the shape that
-    survives an unbounded stream.
+    set (broadcast — an eval suite is tiny next to the intake), write
+    contaminated ids to ``hits/`` and survivors to ``clean/`` — both as
+    batch_id-keyed ``write_batch`` overwrites, so a crash between the two
+    writes replays into the same partitions (replay contract, module
+    docstring).  Per-batch cost is O(batch) with zero cross-batch state.
     """
-    import os
-
     from pyspark.sql import functions as F
 
     from ..functions.dedup import words
@@ -231,10 +299,10 @@ def run_decontaminate_stream(
             .distinct()
             .localCheckpoint()
         )
-        hit_ids.write.mode("append").parquet(hits_dir)
-        batch_df.join(hit_ids, id_col, "left_anti").write.mode("append").parquet(
-            clean_dir
-        )
+        write_batch(hit_ids, hits_dir, batch_id)
+        if fault_hook:
+            fault_hook("after_hits", batch_id)
+        write_batch(batch_df.join(hit_ids, id_col, "left_anti"), clean_dir, batch_id)
 
     return (
         source.writeStream.foreachBatch(step)
@@ -251,6 +319,7 @@ def run_media_dedup_stream(
     checkpoint_dir: str,
     max_hamming: int = 6,
     id_col: str = "media_id",
+    fault_hook: FaultHook | None = None,
 ):
     """Streaming MULTIMODAL dedup: perceptual-dHash-filter every
     micro-batch of raw images against the ACCUMULATED hash index before
@@ -274,15 +343,12 @@ def run_media_dedup_stream(
        survivors' band rows to ``phash_index/`` (bucket by
        ``(kind, band, chunk)`` in a production layout so probes prune).
 
-    Same scope notes as ``run_dedup_stream``: the index probe catches
-    cross-batch duplicates (within-batch dups of a single micro-batch are
-    the batch job ``image_near_duplicates``'s job), and the three appends
-    are plain appends, not one atomic commit — the CDC path's
-    snapshot-pointer commit is the exactly-once answer.  Returns the
-    started StreamingQuery.
-    """
-    import os
-
+    The index probe catches cross-batch duplicates (within-batch dups of
+    a single micro-batch are the batch job ``image_near_duplicates``'s
+    job).  Replay-idempotent: all three appends are batch_id-keyed
+    ``write_batch`` overwrites and the index read sees only complete
+    older batches (replay contract, module docstring).  Returns the
+    started StreamingQuery."""
     from pyspark.sql import functions as F
 
     from ..functions.multimodal import audio_fingerprints, perceptual_hashes
@@ -322,8 +388,8 @@ def run_media_dedup_stream(
             id_col, F.lit("aud").alias("kind"), F.col("ahash64").alias("phash")
         )
         h = img_h.unionByName(aud_h).localCheckpoint()
-        if os.path.isdir(idx_dir):
-            idx = spark.read.parquet(idx_dir)
+        idx = read_batches(spark, idx_dir, before=batch_id)
+        if idx is not None:
             hits = (
                 bands(h, "id_a", "phash_a")
                 .join(idx, ["kind", "band", "chunk"])
@@ -339,14 +405,18 @@ def run_media_dedup_stream(
                 .distinct()
                 .localCheckpoint()
             )
-            hits.write.mode("append").parquet(hits_dir)
+            write_batch(hits, hits_dir, batch_id)
+            if fault_hook:
+                fault_hook("after_hits", batch_id)
             dup_ids = hits.select(F.col("id_a").alias(id_col)).distinct()
             kept = batch_df.join(dup_ids, id_col, "left_anti").localCheckpoint()
             kept_h = h.join(dup_ids, id_col, "left_anti")
         else:
             kept, kept_h = batch_df, h
-        kept.write.mode("append").parquet(corpus_dir)
-        bands(kept_h, "idx_id", "idx_phash").write.mode("append").parquet(idx_dir)
+        write_batch(kept, corpus_dir, batch_id)
+        if fault_hook:
+            fault_hook("after_corpus", batch_id)
+        write_batch(bands(kept_h, "idx_id", "idx_phash"), idx_dir, batch_id)
 
     return (
         source.writeStream.foreachBatch(step)
@@ -367,6 +437,7 @@ def run_ann_index_stream(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fault_hook: FaultHook | None = None,
 ):
     """Streaming ANN index maintenance: fold every micro-batch of new
     embeddings into the PERSISTED IVF-PQ index — the streaming form of
@@ -376,22 +447,27 @@ def run_ann_index_stream(
     Per micro-batch (foreachBatch):
 
     - first batch ever: train the model on it (``ivfpq_build``) and
-      persist centroids + codebooks + cell-partitioned codes
-      (``ivfpq_save``);
+      persist centroids + codebooks (``ivfpq_save(include_codes=False)``,
+      ``params.json`` promoted atomically LAST — its presence is the
+      model-exists marker, so a crash mid-save retrains on replay);
     - every later batch: load the FROZEN model (centroids/codebooks only
       — the historical codes stay on disk untouched), assign +
-      residual-encode ONLY the batch, and append its code rows into the
-      cell partitioning.  Per-batch cost is O(batch); queries keep
-      serving from the same directory via ``ivfpq_load`` +
-      ``ivfpq_probe`` between (or during) appends.
+      residual-encode ONLY the batch, and write its code rows into
+      ``codes/batch_id=N/centroid_id=.../``.  Per-batch cost is O(batch);
+      queries keep serving from the same directory via ``ivfpq_load`` +
+      ``ivfpq_probe`` between appends (the ``centroid_id`` filter still
+      prunes at the nested partition level).
+
+    Replay-idempotent: every batch's codes live under their own
+    ``batch_id=N`` partition written with ``mode("overwrite")``, so a
+    crashed fold-in replays into the same directory instead of appending
+    duplicate code rows (replay contract, module docstring).
 
     Model staleness is the standard production trade: centroids trained
     on crawl 1 quantize later crawls slightly worse until an offline
     retrain cadence job rebuilds the index — the FAISS deployment shape.
     Returns the started StreamingQuery.
     """
-    import os
-
     from ..functions.similarity import (
         _pq_encode,
         ivf_assign,
@@ -399,6 +475,8 @@ def run_ann_index_stream(
         ivfpq_load,
         ivfpq_save,
     )
+
+    codes_root = os.path.join(index_dir, "codes")
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -409,20 +487,120 @@ def run_ann_index_stream(
                 batch_df, n_centroids=n_centroids, m=m, codes=codes, seed=seed,
                 id_col=id_col, vec_col=vec_col,
             )
-            ivfpq_save(idx, index_dir)
+            write_batch(idx.codes, codes_root, batch_id, partition_by=("centroid_id",))
+            if fault_hook:
+                fault_hook("after_codes", batch_id)
+            ivfpq_save(idx, index_dir, include_codes=False)
             return
         idx = ivfpq_load(spark, index_dir)
         assigned = ivf_assign(batch_df, idx.cents_df, id_col, vec_col)
         new_codes = _pq_encode(assigned, idx.cent, idx.cb, id_col, vec_col)
-        new_codes.write.mode("append").partitionBy("centroid_id").parquet(
-            os.path.join(index_dir, "codes")
-        )
+        write_batch(new_codes, codes_root, batch_id, partition_by=("centroid_id",))
+        if fault_hook:
+            fault_hook("after_codes", batch_id)
 
     return (
         source.writeStream.foreachBatch(step)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming curation gate: versioned model store + refresh
+# ---------------------------------------------------------------------------
+
+
+def _model_root(work_dir: str) -> str:
+    return os.path.join(work_dir, "curation_model")
+
+
+def _current_version(work_dir: str) -> str | None:
+    cur = os.path.join(_model_root(work_dir), "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        return f.read().strip()
+
+
+def curation_model_dir(work_dir: str, version: str | None = None) -> str:
+    """Directory of a curation-model version (default: the CURRENT one)."""
+    version = version or _current_version(work_dir)
+    if version is None:
+        raise FileNotFoundError(f"no curation model trained under {work_dir}")
+    return os.path.join(_model_root(work_dir), version)
+
+
+def _train_curation_version(
+    spark: SparkSession,
+    work_dir: str,
+    reference: DataFrame,
+    target,
+    text_col: str,
+    id_col: str,
+    dsir_variant: str,
+) -> str:
+    """Train both curation models (DSIR λ table + IRLS quality classifier)
+    from ``reference`` into the NEXT version directory and atomically
+    promote it: the version dir is fully written (λ parquet with
+    ``_SUCCESS``, then ``beta.json``) before the single-file ``CURRENT``
+    pointer swings to it (tmp + ``os.replace``) — readers resolve
+    ``CURRENT`` once per batch, so every batch scores with one CONSISTENT
+    (λ, β) pair and an in-flight batch is unaffected by a concurrent
+    refresh.  Returns the new version name."""
+    import json
+    import shutil
+
+    from ..functions.classifier import irls_train, text_feature_frame
+    from ..functions.curation import dsir_lambda_table, hashed_lambda_table
+
+    root = _model_root(work_dir)
+    os.makedirs(root, exist_ok=True)
+    existing = [
+        int(n[1:]) for n in os.listdir(root)
+        if n.startswith("v") and n[1:].isdigit()
+    ]
+    version = f"v{(max(existing) + 1 if existing else 1):06d}"
+    vdir = os.path.join(root, version)
+    tmp_dir = vdir + "._tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+    lam_fn = hashed_lambda_table if dsir_variant == "hashed" else dsir_lambda_table
+    lam_fn(reference, target, text_col, id_col).write.mode("overwrite").parquet(
+        os.path.join(tmp_dir, "lam")
+    )
+    feat = text_feature_frame(
+        reference, text_col, id_col, keep=(target.cast("int").alias("label"),)
+    )
+    beta = irls_train(feat)
+    with open(os.path.join(tmp_dir, "beta.json"), "w") as f:
+        json.dump(beta, f)
+    os.replace(tmp_dir, vdir)
+    cur_tmp = os.path.join(root, "CURRENT._tmp")
+    with open(cur_tmp, "w") as f:
+        f.write(version)
+    os.replace(cur_tmp, os.path.join(root, "CURRENT"))
+    return version
+
+
+def curation_model_refresh(
+    spark: SparkSession,
+    work_dir: str,
+    reference: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dsir_variant: str = "vocab",
+) -> str:
+    """Retrain the streaming curation gate's models on a NEW reference
+    corpus and atomically swap them in — the per-crawl retrain cadence a
+    production intake runs offline.  Batches in flight keep the version
+    they resolved at batch start; every batch that STARTS after the swap
+    scores with the new model; a restart keeps the new model (``CURRENT``
+    survives on disk).  Returns the new version name."""
+    return _train_curation_version(
+        spark, work_dir, reference, target, text_col, id_col, dsir_variant
     )
 
 
@@ -438,23 +616,31 @@ def run_curation_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     dsir_variant: str = "vocab",
+    fault_hook: FaultHook | None = None,
 ):
     """Streaming curation gate: score every micro-batch of incoming
     documents with BOTH trained curation models — the IRLS quality
     classifier (functions/classifier.py) and the DSIR importance λ table
     (functions/curation.py) — and route to ``accept/`` or ``reject/``
     with the scores attached.  The intake-side twin of
-    ``ops_quality_classifier`` + ``ops_importance_weights``: models are
-    trained ONCE from the static ``reference`` corpus (``target`` is the
-    seed-domain boolean Column over its rows) and persisted under
-    ``curation_model/``; every batch after that is a broadcast-join +
-    projection — O(batch), zero cross-batch state growth, and a restart
-    reuses the persisted model byte-for-byte (same atomic-rename +
-    ``_SUCCESS`` discipline as ``run_decontaminate_stream``).
+    ``ops_quality_classifier`` + ``ops_importance_weights``.
+
+    Models live in a VERSIONED store (``curation_model/v000001/...`` + a
+    ``CURRENT`` pointer file): the first run trains v000001 from the
+    static ``reference`` corpus (``target`` is the seed-domain boolean
+    Column over its rows); every batch resolves ``CURRENT`` once and
+    scores with that version's consistent (λ, β) pair — O(batch) work,
+    zero cross-batch state growth, restarts reuse the persisted model
+    byte-for-byte.  ``curation_model_refresh`` retrains on a new
+    reference and atomically swings ``CURRENT``; batches that start after
+    the swap score with the new version (model-refresh e2e in
+    tests/test_streaming.py).
 
     A doc is accepted when ``score_ppm ≥ min_score_ppm`` AND
     ``dsir_ppm ≥ min_dsir_ppm``; both scores are written either way, so
-    downstream can re-threshold rejected docs without re-scoring.
+    downstream can re-threshold rejected docs without re-scoring.  The
+    accept/reject writes are batch_id-keyed ``write_batch`` overwrites —
+    replay-idempotent per the module docstring's contract.
 
     ``dsir_variant``: ``"vocab"`` persists the learned-bigram λ table;
     ``"hashed"`` persists the fixed 1024-bucket λ (the published DSIR
@@ -462,58 +648,28 @@ def run_curation_stream(
     bigram already has a bucket and a λ, while an out-of-vocab bigram
     under ``"vocab"`` simply contributes 0."""
     import json
-    import os
-    import shutil
 
     from pyspark.sql import functions as F
 
-    from ..functions.classifier import (
-        classifier_scores,
-        irls_train,
-        text_feature_frame,
-    )
-    from ..functions.curation import (
-        dsir_lambda_table,
-        dsir_score,
-        hashed_dsir_score,
-        hashed_lambda_table,
-    )
+    from ..functions.classifier import classifier_scores, text_feature_frame
+    from ..functions.curation import dsir_score, hashed_dsir_score
 
-    model_dir = os.path.join(work_dir, "curation_model")
-    lam_dir = os.path.join(model_dir, "lam")
-    beta_path = os.path.join(model_dir, "beta.json")
     accept_dir = os.path.join(work_dir, "accept")
     reject_dir = os.path.join(work_dir, "reject")
 
-    if not (
-        os.path.exists(os.path.join(lam_dir, "_SUCCESS")) and os.path.exists(beta_path)
-    ):
-        tmp_dir = model_dir + "._tmp"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        os.makedirs(tmp_dir)
-        if dsir_variant == "hashed":
-            hashed_lambda_table(reference, target, text_col, id_col).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(tmp_dir, "lam"))
-        else:
-            dsir_lambda_table(reference, target, text_col, id_col).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(tmp_dir, "lam"))
-        feat = text_feature_frame(
-            reference, text_col, id_col, keep=(target.cast("int").alias("label"),)
+    if _current_version(work_dir) is None:
+        _train_curation_version(
+            spark, work_dir, reference, target, text_col, id_col, dsir_variant
         )
-        beta = irls_train(feat)
-        with open(os.path.join(tmp_dir, "beta.json"), "w") as f:
-            json.dump(beta, f)
-        shutil.rmtree(model_dir, ignore_errors=True)
-        os.replace(tmp_dir, model_dir)
-
-    with open(beta_path) as f:
-        beta = json.load(f)
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.select(id_col, text_col).localCheckpoint()
-        lam = spark.read.parquet(lam_dir)
+        # resolve CURRENT once per batch: one consistent (λ, β) pair even
+        # if a refresh lands mid-batch
+        vdir = curation_model_dir(work_dir)
+        lam = spark.read.parquet(os.path.join(vdir, "lam"))
+        with open(os.path.join(vdir, "beta.json")) as f:
+            beta = json.load(f)
         feat = text_feature_frame(batch_df, text_col, id_col)
         quality = classifier_scores(feat, beta, id_col=id_col)
         if dsir_variant == "hashed":
@@ -528,8 +684,10 @@ def run_curation_stream(
         ok = (F.col("score_ppm") >= min_score_ppm) & (
             F.col("dsir_ppm") >= min_dsir_ppm
         )
-        scored.where(ok).write.mode("append").parquet(accept_dir)
-        scored.where(~ok).write.mode("append").parquet(reject_dir)
+        write_batch(scored.where(ok), accept_dir, batch_id)
+        if fault_hook:
+            fault_hook("after_accept", batch_id)
+        write_batch(scored.where(~ok), reject_dir, batch_id)
 
     return (
         source.writeStream.foreachBatch(step)
@@ -537,4 +695,3 @@ def run_curation_stream(
         .trigger(availableNow=True)
         .start()
     )
-

@@ -5,6 +5,7 @@ restart/resume semantics plus the Python parser twins."""
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timezone
 from decimal import Decimal
 
@@ -535,7 +536,11 @@ def test_streaming_curation_pipeline(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    beta_mtime = os.path.getmtime(f"{work}/curation_model/beta.json")
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        curation_model_dir,
+    )
+
+    beta_mtime = os.path.getmtime(os.path.join(curation_model_dir(work), "beta.json"))
     accepted = {r["doc_id"] for r in spark.read.parquet(f"{work}/accept").collect()}
     rejected = {r["doc_id"] for r in spark.read.parquet(f"{work}/reject").collect()}
     assert accepted == {100} and rejected == {101}
@@ -549,7 +554,10 @@ def test_streaming_curation_pipeline(spark, tmp_path):
     )
     q2.awaitTermination(120)
 
-    assert os.path.getmtime(f"{work}/curation_model/beta.json") == beta_mtime
+    assert (
+        os.path.getmtime(os.path.join(curation_model_dir(work), "beta.json"))
+        == beta_mtime
+    )
     accepted = {r["doc_id"] for r in spark.read.parquet(f"{work}/accept").collect()}
     rejected = {r["doc_id"] for r in spark.read.parquet(f"{work}/reject").collect()}
     assert accepted == {100, 200} and rejected == {101, 201}
@@ -591,11 +599,18 @@ def test_streaming_curation_hashed_variant(spark, tmp_path):
     )
     q.awaitTermination(120)
 
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        curation_model_dir,
+    )
+
     accepted = {r["doc_id"] for r in spark.read.parquet(f"{work}/accept").collect()}
     rejected = {r["doc_id"] for r in spark.read.parquet(f"{work}/reject").collect()}
     assert accepted == {100} and rejected == {101}
     # the hashed lambda table is the full fixed bucket space
-    assert spark.read.parquet(f"{work}/curation_model/lam").count() == 1024
+    assert (
+        spark.read.parquet(os.path.join(curation_model_dir(work), "lam")).count()
+        == 1024
+    )
     # unseen-bigram doc still gets a real (non-zero-feature) score
     spark.createDataFrame(
         [(200, "totally novel words never in reference corpus here")],
@@ -611,3 +626,344 @@ def test_streaming_curation_hashed_variant(spark, tmp_path):
     )
     row = both.where(F.col("doc_id") == 200).collect()[0]
     assert row["dsir_ppm"] != 0
+
+
+# ---------------------------------------------------------------------------
+# kill-between-appends replay idempotency (VERDICT r6 item 1)
+# ---------------------------------------------------------------------------
+
+
+class _Bomb(Exception):
+    pass
+
+
+def _crash_once(stage, on_batch):
+    """fault_hook that raises on its first visit to (stage, on_batch) —
+    simulates a crash in the window between two per-batch appends."""
+    fired = {"n": 0}
+
+    def hook(s, b):
+        if s == stage and b == on_batch and fired["n"] == 0:
+            fired["n"] += 1
+            raise _Bomb(f"injected crash at {s} batch {b}")
+
+    return hook
+
+
+def _await_failure(q):
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(120)
+    assert "injected crash" in str(ei.value)
+
+
+def test_dedup_stream_replay_idempotent(spark, tmp_path):
+    """Crash BETWEEN the hits append and the corpus/index appends of
+    run_dedup_stream's second micro-batch, then restart: the replayed
+    batch must overwrite its crashed attempt — zero duplicate hit rows,
+    zero double-admitted corpus docs, exactly one index row per
+    (kept doc, band).  This is the at-least-once → effectively-exactly-
+    once upgrade of VERDICT r6 item 1."""
+    import random as _r
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_dedup_stream,
+    )
+
+    rng = _r.Random(47)
+    vocab = [f"tok{i}" for i in range(300)]
+
+    def doc(n=50):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    batch1 = [(i, doc()) for i in range(12)]
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    q = run_dedup_stream(spark, stream(), work, ckpt, threshold=0.5)
+    q.awaitTermination(120)
+
+    # batch 2 (batch_id=1): one exact copy + two fresh docs; crash right
+    # after the hits append — the exact window that used to double-admit
+    batch2 = [(100, batch1[3][1]), (101, doc()), (102, doc())]
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    q2 = run_dedup_stream(
+        spark, stream(), work, ckpt, threshold=0.5,
+        fault_hook=_crash_once("after_hits", 1),
+    )
+    _await_failure(q2)
+
+    q3 = run_dedup_stream(spark, stream(), work, ckpt, threshold=0.5)
+    q3.awaitTermination(120)
+
+    corpus = spark.read.parquet(f"{work}/corpus").select("doc_id").collect()
+    ids = [r["doc_id"] for r in corpus]
+    assert sorted(ids) == sorted(set(ids))  # no double-admitted rows
+    assert set(ids) == set(range(12)) | {101, 102}
+    hits = spark.read.parquet(f"{work}/hits").select("id_a", "id_b").collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in hits]
+    assert sorted(pairs) == sorted(set(pairs)) and (100, 3) in pairs
+    idx = spark.read.parquet(f"{work}/band_index")
+    n_kept, n_idx = len(ids), idx.count()
+    assert n_idx == idx.distinct().count() == n_kept * 32
+
+
+def test_decontaminate_stream_replay_idempotent(spark, tmp_path):
+    """Crash between the hits and clean appends of the decontamination
+    gate, restart, and verify the replay replaced — not duplicated — the
+    batch's output on both routes."""
+    import random as _r
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_decontaminate_stream,
+    )
+
+    rng = _r.Random(53)
+    vocab = [f"tok{i}" for i in range(300)]
+
+    def doc(n=40):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    bench_texts = [doc() for _ in range(2)]
+    benchmark = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench_texts)], "doc_id long, text string"
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(0, doc()), (1, doc())], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    q = run_decontaminate_stream(spark, stream(), benchmark, work, ckpt)
+    q.awaitTermination(120)
+
+    contaminated = doc(5) + " " + " ".join(bench_texts[0].split()[2:10]) + " " + doc(5)
+    spark.createDataFrame(
+        [(10, contaminated), (11, doc())], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q2 = run_decontaminate_stream(
+        spark, stream(), benchmark, work, ckpt,
+        fault_hook=_crash_once("after_hits", 1),
+    )
+    _await_failure(q2)
+    q3 = run_decontaminate_stream(spark, stream(), benchmark, work, ckpt)
+    q3.awaitTermination(120)
+
+    clean = [r["doc_id"] for r in spark.read.parquet(f"{work}/clean").collect()]
+    assert sorted(clean) == sorted(set(clean)) and set(clean) == {0, 1, 11}
+    hits = [r["doc_id"] for r in spark.read.parquet(f"{work}/hits").collect()]
+    assert hits == [10]
+
+
+def test_media_dedup_stream_replay_idempotent(spark, tmp_path):
+    """Crash between the hits append and the corpus/index appends of the
+    multimodal dedup intake, restart, and verify no duplicate corpus rows
+    / hit pairs / index band rows survive the replay."""
+    from arcane_stream_microsoft_synapse_link_spark.functions import multimodal as M
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_media_dedup_stream,
+    )
+
+    media = M.raw_media_with_variants(spark, n=9, n_variants=1, noise=2)
+    rows = {r["media_id"]: r for r in media.collect()}
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    batch1 = [rows[0], rows[3], rows[1]]  # 2 images + 1 audio
+    spark.createDataFrame(batch1, M.MEDIA_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = lambda: spark.readStream.schema(M.MEDIA_SCHEMA).parquet(  # noqa: E731
+        str(src / "*")
+    )
+    q = run_media_dedup_stream(spark, stream(), work, ckpt, max_hamming=6)
+    q.awaitTermination(120)
+
+    w, h = rows[0]["width"], rows[0]["height"]
+    inv = bytes(
+        255 - ((x * 255) // (w - 1) + y) % 256 for y in range(h) for x in range(w)
+    )
+    batch2 = [rows[1000], (777, inv, "image", w, h, 0)]  # near-dup of 0 + fresh
+    spark.createDataFrame(batch2, M.MEDIA_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    q2 = run_media_dedup_stream(
+        spark, stream(), work, ckpt, max_hamming=6,
+        fault_hook=_crash_once("after_hits", 1),
+    )
+    _await_failure(q2)
+    q3 = run_media_dedup_stream(spark, stream(), work, ckpt, max_hamming=6)
+    q3.awaitTermination(120)
+
+    ids = [r["media_id"] for r in spark.read.parquet(f"{work}/corpus").collect()]
+    assert sorted(ids) == sorted(set(ids)) and set(ids) == {0, 3, 1, 777}
+    hits = [
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(f"{work}/hits").collect()
+    ]
+    assert sorted(hits) == sorted(set(hits)) and (1000, 0) in hits
+    idx = spark.read.parquet(f"{work}/phash_index")
+    assert idx.count() == idx.distinct().count()
+
+
+def test_ann_index_stream_replay_idempotent(spark, tmp_path):
+    """Crash the fold-in micro-batch right after its codes write (before
+    the checkpoint commit), restart, and verify the replay OVERWROTE the
+    batch partition: exactly one code row per vector, never two."""
+    import numpy as np
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_ann_index_stream,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(300, 16).astype(np.float32)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    idx_dir, ckpt = str(tmp_path / "ann_index"), str(tmp_path / "ckpt")
+    b1 = [(int(i), base[i].tolist()) for i in range(200)]
+    spark.createDataFrame(b1, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    stream = lambda: spark.readStream.schema(  # noqa: E731
+        "vec_id long, embedding array<float>"
+    ).parquet(str(src / "*"))
+    q = run_ann_index_stream(spark, stream(), idx_dir, ckpt, n_centroids=4, codes=16)
+    q.awaitTermination(120)
+
+    b2 = [(int(200 + i), base[200 + i].tolist()) for i in range(100)]
+    spark.createDataFrame(b2, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(str(src / "b2"))
+    q2 = run_ann_index_stream(
+        spark, stream(), idx_dir, ckpt, n_centroids=4, codes=16,
+        fault_hook=_crash_once("after_codes", 1),
+    )
+    _await_failure(q2)
+    q3 = run_ann_index_stream(spark, stream(), idx_dir, ckpt, n_centroids=4, codes=16)
+    q3.awaitTermination(120)
+
+    codes = spark.read.parquet(f"{idx_dir}/codes")
+    assert codes.count() == 300
+    assert codes.select("vec_id").distinct().count() == 300
+
+
+def test_curation_stream_replay_idempotent(spark, tmp_path):
+    """Crash between the accept and reject appends of the curation gate,
+    restart, and verify both routes carry each doc exactly once."""
+    from pyspark.sql import functions as F
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_curation_stream,
+    )
+
+    prose = "the quick brown fox jumps over the lazy dog and it is fine "
+    junk = "x,y;z.!? q,w;e.!? "
+    ref_rows = [(i, prose * (2 + i % 3)) for i in range(0, 30, 2)]
+    ref_rows += [(i, junk * (4 + i % 3)) for i in range(1, 30, 2)]
+    reference = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    target = F.col("doc_id") % 2 == 0
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(100, prose * 3), (101, junk * 5)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    q = run_curation_stream(
+        spark, stream(), reference, target, work, ckpt, min_score_ppm=500000,
+        fault_hook=_crash_once("after_accept", 0),
+    )
+    _await_failure(q)
+    q2 = run_curation_stream(
+        spark, stream(), reference, target, work, ckpt, min_score_ppm=500000
+    )
+    q2.awaitTermination(120)
+
+    accepted = [r["doc_id"] for r in spark.read.parquet(f"{work}/accept").collect()]
+    rejected = [r["doc_id"] for r in spark.read.parquet(f"{work}/reject").collect()]
+    assert accepted == [100] and rejected == [101]
+
+
+def test_curation_stream_model_refresh(spark, tmp_path):
+    """Model-refresh e2e (VERDICT r6 item 8): batch 1 scores with model
+    v000001; ``curation_model_refresh`` retrains on a NEW reference with
+    the seed domain FLIPPED (junk becomes the target) and atomically
+    swings CURRENT to v000002; the post-refresh batch routes junk to
+    accept/ — and a restart keeps v000002."""
+    from pyspark.sql import functions as F
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        _current_version,
+        curation_model_refresh,
+        run_curation_stream,
+    )
+
+    prose = "the quick brown fox jumps over the lazy dog and it is fine "
+    junk = "x,y;z.!? q,w;e.!? "
+    ref_rows = [(i, prose * (2 + i % 3)) for i in range(0, 30, 2)]
+    ref_rows += [(i, junk * (4 + i % 3)) for i in range(1, 30, 2)]
+    reference = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    target_v1 = F.col("doc_id") % 2 == 0  # prose is the seed domain
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(100, prose * 3), (101, junk * 5)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    q = run_curation_stream(
+        spark, stream(), reference, target_v1, work, ckpt,
+        min_score_ppm=500000, min_dsir_ppm=-(10**9),
+    )
+    q.awaitTermination(120)
+    assert _current_version(work) == "v000001"
+    accepted = {r["doc_id"] for r in spark.read.parquet(f"{work}/accept").collect()}
+    assert accepted == {100}
+
+    # refresh: flip the seed domain — junk is now the target
+    v2 = curation_model_refresh(spark, work, reference, F.col("doc_id") % 2 == 1)
+    assert v2 == "v000002" and _current_version(work) == "v000002"
+
+    spark.createDataFrame(
+        [(200, prose * 3), (201, junk * 5)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q2 = run_curation_stream(
+        spark, stream(), reference, target_v1, work, ckpt,
+        min_score_ppm=500000, min_dsir_ppm=-(10**9),
+    )
+    q2.awaitTermination(120)
+
+    accepted = {r["doc_id"] for r in spark.read.parquet(f"{work}/accept").collect()}
+    rejected = {r["doc_id"] for r in spark.read.parquet(f"{work}/reject").collect()}
+    # v2 scores the post-refresh batch: junk accepted, prose rejected
+    assert accepted == {100, 201} and rejected == {101, 200}
+    # restart keeps v2 (CURRENT survives; run_curation_stream must NOT
+    # retrain when a current model exists)
+    spark.createDataFrame(
+        [(301, junk * 4)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b3"))
+    q3 = run_curation_stream(
+        spark, stream(), reference, target_v1, work, ckpt,
+        min_score_ppm=500000, min_dsir_ppm=-(10**9),
+    )
+    q3.awaitTermination(120)
+    assert _current_version(work) == "v000002"
+    accepted = {r["doc_id"] for r in spark.read.parquet(f"{work}/accept").collect()}
+    assert 301 in accepted

@@ -1,9 +1,12 @@
 """Training-data pipeline operators exposed as declared queries.
 
-SQL-expressible operators carry a DuckDB oracle (hash-checked by the
-driver); graph-shaped ones (LSH pipelines, ANN, mapInPandas plumbing) are
-registered without an oracle → rows-only check, with exact/recall pytest
-coverage in tests/test_functions.py instead.
+Every entry carries a DuckDB oracle (hash-checked by the driver):
+SQL-expressible operators as direct SQL, graph-shaped ones (LSH pipelines,
+ANN, mapInPandas plumbing) as literal-VALUES mirrors from independent
+sequential references (plans/values_oracle.py), and the engine-specific
+estimators (HLL, approx-percentile) as exact-value + ``within_bound``
+contracts — with exact/recall pytest coverage in tests/test_functions.py
+on top.
 """
 
 from __future__ import annotations
@@ -20,24 +23,6 @@ from .oracle import ORACLE
 from .queries import QUERIES, query
 from ..session import local_df
 
-
-def _self_check(df: DataFrame, *cols: str) -> DataFrame:
-    """Pin a rows-only entry's VALUES, not just its row count.
-
-    Appends two constant columns — ``self_rows`` and ``self_hash``, the
-    order-independent ``bit_xor`` of ``xxhash64`` over the named columns —
-    via one unbounded window over the final result (contractually small
-    for every rows-only entry: pair lists, top-k, per-group aggregates),
-    so no plan branch re-executes the pipeline. The driver's rows-only
-    gate then records a value fingerprint inside every row, and
-    tests/test_plans.py asserts the fingerprint is identical across
-    independent runs (determinism pin, VERDICT r3 item 7)."""
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy()
-    return df.withColumn(
-        "self_rows", F.count(F.lit(1)).over(w).cast("bigint")
-    ).withColumn("self_hash", F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").over(w))
 
 # ---------------------------------------------------------------------------
 # oracle-checked (deterministic, SQL-expressible)
@@ -744,19 +729,43 @@ def ops_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL (Apache DataSketches) cardinality per group — the
     100 TB distinct-count path: per-partition sketches combine
     associatively, so the shuffle carries fixed-size sketch buffers, never
-    value sets. Rows-only here (estimates are engine-specific);
-    tests/test_functions.py checks ±2% vs exact and sketch-merge equality."""
+    value sets.
+
+    Oracle-backed since r7 (VERDICT r6 item 2): an engine-specific
+    estimate can never hash-match another engine, so the DECLARED form is
+    the estimator's CONTRACT — the exact per-group count plus a
+    ``within_bound`` boolean asserting the in-engine sketch estimate is
+    within 2% of it (lgK=14 → rsd ≈ 0.81%, so 2% is a hard determinism
+    bound, not a flaky tolerance).  DuckDB oracles the exact column and
+    ``TRUE``; an estimator regression flips ``within_bound`` and goes
+    hash-red at the gate.  tests/test_functions.py additionally checks
+    sketch merge-equality."""
     t = Tables(spark, sf_dir)
     return (
         t.lineitem.groupBy("l_returnflag")
         .agg(
+            F.count_distinct(F.col("l_partkey")).cast("bigint").alias("exact_parts"),
             F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", F.lit(14)))
             .cast("bigint")
-            .alias("apx_parts")
+            .alias("_apx"),
         )
-        .transform(lambda d: _self_check(d, "l_returnflag", "apx_parts"))
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_apx") - F.col("exact_parts")) * 1000000
+                <= F.lit(20000) * F.col("exact_parts")
+            ).alias("within_bound"),
+        )
         .orderBy("l_returnflag")
     )
+
+
+ORACLE["ops_hll_sketch"] = """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1440,7 +1449,11 @@ def ops_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ops_approx_distinct")
 def ops_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approx distinct (tolerance-checked in tests, rows-only here).
+    """HLL++ approx distinct, declared as its CONTRACT (oracle-backed
+    since r7, VERDICT r6 item 2): exact counts plus a ``within_bound``
+    boolean asserting both in-engine estimates sit within 5% of exact —
+    hash-checkable by DuckDB (exact columns + ``TRUE``) even though the
+    estimates themselves are engine-specific.
 
     rsd=0.02, not 0.01: HLL++ partial-buffer size is inverse-quadratic in
     rsd (0.01 → 64K registers per partition per agg), and the measured agg
@@ -1449,21 +1462,80 @@ def ops_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataSketches path (ops_hll_sketch) or exact salted counting
     (ops_salted_distinct)."""
     t = Tables(spark, sf_dir)
-    out = t.lineitem.agg(
-        F.approx_count_distinct("l_partkey", 0.02).cast("bigint").alias("apx_part"),
-        F.approx_count_distinct("l_suppkey", 0.02).cast("bigint").alias("apx_supp"),
+    return t.lineitem.agg(
+        F.count_distinct(F.col("l_partkey")).cast("bigint").alias("exact_part"),
+        F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("exact_supp"),
+        F.approx_count_distinct("l_partkey", 0.02).cast("bigint").alias("_ap"),
+        F.approx_count_distinct("l_suppkey", 0.02).cast("bigint").alias("_as"),
+    ).select(
+        "exact_part",
+        "exact_supp",
+        (
+            (F.abs(F.col("_ap") - F.col("exact_part")) * 1000000
+             <= F.lit(50000) * F.col("exact_part"))
+            & (F.abs(F.col("_as") - F.col("exact_supp")) * 1000000
+               <= F.lit(50000) * F.col("exact_supp"))
+        ).alias("within_bound"),
     )
-    return _self_check(out, "apx_part", "apx_supp")
+
+
+ORACLE["ops_approx_distinct"] = """
+    SELECT COUNT(DISTINCT l_partkey) AS exact_part,
+           COUNT(DISTINCT l_suppkey) AS exact_supp,
+           TRUE AS within_bound
+    FROM lineitem
+"""
 
 
 @query("ops_percentile")
 def ops_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GK sketch), declared as its CONTRACT
+    (oracle-backed since r7, VERDICT r6 item 2): the EXACT interpolated
+    percentile from the distributed rank-selection operator
+    (operators/quantiles.py — bit-identical to DuckDB quantile_cont)
+    plus ``within_bound`` asserting the in-engine GK estimate is within
+    1% relative of exact (accuracy=10000 → rank error ≤ n/10⁴, far
+    inside 1% of value on this distribution — a determinism bound)."""
+    from ..operators.quantiles import exact_percentiles
+
     t = Tables(spark, sf_dir)
-    out = t.lineitem.agg(
-        F.percentile_approx("l_extendedprice", 0.5).alias("p50"),
-        F.percentile_approx("l_extendedprice", 0.95).alias("p95"),
+    exact = exact_percentiles(
+        t.lineitem, "l_extendedprice", [0.5, 0.95], interpolation="cont"
+    ).select(F.round(F.col("p") * 100).cast("bigint").alias("p_pct"), "value")
+    apx = t.lineitem.agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+        ).alias("_apx")
     )
-    return _self_check(out, "p50", "p95")
+    return (
+        exact.join(F.broadcast(apx))
+        .select(
+            "p_pct",
+            "value",
+            (
+                F.abs(
+                    F.element_at(
+                        "_apx", F.when(F.col("p_pct") == 50, 1).otherwise(2)
+                    )
+                    - F.col("value")
+                )
+                <= 0.01 * F.col("value")
+            ).alias("within_bound"),
+        )
+        .orderBy("p_pct")
+    )
+
+
+ORACLE["ops_percentile"] = """
+    WITH e AS (
+        SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS v50,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS v95
+        FROM lineitem)
+    SELECT 50 AS p_pct, v50 AS value, TRUE AS within_bound FROM e
+    UNION ALL
+    SELECT 95, v95, TRUE FROM e
+    ORDER BY p_pct
+"""
 
 
 @query("ops_substring_dedup")

@@ -133,7 +133,10 @@ def test_doc_surface_counts_match_registry():
     assert f"{n_q} entries, {n_o} oracle-backed" in readme, (
         f"README.md surface count drifted: expected '{n_q} entries, {n_o} oracle-backed'"
     )
-    assert f"the {n_rows_only} rows-only entries" in readme
+    if n_rows_only:
+        assert f"the {n_rows_only} rows-only entries" in readme
+    else:
+        assert "every entry oracle-backed" in readme
     assert f"{n_q} declared queries" in migration, (
         f"MIGRATION.md surface count drifted: expected '{n_q} declared queries'"
     )

@@ -1155,3 +1155,40 @@ def test_bpe_encode_word_properties():
         assert toks == bpe_encode_word(word, rank_of)
         for a, b in zip(toks, toks[1:]):
             assert (a, b) not in rank_of, (word, toks, (a, b))
+
+
+def test_duplicate_clusters_distributed_100k_edge_stress(spark):
+    """VERDICT r6 item 5: the distributed connected-components branch at
+    realistic volume — ≥100k edges mixing the adversarial shapes: LONG
+    CHAINS (5 × 10,000 nodes — diameter 10k, where plain min-propagation
+    would need 10k rounds), STAR cliques (300 × 100 leaves), and dense
+    cliques (20 × 50 nodes).  Must (a) equal the driver union-find
+    exactly, and (b) converge WELL before max_iter — the pointer-jumping
+    round is O(log diameter), so a 10k-diameter chain resolves in
+    ~⌈log₂ 10k⌉ + slack rounds, not 10k."""
+    from arcane_stream_microsoft_synapse_link_spark.functions import dedup as D
+
+    edges = []
+    base = 0
+    for _ in range(5):  # chains of 10k nodes
+        edges += [(base + i, base + i + 1) for i in range(9_999)]
+        base += 10_000
+    for _ in range(300):  # stars: hub + 100 leaves
+        hub = base
+        edges += [(hub, base + 1 + i) for i in range(100)]
+        base += 101
+    for _ in range(20):  # 50-cliques: all pairs
+        ids = list(range(base, base + 50))
+        edges += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        base += 50
+    assert len(edges) >= 100_000
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long").repartition(32)
+    stats: dict = {}
+    dist = {
+        r.id: r.cluster_id
+        for r in D.duplicate_clusters(pairs, driver_threshold=0, stats=stats).collect()
+    }
+    drv = {r.id: r.cluster_id for r in D.duplicate_clusters(pairs).collect()}
+    assert dist == drv
+    assert stats["converged"] and stats["rounds"] <= 18, stats

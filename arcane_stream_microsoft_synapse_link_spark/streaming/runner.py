@@ -674,3 +674,22 @@ class MultiEntityRunner:
     def run_once_all(self) -> dict[str, int]:
         """One change-capture tick per entity; folders merged per entity."""
         return self._parallel(lambda r: r.run_once())
+
+    def maintain_all(self, file_size_mb: int | None = None) -> dict[str, dict]:
+        """One consolidated maintenance pass (C1-C4) across every entity:
+        compaction toward the file-size threshold, snapshot expiration,
+        and per-column ANALYZE, run concurrently over the shared executors
+        — the SHARED cadence a consolidated N-entity deployment runs in
+        place of the reference's one-cron-per-process model (docs/crd.md).
+        Per-entity thresholds still apply inside the regular tick path
+        (StreamRunner._maintenance); this entry point forces a full pass,
+        e.g. from a nightly scheduler.  Returns per-target ANALYZE stats."""
+
+        def fn(r: StreamRunner) -> dict:
+            r.table.optimize(r.spark, file_size_mb or r.spec.optimize_file_size_mb)
+            r.table.expire_snapshots(keep_last=r.spec.snapshots_to_keep)
+            return r.table.analyze(
+                r.spark, columns=list(r.spec.analyze_included_columns) or None
+            )
+
+        return self._parallel(fn)

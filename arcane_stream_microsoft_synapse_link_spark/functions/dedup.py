@@ -672,6 +672,141 @@ def decontaminate(
     return df.join(hits, id_col, "left_anti")
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (the beyond-broadcast scale path)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions_np(h, m_bits: int, k: int):
+    """k bit positions per 64-bit hash via Kirsch–Mitzenmacher double
+    hashing (h1 + i·h2 mod m): the low 32 bits seed, the high 32 bits
+    (forced odd) step.  One xxhash64 per gram feeds all k probes — no
+    per-probe rehash, and the arithmetic is plain uint64 so an external
+    mirror reproduces it with Python ints."""
+    import numpy as np
+
+    u = h.astype(np.uint64)
+    lo = u & np.uint64(0xFFFFFFFF)
+    step = (u >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((lo[:, None] + i[None, :] * step[:, None]) % np.uint64(m_bits)).astype(
+        np.int64
+    )
+
+
+def bloom_gram_filter(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> bytes:
+    """Build an ``m_bits`` Bloom filter over the benchmark's distinct word
+    ``n``-grams, distributed: each input partition sets its grams' bits in
+    a local numpy bitmap and emits the packed bytes (``m_bits/8`` per
+    partition, 128 KiB at the default), the driver ORs the ≤P partials.
+    Only bitmaps cross the wire — never the gram set — so the build cost
+    is independent of benchmark cardinality."""
+    import numpy as np
+    import pandas as pd
+
+    nbytes = m_bits // 8
+
+    def partials(batches):
+        bits = np.zeros(m_bits, dtype=bool)
+        any_rows = False
+        for pdf in batches:
+            h = pdf["h"].to_numpy(dtype=np.int64)
+            if len(h) == 0:
+                continue
+            any_rows = True
+            bits[_bloom_positions_np(h, m_bits, k).ravel()] = True
+        if any_rows:
+            yield pd.DataFrame({"bmp": [np.packbits(bits, bitorder="little").tobytes()]})
+
+    grams = benchmark.select(
+        F.col(text_col).alias("_t")
+    ).select(words(F.col("_t")).alias("_w")).select(
+        F.explode(word_ngram_strings(F.col("_w"), n)).alias("gram")
+    )
+    rows = (
+        grams.select(F.xxhash64("gram").alias("h"))
+        .distinct()
+        .mapInPandas(partials, schema="bmp binary")
+        .collect()
+    )
+    import numpy as np  # noqa: F811 — local scope for the reduce below
+
+    acc = np.zeros(nbytes, dtype=np.uint8)
+    for r in rows:
+        acc |= np.frombuffer(r["bmp"], dtype=np.uint8)
+    return acc.tobytes()
+
+
+def bloom_decontaminate_stats(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Per-document benchmark-overlap stats through a Bloom filter — the
+    decontamination shape for when the eval suite's n-gram set no longer
+    fits an exact broadcast set (``decontaminate`` above): a 100 TB-scale
+    run holds the filter at a fixed 128 KiB regardless of benchmark size
+    and pays zero corpus shuffle for membership.
+
+    Returns ``(id_col, n_grams, n_hits, contaminated)`` for every corpus
+    doc with at least one gram.  ``n_hits`` counts grams whose k probe
+    bits are all set; false positives are one-sided (over-flagging at the
+    classical ``(1-e^{-kn/m})^k`` rate — conservative for contamination
+    removal, never under-flagging).  The membership test runs as an
+    Arrow-batched numpy bit test over JVM-computed gram hashes, pandas
+    partial-aggregated per batch so the final groupBy shuffles one row
+    per (batch, doc), not one per gram."""
+    import numpy as np
+    import pandas as pd
+
+    bmp = bloom_gram_filter(benchmark, text_col, n, m_bits, k)
+
+    def probe(batches):
+        bits = np.unpackbits(np.frombuffer(bmp, dtype=np.uint8), bitorder="little")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h = pdf["h"].to_numpy(dtype=np.int64)
+            pos = _bloom_positions_np(h, m_bits, k)
+            hit = bits[pos].all(axis=1).astype(np.int64)
+            out = pd.DataFrame({"_id": pdf["_id"], "_hit": hit})
+            agg = out.groupby("_id", sort=False)["_hit"].agg(["count", "sum"])
+            yield pd.DataFrame(
+                {
+                    "_id": agg.index.to_numpy(),
+                    "n_grams": agg["count"].to_numpy(dtype=np.int64),
+                    "n_hits": agg["sum"].to_numpy(dtype=np.int64),
+                }
+            )
+
+    gram_hashes = (
+        df.select(F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_w"))
+        .select("_id", F.explode(word_ngram_strings(F.col("_w"), n)).alias("gram"))
+        .select("_id", F.xxhash64("gram").alias("h"))
+    )
+    return (
+        gram_hashes.mapInPandas(probe, schema="_id long, n_grams long, n_hits long")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.sum("n_grams").alias("n_grams"),
+            F.sum("n_hits").alias("n_hits"),
+        )
+        .withColumn(
+            "contaminated", (F.col("n_hits") > 0).cast("long")
+        )
+    )
+
+
 def substring_span_stats(
     df: DataFrame,
     k: int = 20,

@@ -330,6 +330,66 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("*", *counts, scrubbed.alias(f"{text_col}_scrubbed"))
 
 
+def compression_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+    low_ppm: int = 450_000,
+    high_ppm: int = 800_000,
+) -> DataFrame:
+    """Per-document DEFLATE compression ratio as a quality signal — the
+    Dolma / RefinedWeb heuristic: text that compresses far below the
+    corpus norm is templated/repetitive (the compressor is the strongest
+    general repetition detector), text that barely compresses is
+    noise/binary spill.  Emits ``(id, raw_bytes, zlib_bytes, ratio_ppm,
+    verdict)`` with ``verdict ∈ {repetitive, keep, incompressible}`` by
+    the ppm band.
+
+    Ratio in exact integer ppm (``len(zlib)·1e6 DIV len(raw)``) so any
+    mirror with the same DEFLATE level reproduces it bit-for-bit.  Runs as
+    Arrow-batched ``mapInPandas`` — one corpus scan, no shuffle, CPU-bound
+    per row, so throughput scales with cores; ``spread_small_scan``
+    rebalances a single-split local input across the session's
+    parallelism first."""
+    import zlib
+
+    import pandas as pd
+
+    from .dedup import spread_small_scan  # runtime import: dedup imports text
+
+    def run(batches):
+        for pdf in batches:
+            raw_n, z_n, ratio, verdict = [], [], [], []
+            for t in pdf[text_col]:
+                b = (t or "").encode("utf-8")
+                z = len(zlib.compress(b, level))
+                r = z * 1_000_000 // max(len(b), 1)
+                raw_n.append(len(b))
+                z_n.append(z)
+                ratio.append(r)
+                verdict.append(
+                    "repetitive"
+                    if r < low_ppm
+                    else ("incompressible" if r > high_ppm else "keep")
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": pd.array(raw_n, dtype="int64"),
+                    "zlib_bytes": pd.array(z_n, dtype="int64"),
+                    "ratio_ppm": pd.array(ratio, dtype="int64"),
+                    "verdict": verdict,
+                }
+            )
+
+    return spread_small_scan(df.select(id_col, text_col)).mapInPandas(
+        run,
+        schema=f"{id_col} long, raw_bytes long, zlib_bytes long, "
+        "ratio_ppm long, verdict string",
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full stat set in one projection pass."""
     t = F.col(text_col)

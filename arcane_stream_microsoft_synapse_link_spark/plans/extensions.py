@@ -3867,3 +3867,35 @@ def ops_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query("ops_bloom_decontaminate")
+def ops_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the beyond-broadcast scale path for
+    benchmark n-gram overlap (`ops_decontaminate` is the exact-set form):
+    the eval suite's grams collapse to a fixed 128 KiB bitmap built
+    distributed (per-partition numpy bitmaps, driver OR — benchmark
+    cardinality never crosses the wire), and the corpus pays one scan +
+    an Arrow-batched bit test over JVM xxhash64 gram hashes, zero
+    gram-level shuffle.  False positives are one-sided over-flagging at
+    the classical Bloom rate — conservative for contamination removal.
+    Oracle: a sequential Python mirror with the Spark-bit-equal xxh64
+    (plans/values_oracle.py:ref_bloom_decontaminate, pinned to the gate's
+    sf0.01) reproduces the filter bit-for-bit, false positives included."""
+    t = Tables(spark, sf_dir)
+    bench = t.documents.where(F.col("source") == "src0")
+    corpus = t.documents.where(F.col("source") != "src0")
+    return D.bloom_decontaminate_stats(corpus, bench, n=8).orderBy("doc_id")
+
+
+@query("ops_compression_filter")
+def ops_compression_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE compression-ratio quality gate (Dolma §2 / RefinedWeb
+    repetition heuristics): the compressor is the strongest general
+    repetition detector, so docs compressing far below the corpus norm
+    are flagged repetitive and near-incompressible docs flagged as noise.
+    One mapInPandas corpus scan, integer-ppm ratios; oracle = sequential
+    zlib mirror (plans/values_oracle.py:ref_compression_filter, pinned
+    to sf0.01)."""
+    t = Tables(spark, sf_dir)
+    return X.compression_stats(t.documents).orderBy("doc_id")

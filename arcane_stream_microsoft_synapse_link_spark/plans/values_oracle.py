@@ -106,6 +106,73 @@ def _documents(sf_dir: str) -> list[tuple[int, str]]:
     return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
 
 
+def ref_bloom_decontaminate(
+    sf_dir: str, n: int = 8, m_bits: int = 1 << 20, k: int = 4
+) -> list[tuple]:
+    """Sequential mirror of functions/dedup.bloom_decontaminate_stats:
+    same word n-grams, same Spark-bit-equal xxh64 (seed 42, UTF-8), same
+    Kirsch–Mitzenmacher probe positions, a Python set as the bitmap —
+    bit-identical including the filter's (deterministic) false positives."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    rows = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("source").to_pylist(),
+        )
+    )
+
+    def grams(text: str) -> list[str]:
+        ws = WORD_RE.findall((text or "").lower())
+        if len(ws) < n:
+            return []
+        return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+    def positions(g: str) -> list[int]:
+        u = xxh64(g.encode("utf-8"))
+        lo = u & 0xFFFFFFFF
+        step = (u >> 32) | 1
+        return [(lo + i * step) % m_bits for i in range(k)]
+
+    bits: set[int] = set()
+    for _, tx, src in rows:
+        if src == "src0":
+            for g in set(grams(tx)):
+                bits.update(positions(g))
+    out = []
+    for d, tx, src in sorted(rows):
+        if src == "src0":
+            continue
+        gs = grams(tx)
+        if not gs:
+            continue
+        hits = sum(1 for g in gs if all(p in bits for p in positions(g)))
+        out.append((d, len(gs), hits, 1 if hits > 0 else 0))
+    return out
+
+
+def ref_compression_filter(
+    sf_dir: str, level: int = 6, low_ppm: int = 450_000, high_ppm: int = 800_000
+) -> list[tuple]:
+    """Sequential mirror of functions/text.compression_stats: same DEFLATE
+    level on the same UTF-8 bytes, integer-ppm ratio, same verdict band."""
+    import zlib
+
+    out = []
+    for d, tx in sorted(_documents(sf_dir)):
+        b = (tx or "").encode("utf-8")
+        z = len(zlib.compress(b, level))
+        r = z * 1_000_000 // max(len(b), 1)
+        v = "repetitive" if r < low_ppm else ("incompressible" if r > high_ppm else "keep")
+        out.append((d, len(b), z, r, v))
+    return out
+
+
 def _doc_langs(sf_dir: str) -> dict[int, str]:
     import pyarrow.parquet as pq
 
@@ -1703,6 +1770,25 @@ def build() -> dict[str, str]:
             "ops_fingerprint_rolling": sql_values(
                 ref_fingerprint_rolling(_SF_PIN),
                 [("doc_id", "BIGINT"), ("fp64", "BIGINT")],
+            ),
+            "ops_bloom_decontaminate": sql_values(
+                ref_bloom_decontaminate(_SF_PIN),
+                [
+                    ("doc_id", "BIGINT"),
+                    ("n_grams", "BIGINT"),
+                    ("n_hits", "BIGINT"),
+                    ("contaminated", "BIGINT"),
+                ],
+            ),
+            "ops_compression_filter": sql_values(
+                ref_compression_filter(_SF_PIN),
+                [
+                    ("doc_id", "BIGINT"),
+                    ("raw_bytes", "BIGINT"),
+                    ("zlib_bytes", "BIGINT"),
+                    ("ratio_ppm", "BIGINT"),
+                    ("verdict", "VARCHAR"),
+                ],
             ),
             "ops_embedding_pca": sql_values(
                 ref_embedding_pca(_SF_PIN),

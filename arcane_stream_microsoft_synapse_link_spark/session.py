@@ -31,6 +31,11 @@ RUNTIME_CONF = {
     # µs corpus — the catalog also normalizes the TIMESTAMP_NTZ reading it
     # produces (catalog._fix_nanos).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Effective only if asserted before the process's first codegen (the
+    # compiled-class cache is a process-static sized at first use); tune()
+    # on a fresh external session gets the full benefit, a late tune() is
+    # a harmless no-op. See get_spark() for the rationale.
+    "spark.sql.codegen.cache.maxEntries": "2000",
 }
 
 
@@ -59,6 +64,15 @@ def get_spark(app_name: str = "arcane-spark", shuffle_partitions: int | None = N
         # state: measured on the 122-entry bench as 3-10× slowdowns in the
         # run's back half with untouched plans. 5 min bounds the debt.
         .config("spark.cleaner.periodicGC.interval", "5min")
+        # The generated-class cache defaults to 100 entries; a resident
+        # session serving a large query surface (the 172-entry sweep, a
+        # long-lived runner) evicts every compiled whole-stage between
+        # repeats and pays Janino again per query — measured ~2 s per
+        # decimal-heavy plan (tpch_q01: 2.8 s recompiled vs 0.73 s warm).
+        # 2000 classes is a few hundred MB of metaspace at worst, nothing
+        # against a 48 g driver, and matches how a production session with
+        # many registered views actually runs.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

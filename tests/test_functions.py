@@ -366,6 +366,93 @@ def test_decontaminate_planted(spark):
     assert kept == [2, 3]
 
 
+def test_bloom_decontaminate_planted_and_vs_exact(spark):
+    """The Bloom path flags exactly the exact-set contamination on a
+    planted corpus (at 2^20 bits / ~dozens of grams the FP odds are
+    ~1e-20), and its errors are one-sided by construction: every doc the
+    exact semi-join flags must also be Bloom-flagged."""
+    phrase = "one two three four five six seven eight"
+    bench = spark.createDataFrame([(100, f"junk {phrase} junk")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix {phrase} suffix"),
+            (2, "one two three four five six seven"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.asDict()
+        for r in D.bloom_decontaminate_stats(corpus, bench, n=8).collect()
+    }
+    assert set(got) == {1, 3}  # doc 2 has no 8-gram at all
+    # 10-word doc → 3 overlapping 8-grams, exactly one shared with bench
+    assert got[1]["contaminated"] == 1 and got[1]["n_grams"] == 3 and got[1]["n_hits"] == 1
+    assert got[3]["contaminated"] == 0 and got[3]["n_hits"] == 0
+    # supersets the exact decontamination verdict on sf0.001 corpus data
+    from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
+
+    t = Tables(spark, "/root/testdata/sf0.001")
+    b = t.documents.where(F.col("source") == "src0")
+    c = t.documents.where(F.col("source") != "src0")
+    kept_exact = {r.doc_id for r in D.decontaminate(c, b, n=8).select("doc_id").collect()}
+    all_ids = {r.doc_id for r in c.select("doc_id").collect()}
+    exact_flagged = all_ids - kept_exact
+    bloom_flagged = {
+        r.doc_id
+        for r in D.bloom_decontaminate_stats(c, b, n=8).where(F.col("contaminated") == 1).collect()
+    }
+    assert exact_flagged <= bloom_flagged
+
+
+def test_bloom_filter_partition_invariant(spark):
+    """The OR-of-partials bitmap is independent of input partitioning."""
+    docs = spark.createDataFrame(
+        [(i, f"word{i} " + " ".join(f"tok{j}" for j in range(10))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    one = D.bloom_gram_filter(docs.coalesce(1), n=4)
+    many = D.bloom_gram_filter(docs.repartition(16), n=4)
+    assert one == many
+
+
+def test_compression_stats_verdicts(spark):
+    """Highly repetitive text compresses into the 'repetitive' band,
+    high-entropy text lands 'incompressible', and the ratio is the exact
+    integer ppm of the zlib level-6 output."""
+    import zlib
+
+    import hashlib
+
+    rep = "spam and eggs " * 200
+    # deterministic high-entropy printable text (~6.4 bits/char): SHA-256
+    # bytes mapped onto a 90-char alphabet → deflate ratio ~0.83
+    noise = "".join(
+        chr(33 + b % 90)
+        for i in range(80)
+        for b in hashlib.sha256(str(i).encode()).digest()
+    )
+    plain = (
+        "the quick brown fox jumps over the lazy dog while a careful reader "
+        "notes that ordinary english prose compresses to roughly half its size "
+        "under deflate at the default level which is what this sentence is for"
+    )
+    docs = spark.createDataFrame(
+        [(1, rep), (2, noise), (3, plain)], "doc_id long, text string"
+    )
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import compression_stats
+
+    got = {r.doc_id: r.asDict() for r in compression_stats(docs).collect()}
+    assert got[1]["verdict"] == "repetitive"
+    assert got[2]["verdict"] == "incompressible"
+    assert got[3]["verdict"] == "keep"
+    for did, raw in ((1, rep), (2, noise), (3, plain)):
+        b = raw.encode()
+        assert got[did]["raw_bytes"] == len(b)
+        assert got[did]["zlib_bytes"] == len(zlib.compress(b, 6))
+        assert got[did]["ratio_ppm"] == len(zlib.compress(b, 6)) * 1_000_000 // len(b)
+
+
 def test_seeded_shuffle_shards_deterministic_and_complete(spark, tmp_path):
     from arcane_stream_microsoft_synapse_link_spark.functions import export as E
 

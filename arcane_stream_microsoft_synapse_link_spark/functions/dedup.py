@@ -766,10 +766,26 @@ def bloom_decontaminate_stats(
     Arrow-batched numpy bit test over JVM-computed gram hashes, pandas
     partial-aggregated per batch so the final groupBy shuffles one row
     per (batch, doc), not one per gram."""
+    bmp = bloom_gram_filter(benchmark, text_col, n, m_bits, k)
+    return bloom_probe_stats(df, bmp, text_col, id_col, n, k)
+
+
+def bloom_probe_stats(
+    df: DataFrame,
+    bmp: bytes,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    k: int = 4,
+) -> DataFrame:
+    """Probe side of the Bloom decontamination: score ``df`` against an
+    already-built bitmap (``bloom_gram_filter`` output — batch-built or
+    loaded from a persisted intake gate).  ``m_bits`` is implied by the
+    bitmap length."""
     import numpy as np
     import pandas as pd
 
-    bmp = bloom_gram_filter(benchmark, text_col, n, m_bits, k)
+    m_bits = len(bmp) * 8
 
     def probe(batches):
         bits = np.unpackbits(np.frombuffer(bmp, dtype=np.uint8), bitorder="little")

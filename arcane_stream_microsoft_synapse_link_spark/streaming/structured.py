@@ -241,6 +241,7 @@ def run_decontaminate_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     fault_hook: FaultHook | None = None,
+    use_bloom: bool = False,
 ):
     """Streaming decontamination: filter every micro-batch of incoming
     documents against a STATIC benchmark n-gram set before admission —
@@ -258,6 +259,15 @@ def run_decontaminate_stream(
     batch_id-keyed ``write_batch`` overwrites, so a crash between the two
     writes replays into the same partitions (replay contract, module
     docstring).  Per-batch cost is O(batch) with zero cross-batch state.
+
+    ``use_bloom=True`` swaps the exact gram set for the fixed-size Bloom
+    path (``functions.dedup.bloom_gram_filter`` / ``bloom_probe_stats``):
+    the persisted state becomes one 128 KiB bitmap regardless of
+    benchmark size, and the per-batch check an Arrow bit test instead of
+    a gram join — for eval suites too large to broadcast exactly.  Same
+    _SUCCESS build discipline, same batch_id-keyed replay contract;
+    flags are a deterministic superset of the exact path's (one-sided
+    Bloom FPs).
     """
     from pyspark.sql import functions as F
 
@@ -265,6 +275,7 @@ def run_decontaminate_stream(
     from ..functions.text import word_ngram_strings
 
     grams_dir = os.path.join(work_dir, "bench_grams")
+    bloom_dir = os.path.join(work_dir, "bench_bloom")
     clean_dir = os.path.join(work_dir, "clean")
     hits_dir = os.path.join(work_dir, "hits")
 
@@ -278,7 +289,23 @@ def run_decontaminate_stream(
     # such a directory would silently under-filter every subsequent batch
     # (contaminated docs admitted to clean/); rewriting into a fresh dir
     # and atomically renaming keeps the check crash-safe too.
-    if not os.path.exists(os.path.join(grams_dir, "_SUCCESS")):
+    if use_bloom:
+        if not os.path.exists(os.path.join(bloom_dir, "_SUCCESS")):
+            import shutil
+
+            from ..functions.dedup import bloom_gram_filter
+
+            bmp = bloom_gram_filter(benchmark, text_col, n)
+            tmp_dir = bloom_dir + "._tmp"
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            os.makedirs(tmp_dir)
+            with open(os.path.join(tmp_dir, "bitmap.bin"), "wb") as fh:
+                fh.write(bmp)
+            with open(os.path.join(tmp_dir, "_SUCCESS"), "w"):
+                pass
+            shutil.rmtree(bloom_dir, ignore_errors=True)
+            os.replace(tmp_dir, bloom_dir)
+    elif not os.path.exists(os.path.join(grams_dir, "_SUCCESS")):
         import shutil
 
         tmp_dir = grams_dir + "._tmp"
@@ -291,14 +318,26 @@ def run_decontaminate_stream(
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.select(id_col, text_col).localCheckpoint()
-        bench = F.broadcast(spark.read.parquet(grams_dir))
-        hit_ids = (
-            exploded(batch_df)
-            .join(bench, "gram", "left_semi")
-            .select(id_col)
-            .distinct()
-            .localCheckpoint()
-        )
+        if use_bloom:
+            from ..functions.dedup import bloom_probe_stats
+
+            with open(os.path.join(bloom_dir, "bitmap.bin"), "rb") as fh:
+                bmp = fh.read()
+            hit_ids = (
+                bloom_probe_stats(batch_df, bmp, text_col, id_col, n)
+                .where(F.col("contaminated") == 1)
+                .select(id_col)
+                .localCheckpoint()
+            )
+        else:
+            bench = F.broadcast(spark.read.parquet(grams_dir))
+            hit_ids = (
+                exploded(batch_df)
+                .join(bench, "gram", "left_semi")
+                .select(id_col)
+                .distinct()
+                .localCheckpoint()
+            )
         write_batch(hit_ids, hits_dir, batch_id)
         if fault_hook:
             fault_hook("after_hits", batch_id)

@@ -375,6 +375,61 @@ def test_streaming_decontaminate_pipeline(spark, tmp_path):
     assert hits == {1, 10}
 
 
+def test_streaming_decontaminate_bloom_pipeline(spark, tmp_path):
+    """use_bloom=True: same verdicts as the exact path on the planted
+    corpus (at 2^20 bits the FP odds are negligible), persisted state is
+    the single 128 KiB bitmap (no gram parquet), and the bitmap survives
+    a restart unchanged."""
+    import random as _r
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_decontaminate_stream,
+    )
+
+    rng = _r.Random(53)
+    vocab = [f"tok{i}" for i in range(300)]
+
+    def doc(n=40):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    bench_texts = [doc() for _ in range(3)]
+    benchmark = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench_texts)], "doc_id long, text string"
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    contaminated = doc(10) + " " + " ".join(bench_texts[1].split()[5:13]) + " " + doc(10)
+    batch1 = [(0, doc()), (1, contaminated), (2, doc())]
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    q = run_decontaminate_stream(spark, stream(), benchmark, work, ckpt, use_bloom=True)
+    q.awaitTermination(120)
+
+    import os as _os
+
+    assert _os.path.getsize(f"{work}/bench_bloom/bitmap.bin") == (1 << 20) // 8
+    assert not _os.path.exists(f"{work}/bench_grams")
+    assert {r["doc_id"] for r in spark.read.parquet(f"{work}/clean").collect()} == {0, 2}
+    assert {r["doc_id"] for r in spark.read.parquet(f"{work}/hits").collect()} == {1}
+
+    bmp_before = open(f"{work}/bench_bloom/bitmap.bin", "rb").read()
+    batch2 = [(10, bench_texts[0]), (11, doc())]
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    q2 = run_decontaminate_stream(spark, stream(), benchmark, work, ckpt, use_bloom=True)
+    q2.awaitTermination(120)
+
+    assert open(f"{work}/bench_bloom/bitmap.bin", "rb").read() == bmp_before
+    assert {r["doc_id"] for r in spark.read.parquet(f"{work}/clean").collect()} == {0, 2, 11}
+    assert {r["doc_id"] for r in spark.read.parquet(f"{work}/hits").collect()} == {1, 10}
+
+
 def test_streaming_media_dedup_pipeline(spark, tmp_path):
     """run_media_dedup_stream: batch 1 admits fresh images and an audio
     clip and builds the multimodal perceptual-hash index; batch 2's

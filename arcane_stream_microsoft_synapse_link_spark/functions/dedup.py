@@ -735,8 +735,6 @@ def bloom_gram_filter(
         .mapInPandas(partials, schema="bmp binary")
         .collect()
     )
-    import numpy as np  # noqa: F811 — local scope for the reduce below
-
     acc = np.zeros(nbytes, dtype=np.uint8)
     for r in rows:
         acc |= np.frombuffer(r["bmp"], dtype=np.uint8)

@@ -540,6 +540,50 @@ def test_decontaminate_property_matches_python_model(spark):
     assert got == expect
 
 
+def test_bloom_decontaminate_property_model(spark):
+    """bloom_decontaminate_stats vs the Python exact-set model on random
+    small corpora: per-doc gram counts exact, hit counts a superset of
+    the exact intersection count (one-sided Bloom error), and at 2^20
+    bits with a ~hundred-gram benchmark the flags are EQUAL to the exact
+    model (FP odds ~(n_grams·k/m)^k ≈ 1e-13 per gram)."""
+    import random
+    import re
+
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import WORD_RE
+
+    rng = random.Random(78)
+    vocab = [f"t{i}" for i in range(12)]
+    n = 5
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 14)))
+
+    bench_rows = [(1000 + i, doc()) for i in range(8)]
+    corpus_rows = [(i, doc()) for i in range(80)]
+
+    def gram_list(text):
+        w = re.findall(WORD_RE, text.lower())
+        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+    bench_grams = set().union(*(set(gram_list(t)) for _, t in bench_rows))
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.asDict()
+        for r in D.bloom_decontaminate_stats(corpus, bench, n=n).collect()
+    }
+    for i, t in corpus_rows:
+        gs = gram_list(t)
+        if not gs:
+            assert i not in got
+            continue
+        exact_hits = sum(1 for g in gs if g in bench_grams)
+        assert got[i]["n_grams"] == len(gs)
+        assert got[i]["n_hits"] >= exact_hits  # one-sided
+        assert got[i]["n_hits"] == exact_hits  # and equal at 2^20 bits
+        assert got[i]["contaminated"] == (1 if exact_hits else 0)
+
+
 def test_substring_span_stats_planted(spark):
     """Winnowing guarantee: a shared block >= window+k-1 chars is caught
     even when the copy sits at an ARBITRARY (stride-free) offset in the

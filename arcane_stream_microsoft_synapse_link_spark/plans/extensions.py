@@ -3899,3 +3899,219 @@ def ops_compression_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     to sf0.01)."""
     t = Tables(spark, sf_dir)
     return X.compression_stats(t.documents).orderBy("doc_id")
+
+
+@query("ops_span_dedup")
+def ops_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span removal (Raffel et al. 2020 §2.2: drop all
+    but one occurrence of any three-sentence span that appears more than
+    once in the corpus).  The corpus has no punctuation, so "sentence" is
+    a fixed 8-word window (the same delimiter-agnostic adaptation
+    ops_paragraph_dedup documents); a span is 3 consecutive sentences,
+    sliding stride 1.  Distinct from ops_paragraph_dedup in both
+    directions: spans OVERLAP (stride 1, not a partition), and the
+    globally FIRST occurrence (min (doc_id, start)) is KEPT — CCNet drops
+    every copy of a duplicated paragraph, C4 keeps one.
+
+    Plan: one scan → span-hash explode (one row per span, the ×3 overlap
+    stays inside the md5 argument, never materialized) → hash-agg
+    ``min(struct(doc_id, start))`` per span hash (mergeable, no window
+    sort over the corpus) → join back on duplicated hashes only →
+    covered-sentence explode (removed-span-sized, tiny vs corpus) →
+    ordered reassembly via sort_array(collect_list(struct)), the same
+    window-free rebuild as ops_paragraph_dedup.  Per-hash state is one
+    (count, min-pair): the agg shuffles |spans| rows but carries no text."""
+    t = Tables(spark, sf_dir)
+    s, k = 8, 3
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(X.WORD_RE), F.lit(0))
+    w = t.documents.select("doc_id", words.alias("_ws"))
+    nsent = F.greatest(F.ceil(F.size("_ws") / s).cast("int"), F.lit(1))
+    sents = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), nsent),
+                lambda i: F.array_join(F.slice("_ws", (i - 1) * s + 1, s), " "),
+            )
+        ).alias("_p", "sent"),
+    ).select("doc_id", (F.col("_p") + 1).alias("sid"), "sent")
+    spans = w.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                nsent >= k,
+                F.transform(
+                    F.sequence(F.lit(1), nsent - (k - 1)),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("_ws", (i - 1) * s + 1, s * k), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_p", "h"),
+    ).select("doc_id", (F.col("_p") + 1).alias("start"), "h")
+    firsts = (
+        spans.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("doc_id", "start")).alias("first"),
+        )
+        .where(F.col("cnt") >= 2)
+    )
+    # duplicated-hash table is corpus-dependent — no broadcast hint, AQE
+    # picks broadcast when it fits (same reasoning as ops_paragraph_dedup)
+    removed = (
+        spans.join(firsts, "h")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("start") == F.col("first.start"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + (k - 1))).alias("sid"),
+        )
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+    )
+    return (
+        sents.join(removed, ["doc_id", "sid"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sent"),
+            F.count("_rm").alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_rm").isNull(),
+                                    F.struct(F.col("sid"), F.col("sent")),
+                                )
+                            )
+                        ),
+                        lambda st: st["sent"],
+                    ),
+                    " ",
+                )
+            ).alias("cleaned_md5"),
+        )
+        .select("doc_id", "n_sent", "n_removed", "cleaned_md5")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["ops_span_dedup"] = r"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    d AS (
+        SELECT doc_id, ws,
+               GREATEST(CAST(CEIL(len(ws) / 8.0) AS BIGINT), 1) AS nsent
+        FROM w),
+    sent AS (
+        SELECT doc_id, i AS sid,
+               array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ') AS sent
+        FROM d, unnest(range(1, nsent + 1)) AS r(i)),
+    sp AS (
+        SELECT doc_id, i AS start,
+               md5(array_to_string(ws[(i-1)*8+1 : (i-1)*8+24], ' ')) AS h
+        FROM d, unnest(range(1, nsent - 2 + 1)) AS r(i)
+        WHERE nsent >= 3),
+    occ AS (
+        SELECT doc_id, start,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+        FROM sp),
+    rm AS (
+        SELECT DISTINCT o.doc_id, o.start + j AS sid
+        FROM occ o, unnest(range(0, 3)) AS g(j)
+        WHERE o.rn >= 2),
+    r AS (
+        SELECT s.doc_id, COUNT(*) AS n_sent, COUNT(rm.sid) AS n_removed,
+               md5(COALESCE(array_to_string(
+                   list_transform(
+                       list_sort(list(CASE WHEN rm.sid IS NULL
+                                      THEN {'sid': s.sid, 'sent': s.sent} END)),
+                       x -> x.sent),
+                   ' '), '')) AS cleaned_md5
+        FROM sent s LEFT JOIN rm ON s.doc_id = rm.doc_id AND s.sid = rm.sid
+        GROUP BY s.doc_id)
+    SELECT doc_id, CAST(n_sent AS BIGINT) AS n_sent,
+           CAST(n_removed AS BIGINT) AS n_removed, cleaned_md5
+    FROM r ORDER BY doc_id
+"""
+
+
+@query("ops_source_cap")
+def ops_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget cap — the anti-domination mixing rule
+    (FineWeb/RefinedWeb practice: no single crawl/domain may exceed a
+    fixed share of the training mix).  Every source ranks its documents
+    by a deterministic quality key (unique-word ratio, doc_id
+    tie-break) and keeps the prefix whose cumulative token count fits
+    the source's budget = 4% of CORPUS tokens (integer arithmetic:
+    ``total*4 div 100`` — no float cap drift between engines).
+
+    Plan: one scan computes (n_tokens, uniq_ratio); the corpus total is
+    a scalar agg broadcast via cross-join; the running sum is one
+    window per source — sources parallelize across the cluster, and a
+    single pathological giant source falls back to the boundary-bucket
+    technique ops_token_budget_select already implements (the cap rule
+    composes with it unchanged)."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(X.WORD_RE), F.lit(0))
+    d = t.documents.select(
+        "doc_id",
+        "source",
+        F.size(words).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias(
+            "uniq_ratio"
+        ),
+    )
+    tot = d.agg(F.sum("n_tokens").alias("_tot"))
+    win = (
+        W.partitionBy("source")
+        .orderBy(F.col("uniq_ratio").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(win))
+        .withColumn("cap", F.expr("_tot * 4 div 100"))
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            "uniq_ratio",
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+            (F.col("cum_tokens") <= F.col("cap")).cast("int").alias("kept"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+ORACLE["ops_source_cap"] = r"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                    AS DOUBLE)
+                   / len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS uniq_ratio
+        FROM documents),
+    tot AS (SELECT SUM(n_tokens) AS total FROM d),
+    r AS (
+        SELECT d.*, tot.total,
+               SUM(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY uniq_ratio DESC, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM d, tot)
+    SELECT source, doc_id, n_tokens, uniq_ratio,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_tokens <= (total * 4 // 100) AS INT) AS kept
+    FROM r ORDER BY source, doc_id
+"""

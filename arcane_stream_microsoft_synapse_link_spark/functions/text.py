@@ -951,3 +951,255 @@ def bpe_load(spark, path: str) -> list[tuple[int, str, str, int]]:
         (int(r["merge_rank"]), r["left_sym"], r["right_sym"], r["pair_count"])
         for r in rows
     ]
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style, Kudo 2018)
+# ---------------------------------------------------------------------------
+
+
+def _unigram_logp_table(counts: dict[str, int]) -> dict[str, float]:
+    """Piece log-probabilities from integer counts with +1 floor smoothing
+    (single-char pieces must stay in-model for cover even at count 0):
+    ``log(max(c,1)) - log(sum(max(c,1)))`` — pure integer inputs, so the
+    floats are bit-identical wherever they are recomputed."""
+    import math
+
+    total = sum(max(c, 1) for c in counts.values())
+    lt = math.log(total)
+    return {p: math.log(max(c, 1)) - lt for p, c in counts.items()}
+
+
+def _unigram_viterbi(w: str, logp: dict[str, float], max_len: int) -> list[str]:
+    """Best segmentation of ``w`` under piece log-probs: left-to-right DP,
+    candidates scanned with ascending start (strict ``>`` keeps the
+    smallest start on exact float ties).  Single chars are always in the
+    model, so every word is coverable."""
+    n = len(w)
+    neg = float("-inf")
+    dp = [neg] * (n + 1)
+    bp = [0] * (n + 1)
+    dp[0] = 0.0
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            if dp[i] == neg:
+                continue
+            lp = logp.get(w[i:j])
+            if lp is None:
+                continue
+            cand = dp[i] + lp
+            if cand > dp[j]:
+                dp[j] = cand
+                bp[j] = i
+    out: list[str] = []
+    j = n
+    while j > 0:
+        i = bp[j]
+        out.append(w[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
+def unigram_train(
+    docs: DataFrame,
+    n_iters: int = 4,
+    max_piece_len: int = 5,
+    seed_size: int = 300,
+    prune_keep: float = 0.75,
+    text_col: str = "text",
+    driver_vocab_limit: int = 2_000_000,
+) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018; the SentencePiece
+    ``--model_type=unigram`` algorithm), completing the tokenizer family
+    next to the full BPE chain: seed an over-complete substring
+    inventory, then alternate Viterbi E-steps with count re-estimation
+    and prune the weakest pieces until the vocabulary settles.
+
+    Deviations from the paper, documented: hard-EM (Viterbi counts, not
+    lattice forward-backward expectations) and count-based pruning (drop
+    the bottom ``1-prune_keep`` of multi-char pieces per round) instead
+    of the full likelihood-loss-delta ranking — the standard cheap
+    variant; single-char pieces are never pruned (cover guarantee).
+
+    Deterministic end to end: seed selection and pruning order by
+    ``(count DESC, piece ASC)``; Viterbi scans candidates ascending with
+    strict ``>`` (ties keep the smallest start); all counts are exact
+    integers aggregated order-independently, and every float is
+    recomputed from integers via the same ``math.log`` calls
+    (_unigram_logp_table) — so distributed and sequential runs are
+    bit-identical.
+
+    Scale shape (the same compression + adaptive probe bpe_train uses):
+    the corpus collapses to the distinct-word frequency table FIRST —
+    the only corpus pass; Heaps' law keeps it ~10⁶ rows at any corpus
+    size.  Seed substring counting is a JVM-side explode + hash-agg over
+    that table.  Then the size probe picks the EM engine: a word table ≤
+    ``driver_vocab_limit`` collects once and loops in plain Python (the
+    production-tokenizer-trainer shape — per-iteration Spark jobs would
+    pay scheduling for dict arithmetic); larger vocabularies run each EM
+    round as ONE Arrow mapInPandas pass over the cached word table with
+    the model dict shipped in the closure (model-sized, ≤
+    seed_size+alphabet) emitting per-batch pre-combined partial counts —
+    the shuffle moves piece-table-sized partials, never words — plus a
+    model-sized collect.  M-step and pruning are driver-side over the
+    model only.  Both engines are count-for-count identical (pinned by
+    tests).
+
+    Returns the final piece table ``(rank, piece, cnt, logp_ppm)`` —
+    ``logp_ppm = floor(log-prob × 1e6)``, the exact-integer form
+    ``unigram_encode`` consumes (quantized once, so persisted models
+    re-score identically)."""
+    import math
+
+    L = max_piece_len
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .cache()
+    )
+    try:
+        subs = words.select(
+            "wcnt",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(w)),"
+                    f" s -> transform(sequence(1, least({L}, length(w) - s + 1)),"
+                    "  l -> substring(w, s, CAST(l AS INT)))))"
+                )
+            ).alias("piece"),
+        )
+        seed = subs.groupBy("piece").agg(F.sum("wcnt").alias("cnt"))
+        single_rows = seed.where(F.length("piece") == 1).collect()
+        multi_rows = (
+            seed.where(F.length("piece") >= 2)
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(seed_size)
+            .collect()
+        )
+        counts: dict[str, int] = {r["piece"]: int(r["cnt"]) for r in single_rows}
+        counts.update({r["piece"]: int(r["cnt"]) for r in multi_rows})
+
+        n_vocab = words.count()  # materializes the cache either way
+        wrows: list[tuple[str, int]] | None = None
+        if n_vocab <= driver_vocab_limit:
+            wrows = [(r["w"], int(r["wcnt"])) for r in words.collect()]
+
+        for it in range(n_iters):
+            logp = _unigram_logp_table(counts)
+
+            if wrows is not None:
+                new: dict[str, int] = {}
+                for w, c in wrows:
+                    for p in _unigram_viterbi(w, logp, L):
+                        new[p] = new.get(p, 0) + c
+            else:
+
+                def estep(batches, logp=logp, L=L):
+                    import pandas as pd
+
+                    for pdf in batches:
+                        acc: dict[str, int] = {}
+                        memo: dict[str, list[str]] = {}
+                        for w, c in zip(pdf["w"], pdf["wcnt"]):
+                            seg = memo.get(w)
+                            if seg is None:
+                                seg = _unigram_viterbi(w, logp, L)
+                                memo[w] = seg
+                            for p in seg:
+                                acc[p] = acc.get(p, 0) + int(c)
+                        if acc:
+                            yield pd.DataFrame(
+                                {"piece": list(acc), "c": list(acc.values())}
+                            )
+
+                agg = (
+                    words.mapInPandas(estep, schema="piece string, c long")
+                    .groupBy("piece")
+                    .agg(F.sum("c").alias("cnt"))
+                    .collect()
+                )
+                new = {r["piece"]: int(r["cnt"]) for r in agg}
+            counts = {p: new.get(p, 0) for p in counts}
+            if it < n_iters - 1:
+                alive = sorted(
+                    ((p, c) for p, c in counts.items() if len(p) >= 2 and c > 0),
+                    key=lambda pc: (-pc[1], pc[0]),
+                )
+                kept = alive[: math.ceil(prune_keep * len(alive))]
+                counts = {p: c for p, c in counts.items() if len(p) == 1}
+                counts.update(dict(kept))
+    finally:
+        words.unpersist()
+
+    logp = _unigram_logp_table(counts)
+    ordered = sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
+    rows = [
+        (i + 1, p, c, math.floor(logp[p] * 1e6)) for i, (p, c) in enumerate(ordered)
+    ]
+    return local_df(
+        docs.sparkSession, rows, "rank long, piece string, cnt long, logp_ppm long"
+    )
+
+
+def unigram_encode(
+    docs: DataFrame,
+    model: DataFrame,
+    max_piece_len: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Viterbi-encode every document with a trained unigram model (the
+    ``unigram_train`` piece table, or the same shape loaded from
+    parquet).  Scores come from the quantized ``logp_ppm`` integers —
+    the persisted-model contract: any engine re-deriving floats as
+    ``logp_ppm/1e6`` encodes identically, forever.
+
+    One Arrow mapInPandas corpus scan with the model dict in the closure
+    (model-sized); per-batch word→segmentation memoization collapses the
+    Zipf head, so hot words pay the DP once per batch.  Output is
+    compact (counts + md5 of the piece sequence), value-hash-verifiable
+    without shipping token streams."""
+    import hashlib
+
+    mrows = model.select("piece", "logp_ppm").collect()
+    logp = {r["piece"]: r["logp_ppm"] / 1e6 for r in mrows}
+    L = max_piece_len
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            memo: dict[str, list[str]] = {}
+            ids, nw, np_, md = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                ws = re.findall("[a-z]+", (t or "").lower())
+                pieces: list[str] = []
+                for w in ws:
+                    seg = memo.get(w)
+                    if seg is None:
+                        seg = _unigram_viterbi(w, logp, L)
+                        memo[w] = seg
+                    pieces.extend(seg)
+                ids.append(int(i))
+                nw.append(len(ws))
+                np_.append(len(pieces))
+                md.append(hashlib.md5(" ".join(pieces).encode()).hexdigest())
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "n_words": nw,
+                        "n_pieces": np_,
+                        "pieces_md5": md,
+                    }
+                )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema="doc_id bigint, n_words bigint, n_pieces bigint, pieces_md5 string"
+    )

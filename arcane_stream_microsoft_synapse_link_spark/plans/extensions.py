@@ -4115,3 +4115,31 @@ ORACLE["ops_source_cap"] = r"""
            CAST(cum_tokens <= (total * 4 // 100) AS INT) AS kept
     FROM r ORDER BY source, doc_id
 """
+
+
+@query("ops_unigram_train")
+def ops_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+    default) — the tokenizer family's second member next to the full BPE
+    chain: over-complete substring seed → hard-EM Viterbi count
+    re-estimation → count-based pruning, all integer counts with floats
+    recomputed from integers (functions/text.py:unigram_train documents
+    the exact determinism + scale contract: one corpus pass to the
+    distinct-word table, then model-sized state only).  Oracle: an
+    independent sequential implementation of the same spec
+    (plans/values_oracle.py:ref_unigram_train, pinned sf0.01)."""
+    t = Tables(spark, sf_dir)
+    return X.unigram_train(t.documents).orderBy("rank")
+
+
+@query("ops_unigram_encode")
+def ops_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding with the trained unigram model via the QUANTIZED
+    integer ``logp_ppm`` scores — the persisted-model contract: a saved
+    piece table re-scores identically anywhere.  One Arrow mapInPandas
+    scan, Zipf-head memoized; compact verifiable output (counts +
+    piece-sequence md5).  Oracle: sequential mirror
+    (plans/values_oracle.py:ref_unigram_encode, pinned sf0.01)."""
+    t = Tables(spark, sf_dir)
+    model = X.unigram_train(t.documents)
+    return X.unigram_encode(t.documents, model).orderBy("doc_id")

@@ -1711,6 +1711,141 @@ def ref_bpe_pack(sf_dir: str, budget: int = 4096, n_merges: int = 10) -> list[tu
     return sorted((lang, sid, c[0], c[1]) for (lang, sid), c in agg.items())
 
 
+def _unigram_spec(sf_dir: str, n_iters: int = 4, L: int = 5, seed_size: int = 300,
+                  prune_keep: float = 0.75):
+    """Sequential unigram-LM trainer mirroring the SPEC of
+    functions/text.unigram_train (hard-EM Viterbi, +1-floor smoothing,
+    (count DESC, piece ASC) seed/prune ordering, strict-``>``
+    smallest-start Viterbi ties) — independent implementation, no engine
+    code.  Returns (final counts dict, logp_ppm dict)."""
+    import math
+    from collections import Counter
+
+    wcnt: Counter = Counter()
+    for _, text in _documents(sf_dir):
+        wcnt.update(re.findall("[a-z]+", (text or "").lower()))
+
+    seed: Counter = Counter()
+    for w, c in wcnt.items():
+        for s in range(len(w)):
+            for l in range(1, min(L, len(w) - s) + 1):
+                seed[w[s : s + l]] += c
+    singles = {p: c for p, c in seed.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in seed.items() if len(p) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_size]
+    counts = dict(singles)
+    counts.update(dict(multi))
+
+    def logp_of(cs):
+        total = sum(max(c, 1) for c in cs.values())
+        lt = math.log(total)
+        return {p: math.log(max(c, 1)) - lt for p, c in cs.items()}
+
+    def viterbi(w, logp):
+        n = len(w)
+        neg = float("-inf")
+        best = [neg] * (n + 1)
+        back = [0] * (n + 1)
+        best[0] = 0.0
+        for j in range(1, n + 1):
+            for i in range(max(0, j - L), j):
+                lp = logp.get(w[i:j])
+                if lp is None or best[i] == neg:
+                    continue
+                sc = best[i] + lp
+                if sc > best[j]:
+                    best[j], back[j] = sc, i
+        seg = []
+        j = n
+        while j > 0:
+            seg.append(w[back[j] : j])
+            j = back[j]
+        return seg[::-1]
+
+    for it in range(n_iters):
+        logp = logp_of(counts)
+        new: Counter = Counter()
+        for w, c in wcnt.items():
+            for p in viterbi(w, logp):
+                new[p] += c
+        counts = {p: new.get(p, 0) for p in counts}
+        if it < n_iters - 1:
+            alive = sorted(
+                ((p, c) for p, c in counts.items() if len(p) >= 2 and c > 0),
+                key=lambda pc: (-pc[1], pc[0]),
+            )
+            kept = alive[: math.ceil(prune_keep * len(alive))]
+            counts = {p: c for p, c in counts.items() if len(p) == 1}
+            counts.update(dict(kept))
+
+    logp = logp_of(counts)
+    ppm = {p: math.floor(lp * 1e6) for p, lp in logp.items()}
+    return counts, ppm, viterbi
+
+
+def ref_unigram_train(sf_dir: str) -> list[tuple]:
+    """(rank, piece, cnt, logp_ppm) rows of the sequential unigram
+    trainer — the literal oracle for ops_unigram_train."""
+    counts, ppm, _ = _unigram_spec(sf_dir)
+    ordered = sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
+    return [(i + 1, p, c, ppm[p]) for i, (p, c) in enumerate(ordered)]
+
+
+def ref_unigram_encode(sf_dir: str, L: int = 5) -> list[tuple]:
+    """(doc_id, n_words, n_pieces, pieces_md5) of every document encoded
+    with the sequential model via the QUANTIZED ppm scores (the
+    persisted-model contract functions/text.unigram_encode declares)."""
+    import hashlib
+    import math
+
+    _, ppm, _ = _unigram_spec(sf_dir)
+    logp = {p: v / 1e6 for p, v in ppm.items()}
+
+    def viterbi(w):
+        n = len(w)
+        neg = float("-inf")
+        best = [neg] * (n + 1)
+        back = [0] * (n + 1)
+        best[0] = 0.0
+        for j in range(1, n + 1):
+            for i in range(max(0, j - L), j):
+                lp = logp.get(w[i:j])
+                if lp is None or best[i] == neg:
+                    continue
+                sc = best[i] + lp
+                if sc > best[j]:
+                    best[j], back[j] = sc, i
+        seg = []
+        j = n
+        while j > 0:
+            seg.append(w[back[j] : j])
+            j = back[j]
+        return seg[::-1]
+
+    out = []
+    memo: dict[str, list[str]] = {}
+    for doc_id, text in _documents(sf_dir):
+        ws = re.findall("[a-z]+", (text or "").lower())
+        pieces: list[str] = []
+        for w in ws:
+            seg = memo.get(w)
+            if seg is None:
+                seg = viterbi(w)
+                memo[w] = seg
+            pieces.extend(seg)
+        out.append(
+            (
+                doc_id,
+                len(ws),
+                len(pieces),
+                hashlib.md5(" ".join(pieces).encode()).hexdigest(),
+            )
+        )
+    return sorted(out)
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -1915,6 +2050,24 @@ def build() -> dict[str, str]:
                     ("n_words", "BIGINT"),
                     ("n_tokens", "BIGINT"),
                     ("n_chars_encoded", "BIGINT"),
+                ],
+            ),
+            "ops_unigram_train": sql_values(
+                ref_unigram_train(_SF_PIN),
+                [
+                    ("rank", "BIGINT"),
+                    ("piece", "VARCHAR"),
+                    ("cnt", "BIGINT"),
+                    ("logp_ppm", "BIGINT"),
+                ],
+            ),
+            "ops_unigram_encode": sql_values(
+                ref_unigram_encode(_SF_PIN),
+                [
+                    ("doc_id", "BIGINT"),
+                    ("n_words", "BIGINT"),
+                    ("n_pieces", "BIGINT"),
+                    ("pieces_md5", "VARCHAR"),
                 ],
             ),
         }

@@ -1323,3 +1323,69 @@ def test_duplicate_clusters_distributed_100k_edge_stress(spark):
     drv = {r.id: r.cluster_id for r in D.duplicate_clusters(pairs).collect()}
     assert dist == drv
     assert stats["converged"] and stats["rounds"] <= 18, stats
+
+
+def test_unigram_train_distributed_equals_driver(spark):
+    """The adaptive EM probe (bpe_train's pattern): driver loop and
+    distributed mapInPandas E-step must be count-for-count identical —
+    integer counts are order-independent and every float is recomputed
+    from integers on both paths."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import (
+        unigram_train,
+    )
+
+    rows = [
+        (i, "sparkle banana sparkle apple sparkle banana kiwi apple")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [tuple(r) for r in unigram_train(docs).collect()]
+    b = [tuple(r) for r in unigram_train(docs, driver_vocab_limit=0).collect()]
+    assert a == b
+    assert len(a) > 0
+
+
+def test_unigram_train_learns_frequent_pieces_and_encode_compresses(spark):
+    """A dominant word must yield multi-char pieces covering it, and
+    encoding must use strictly fewer pieces than characters (the whole
+    point of subword tokenization); per-word cover is guaranteed by the
+    never-pruned single-char inventory."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    rows = [(i, "sparkle " * 8 + "zq") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = unigram_train(docs)
+    pieces = {r["piece"] for r in model.collect()}
+    assert any(len(p) >= 2 and p in "sparkle" for p in pieces)
+    enc = {r["doc_id"]: r for r in unigram_encode(docs, model).collect()}
+    for i, text in rows:
+        words = text.split()
+        n_chars = sum(len(w) for w in words)
+        assert enc[i]["n_words"] == len(words)
+        assert enc[i]["n_pieces"] >= len(words)
+        assert enc[i]["n_pieces"] < n_chars  # compression happened
+    # model pieces all come from the corpus alphabet/substring space
+    assert all(set(p) <= set("abcdefghijklmnopqrstuvwxyz") for p in pieces)
+
+
+def test_unigram_encode_quantized_model_roundtrip(spark, tmp_path):
+    """Persisted-model contract: saving the piece table to parquet and
+    reloading must encode identically — scores flow through the integer
+    logp_ppm column only."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    rows = [(i, "orbit penguin orbit cactus penguin orbit") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = unigram_train(docs)
+    path = str(tmp_path / "unigram_model")
+    model.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    a = sorted(tuple(r) for r in unigram_encode(docs, model).collect())
+    b = sorted(tuple(r) for r in unigram_encode(docs, reloaded).collect())
+    assert a == b

@@ -1013,3 +1013,149 @@ def incremental_near_duplicates(
         corpus.select(id_col, text_col)
     )
     return verify_jaccard(both, cand, text_col, id_col, shingle_k, threshold)
+
+
+# ---------------------------------------------------------------------------
+# C4-style duplicate-span removal (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+
+def _span_word_array(text_col: str) -> Column:
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+
+
+def span_sentences(
+    df: DataFrame,
+    sentence_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_id, sid, sent)`` — fixed ``sentence_words``-word sentences
+    (the corpus has no punctuation; the algorithm is delimiter-agnostic),
+    1-based ``sid``, at least one (possibly empty) sentence per doc so
+    every document survives the rebuild group-by."""
+    s = sentence_words
+    w = df.select(F.col(id_col).alias("doc_id"), _span_word_array(text_col).alias("_ws"))
+    nsent = F.greatest(F.ceil(F.size("_ws") / s).cast("int"), F.lit(1))
+    return w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), nsent),
+                lambda i: F.array_join(F.slice("_ws", (i - 1) * s + 1, s), " "),
+            )
+        ).alias("_p", "sent"),
+    ).select("doc_id", (F.col("_p") + 1).alias("sid"), "sent")
+
+
+def span_hashes(
+    df: DataFrame,
+    sentence_words: int = 8,
+    span_sents: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_id, start, h)`` — md5 of every sliding stride-1 span of
+    ``span_sents`` consecutive sentences.  One row per span; the ×k text
+    overlap stays inside the md5 argument, never materialized."""
+    s, k = sentence_words, span_sents
+    w = df.select(F.col(id_col).alias("doc_id"), _span_word_array(text_col).alias("_ws"))
+    nsent = F.greatest(F.ceil(F.size("_ws") / s).cast("int"), F.lit(1))
+    return w.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                nsent >= k,
+                F.transform(
+                    F.sequence(F.lit(1), nsent - (k - 1)),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("_ws", (i - 1) * s + 1, s * k), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_p", "h"),
+    ).select("doc_id", (F.col("_p") + 1).alias("start"), "h")
+
+
+def span_dedup(
+    df: DataFrame,
+    known: DataFrame | None = None,
+    sentence_words: int = 8,
+    span_sents: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4 duplicate-span removal: drop all but the globally FIRST
+    occurrence (min ``(doc_id, start)``) of any span occurring ≥2 times;
+    with ``known`` (a ``(h)`` DataFrame of span hashes already seen in
+    earlier crawls/batches) EVERY occurrence of a known span is removed —
+    its keeper copy lives in the prior corpus.  Returns
+    ``(doc_id, n_sent, n_removed, cleaned)`` with the surviving sentences
+    reassembled in order.
+
+    Scale: keep-first is a mergeable ``min(struct)`` hash-agg per span
+    hash — no corpus-wide window sort; the join back touches duplicated
+    hashes only (AQE broadcasts when small); the covered-sentence explode
+    is removed-span-sized; reassembly is the window-free
+    ``sort_array(collect_list(struct))`` rebuild shared with the CCNet
+    paragraph path."""
+    k = span_sents
+    sents = span_sentences(df, sentence_words, text_col, id_col)
+    spans = span_hashes(df, sentence_words, span_sents, text_col, id_col)
+    if known is not None:
+        known_h = known.select("h").distinct()
+        removed_known = spans.join(known_h, "h").select("doc_id", "start")
+        spans_fresh = spans.join(known_h, "h", "left_anti")
+    else:
+        removed_known = None
+        spans_fresh = spans
+    firsts = (
+        spans_fresh.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("doc_id", "start")).alias("first"),
+        )
+        .where(F.col("cnt") >= 2)
+    )
+    removed_occ = (
+        spans_fresh.join(firsts, "h")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("start") == F.col("first.start"))
+            )
+        )
+        .select("doc_id", "start")
+    )
+    if removed_known is not None:
+        removed_occ = removed_occ.unionByName(removed_known)
+    removed_sids = (
+        removed_occ.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + (k - 1))).alias("sid"),
+        )
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+    )
+    return (
+        sents.join(removed_sids, ["doc_id", "sid"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sent"),
+            F.count("_rm").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rm").isNull(),
+                                F.struct(F.col("sid"), F.col("sent")),
+                            )
+                        )
+                    ),
+                    lambda st: st["sent"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+    )

@@ -3913,91 +3913,20 @@ def ops_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     globally FIRST occurrence (min (doc_id, start)) is KEPT — CCNet drops
     every copy of a duplicated paragraph, C4 keeps one.
 
-    Plan: one scan → span-hash explode (one row per span, the ×3 overlap
-    stays inside the md5 argument, never materialized) → hash-agg
-    ``min(struct(doc_id, start))`` per span hash (mergeable, no window
-    sort over the corpus) → join back on duplicated hashes only →
-    covered-sentence explode (removed-span-sized, tiny vs corpus) →
-    ordered reassembly via sort_array(collect_list(struct)), the same
-    window-free rebuild as ops_paragraph_dedup.  Per-hash state is one
-    (count, min-pair): the agg shuffles |spans| rows but carries no text."""
+    Plan (functions/dedup.py:span_dedup — shared with the streaming
+    intake gate run_span_dedup_stream): one scan → span-hash explode
+    (one row per span, the ×3 overlap stays inside the md5 argument,
+    never materialized) → hash-agg ``min(struct(doc_id, start))`` per
+    span hash (mergeable, no window sort over the corpus) → join back on
+    duplicated hashes only → covered-sentence explode
+    (removed-span-sized, tiny vs corpus) → ordered reassembly via
+    sort_array(collect_list(struct)), the same window-free rebuild as
+    ops_paragraph_dedup.  Per-hash state is one (count, min-pair): the
+    agg shuffles |spans| rows but carries no text."""
     t = Tables(spark, sf_dir)
-    s, k = 8, 3
-    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(X.WORD_RE), F.lit(0))
-    w = t.documents.select("doc_id", words.alias("_ws"))
-    nsent = F.greatest(F.ceil(F.size("_ws") / s).cast("int"), F.lit(1))
-    sents = w.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), nsent),
-                lambda i: F.array_join(F.slice("_ws", (i - 1) * s + 1, s), " "),
-            )
-        ).alias("_p", "sent"),
-    ).select("doc_id", (F.col("_p") + 1).alias("sid"), "sent")
-    spans = w.select(
-        "doc_id",
-        F.posexplode(
-            F.when(
-                nsent >= k,
-                F.transform(
-                    F.sequence(F.lit(1), nsent - (k - 1)),
-                    lambda i: F.md5(
-                        F.array_join(F.slice("_ws", (i - 1) * s + 1, s * k), " ")
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("_p", "h"),
-    ).select("doc_id", (F.col("_p") + 1).alias("start"), "h")
-    firsts = (
-        spans.groupBy("h")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min(F.struct("doc_id", "start")).alias("first"),
-        )
-        .where(F.col("cnt") >= 2)
-    )
-    # duplicated-hash table is corpus-dependent — no broadcast hint, AQE
-    # picks broadcast when it fits (same reasoning as ops_paragraph_dedup)
-    removed = (
-        spans.join(firsts, "h")
-        .where(
-            ~(
-                (F.col("doc_id") == F.col("first.doc_id"))
-                & (F.col("start") == F.col("first.start"))
-            )
-        )
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("start"), F.col("start") + (k - 1))).alias("sid"),
-        )
-        .distinct()
-        .withColumn("_rm", F.lit(1))
-    )
     return (
-        sents.join(removed, ["doc_id", "sid"], "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sent"),
-            F.count("_rm").alias("n_removed"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(
-                                F.when(
-                                    F.col("_rm").isNull(),
-                                    F.struct(F.col("sid"), F.col("sent")),
-                                )
-                            )
-                        ),
-                        lambda st: st["sent"],
-                    ),
-                    " ",
-                )
-            ).alias("cleaned_md5"),
-        )
-        .select("doc_id", "n_sent", "n_removed", "cleaned_md5")
+        D.span_dedup(t.documents)
+        .select("doc_id", "n_sent", "n_removed", F.md5("cleaned").alias("cleaned_md5"))
         .orderBy("doc_id")
     )
 

@@ -231,6 +231,82 @@ def run_dedup_stream(
     )
 
 
+def run_span_dedup_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    work_dir: str,
+    checkpoint_dir: str,
+    sentence_words: int = 8,
+    span_sents: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fault_hook: FaultHook | None = None,
+):
+    """Streaming C4 duplicate-span removal: every micro-batch is cleaned
+    against the ACCUMULATED span-hash index before admission — the
+    intake twin of ``functions.dedup.span_dedup`` (the batch entry
+    ops_span_dedup), completing the streaming-gate family's coverage of
+    the dedup operators (exact/near-dup → ``run_dedup_stream``,
+    n-gram contamination → ``run_decontaminate_stream``, sub-document
+    spans → here).
+
+    Per micro-batch (foreachBatch):
+
+    1. clean the batch with ``span_dedup(batch, known=index)`` — spans
+       already in the index are removed from EVERY batch occurrence
+       (their keeper copy was admitted by an earlier batch); fresh spans
+       get the within-batch global-keep-first rule.  Only the batch is
+       hashed — the admitted corpus is never re-hashed, so per-batch
+       cost is O(batch) like the other gates;
+    2. append the cleaned documents (original + cleaned text, removal
+       counts) to ``corpus/``;
+    3. append the batch's not-yet-known distinct span hashes to
+       ``span_index/`` (hash-only rows: the index carries 32-byte md5
+       strings, never text — at 100 TB it stays a fraction of corpus
+       size and the probe join is AQE-broadcast while it fits).
+
+    Hashes are taken from the ORIGINAL batch text (C4 semantics: spans
+    created by stitching sentences around a removal are not re-checked).
+    Replay-idempotent via the module's ``write_batch`` batch_id-keyed
+    overwrite + ``read_batches(before=batch_id)`` discipline: a crash
+    between the corpus and index appends replays the batch into the same
+    partitions — never double-admitting rows or index hashes."""
+    from pyspark.sql import functions as F
+
+    from ..functions.dedup import span_dedup, span_hashes
+
+    idx_dir = os.path.join(work_dir, "span_index")
+    corpus_dir = os.path.join(work_dir, "corpus")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(id_col, text_col).localCheckpoint()
+        known = read_batches(spark, idx_dir, before=batch_id)
+        cleaned = span_dedup(
+            batch_df, known, sentence_words, span_sents, text_col, id_col
+        ).localCheckpoint()
+        out = batch_df.withColumnsRenamed({id_col: "doc_id"}).join(
+            cleaned, "doc_id"
+        )
+        write_batch(out, corpus_dir, batch_id)
+        if fault_hook:
+            fault_hook("after_corpus", batch_id)
+        fresh = (
+            span_hashes(batch_df, sentence_words, span_sents, text_col, id_col)
+            .select("h")
+            .distinct()
+        )
+        if known is not None:
+            fresh = fresh.join(known.select("h").distinct(), "h", "left_anti")
+        write_batch(fresh, idx_dir, batch_id)
+
+    return (
+        source.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_decontaminate_stream(
     spark: SparkSession,
     source: DataFrame,

@@ -1022,3 +1022,68 @@ def test_curation_stream_model_refresh(spark, tmp_path):
     assert _current_version(work) == "v000002"
     accepted = {r["doc_id"] for r in spark.read.parquet(f"{work}/accept").collect()}
     assert 301 in accepted
+
+
+def test_span_dedup_stream_cross_batch_and_replay(spark, tmp_path):
+    """run_span_dedup_stream: a 3-sentence block admitted in batch 1 must
+    be removed from every later occurrence (cross-batch keep-first); the
+    within-batch rule keeps the (doc_id,start)-min copy; a crash between
+    the corpus and index appends replays without double-admitting rows
+    or index hashes."""
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_span_dedup_stream,
+    )
+
+    block = " ".join(f"w{i}" for i in range(24))  # exactly 3 8-word sentences
+
+    def uniq(seed):
+        return " ".join(f"u{seed}x{j}" for j in range(24))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    batch1 = [(1, block + " " + uniq(1)), (2, uniq(2)), (3, block + " " + uniq(5))]
+    batch2 = [(10, block + " " + uniq(3)), (11, uniq(4))]
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    q = run_span_dedup_stream(spark, stream(), work, ckpt)
+    q.awaitTermination(120)
+
+    got1 = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{work}/corpus").collect()
+    }
+    # within-batch keep-first: doc 1 keeps the block, doc 3 loses it
+    assert got1[1]["n_removed"] == 0
+    assert got1[3]["n_removed"] == 3 and block not in got1[3]["cleaned"]
+    assert got1[2]["n_removed"] == 0
+
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    q2 = run_span_dedup_stream(
+        spark, stream(), work, ckpt, fault_hook=_crash_once("after_corpus", 1)
+    )
+    _await_failure(q2)
+    q3 = run_span_dedup_stream(spark, stream(), work, ckpt)
+    q3.awaitTermination(120)
+
+    corpus = spark.read.parquet(f"{work}/corpus").collect()
+    ids = [r["doc_id"] for r in corpus]
+    assert sorted(ids) == sorted(set(ids)) == [1, 2, 3, 10, 11]
+    got = {r["doc_id"]: r for r in corpus}
+    # cross-batch: doc 10's block span was known from batch 1 → removed
+    assert got[10]["n_removed"] == 3 and block not in got[10]["cleaned"]
+    assert got[11]["n_removed"] == 0 and got[11]["cleaned"] == uniq(4)
+    idx = spark.read.parquet(f"{work}/span_index")
+    assert idx.count() == idx.select("h").distinct().count()
+    # the replayed batch added only its genuinely fresh hashes
+    import pyspark.sql.functions as F  # noqa: N812
+
+    b0 = spark.read.parquet(f"{work}/span_index/batch_id=0")
+    b1 = spark.read.parquet(f"{work}/span_index/batch_id=1")
+    assert b1.join(b0, "h").count() == 0

@@ -1327,3 +1327,40 @@ def mmr_select(
         ]
     )
     return local_df(spark, out_rows, out_schema)
+
+
+def ivfpq_merge(a: IvfPqIndex, b: IvfPqIndex) -> IvfPqIndex:
+    """Consolidate two indexes that share the SAME frozen model into one
+    serving index — the multi-crawl shape: per-crawl/per-region fold-in
+    jobs each produce an index over their slice, and a cadence job merges
+    them (codes-table union, zero re-encoding; on persisted indexes this
+    is a parquet-partition move per cell directory).
+
+    Raises ``ValueError`` if the models differ (different centroids or
+    codebooks encode incompatible code spaces — merging them would serve
+    garbage distances; retrain + re-encode is the only correct path).
+    Duplicate ids (crawl overlap) resolve keep-``a`` — the established
+    corpus wins, mirroring the keep-first discipline of the dedup family.
+    The id anti-join is the only work; it is codes-table-sized, carries
+    (id, cell, m bytes) rows, never vectors."""
+    same_model = (
+        a.seed == b.seed
+        and a.cb.shape == b.cb.shape
+        and bool(np.array_equal(a.cb, b.cb))
+        and set(a.cent) == set(b.cent)
+        and all(bool(np.array_equal(a.cent[c], b.cent[c])) for c in a.cent)
+    )
+    if not same_model:
+        raise ValueError("ivfpq_merge: indexes were built from different models")
+    b_fresh = b.codes.join(
+        a.codes.select(a.id_col).distinct(), b.id_col, "left_anti"
+    )
+    return IvfPqIndex(
+        a.cents_df,
+        a.cent,
+        a.cb,
+        a.codes.unionByName(b_fresh),
+        a.seed,
+        a.id_col,
+        a.vec_col,
+    )

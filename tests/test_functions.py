@@ -1389,3 +1389,43 @@ def test_unigram_encode_quantized_model_roundtrip(spark, tmp_path):
     a = sorted(tuple(r) for r in unigram_encode(docs, model).collect())
     b = sorted(tuple(r) for r in unigram_encode(docs, reloaded).collect())
     assert a == b
+
+
+def test_ivfpq_merge_equals_fold_in_and_rejects_foreign_model(spark):
+    """Multi-crawl consolidation: merging a slice-B index (same frozen
+    model) into the crawl-A index must serve identically to folding B in
+    directly; crawl-overlap ids resolve keep-a; an index trained on its
+    own (different model) must be refused."""
+    rng = np.random.RandomState(23)
+    base = rng.randn(500, 32).astype(np.float32)
+    rows = [(int(i), base[i].tolist()) for i in range(500)]
+    a_df = spark.createDataFrame(rows[:300], "vec_id long, embedding array<float>")
+    b_df = spark.createDataFrame(rows[300:], "vec_id long, embedding array<float>")
+    full = a_df.unionByName(b_df)
+    kw = dict(n_centroids=8, m=8, codes=16, sample_size=400, seed=3)
+    idx_a = S.ivfpq_build(a_df, **kw)
+    # slice-B index under the SAME frozen model: fold B into a codes-empty
+    # twin of idx_a (per-crawl jobs share the cadence-trained model)
+    empty = S.IvfPqIndex(
+        idx_a.cents_df, idx_a.cent, idx_a.cb, idx_a.codes.limit(0), idx_a.seed
+    )
+    idx_b = S.ivfpq_fold_in(empty, b_df)
+    merged = S.ivfpq_merge(idx_a, idx_b)
+    folded = S.ivfpq_fold_in(idx_a, b_df)
+    queries = spark.createDataFrame(
+        [(int(i), base[i].tolist()) for i in (2, 350, 499)],
+        "query_id long, embedding array<float>",
+    )
+    got_m = S.ivfpq_probe(merged, queries, k=5, nprobe=8, rerank=50, corpus=full).collect()
+    got_f = S.ivfpq_probe(folded, queries, k=5, nprobe=8, rerank=50, corpus=full).collect()
+    assert [tuple(r) for r in got_m] == [tuple(r) for r in got_f]
+
+    # crawl overlap: b rows re-offering ids 0..49 are dropped keep-a
+    overlap = S.ivfpq_fold_in(empty, a_df.where("vec_id < 50").unionByName(b_df))
+    merged2 = S.ivfpq_merge(idx_a, overlap)
+    assert merged2.codes.count() == 500
+    assert merged2.codes.select("vec_id").distinct().count() == 500
+
+    foreign = S.ivfpq_build(b_df, n_centroids=8, m=8, codes=16, sample_size=400, seed=4)
+    with pytest.raises(ValueError):
+        S.ivfpq_merge(idx_a, foreign)

@@ -4072,3 +4072,145 @@ def ops_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     model = X.unigram_train(t.documents)
     return X.unigram_encode(t.documents, model).orderBy("doc_id")
+
+
+@query("ops_curation_funnel")
+def ops_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intake-funnel report with FIRST-rejection attribution — the
+    monitoring shape a curation pipeline is operated by (each document
+    is charged to the first gate that rejects it, so stage counts sum
+    exactly to the intake): quality (length + unique-word ratio) →
+    exact-dup (non-keeper of an md5 group) → benchmark contamination
+    (shared word 8-gram, src0 as the eval suite).  Complements
+    ops_curation_pipeline (which emits the surviving docs) and
+    ops_dedup_accounting (dedup-only attribution).
+
+    Plan: one corpus scan computes the quality flags; the dup flag is a
+    hash-agg keeper join (md5, never text); contamination is the
+    broadcast gram semi-join shared with ops_decontaminate; the funnel
+    itself is ONE conditional aggregate exploded into 3 literal-struct
+    rows — no per-stage recount, no driver loop."""
+    t = Tables(spark, sf_dir)
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(X.WORD_RE), F.lit(0))
+    bench = t.documents.where(F.col("source") == "src0")
+    corpus = t.documents.where(F.col("source") != "src0")
+    d = corpus.select(
+        "doc_id",
+        "text",
+        F.size(words).alias("n_tokens"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("ur"),
+    )
+    keeper = d.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("_keeper")
+    )
+    bench_grams = (
+        bench.select(X.word_ngram_strings(words, 8).alias("_gs"))
+        .select(F.explode("_gs").alias("gram"))
+        .distinct()
+    )
+    contam_ids = (
+        corpus.select("doc_id", F.explode(X.word_ngram_strings(words, 8)).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_contam", F.lit(1))
+    )
+    flags = (
+        d.join(keeper, F.md5(F.col("text")) == F.col("_h"), "left")
+        .join(contam_ids, "doc_id", "left")
+        .select(
+            ((F.col("n_tokens") < 40) | (F.col("ur") < 0.2)).alias("qfail"),
+            (F.col("doc_id") != F.col("_keeper")).alias("dup"),
+            F.col("_contam").isNotNull().alias("contam"),
+        )
+    )
+    c = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qfail").cast("bigint")).alias("nq"),
+        F.sum((~F.col("qfail") & F.col("dup")).cast("bigint")).alias("nd"),
+        F.sum(
+            (~F.col("qfail") & ~F.col("dup") & F.col("contam")).cast("bigint")
+        ).alias("nc"),
+    )
+    return (
+        c.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("stage_rank"),
+                        F.lit("quality").alias("stage"),
+                        F.col("n").alias("n_in"),
+                        F.col("nq").alias("n_rejected"),
+                        (F.col("n") - F.col("nq")).alias("n_out"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("stage_rank"),
+                        F.lit("exact_dup").alias("stage"),
+                        (F.col("n") - F.col("nq")).alias("n_in"),
+                        F.col("nd").alias("n_rejected"),
+                        (F.col("n") - F.col("nq") - F.col("nd")).alias("n_out"),
+                    ),
+                    F.struct(
+                        F.lit(3).alias("stage_rank"),
+                        F.lit("contaminated").alias("stage"),
+                        (F.col("n") - F.col("nq") - F.col("nd")).alias("n_in"),
+                        F.col("nc").alias("n_rejected"),
+                        (
+                            F.col("n") - F.col("nq") - F.col("nd") - F.col("nc")
+                        ).alias("n_out"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy("stage_rank")
+    )
+
+
+ORACLE["ops_curation_funnel"] = r"""
+    WITH corpus AS (
+        SELECT doc_id, text,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+        FROM documents WHERE source <> 'src0'),
+    feat AS (
+        SELECT doc_id, text,
+               (len(words) < 40 OR
+                CAST(len(list_distinct(words)) AS DOUBLE) / len(words) < 0.2)
+                   AS qfail
+        FROM corpus),
+    keeper AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS k FROM feat GROUP BY md5(text)),
+    bg AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(words) - 6),
+                       i -> array_to_string(list_slice(words, i, i + 7), ' ')))
+                   AS gram
+        FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+              FROM documents WHERE source = 'src0')),
+    contam AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(words) - 6),
+                            i -> array_to_string(list_slice(words, i, i + 7), ' ')))
+                         AS gram
+              FROM corpus) cg
+        WHERE gram IN (SELECT gram FROM bg)),
+    flags AS (
+        SELECT f.qfail,
+               (f.doc_id <> keeper.k) AS dup,
+               (f.doc_id IN (SELECT doc_id FROM contam)) AS contam
+        FROM feat f JOIN keeper ON md5(f.text) = keeper.h),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN qfail THEN 1 ELSE 0 END) AS BIGINT) AS nq,
+               CAST(SUM(CASE WHEN NOT qfail AND dup THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+               CAST(SUM(CASE WHEN NOT qfail AND NOT dup AND contam THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nc
+        FROM flags)
+    SELECT CAST(1 AS INT) AS stage_rank, 'quality' AS stage,
+           n AS n_in, nq AS n_rejected, n - nq AS n_out FROM c
+    UNION ALL
+    SELECT CAST(2 AS INT), 'exact_dup', n - nq, nd, n - nq - nd FROM c
+    UNION ALL
+    SELECT CAST(3 AS INT), 'contaminated', n - nq - nd, nc, n - nq - nd - nc FROM c
+    ORDER BY stage_rank
+"""

@@ -1429,3 +1429,93 @@ def test_ivfpq_merge_equals_fold_in_and_rejects_foreign_model(spark):
     foreign = S.ivfpq_build(b_df, n_centroids=8, m=8, codes=16, sample_size=400, seed=4)
     with pytest.raises(ValueError):
         S.ivfpq_merge(idx_a, foreign)
+
+
+def test_span_dedup_property_matches_python_model(spark):
+    """span_dedup vs a sequential Python model on random tiny-vocab
+    corpora (duplicate spans abundant by construction), both without and
+    WITH a known-hash set (the streaming gate's cross-batch path: known
+    spans removed from every occurrence, fresh spans keep-first)."""
+    import hashlib
+    import random
+
+    rng = random.Random(91)
+    vocab = ["aa", "bb", "cc"]
+    s, k = 8, 3
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 60)))
+
+    rows = [(i, doc()) for i in range(40)]
+
+    def model(rows, known):
+        import re as _re
+
+        sents_all, spans_all = {}, []
+        for doc_id, text in rows:
+            ws = _re.findall(r"[a-z0-9]+", text.lower())
+            nsent = max(-(-len(ws) // s), 1)
+            sents_all[doc_id] = [
+                " ".join(ws[(i - 1) * s : (i - 1) * s + s]) for i in range(1, nsent + 1)
+            ]
+            for st in range(1, nsent - (k - 1) + 1):
+                h = hashlib.md5(
+                    " ".join(ws[(st - 1) * s : (st - 1) * s + s * k]).encode()
+                ).hexdigest()
+                spans_all.append((doc_id, st, h))
+        removed = set()
+        fresh = [(d, st, h) for d, st, h in spans_all if h not in known]
+        removed |= {(d, st) for d, st, h in spans_all if h in known}
+        by_h = {}
+        for d, st, h in fresh:
+            by_h.setdefault(h, []).append((d, st))
+        for h, occ in by_h.items():
+            if len(occ) >= 2:
+                first = min(occ)
+                removed |= {o for o in occ if o != first}
+        rm_sids = {(d, st + j) for d, st in removed for j in range(k)}
+        out = {}
+        for doc_id, sents in sents_all.items():
+            kept = [
+                sent
+                for i, sent in enumerate(sents, start=1)
+                if (doc_id, i) not in rm_sids
+            ]
+            n_rm = sum(1 for i in range(1, len(sents) + 1) if (doc_id, i) in rm_sids)
+            out[doc_id] = (len(sents), n_rm, " ".join(kept))
+        return out
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for known_hashes in (set(), None):
+        if known_hashes is None:
+            # cross-batch: treat the span hashes of docs 0-9 as already seen
+            known_hashes = {
+                h for d, st, h in (
+                    (d, st, h)
+                    for d, text in rows[:10]
+                    for st, h in _model_span_hashes(text, s, k)
+                )
+            }
+            known_df = spark.createDataFrame(
+                [(h,) for h in sorted(known_hashes)], "h string"
+            )
+        else:
+            known_df = None
+        expect = model(rows, known_hashes)
+        got = {
+            r["doc_id"]: (r["n_sent"], r["n_removed"], r["cleaned"])
+            for r in D.span_dedup(df, known=known_df).collect()
+        }
+        assert got == expect
+
+
+def _model_span_hashes(text, s, k):
+    import hashlib
+    import re as _re
+
+    ws = _re.findall(r"[a-z0-9]+", text.lower())
+    nsent = max(-(-len(ws) // s), 1)
+    for st in range(1, nsent - (k - 1) + 1):
+        yield st, hashlib.md5(
+            " ".join(ws[(st - 1) * s : (st - 1) * s + s * k]).encode()
+        ).hexdigest()

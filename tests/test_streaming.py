@@ -1087,3 +1087,65 @@ def test_span_dedup_stream_cross_batch_and_replay(spark, tmp_path):
     b0 = spark.read.parquet(f"{work}/span_index/batch_id=0")
     b1 = spark.read.parquet(f"{work}/span_index/batch_id=1")
     assert b1.join(b0, "h").count() == 0
+
+
+def test_intake_gate_cascade_span_then_neardup(spark, tmp_path):
+    """Gates compose: run_span_dedup_stream's corpus layout feeds
+    run_dedup_stream directly (batch-dir parquet stream, cleaned text as
+    the text column).  Planted: doc 30's duplicate block is removed by
+    the SPAN gate (cross-batch keep-first), after which its cleaned text
+    is a near-copy of doc 20 — caught by the NEAR-DUP gate across
+    stage-2 batches.  Counts conserve through both stages."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_dedup_stream,
+        run_span_dedup_stream,
+    )
+
+    block = " ".join(f"b{i}" for i in range(24))  # 3 sentences
+    u1 = " ".join(f"u{j}" for j in range(24))
+    u1_variant = " ".join(f"u{j}" for j in range(23)) + " tail"
+    u2 = " ".join(f"v{j}" for j in range(24))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work1, ckpt1 = str(tmp_path / "span"), str(tmp_path / "ckpt1")
+    work2, ckpt2 = str(tmp_path / "dedup"), str(tmp_path / "ckpt2")
+
+    spark.createDataFrame(
+        [(10, block + " " + u2), (20, u1)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream1 = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    run_span_dedup_stream(spark, stream1(), work1, ckpt1).awaitTermination(120)
+    spark.createDataFrame(
+        [(30, block + " " + u1_variant)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    run_span_dedup_stream(spark, stream1(), work1, ckpt1).awaitTermination(120)
+
+    stage1 = {r["doc_id"]: r for r in spark.read.parquet(f"{work1}/corpus").collect()}
+    assert len(stage1) == 3
+    assert stage1[30]["n_removed"] == 3 and block not in stage1[30]["cleaned"]
+
+    # stage 2 consumes stage 1's batch layout; cleaned text is the payload
+    schema = "doc_id long, text string, n_sent long, n_removed long, cleaned string"
+
+    def stream2(glob):
+        df = spark.readStream.schema(schema).parquet(f"{work1}/corpus/{glob}")
+        return df.select("doc_id", F.col("cleaned").alias("text"))
+
+    run_dedup_stream(
+        spark, stream2("batch_id=0"), work2, ckpt2, threshold=0.5
+    ).awaitTermination(120)
+    run_dedup_stream(
+        spark, stream2("*"), work2, ckpt2, threshold=0.5
+    ).awaitTermination(120)
+
+    admitted = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{work2}/corpus").collect()
+    )
+    assert admitted == [10, 20]  # doc 30's cleaned text was a near-dup of 20
+    hits = spark.read.parquet(f"{work2}/hits").collect()
+    assert {(r["id_a"], r["id_b"]) for r in hits} == {(30, 20)}

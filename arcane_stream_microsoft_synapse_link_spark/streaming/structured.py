@@ -63,6 +63,19 @@ def write_batch(
     w.parquet(batch_dir(root, batch_id))
 
 
+_COMPACT_MANIFEST = "_compacted.json"
+
+
+def _read_manifest(root: str) -> dict:
+    import json
+
+    p = os.path.join(root, _COMPACT_MANIFEST)
+    if not os.path.exists(p):
+        return {"segments": []}
+    with open(p) as f:
+        return json.load(f)
+
+
 def read_batches(
     spark: SparkSession, root: str, before: int | None = None
 ) -> DataFrame | None:
@@ -70,21 +83,137 @@ def read_batches(
     ``write_batch`` layout, optionally only those with ``batch_id <
     before`` (inside ``step`` pass the current batch_id so a replay never
     sees its own crashed attempt's partial rows).  Returns ``None`` when
-    no complete batch exists yet — the first-batch signal."""
+    no complete batch exists yet — the first-batch signal.
+
+    Compaction-aware: batch dirs covered by a ``_compacted.json``
+    manifest segment (``compact_batches``) are skipped and the segment
+    read instead.  A segment is indivisible, so ``before`` must be
+    strictly greater than every covered id — ``compact_batches``'s
+    ``keep_last`` floor guarantees that for the gates' replay window; a
+    violation raises rather than silently over-reading."""
     if not os.path.isdir(root):
         return None
+    manifest = _read_manifest(root)
+    covered: set[int] = set()
+    seg_paths: list[str] = []
+    for seg in manifest["segments"]:
+        if before is not None and seg["max_covered"] >= before:
+            raise ValueError(
+                f"read_batches(before={before}): segment {seg['dir']} covers "
+                f"batch {seg['max_covered']} — compaction crossed the replay "
+                "window (compact with a larger keep_last)"
+            )
+        covered.update(seg["covered"])
+        seg_paths.append(os.path.join(root, seg["dir"]))
     paths = []
     for name in sorted(os.listdir(root)):
         if not name.startswith("batch_id="):
             continue
         b = int(name.split("=", 1)[1])
+        if b in covered:
+            continue  # superseded by a segment; dir may await cleanup
         if (before is None or b < before) and os.path.exists(
             os.path.join(root, name, "_SUCCESS")
         ):
             paths.append(os.path.join(root, name))
-    if not paths:
+    parts = []
+    if paths:
+        # basePath keeps the batch_id partition column inference rooted
+        parts.append(
+            spark.read.option("basePath", root).parquet(*paths).drop("batch_id")
+        )
+    if seg_paths:
+        # segments are plain leaf dirs — read WITHOUT basePath so no
+        # partition column is inferred from the segment=lo-hi path
+        parts.append(spark.read.parquet(*seg_paths))
+    if not parts:
         return None
-    return spark.read.option("basePath", root).parquet(*paths).drop("batch_id")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_batches(
+    spark: SparkSession, root: str, keep_last: int = 2, target_partitions: int = 1
+) -> int:
+    """Small-files maintenance for the gates' batch-dir state stores —
+    the C1 OPTIMIZE story extended to streaming state: a long-lived
+    intake gate accumulates one ``batch_id=N`` directory per micro-batch
+    (at a 10 s cadence that is ~8.6k directories/day of tiny files, the
+    classic small-files killer at 100 TB); this coalesces every retired
+    batch (and any prior segment) into ONE ``segment=lo-hi`` parquet
+    directory.
+
+    Crash-safe without a transaction log, in the engine's established
+    discipline: (1) the merged segment is written with its own
+    ``_SUCCESS``; (2) the manifest (``_compacted.json``) is swapped
+    atomically (tmp + ``os.replace``) — the single commit point; (3)
+    covered batch dirs and superseded segments are deleted AFTER the
+    swap.  A crash before (2) leaves an orphan segment dir that readers
+    ignore (the manifest is the source of truth) and the next compaction
+    overwrites; a crash before (3) leaves covered dirs that readers skip
+    and the next compaction cleans up.
+
+    ``keep_last`` newest batches stay un-compacted so a foreachBatch
+    replay of the latest (possibly uncommitted) micro-batch never
+    collides with a segment (``read_batches`` enforces this with a hard
+    error rather than over-reading).  Returns the number of batch dirs
+    retired (0 = nothing to do)."""
+    import json
+    import shutil
+
+    if not os.path.isdir(root):
+        return 0
+    manifest = _read_manifest(root)
+    old_segments = manifest["segments"]
+    covered: set[int] = set()
+    for seg in old_segments:
+        covered.update(seg["covered"])
+    complete = []
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("batch_id="):
+            continue
+        b = int(name.split("=", 1)[1])
+        if b not in covered and os.path.exists(os.path.join(root, name, "_SUCCESS")):
+            complete.append((b, os.path.join(root, name)))
+    complete.sort()
+    retire = complete[: max(0, len(complete) - keep_last)]
+    if not retire or (len(retire) < 2 and not old_segments):
+        return 0
+    ids = sorted(covered | {b for b, _ in retire})
+    lo, hi = ids[0], ids[-1]
+    seg_dir = f"segment={lo}-{hi}"
+    df = (
+        spark.read.option("basePath", root)
+        .parquet(*[p for _, p in retire])
+        .drop("batch_id")
+    )
+    if old_segments:
+        df = df.unionByName(
+            spark.read.parquet(*[os.path.join(root, s["dir"]) for s in old_segments])
+        )
+    df.coalesce(target_partitions).write.mode("overwrite").parquet(
+        os.path.join(root, seg_dir)
+    )
+    new_manifest = {
+        "segments": [{"dir": seg_dir, "covered": ids, "max_covered": hi}]
+    }
+    tmp = os.path.join(root, _COMPACT_MANIFEST + "._tmp")
+    with open(tmp, "w") as f:
+        json.dump(new_manifest, f)
+    os.replace(tmp, os.path.join(root, _COMPACT_MANIFEST))
+    for s in old_segments:
+        if s["dir"] != seg_dir:
+            shutil.rmtree(os.path.join(root, s["dir"]), ignore_errors=True)
+    for _, p in retire:
+        shutil.rmtree(p, ignore_errors=True)
+    # stale covered dirs from a prior crash-before-cleanup (readers skip
+    # them; this is the deferred cleanup)
+    for name in os.listdir(root):
+        if name.startswith("batch_id=") and int(name.split("=", 1)[1]) in covered:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    return len(retire)
 
 
 def read_stream(spark: SparkSession, spec: StreamSpec) -> DataFrame:

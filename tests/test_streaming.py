@@ -1149,3 +1149,113 @@ def test_intake_gate_cascade_span_then_neardup(spark, tmp_path):
     assert admitted == [10, 20]  # doc 30's cleaned text was a near-dup of 20
     hits = spark.read.parquet(f"{work2}/hits").collect()
     assert {(r["id_a"], r["id_b"]) for r in hits} == {(30, 20)}
+
+
+def test_compact_batches_preserves_gate_state(spark, tmp_path):
+    """Small-files maintenance: compacting a gate's corpus/index batch
+    dirs into one segment must preserve the exact row set, and the gate
+    must keep deduping against the compacted state (a batch-1 near-dup
+    arriving after compaction is still caught)."""
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        compact_batches,
+        read_batches,
+        run_dedup_stream,
+    )
+
+    import random as _r
+
+    rng = _r.Random(53)
+    vocab = [f"tok{i}" for i in range(300)]
+
+    def doc(n=50):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    batches = [[(b * 100 + i, doc()) for i in range(6)] for b in range(3)]
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{b}"))
+        run_dedup_stream(spark, stream(), work, ckpt, threshold=0.5).awaitTermination(
+            120
+        )
+
+    def snap(root):
+        df = read_batches(spark, f"{work}/{root}")
+        return sorted(tuple(r) for r in df.collect())
+
+    before_c, before_i = snap("corpus"), snap("band_index")
+    assert compact_batches(spark, f"{work}/corpus", keep_last=1) == 2
+    assert compact_batches(spark, f"{work}/band_index", keep_last=1) == 2
+    assert snap("corpus") == before_c
+    assert snap("band_index") == before_i
+
+    # gate keeps working against compacted state: exact copy of a batch-0
+    # doc arrives in batch 3 and must be rejected
+    spark.createDataFrame(
+        [(900, batches[0][2][1])], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b3"))
+    run_dedup_stream(spark, stream(), work, ckpt, threshold=0.5).awaitTermination(120)
+    # NOTE: a compacted root mixes batch_id= and segment= dirs — raw
+    # spark.read.parquet(root) rejects that; read_batches is the reader
+    admitted = {r["doc_id"] for r in read_batches(spark, f"{work}/corpus").collect()}
+    assert 900 not in admitted
+    hits = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(f"{work}/hits").collect()}
+    assert (900, 2) in hits
+
+
+def test_compact_batches_crash_windows_and_replay_guard(spark, tmp_path):
+    """Crash-safety of the manifest discipline: an orphan segment (crash
+    before the manifest swap) is invisible; a covered batch dir left
+    behind (crash before cleanup) is skipped, never double-read; and a
+    ``before`` inside a segment's covered range raises instead of
+    over-reading."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        compact_batches,
+        read_batches,
+        write_batch,
+    )
+
+    root = str(tmp_path / "state")
+    for b in range(5):
+        write_batch(
+            spark.createDataFrame([(b, f"v{b}")], "id long, v string"), root, b
+        )
+
+    def rows():
+        return sorted(tuple(r) for r in read_batches(spark, root).collect())
+
+    base = rows()
+    # orphan segment dir (crash between segment write and manifest swap)
+    spark.createDataFrame([(99, "junk")], "id long, v string").write.parquet(
+        os.path.join(root, "segment=0-1")
+    )
+    assert rows() == base  # manifest is the source of truth
+    assert compact_batches(spark, root, keep_last=2) == 3  # retires 0,1,2
+    assert rows() == base
+    assert not os.path.isdir(os.path.join(root, "batch_id=0"))
+
+    # crash-before-cleanup: a covered dir reappears — skipped, then cleaned
+    write_batch(spark.createDataFrame([(1, "v1")], "id long, v string"), root, 1)
+    assert rows() == base
+    write_batch(spark.createDataFrame([(5, "v5")], "id long, v string"), root, 5)
+    assert compact_batches(spark, root, keep_last=2) == 1  # retires 3 (4,5 kept)
+    assert not os.path.isdir(os.path.join(root, "batch_id=1"))  # stale dir cleaned
+    assert sorted(tuple(r) for r in read_batches(spark, root).collect()) == sorted(
+        base + [(5, "v5")]
+    )
+
+    # replay-window guard: segment now covers 0..3, before=3 must raise
+    with _pytest.raises(ValueError, match="replay window"):
+        read_batches(spark, root, before=3)
+    shutil.rmtree(root)

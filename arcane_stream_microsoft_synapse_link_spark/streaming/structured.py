@@ -360,6 +360,31 @@ def run_dedup_stream(
     )
 
 
+def compact_gate_state(
+    spark: SparkSession, work_dir: str, keep_last: int = 2
+) -> dict[str, int]:
+    """Maintenance-cadence sweep over every batch-dir store under a
+    gate's ``work_dir`` (corpus / band_index / span_index / hits / clean
+    / codes — any immediate subdirectory containing ``batch_id=``
+    partitions): runs ``compact_batches`` on each, the gates' analog of
+    the CDC table's ``_maintenance`` OPTIMIZE pass.  Run it between
+    stream restarts or from a cadence job — ``keep_last`` keeps the
+    replay window un-compacted either way.  Returns
+    ``{store: dirs_retired}`` for observability."""
+    out: dict[str, int] = {}
+    if not os.path.isdir(work_dir):
+        return out
+    for name in sorted(os.listdir(work_dir)):
+        store = os.path.join(work_dir, name)
+        if not os.path.isdir(store):
+            continue
+        if any(c.startswith("batch_id=") for c in os.listdir(store)) or os.path.exists(
+            os.path.join(store, _COMPACT_MANIFEST)
+        ):
+            out[name] = compact_batches(spark, store, keep_last=keep_last)
+    return out
+
+
 def run_span_dedup_stream(
     spark: SparkSession,
     source: DataFrame,

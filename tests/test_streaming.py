@@ -1259,3 +1259,50 @@ def test_compact_batches_crash_windows_and_replay_guard(spark, tmp_path):
     with _pytest.raises(ValueError, match="replay window"):
         read_batches(spark, root, before=3)
     shutil.rmtree(root)
+
+
+def test_compact_gate_state_sweeps_all_stores(spark, tmp_path):
+    """compact_gate_state: one cadence call compacts every batch-dir
+    store under a gate work_dir and the gate keeps operating."""
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        compact_gate_state,
+        read_batches,
+        run_span_dedup_stream,
+    )
+
+    block = " ".join(f"c{i}" for i in range(24))
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    for b in range(3):
+        rows = [(b * 10 + j, " ".join(f"b{b}x{j}w{i}" for i in range(24))) for j in range(2)]
+        if b == 0:
+            rows.append((99, block))
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{b}"))
+        run_span_dedup_stream(spark, stream(), work, ckpt).awaitTermination(120)
+
+    before = {
+        s: sorted(tuple(r) for r in read_batches(spark, f"{work}/{s}").collect())
+        for s in ("corpus", "span_index")
+    }
+    retired = compact_gate_state(spark, work, keep_last=1)
+    assert retired == {"corpus": 2, "span_index": 2}
+    for s, rows in before.items():
+        got = sorted(tuple(r) for r in read_batches(spark, f"{work}/{s}").collect())
+        assert got == rows
+
+    # the gate still removes a known span arriving after compaction
+    spark.createDataFrame(
+        [(500, block + " " + " ".join(f"z{i}" for i in range(24)))],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b3"))
+    run_span_dedup_stream(spark, stream(), work, ckpt).awaitTermination(120)
+    got = {
+        r["doc_id"]: r for r in read_batches(spark, f"{work}/corpus").collect()
+    }
+    assert got[500]["n_removed"] == 3 and block not in got[500]["cleaned"]

@@ -179,7 +179,7 @@ def compact_batches(
             complete.append((b, os.path.join(root, name)))
     complete.sort()
     retire = complete[: max(0, len(complete) - keep_last)]
-    if not retire or (len(retire) < 2 and not old_segments):
+    if not retire:
         return 0
     ids = sorted(covered | {b for b, _ in retire})
     lo, hi = ids[0], ids[-1]
@@ -302,6 +302,7 @@ def run_dedup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     fault_hook: FaultHook | None = None,
+    compact_every: int | None = None,
 ):
     """Streaming corpus curation: near-dup-filter every micro-batch of
     documents against the ACCUMULATED band index before admission — the
@@ -351,6 +352,12 @@ def run_dedup_stream(
         if fault_hook:
             fault_hook("after_corpus", batch_id)
         write_batch(minhash_band_index(kept, text_col, id_col), idx_dir, batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            # in-line small-files maintenance: keep_last=2 keeps this
+            # batch and its predecessor un-compacted, so a replay of
+            # either never collides with a segment; compaction itself is
+            # replay-idempotent (manifest commit point)
+            compact_gate_state(spark, work_dir, keep_last=2)
 
     return (
         source.writeStream.foreachBatch(step)
@@ -395,6 +402,7 @@ def run_span_dedup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     fault_hook: FaultHook | None = None,
+    compact_every: int | None = None,
 ):
     """Streaming C4 duplicate-span removal: every micro-batch is cleaned
     against the ACCUMULATED span-hash index before admission — the
@@ -452,6 +460,8 @@ def run_span_dedup_stream(
         if known is not None:
             fresh = fresh.join(known.select("h").distinct(), "h", "left_anti")
         write_batch(fresh, idx_dir, batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_gate_state(spark, work_dir, keep_last=2)
 
     return (
         source.writeStream.foreachBatch(step)
@@ -589,6 +599,7 @@ def run_media_dedup_stream(
     max_hamming: int = 6,
     id_col: str = "media_id",
     fault_hook: FaultHook | None = None,
+    compact_every: int | None = None,
 ):
     """Streaming MULTIMODAL dedup: perceptual-dHash-filter every
     micro-batch of raw images against the ACCUMULATED hash index before

@@ -1306,3 +1306,49 @@ def test_compact_gate_state_sweeps_all_stores(spark, tmp_path):
         r["doc_id"]: r for r in read_batches(spark, f"{work}/corpus").collect()
     }
     assert got[500]["n_removed"] == 3 and block not in got[500]["cleaned"]
+
+
+def test_dedup_stream_inline_compaction(spark, tmp_path):
+    """compact_every: the gate self-maintains — after batch 3 the first
+    two batches are in a segment, the replay window stays un-compacted,
+    and cross-batch dedup still works from the compacted state."""
+    import os
+
+    import random as _r
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        read_batches,
+        run_dedup_stream,
+    )
+
+    rng = _r.Random(61)
+    vocab = [f"tok{i}" for i in range(300)]
+
+    def doc(n=50):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    b0 = [(i, doc()) for i in range(5)]
+    batches = [b0, [(100 + i, doc()) for i in range(5)],
+               [(200 + i, doc()) for i in range(5)],
+               [(300, b0[1][1]), (301, doc())]]  # exact dup of batch-0 doc 1
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{b}"))
+        run_dedup_stream(
+            spark, stream(), work, ckpt, threshold=0.5, compact_every=3
+        ).awaitTermination(120)
+
+    # after batch index 2 ((2+1)%3==0) compaction ran: batches 0 of
+    # corpus are in a segment, last two batch dirs kept
+    assert os.path.exists(os.path.join(work, "corpus", "_compacted.json"))
+    admitted = {r["doc_id"] for r in read_batches(spark, f"{work}/corpus").collect()}
+    assert 300 not in admitted and 301 in admitted
+    hits = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(f"{work}/hits").collect()}
+    assert (300, 1) in hits

@@ -1519,3 +1519,54 @@ def _model_span_hashes(text, s, k):
         yield st, hashlib.md5(
             " ".join(ws[(st - 1) * s : (st - 1) * s + s * k]).encode()
         ).hexdigest()
+
+
+def test_source_cap_property_matches_python_model(spark):
+    """ops_source_cap semantics vs a sequential model on random corpora:
+    per-source best-quality prefix under an integer corpus-share cap,
+    ties broken by doc_id, cumulative sums exact."""
+    import random
+    import re as _re
+
+    from arcane_stream_microsoft_synapse_link_spark.plans import QUERIES  # noqa: F401
+    from arcane_stream_microsoft_synapse_link_spark.plans.extensions import (
+        ops_source_cap,
+    )
+
+    # drive the declared entry against a scratch parquet corpus
+    import tempfile
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        n = rng.randint(3, 40)
+        rows.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(n)), "en",
+             f"src{rng.randint(0, 4)}", n)
+        )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            (r["source"], r["doc_id"]): (r["n_tokens"], r["cum_tokens"], r["kept"])
+            for r in ops_source_cap(spark, d).collect()
+        }
+
+    # sequential model
+    feats = []
+    for doc_id, text, _, source, _ in rows:
+        ws = _re.findall(r"[a-z0-9]+", text.lower())
+        feats.append((source, doc_id, len(ws), len(set(ws)) / len(ws)))
+    total = sum(f[2] for f in feats)
+    cap = total * 4 // 100
+    expect = {}
+    for src in {f[0] for f in feats}:
+        cum = 0
+        for source, doc_id, nt, ur in sorted(
+            (f for f in feats if f[0] == src), key=lambda f: (-f[3], f[1])
+        ):
+            cum += nt
+            expect[(source, doc_id)] = (nt, cum, 1 if cum <= cap else 0)
+    assert got == expect

@@ -69,3 +69,23 @@ def test_values_oracles_discriminate(spark):
 
     ok, _ = compare(spark, sf, wrong_fp, ORACLE["ops_fingerprint_rolling"], strict=True)
     assert not ok, "a changed document must change its fingerprint vs the mirror"
+
+
+def test_unigram_values_oracle_discriminates(spark):
+    """The unigram mirror is a real check: training with one fewer EM
+    iteration (different counts/probs) must FAIL the strict compare
+    against ORACLE['ops_unigram_train']."""
+    from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
+    from arcane_stream_microsoft_synapse_link_spark.functions import text as X
+
+    from .oracle_harness import compare
+
+    def wrong_train(spark_, sf_dir):
+        t = Tables(spark_, sf_dir)
+        return X.unigram_train(t.documents, n_iters=3).orderBy("rank")
+
+    ok, _ = compare(
+        spark, "/root/testdata/sf0.01", wrong_train,
+        ORACLE["ops_unigram_train"], strict=True,
+    )
+    assert not ok, "a perturbed EM schedule must hash-mismatch the mirror"

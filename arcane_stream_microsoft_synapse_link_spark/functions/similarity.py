@@ -1219,6 +1219,17 @@ def ivfpq_save(index: IvfPqIndex, path: str, include_codes: bool = True) -> None
 
 
 def ivfpq_load(spark, path: str) -> IvfPqIndex:
+    """Load a persisted index.  The codes root comes in two layouts:
+
+    - ``ivfpq_save``'s single atomic write (``_SUCCESS`` at the root) —
+      read plainly;
+    - the streaming fold-in's batch-keyed layout
+      (``codes/batch_id=N/centroid_id=.../``, ``run_ann_index_stream``)
+      — read through ``read_batches``, which admits only
+      ``_SUCCESS``-complete batch dirs and honors the compaction
+      manifest.  A crashed fold-in's partial ``batch_id=N`` files are
+      therefore NEVER served by ``ivfpq_probe``; they become visible
+      only after the replay overwrites them completely."""
     import json
     import os
 
@@ -1232,9 +1243,23 @@ def ivfpq_load(spark, path: str) -> IvfPqIndex:
     cb = np.zeros((p["m"], p["codes"], p["dsub"]))
     for r in spark.read.parquet(os.path.join(path, "codebooks")).collect():
         cb[r["subspace"], r["code"]] = r["vec"]
-    codes_df = spark.read.parquet(os.path.join(path, "codes")).select(
-        p["id_col"], "centroid_id", "pq_codes"
+    codes_root = os.path.join(path, "codes")
+    batch_keyed = os.path.isdir(codes_root) and any(
+        n.startswith(("batch_id=", "segment=")) or n == "_compacted.json"
+        for n in os.listdir(codes_root)
     )
+    if batch_keyed:
+        from ..streaming.structured import read_batches
+
+        codes_df = read_batches(spark, codes_root)
+        if codes_df is None:
+            raise FileNotFoundError(
+                f"ivfpq_load({path}): batch-keyed codes root has no complete "
+                "(_SUCCESS-marked) batch — the first fold-in has not committed"
+            )
+    else:
+        codes_df = spark.read.parquet(codes_root)
+    codes_df = codes_df.select(p["id_col"], "centroid_id", "pq_codes")
     return IvfPqIndex(cents_df, cent, cb, codes_df, p["seed"], p["id_col"], p["vec_col"])
 
 

@@ -1170,6 +1170,9 @@ def unigram_encode(
     mrows = model.select("piece", "logp_ppm").collect()
     logp = {r["piece"]: r["logp_ppm"] / 1e6 for r in mrows}
     L = max_piece_len
+    # the output id column mirrors the INPUT's name and type — ids pass
+    # through untouched (no integer coercion: string/uuid ids are legal)
+    id_type = docs.schema[id_col].dataType.simpleString()
 
     def run(batches):
         import pandas as pd
@@ -1186,14 +1189,14 @@ def unigram_encode(
                         seg = _unigram_viterbi(w, logp, L)
                         memo[w] = seg
                     pieces.extend(seg)
-                ids.append(int(i))
+                ids.append(i)
                 nw.append(len(ws))
                 np_.append(len(pieces))
                 md.append(hashlib.md5(" ".join(pieces).encode()).hexdigest())
             if ids:
                 yield pd.DataFrame(
                     {
-                        "doc_id": ids,
+                        id_col: ids,
                         "n_words": nw,
                         "n_pieces": np_,
                         "pieces_md5": md,
@@ -1201,5 +1204,7 @@ def unigram_encode(
                 )
 
     return docs.select(id_col, text_col).mapInPandas(
-        run, schema="doc_id bigint, n_words bigint, n_pieces bigint, pieces_md5 string"
+        run,
+        schema=f"{id_col} {id_type}, n_words bigint, n_pieces bigint, "
+        "pieces_md5 string",
     )

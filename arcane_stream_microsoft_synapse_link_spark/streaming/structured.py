@@ -149,24 +149,59 @@ def compact_batches(
     discipline: (1) the merged segment is written with its own
     ``_SUCCESS``; (2) the manifest (``_compacted.json``) is swapped
     atomically (tmp + ``os.replace``) — the single commit point; (3)
-    covered batch dirs and superseded segments are deleted AFTER the
-    swap.  A crash before (2) leaves an orphan segment dir that readers
-    ignore (the manifest is the source of truth) and the next compaction
-    overwrites; a crash before (3) leaves covered dirs that readers skip
-    and the next compaction cleans up.
+    covered batch dirs and superseded segments are NOT deleted in this
+    cycle: they are recorded in the manifest's ``pending_delete`` list
+    and physically removed by the NEXT compaction run (grace-period
+    deletion).  A concurrent in-flight micro-batch — or a cadence job
+    compacting while the stream serves — may have listed the retired
+    dirs from the PREVIOUS manifest before the swap; deferring the
+    rmtree one full compaction cycle means every such reader finishes
+    its scan against files that still exist, while readers that pick up
+    the new manifest skip the covered dirs anyway (``read_batches``
+    filters them).  A crash before (2) leaves an orphan segment dir that
+    readers ignore (the manifest is the source of truth) and the next
+    compaction queues for deletion; a crash before the manifest rewrite
+    of a later cycle just leaves the pending list for the cycle after.
 
     ``keep_last`` newest batches stay un-compacted so a foreachBatch
     replay of the latest (possibly uncommitted) micro-batch never
     collides with a segment (``read_batches`` enforces this with a hard
-    error rather than over-reading).  Returns the number of batch dirs
-    retired (0 = nothing to do)."""
+    error rather than over-reading); ``keep_last >= 1`` is enforced HERE
+    (not in callers) because ``keep_last=0`` could fold the newest,
+    still-uncommitted batch into a segment and permanently wedge the
+    stream's restart replay.  Returns the number of batch dirs retired
+    (0 = nothing to do)."""
     import json
     import shutil
 
+    if keep_last < 1:
+        raise ValueError(
+            f"compact_batches(keep_last={keep_last}): keep_last must be >= 1 — "
+            "compacting the newest batch can cover an uncommitted micro-batch "
+            "and wedge the stream's restart replay"
+        )
     if not os.path.isdir(root):
         return 0
     manifest = _read_manifest(root)
     old_segments = manifest["segments"]
+    # grace-period cleanup: dirs retired by the PREVIOUS compaction cycle
+    # have now survived one full cycle — no reader planned before that
+    # cycle's manifest swap can still be scanning them; delete for real.
+    expired = manifest.get("pending_delete", [])
+    for name in expired:
+        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    # orphan-segment sweep: a crash between segment write and manifest
+    # swap leaves a segment dir no manifest references — unreachable by
+    # readers (the manifest is the source of truth), so queue it for
+    # grace-period deletion alongside this cycle's retirees.
+    referenced = {s["dir"] for s in old_segments}
+    orphan_segments = [
+        name
+        for name in os.listdir(root)
+        if name.startswith("segment=")
+        and name not in referenced
+        and name not in expired
+    ]
     covered: set[int] = set()
     for seg in old_segments:
         covered.update(seg["covered"])
@@ -179,7 +214,21 @@ def compact_batches(
             complete.append((b, os.path.join(root, name)))
     complete.sort()
     retire = complete[: max(0, len(complete) - keep_last)]
+
+    def _swap_manifest(m: dict) -> None:
+        tmp = os.path.join(root, _COMPACT_MANIFEST + "._tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, os.path.join(root, _COMPACT_MANIFEST))
+
     if not retire:
+        # nothing to compact, but persist the grace-period bookkeeping:
+        # expired dirs are gone (drop them from pending) and fresh
+        # orphans enter the queue for the next cycle.
+        if expired or orphan_segments:
+            _swap_manifest(
+                {"segments": old_segments, "pending_delete": sorted(orphan_segments)}
+            )
         return 0
     ids = sorted(covered | {b for b, _ in retire})
     lo, hi = ids[0], ids[-1]
@@ -196,23 +245,22 @@ def compact_batches(
     df.coalesce(target_partitions).write.mode("overwrite").parquet(
         os.path.join(root, seg_dir)
     )
-    new_manifest = {
-        "segments": [{"dir": seg_dir, "covered": ids, "max_covered": hi}]
-    }
-    tmp = os.path.join(root, _COMPACT_MANIFEST + "._tmp")
-    with open(tmp, "w") as f:
-        json.dump(new_manifest, f)
-    os.replace(tmp, os.path.join(root, _COMPACT_MANIFEST))
-    for s in old_segments:
-        if s["dir"] != seg_dir:
-            shutil.rmtree(os.path.join(root, s["dir"]), ignore_errors=True)
-    for _, p in retire:
-        shutil.rmtree(p, ignore_errors=True)
-    # stale covered dirs from a prior crash-before-cleanup (readers skip
-    # them; this is the deferred cleanup)
+    # everything superseded by the new segment waits one grace cycle:
+    # retired batch dirs, superseded segments, stale covered dirs from a
+    # pre-upgrade crash, and unreferenced orphan segments.
+    pending = {os.path.basename(p) for _, p in retire}
+    pending.update(s["dir"] for s in old_segments if s["dir"] != seg_dir)
+    pending.update(o for o in orphan_segments if o != seg_dir)
+    covered_all = set(ids)
     for name in os.listdir(root):
-        if name.startswith("batch_id=") and int(name.split("=", 1)[1]) in covered:
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        if name.startswith("batch_id=") and int(name.split("=", 1)[1]) in covered_all:
+            pending.add(name)
+    _swap_manifest(
+        {
+            "segments": [{"dir": seg_dir, "covered": ids, "max_covered": hi}],
+            "pending_delete": sorted(pending),
+        }
+    )
     return len(retire)
 
 

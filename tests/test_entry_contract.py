@@ -147,6 +147,30 @@ def test_doc_surface_counts_match_registry():
     )
 
 
+def test_plan_audit_covers_registry():
+    """PLAN_AUDIT.json must audit EVERY registry entry with zero
+    violations, and its cartesian allowlist must name real entries
+    (VERDICT r8 items 3+9: the audit shipped one entry stale and the
+    allowlist drifted to a renamed entry — both now impossible without a
+    red test)."""
+    import json
+    import pathlib
+
+    root = pathlib.Path(entry.__file__).resolve().parent
+    audit = json.loads((root / "PLAN_AUDIT.json").read_text())
+    per_entry = audit["per_entry"]
+    missing = sorted(set(QUERIES) - set(per_entry))
+    stale = sorted(set(per_entry) - set(QUERIES))
+    assert missing == [], f"entries never audited: {missing}"
+    assert stale == [], f"audited entries no longer in registry: {stale}"
+    assert audit["violations"] == []
+    assert audit["entries"] == len(QUERIES)
+    bad_allow = [a for a in audit["cartesian_allowlist"] if a not in QUERIES]
+    assert bad_allow == [], f"allowlist names unknown entries: {bad_allow}"
+    errors = {k: v["error"] for k, v in per_entry.items() if "error" in v}
+    assert errors == {}, f"entries whose plan failed to build: {errors}"
+
+
 def test_round_inference_monotonic():
     r = entry._current_round()
     assert isinstance(r, int) and r >= 2  # r1 artifacts exist in this repo

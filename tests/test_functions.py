@@ -1391,6 +1391,31 @@ def test_unigram_encode_quantized_model_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_unigram_encode_honors_id_col_name_and_type(spark):
+    """ADVICE r7: ``unigram_encode(id_col=...)`` must emit the id column
+    under the CALLER'S name with the input's type — string/uuid ids pass
+    through uncoerced instead of crashing on ``int(i)``."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    train_docs = spark.createDataFrame(
+        [(i, "orbit penguin orbit cactus") for i in range(4)],
+        "doc_id long, text string",
+    )
+    model = unigram_train(train_docs)
+    docs = spark.createDataFrame(
+        [("doc-aa", "orbit penguin"), ("doc-bb", "cactus orbit orbit")],
+        "uri string, text string",
+    )
+    enc = unigram_encode(docs, model, id_col="uri")
+    assert enc.columns == ["uri", "n_words", "n_pieces", "pieces_md5"]
+    assert dict(enc.dtypes)["uri"] == "string"
+    got = {r["uri"]: r["n_words"] for r in enc.collect()}
+    assert got == {"doc-aa": 2, "doc-bb": 3}
+
+
 def test_ivfpq_merge_equals_fold_in_and_rejects_foreign_model(spark):
     """Multi-crawl consolidation: merging a slice-B index (same frozen
     model) into the crawl-A index must serve identically to folding B in

@@ -1243,14 +1243,21 @@ def test_compact_batches_crash_windows_and_replay_guard(spark, tmp_path):
     assert rows() == base  # manifest is the source of truth
     assert compact_batches(spark, root, keep_last=2) == 3  # retires 0,1,2
     assert rows() == base
-    assert not os.path.isdir(os.path.join(root, "batch_id=0"))
+    # grace period: retired dirs + the orphan segment survive ONE cycle on
+    # disk (invisible to readers) so an in-flight reader that planned
+    # against the old manifest never loses files mid-scan
+    assert os.path.isdir(os.path.join(root, "batch_id=0"))
+    assert os.path.isdir(os.path.join(root, "segment=0-1"))
 
-    # crash-before-cleanup: a covered dir reappears — skipped, then cleaned
+    # crash-before-cleanup: a covered dir reappears — skipped by readers
     write_batch(spark.createDataFrame([(1, "v1")], "id long, v string"), root, 1)
     assert rows() == base
     write_batch(spark.createDataFrame([(5, "v5")], "id long, v string"), root, 5)
     assert compact_batches(spark, root, keep_last=2) == 1  # retires 3 (4,5 kept)
+    # the previous cycle's pending deletes are now expired — gone for real
+    assert not os.path.isdir(os.path.join(root, "batch_id=0"))
     assert not os.path.isdir(os.path.join(root, "batch_id=1"))  # stale dir cleaned
+    assert not os.path.isdir(os.path.join(root, "segment=0-1"))  # orphan reclaimed
     assert sorted(tuple(r) for r in read_batches(spark, root).collect()) == sorted(
         base + [(5, "v5")]
     )
@@ -1259,6 +1266,134 @@ def test_compact_batches_crash_windows_and_replay_guard(spark, tmp_path):
     with _pytest.raises(ValueError, match="replay window"):
         read_batches(spark, root, before=3)
     shutil.rmtree(root)
+
+
+def test_compact_batches_grace_period_protects_inflight_reader(spark, tmp_path):
+    """The ADVICE-medium scenario: a cadence job compacts WHILE a
+    micro-batch is mid-scan.  The reader planned its file list from the
+    pre-compaction manifest; grace-period deletion guarantees those files
+    still exist when the scan executes, so the in-flight batch completes
+    instead of crashing on deleted parquet."""
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        compact_batches,
+        read_batches,
+        write_batch,
+    )
+
+    root = str(tmp_path / "state")
+    for b in range(6):
+        write_batch(
+            spark.createDataFrame([(b, f"v{b}")], "id long, v string"), root, b
+        )
+    # the in-flight reader: file listing happens at DataFrame-creation
+    # time (InMemoryFileIndex), execution later
+    inflight = read_batches(spark, root)
+    assert compact_batches(spark, root, keep_last=2) == 4
+    # executes AFTER the manifest swap — must still see every file it listed
+    got = sorted(tuple(r) for r in inflight.collect())
+    assert got == [(b, f"v{b}") for b in range(6)]
+
+
+def test_compact_batches_keep_last_floor(spark, tmp_path):
+    """keep_last=0 could fold the newest (possibly uncommitted) batch into
+    a segment and wedge the stream's restart replay — the function itself
+    rejects it, callers cannot opt out."""
+    import pytest as _pytest
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        compact_batches,
+        write_batch,
+    )
+
+    root = str(tmp_path / "state")
+    write_batch(spark.createDataFrame([(0, "v0")], "id long, v string"), root, 0)
+    with _pytest.raises(ValueError, match="keep_last"):
+        compact_batches(spark, root, keep_last=0)
+
+
+def test_compact_batches_orphan_segment_reclaim_without_retire(spark, tmp_path):
+    """An orphan ``segment=`` dir (crash between segment write and
+    manifest swap) is reclaimed by the compaction cadence even when no
+    batches are eligible to retire: queued on the first pass, physically
+    deleted on the second (grace period)."""
+    import os
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        compact_batches,
+        read_batches,
+        write_batch,
+    )
+
+    root = str(tmp_path / "state")
+    for b in range(2):
+        write_batch(
+            spark.createDataFrame([(b, f"v{b}")], "id long, v string"), root, b
+        )
+    spark.createDataFrame([(99, "junk")], "id long, v string").write.parquet(
+        os.path.join(root, "segment=0-0")
+    )
+    base = sorted(tuple(r) for r in read_batches(spark, root).collect())
+    assert compact_batches(spark, root, keep_last=2) == 0  # nothing to retire
+    assert os.path.isdir(os.path.join(root, "segment=0-0"))  # queued, not gone
+    assert compact_batches(spark, root, keep_last=2) == 0
+    assert not os.path.isdir(os.path.join(root, "segment=0-0"))  # reclaimed
+    assert sorted(tuple(r) for r in read_batches(spark, root).collect()) == base
+
+
+def test_ivfpq_load_ignores_partial_foldin_batch(spark, tmp_path):
+    """A crashed fold-in leaves a ``batch_id=N`` codes dir WITHOUT
+    ``_SUCCESS``; ivfpq_load must not serve those partial code rows
+    (ADVICE r7) — they become visible only once the replay completes the
+    batch."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from arcane_stream_microsoft_synapse_link_spark.functions import similarity as S
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_ann_index_stream,
+        write_batch,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(200, 16).astype(np.float32)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    idx_dir, ckpt = str(tmp_path / "ann_index"), str(tmp_path / "ckpt")
+    rows = [(int(i), base[i].tolist()) for i in range(200)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(
+        str(src / "*")
+    )
+    run_ann_index_stream(
+        spark, stream, idx_dir, ckpt, n_centroids=4, codes=16
+    ).awaitTermination(120)
+
+    codes_root = os.path.join(idx_dir, "codes")
+    loaded = S.ivfpq_load(spark, idx_dir)
+    n_complete = loaded.codes.count()
+    assert n_complete == 200
+
+    # simulate a crashed fold-in: partial batch (code rows, no _SUCCESS)
+    junk = loaded.codes.limit(5).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    write_batch(junk, codes_root, 99, partition_by=("centroid_id",))
+    success = os.path.join(codes_root, "batch_id=99", "_SUCCESS")
+    os.remove(success)
+
+    reloaded = S.ivfpq_load(spark, idx_dir)
+    ids = {r["vec_id"] for r in reloaded.codes.select("vec_id").collect()}
+    assert reloaded.codes.count() == n_complete
+    assert not any(i >= 100000 for i in ids)
+
+    # replay completes the batch → its rows are served
+    with open(success, "w"):
+        pass
+    assert S.ivfpq_load(spark, idx_dir).codes.count() == n_complete + 5
 
 
 def test_compact_gate_state_sweeps_all_stores(spark, tmp_path):

@@ -36,9 +36,11 @@ sys.path.insert(0, REPO)
 
 SF = "/root/testdata/sf0.001"
 
-# declared, reviewed exceptions
+# declared, reviewed exceptions — names are validated against the registry
+# at audit time (a drifted name here would fail silent exactly when the
+# allowlist is needed)
 ALLOWED_CARTESIAN = {
-    "q23_cross_join_small",  # declared region x region cross join (25 rows)
+    "q23_cross_join",  # declared region x region cross join (25 rows)
 }
 
 MARKERS = [
@@ -63,6 +65,11 @@ def main() -> int:
 
     out: dict[str, dict] = {}
     violations: list[str] = []
+    for allowed in ALLOWED_CARTESIAN:
+        if allowed not in QUERIES:
+            violations.append(
+                f"allowlist drift: {allowed!r} is not a registry entry"
+            )
     for name, fn in sorted(QUERIES.items()):
         try:
             df = fn(spark, SF)

@@ -19,10 +19,20 @@ Wire protocol (all public, docs.microsoft.com REST reference):
   delimiter-collapsed "directories") and ``NextMarker`` paging — the
   reference's ``maxResultsPerPage`` knob maps to ``maxresults``.
 - Get Blob / Get Blob Properties: plain ``GET`` / ``HEAD`` with ``ETag``.
-- Auth: SharedKey — HMAC-SHA256 over the canonicalized request with the
-  base64 account key (``storageConnection.credentialType.sharedKey``,
-  env fallback ``ARCANE_FRAMEWORK__AZURE_STORAGE_ACCESS_KEY`` like the
-  reference, dev.env.example:11).
+- Auth, both CRD branches (crd-microsoft-synapse.yaml:526-539):
+  ``sharedKey`` — HMAC-SHA256 over the canonicalized request with the
+  base64 account key (env fallback
+  ``ARCANE_FRAMEWORK__AZURE_STORAGE_ACCESS_KEY`` like the reference,
+  dev.env.example:11) — and ``credentialChain`` — the
+  DefaultAzureCredential-style OAuth2 bearer chain
+  (``TokenCredentialChain``): environment client-credentials first
+  (``AZURE_TENANT_ID``/``AZURE_CLIENT_ID``/``AZURE_CLIENT_SECRET``
+  against ``AZURE_AUTHORITY_HOST``), then IMDS managed identity
+  (``IDENTITY_ENDPOINT``/``MSI_ENDPOINT`` override, else the well-known
+  169.254.169.254 metadata endpoint) — the chain a real 100×-scale
+  deployment uses instead of account keys.  All endpoint overrides are
+  the PUBLIC azure-identity environment variables, which is also how the
+  e2e test drives the chain against stub token endpoints.
 
 Control plane vs data plane (same split as ``S3StoreIO``): metadata is
 driver-side by design (offset planning); CSV chunk *data* belongs on the
@@ -73,6 +83,105 @@ def parse_azure_url(path: str) -> tuple[str, str, str]:
     return account, container, u.path.lstrip("/")
 
 
+class TokenCredentialChain:
+    """``DefaultAzureCredential``-shaped token chain on the Python stdlib
+    (no azure-identity in this environment, and none needed — both
+    providers are small, publicly documented HTTP surfaces):
+
+    1. **Environment client credentials** (tried first, like the SDK):
+       OAuth2 ``client_credentials`` grant against
+       ``{AZURE_AUTHORITY_HOST}/{AZURE_TENANT_ID}/oauth2/v2.0/token``
+       with scope ``https://storage.azure.com/.default`` when
+       ``AZURE_TENANT_ID``/``AZURE_CLIENT_ID``/``AZURE_CLIENT_SECRET``
+       are all present.
+    2. **IMDS managed identity**: ``GET {endpoint}?api-version=
+       2018-02-01&resource=https://storage.azure.com/`` with the
+       ``Metadata: true`` header; the endpoint comes from
+       ``IDENTITY_ENDPOINT``/``MSI_ENDPOINT`` (App Service convention)
+       or defaults to the well-known ``169.254.169.254`` address.
+
+    Tokens are cached and refreshed 5 minutes before expiry — at a 15 s
+    changelog-poll cadence that is one token round-trip per ~55 minutes,
+    not per request.  ``invalidate()`` drops the cache so the I/O layer
+    can force a refresh after a 401 (token revoked/rotated mid-stream).
+    """
+
+    SCOPE = "https://storage.azure.com/.default"
+    RESOURCE = "https://storage.azure.com/"
+    REFRESH_SKEW_S = 300.0
+
+    def __init__(self, env: dict[str, str] | None = None):
+        self._env = env if env is not None else dict(os.environ)
+        self._token: str | None = None
+        self._expires_at = 0.0
+
+    def token(self) -> str:
+        if self._token and time.time() < self._expires_at - self.REFRESH_SKEW_S:
+            return self._token
+        self._token, self._expires_at = self._acquire()
+        return self._token
+
+    def invalidate(self) -> None:
+        self._token, self._expires_at = None, 0.0
+
+    def _acquire(self) -> tuple[str, float]:
+        import json as _json
+
+        errors: list[str] = []
+        e = self._env
+        if e.get("AZURE_TENANT_ID") and e.get("AZURE_CLIENT_ID") and e.get(
+            "AZURE_CLIENT_SECRET"
+        ):
+            authority = e.get(
+                "AZURE_AUTHORITY_HOST", "https://login.microsoftonline.com"
+            ).rstrip("/")
+            url = f"{authority}/{e['AZURE_TENANT_ID']}/oauth2/v2.0/token"
+            body = urllib.parse.urlencode(
+                {
+                    "grant_type": "client_credentials",
+                    "client_id": e["AZURE_CLIENT_ID"],
+                    "client_secret": e["AZURE_CLIENT_SECRET"],
+                    "scope": self.SCOPE,
+                }
+            ).encode()
+            req = urllib.request.Request(
+                url,
+                data=body,
+                method="POST",
+                headers={"Content-Type": "application/x-www-form-urlencoded"},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    payload = _json.loads(resp.read())
+                return (
+                    payload["access_token"],
+                    time.time() + float(payload.get("expires_in", 3600)),
+                )
+            except Exception as exc:  # noqa: BLE001 — fall through the chain
+                errors.append(f"environment: {type(exc).__name__}: {exc}")
+        imds = (
+            self._env.get("IDENTITY_ENDPOINT")
+            or self._env.get("MSI_ENDPOINT")
+            or "http://169.254.169.254/metadata/identity/oauth2/token"
+        )
+        q = urllib.parse.urlencode(
+            {"api-version": "2018-02-01", "resource": self.RESOURCE}
+        )
+        req = urllib.request.Request(f"{imds}?{q}", headers={"Metadata": "true"})
+        try:
+            with urllib.request.urlopen(req, timeout=5) as resp:
+                payload = _json.loads(resp.read())
+            return (
+                payload["access_token"],
+                time.time() + float(payload.get("expires_in") or 3600),
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"imds: {type(exc).__name__}: {exc}")
+        raise RuntimeError(
+            "credentialChain: no provider yielded a token — " + "; ".join(errors)
+        )
+
+
 def azure_blob_connection(
     spec: dict, env: dict[str, str] | None = None, source_root: str | None = None
 ) -> dict:
@@ -102,6 +211,12 @@ def azure_blob_connection(
         key = (cred.get("sharedKey") or {}).get("accessKey") or env.get(ACCESS_KEY_ENV)
         if key:
             out["account_key"] = key
+    elif "credentialChain" in cred:
+        # CRD branch 2 (crd-microsoft-synapse.yaml:535-539): default
+        # credential chain — bearer auth via TokenCredentialChain; the
+        # chain reads its provider config from the process environment
+        # (the azure-identity convention), overridable here for tests
+        out["credential"] = TokenCredentialChain(env=env)
     http = spec.get("httpClient", {}) or {}
     if "httpMaxRetries" in http:
         out["max_retries"] = int(http["httpMaxRetries"])
@@ -125,6 +240,7 @@ class AzureBlobStoreIO:
         *,
         account: str,
         account_key: str | None = None,
+        credential: TokenCredentialChain | None = None,
         endpoint_url: str | None = None,
         max_retries: int = 3,
         page_size: int = 5000,
@@ -132,6 +248,7 @@ class AzureBlobStoreIO:
     ):
         self.account = account
         self._key = base64.b64decode(account_key) if account_key else None
+        self._credential = credential if self._key is None else None
         self._base = endpoint_url or f"https://{account}.blob.core.windows.net"
         self.max_retries = int(max_retries)
         self.page_size = int(page_size)
@@ -141,6 +258,8 @@ class AzureBlobStoreIO:
     # ---- SharedKey signing (public scheme, Storage services auth docs) ----
     def _sign(self, verb: str, container: str, blob: str, query: dict, headers: dict):
         if self._key is None:
+            if self._credential is not None:
+                headers["Authorization"] = f"Bearer {self._credential.token()}"
             return
         # canonicalized x-ms-* headers: lowercase, sorted, "k:v\n"
         canon_headers = "".join(
@@ -198,7 +317,16 @@ class AzureBlobStoreIO:
             except urllib.error.HTTPError as exc:
                 if exc.code == 404:
                     return None
-                if exc.code >= 500 and attempt < self.max_retries:
+                if (
+                    exc.code == 401
+                    and self._credential is not None
+                    and attempt < self.max_retries
+                ):
+                    # bearer token revoked/rotated mid-stream: drop the
+                    # cached token so the retry re-walks the chain
+                    self._credential.invalidate()
+                    last = exc
+                elif exc.code >= 500 and attempt < self.max_retries:
                     last = exc
                 else:
                     raise

@@ -101,42 +101,57 @@ def main() -> None:
         if i % 15 == 14:  # let ContextCleaner reclaim shuffle/broadcast state
             _gc_hint(spark)
 
-    # Second full pass, reported per-entry as BEST OF TWO. Run-to-run
-    # variance on this box is real and external to the plans (System.gc's
-    # concurrent cycle bleeding into an adjacent timed window, virtualized
-    # neighbor noise): identical code measured 117-182 s across whole-sweep
-    # repetitions, with individual entries swinging 3-4×. min(run1, run2)
-    # is the standard way to report the cost the PLAN is responsible for;
-    # both raw passes stay in BENCH_DETAIL.json for anyone who wants the
-    # variance itself.
-    second: dict[str, float] = {}
-    _gc_hint(spark)
-    for i, (name, first) in enumerate(timings.items()):
-        start = time.perf_counter()
-        try:
-            queries[name](spark, sf_dir).collect()
-            second[name] = round(time.perf_counter() - start, 4)
-        except Exception:
-            pass
-        _release_cached_blocks(spark)
-        if i % 15 == 14:
-            _gc_hint(spark)
+    # Two more full passes, reported per-entry as MEDIAN OF THREE.
+    # Run-to-run variance on this box is real and external to the plans
+    # (System.gc's concurrent cycle bleeding into an adjacent timed
+    # window, virtualized neighbor noise): identical code measured
+    # 117-182 s across whole-sweep repetitions, with individual entries
+    # swinging 3-4×.  Rounds 4-8 reported min-of-2, which suppresses
+    # noise but can only move DOWN as more runs are added; the median of
+    # three is an unbiased location estimate robust to one outlier in
+    # either direction, so round-over-round deltas of the headline are
+    # signal (VERDICT r8 item 8).  All three raw passes stay in
+    # BENCH_DETAIL.json for anyone who wants the variance itself.
+    reruns: list[dict[str, float]] = []
+    for _ in range(2):
+        rerun: dict[str, float] = {}
+        _gc_hint(spark)
+        for i, name in enumerate(timings):
+            start = time.perf_counter()
+            try:
+                queries[name](spark, sf_dir).collect()
+                rerun[name] = round(time.perf_counter() - start, 4)
+            except Exception:
+                pass
+            _release_cached_blocks(spark)
+            if i % 15 == 14:
+                _gc_hint(spark)
+        reruns.append(rerun)
 
-    best = {k: min(v, second.get(k, v)) for k, v in timings.items()}
+    import statistics
+
+    median = {
+        k: round(
+            statistics.median([v] + [r[k] for r in reruns if k in r]), 4
+        )
+        for k, v in timings.items()
+    }
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     result = {
-        "metric": "declared-query wall clock (sum over all queries, best of 2 runs)",
-        "value": round(sum(best.values()), 4),
+        "metric": "declared-query wall clock (sum over all queries, median of 3 runs)",
+        "value": round(sum(median.values()), 4),
         "unit": "sec",
-        "queries": best,
+        "queries": median,
         "first_run": timings,
-        "second_run": second,
+        "second_run": reruns[0],
+        "third_run": reruns[1],
         # co-equal headline: single-pass total, comparable to rounds 1-3
         # whose headline was one unwarmed pass (methodology changed in r4
-        # to warmed best-of-two — don't compare the "value" field across
-        # that boundary; compare first_run_total to old totals instead)
+        # to warmed best-of-two, in r9 to warmed median-of-three — don't
+        # compare the "value" field across those boundaries; compare
+        # first_run_total to old totals instead)
         "first_run_total": round(sum(timings.values()), 4),
-        "steady_total_est": round(sum(best.values()), 4),
+        "steady_total_est": round(sum(median.values()), 4),
         "sf": sf_val,
     }
     if failures:
@@ -594,8 +609,135 @@ def scale_sweep() -> None:
     print(json.dumps(out))
 
 
+def scale_queries() -> None:
+    """Volume-scaling sweep of the DECLARED query surface — the empirical
+    form of the "would this plan survive a 10× scale-up" bar for every
+    registry entry, not just the CDC pipeline (VERDICT r8 item 1).
+
+    Scales are the testdata generator's own ladder, sf0.01 → sf0.1: a
+    true 10× of every fact table (lineitem/orders/customer/part/supplier/
+    events/documents; embeddings is 4×, dims are fixed) drawn from the
+    SAME distribution.  This is deliberately NOT the doc_id-shifted
+    replication used for the CDC sweep: replicating documents 10× plants
+    ten REAL copies of every text, so the dedup/near-dup entries' outputs
+    (and candidate-pair workloads) grow quadratically by construction —
+    the measurement would indict the data, not the plan.  The generator
+    ladder keeps per-entry output semantics stable while the input decade
+    scales.
+
+    Per entry and per scale the sweep times two passes (after a full
+    sf0.001 warm pass for codegen/Python-worker parity) and keeps the
+    MIN — the plan-attributable cost, robust to this box's one-sided GC /
+    neighbor noise (SCALE.md variance band).  Entries whose 10× time
+    ratio exceeds ``FLAG_RATIO`` get one confirmation re-run at both
+    scales before being flagged.  Writes SCALE_QUERIES.json:
+    ``{"per_entry": {name: {"t_1x": s, "t_10x": s, "ratio": r}},
+    "flagged": [...], "data_ratio": {...}}``.  Run:
+    ``python bench.py --scale-queries``."""
+    import time as _time
+
+    FLAG_RATIO = 13.0  # 10x data + 30% slack for fixed overheads/noise
+
+    spark = get_spark("arcane-scale-queries")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    lo_dir, hi_dir = "/root/testdata/sf0.01", "/root/testdata/sf0.1"
+
+    from arcane_stream_microsoft_synapse_link_spark.catalog import TABLE_NAMES, Tables
+
+    for d in (lo_dir, hi_dir):
+        t = Tables(spark, d)
+        for name in TABLE_NAMES:
+            getattr(t, name).limit(1).collect()
+    for fn in queries.values():  # uniform codegen/worker warmup (see main)
+        try:
+            fn(spark, "/root/testdata/sf0.001").collect()
+        except Exception:
+            pass
+    _release_cached_blocks(spark)
+    _gc_hint(spark)
+
+    def timed_pass(sf_dir: str, names) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for i, name in enumerate(names):
+            start = _time.perf_counter()
+            try:
+                queries[name](spark, sf_dir).collect()
+                out[name] = _time.perf_counter() - start
+            except Exception as exc:  # noqa: BLE001
+                out[name] = float("nan")
+                print(f"ERROR {name} @ {sf_dir}: {exc}", file=sys.stderr)
+            _release_cached_blocks(spark)
+            if i % 15 == 14:
+                _gc_hint(spark)
+        return out
+
+    names = list(queries)
+    mins: dict[str, dict[str, float]] = {"lo": {}, "hi": {}}
+    for label, sf_dir in (("lo", lo_dir), ("hi", hi_dir)):
+        for _ in range(2):
+            run = timed_pass(sf_dir, names)
+            for k, v in run.items():
+                prev = mins[label].get(k)
+                mins[label][k] = v if prev is None else min(prev, v)
+            _gc_hint(spark)
+
+    def ratio(name: str) -> float:
+        lo, hi = mins["lo"][name], mins["hi"][name]
+        return round(hi / lo, 2) if lo and lo == lo and hi == hi else float("nan")
+
+    # confirmation re-run for apparent superlinear entries: one more
+    # timed pass at both scales on a GC'd heap; keep the min
+    suspects = [n for n in names if ratio(n) > FLAG_RATIO]
+    if suspects:
+        _gc_hint(spark)
+        for label, sf_dir in (("lo", lo_dir), ("hi", hi_dir)):
+            run = timed_pass(sf_dir, suspects)
+            for k, v in run.items():
+                mins[label][k] = min(mins[label][k], v)
+
+    per_entry = {
+        n: {
+            "t_1x": round(mins["lo"][n], 4),
+            "t_10x": round(mins["hi"][n], 4),
+            "ratio": ratio(n),
+        }
+        for n in names
+    }
+    flagged = sorted(n for n in names if ratio(n) > FLAG_RATIO)
+    out = {
+        "scales": {"1x": lo_dir, "10x": hi_dir},
+        "data_ratio": {
+            "fact_tables": 10.0,
+            "documents": 10.0,
+            "embeddings": 4.0,
+            "dims": 1.0,
+        },
+        "method": "min of 2 timed passes per scale after full sf0.001 warm "
+        "pass; flagged entries re-confirmed with a 3rd pass",
+        "flag_ratio": FLAG_RATIO,
+        "entries": len(per_entry),
+        "total_1x_sec": round(sum(v["t_1x"] for v in per_entry.values()), 2),
+        "total_10x_sec": round(sum(v["t_10x"] for v in per_entry.values()), 2),
+        "flagged": flagged,
+        "per_entry": per_entry,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_QUERIES.json"),
+        "w",
+    ) as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(
+        json.dumps(
+            {k: out[k] for k in ("entries", "total_1x_sec", "total_10x_sec", "flagged")}
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scale-sweep" in sys.argv:
         scale_sweep()
+    elif "--scale-queries" in sys.argv:
+        scale_queries()
     else:
         main()

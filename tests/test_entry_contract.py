@@ -171,6 +171,27 @@ def test_plan_audit_covers_registry():
     assert errors == {}, f"entries whose plan failed to build: {errors}"
 
 
+def test_scale_queries_covers_registry():
+    """SCALE_QUERIES.json (the 10× volume-scaling evidence for the
+    declared surface) must carry a ratio for EVERY registry entry and
+    zero flagged-superlinear entries — an entry cannot ship without its
+    scaling measured (VERDICT r8 items 1+9)."""
+    import json
+    import math
+    import pathlib
+
+    root = pathlib.Path(entry.__file__).resolve().parent
+    sq = json.loads((root / "SCALE_QUERIES.json").read_text())
+    per_entry = sq["per_entry"]
+    missing = sorted(set(QUERIES) - set(per_entry))
+    stale = sorted(set(per_entry) - set(QUERIES))
+    assert missing == [], f"entries never scale-swept: {missing}"
+    assert stale == [], f"swept entries no longer in registry: {stale}"
+    assert sq["flagged"] == [], f"superlinear entries: {sq['flagged']}"
+    bad = {k: v for k, v in per_entry.items() if not math.isfinite(v["ratio"])}
+    assert bad == {}, f"entries with failed timings: {bad}"
+
+
 def test_round_inference_monotonic():
     r = entry._current_round()
     assert isinstance(r, int) and r >= 2  # r1 artifacts exist in this repo

@@ -639,6 +639,28 @@ class StreamRunner:
             )
 
 
+class MultiEntityError(RuntimeError):
+    """One or more entities failed inside a MultiEntityRunner pass.
+
+    Carries the complete picture instead of the first exception:
+    ``results`` — the healthy entities' outcomes (their work is already
+    committed; losing these would misreport successful merges as failed)
+    — and ``failures`` — per-target exceptions for the entities that
+    threw.  The orchestration layer alerts on ``failures`` and leaves the
+    healthy streams alone."""
+
+    def __init__(self, results: dict[str, int], failures: dict[str, Exception]):
+        self.results = results
+        self.failures = failures
+        summary = "; ".join(
+            f"{name}: {type(exc).__name__}: {exc}" for name, exc in failures.items()
+        )
+        super().__init__(
+            f"{len(failures)}/{len(results) + len(failures)} entities failed "
+            f"({summary})"
+        )
+
+
 class MultiEntityRunner:
     """Run many entity streams in ONE Spark application.
 
@@ -661,11 +683,29 @@ class MultiEntityRunner:
         self.max_workers = max_workers
 
     def _parallel(self, fn) -> dict[str, int]:
+        """Run ``fn`` per entity concurrently with FAILURE ISOLATION: every
+        entity's future is awaited (one entity throwing mid-merge never
+        cancels or blocks the others — their merges commit and their
+        watermarks advance), then a single ``MultiEntityError`` is raised
+        carrying the healthy results AND the per-entity failures.  The
+        failed entity's commit-then-watermark ordering (B11) means its
+        watermark did not move, so the next tick simply retries it — the
+        consolidated-runner analog of one k8s Job crash-looping while the
+        other seven keep streaming."""
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(self.max_workers, len(self.runners))) as ex:
             futs = {name: ex.submit(fn, r) for name, r in self.runners.items()}
-            return {name: f.result() for name, f in futs.items()}
+            results: dict[str, int] = {}
+            failures: dict[str, Exception] = {}
+            for name, f in futs.items():
+                try:
+                    results[name] = f.result()
+                except Exception as exc:  # noqa: BLE001 — isolate per entity
+                    failures[name] = exc
+        if failures:
+            raise MultiEntityError(results, failures)
+        return results
 
     def backfill_all(self) -> dict[str, int]:
         """Concurrent full-history replay per entity; rows per target."""

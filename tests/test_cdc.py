@@ -470,3 +470,72 @@ def test_multi_entity_runner_eight_entities(spark, tmp_path):
     assert set(stats) == {s.target_root for s in specs}
     for i, spec in enumerate(specs):
         assert stats[spec.target_root]["rows"] == expected_rows[spec.target_root]
+
+
+def test_multi_entity_failure_isolation(spark, tmp_path):
+    """VERDICT r8 item 6: one entity failing mid-tick must not take down
+    the other seven.  Entity 0's change folder carries a corrupted
+    model.json (schema parse throws inside its merge path); the
+    consolidated tick raises ``MultiEntityError`` whose ``failures`` names
+    exactly that entity while ``results`` carries the other seven — whose
+    merges committed and watermarks ADVANCED.  Entity 0's watermark did
+    not move (commit-then-watermark), so after repairing the folder the
+    next tick drains it cleanly with zero duplicate effects."""
+    import os
+
+    import pytest as _pytest
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.runner import (
+        MultiEntityError,
+        MultiEntityRunner,
+    )
+
+    fxs, specs = [], []
+    n_entities = 8
+    for i in range(n_entities):
+        fx = SynapseFixture(str(tmp_path / f"src{i}"))
+        fx.upload_batch(minus(hours=2), update_changelog=True)
+        fxs.append(fx)
+        specs.append(
+            StreamSpec(
+                entity_name=ENTITY,
+                source_root=str(tmp_path / f"src{i}"),
+                target_root=str(tmp_path / f"tgt{i}"),
+            )
+        )
+    m = MultiEntityRunner(spark, specs, max_workers=8)
+    assert m.backfill_all() == {s.target_root: 5 for s in specs}
+    backfill_wm = {s.target_root: m.runners[s.target_root].table.watermark() for s in specs}
+
+    folders = [
+        fx.upload_batch(minus(minutes=10), add_upsert=True, update_changelog=True)
+        for fx in fxs
+    ]
+    bad_model = os.path.join(str(tmp_path / "src0"), folders[0], "model.json")
+    good_model_text = open(bad_model).read()
+    with open(bad_model, "w") as fh:
+        fh.write("{this is not json")
+
+    with _pytest.raises(MultiEntityError) as exc:
+        m.run_once_all()
+    err = exc.value
+    assert set(err.failures) == {specs[0].target_root}
+    assert set(err.results) == {s.target_root for s in specs[1:]}
+    for i, spec in enumerate(specs[1:], start=1):
+        r = m.runners[spec.target_root]
+        assert err.results[spec.target_root] == 1
+        assert r.table.read(spark).count() == 7  # 5 base + 2 upserts
+        assert r.table.watermark() == folders[i]  # advanced
+    r0 = m.runners[specs[0].target_root]
+    assert r0.table.read(spark).count() == 5  # untouched
+    assert r0.table.watermark() == backfill_wm[specs[0].target_root]  # did not move
+
+    # repair and resume: ONLY entity 0 has pending work; the tick drains
+    # it and the other seven no-op
+    with open(bad_model, "w") as fh:
+        fh.write(good_model_text)
+    merged = m.run_once_all()
+    assert merged[specs[0].target_root] == 1
+    assert all(merged[s.target_root] == 0 for s in specs[1:])
+    assert r0.table.read(spark).count() == 7
+    assert r0.table.watermark() == folders[0]

@@ -190,6 +190,12 @@ def test_scale_queries_covers_registry():
     assert sq["flagged"] == [], f"superlinear entries: {sq['flagged']}"
     bad = {k: v for k, v in per_entry.items() if not math.isfinite(v["ratio"])}
     assert bad == {}, f"entries with failed timings: {bad}"
+    # SCALE.md's measured block must quote the live registry size (the
+    # README/MIGRATION counts are pinned by test_doc_surface_counts...)
+    scale_md = (root / "SCALE.md").read_text()
+    assert f"{len(QUERIES)}/{len(QUERIES)} entries ≤ linear" in scale_md, (
+        "SCALE.md scaling block drifted from the registry size"
+    )
 
 
 def test_round_inference_monotonic():

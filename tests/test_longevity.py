@@ -1,0 +1,231 @@
+"""Streaming-gate longevity probes (VERDICT r8 item 5).
+
+A long-lived intake gate's failure modes are cumulative, not per-batch:
+unbounded ``batch_id=`` directory counts (the small-files killer), per-batch
+latency creeping up as the accumulated state grows, and state corruption
+across restart + compaction.  These tests drive ≥100 real micro-batches
+(``maxFilesPerTrigger=1`` under an availableNow trigger, so every source
+file is its own foreachBatch invocation) through the near-dup and span-dedup
+gates with in-step compaction (``compact_every=10``), a mid-run restart at
+batch 60, and duplicates planted at a 50-batch lag so correctness is probed
+ACROSS the compaction horizon — every original a late batch must match
+against has long been folded into a segment by the time its copy arrives.
+
+Asserted per gate:
+
+- **bounded state dirs**: on-disk ``batch_id=`` dirs per store stay under
+  ``keep_last + compact_every + grace-pending`` regardless of batch count
+  (at 8.6k batches/day the un-compacted alternative is 8.6k dirs/day);
+- **non-growing latency**: the median trigger duration of the LAST 20
+  micro-batches is within 3× the steady median of batches 10-40 (generous
+  to this box's GC noise; catches monotonic growth, the actual risk);
+- **correctness across restart + compaction**: all 50 planted lag-50
+  duplicates are caught — the last 40 arrive after the restart and match
+  originals that live only in compacted segments.
+
+Marked ``slow``: ~2-4 min each.  The measured latency curve is printed
+(decile medians) and recorded in SCALE.md's gate-longevity block.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import statistics
+
+import pytest
+
+from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+    compact_gate_state,
+    read_batches,
+    run_dedup_stream,
+    run_span_dedup_stream,
+)
+
+N_BATCHES = 100
+LAG = 50
+RESTART_AT = 60
+COMPACT_EVERY = 10
+
+
+def _batch_dirs(store: str) -> list[str]:
+    if not os.path.isdir(store):
+        return []
+    return [n for n in os.listdir(store) if n.startswith("batch_id=")]
+
+
+def _durations(query) -> list[float]:
+    """Per-micro-batch triggerExecution millis for batches that read rows."""
+    out = []
+    for p in query.recentProgress or []:
+        if p.get("numInputRows", 0) > 0:
+            out.append(float(p["durationMs"]["triggerExecution"]))
+    return out
+
+
+def _assert_latency_flat(durs: list[float], label: str) -> None:
+    assert len(durs) >= N_BATCHES - 5, f"{label}: lost progress events: {len(durs)}"
+    steady = statistics.median(durs[10:40])
+    tail = statistics.median(durs[-20:])
+    deciles = [
+        round(statistics.median(durs[i : i + 10])) for i in range(0, len(durs) - 9, 10)
+    ]
+    print(f"{label} per-decile median trigger ms: {deciles}")
+    assert tail <= 3.0 * steady, (
+        f"{label}: per-batch latency grew: steady {steady:.0f} ms -> tail "
+        f"{tail:.0f} ms (deciles {deciles})"
+    )
+
+
+def _assert_bounded_dirs(work: str, stores: tuple[str, ...], label: str) -> None:
+    # worst case on disk: keep_last(2) + dirs since the last compaction
+    # trigger (< COMPACT_EVERY) + one grace cycle of pending deletes
+    # (<= COMPACT_EVERY + prior segment) — a constant, NOT O(batches)
+    bound = 2 * COMPACT_EVERY + 4
+    for store in stores:
+        dirs = _batch_dirs(os.path.join(work, store))
+        assert len(dirs) <= bound, (
+            f"{label}/{store}: {len(dirs)} batch dirs on disk after "
+            f"{N_BATCHES} micro-batches (bound {bound}) — compaction is not "
+            f"keeping up"
+        )
+
+
+@pytest.mark.slow
+def test_near_dup_gate_longevity_100_batches(spark, tmp_path):
+    rng = random.Random(97)
+    vocab = [f"w{i}" for i in range(4000)]
+
+    def doc() -> str:
+        return " ".join(rng.choice(vocab) for _ in range(30))
+
+    texts: dict[tuple[int, int], str] = {}
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+
+    def write_folder(b: int) -> None:
+        rows = []
+        for j in range(4):
+            t = texts[(b - LAG, 0)] if (j == 0 and b >= LAG) else doc()
+            texts[(b, j)] = t
+            rows.append((b * 10 + j, t))
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{b:03d}"))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    for b in range(RESTART_AT):
+        write_folder(b)
+    q1 = run_dedup_stream(
+        spark, stream(), work, ckpt, threshold=0.7, compact_every=COMPACT_EVERY
+    )
+    q1.awaitTermination(900)
+    durs = _durations(q1)
+
+    # mid-run maintenance between restarts — the cadence-job path
+    compact_gate_state(spark, work, keep_last=2)
+
+    for b in range(RESTART_AT, N_BATCHES):
+        write_folder(b)
+    q2 = run_dedup_stream(
+        spark, stream(), work, ckpt, threshold=0.7, compact_every=COMPACT_EVERY
+    )
+    q2.awaitTermination(900)
+    durs += _durations(q2)
+
+    # correctness across restart + compaction: every lag-50 copy rejected,
+    # every hit names its true original (which lives in a segment by now)
+    copies = {b * 10 for b in range(LAG, N_BATCHES)}
+    admitted = {r["doc_id"] for r in read_batches(spark, f"{work}/corpus").collect()}
+    assert admitted == {b * 10 + j for b in range(N_BATCHES) for j in range(4)} - copies
+    hits = {
+        (r["id_a"], r["id_b"])
+        for r in read_batches(spark, f"{work}/hits").collect()
+    }
+    assert {(b * 10, (b - LAG) * 10) for b in range(LAG, N_BATCHES)} <= hits
+
+    _assert_bounded_dirs(work, ("corpus", "band_index", "hits"), "near_dup")
+    _assert_latency_flat(durs, "near_dup")
+
+
+@pytest.mark.slow
+def test_span_dedup_gate_longevity_100_batches(spark, tmp_path):
+    sw, ss = 8, 3  # sentence_words, span_sents
+
+    def sent(b: int, j: int, s: int) -> str:
+        return " ".join(f"b{b}d{j}s{s}w{w}" for w in range(sw))
+
+    def block(b: int) -> str:
+        return " ".join(f"blk{b}s{s}w{w}" for s in range(ss) for w in range(sw))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+
+    def write_folder(b: int) -> None:
+        rows = []
+        for j in range(3):
+            if j == 0:
+                # the doc opens with a 3-sentence block; for b >= LAG it is
+                # the block batch b-LAG planted, whose keeper is compacted
+                lead = block(b - LAG) if b >= LAG else block(b)
+                t = lead + " " + " ".join(sent(b, j, s) for s in range(3))
+            else:
+                t = " ".join(sent(b, j, s) for s in range(6))
+            rows.append((b * 10 + j, t))
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{b:03d}"))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    for b in range(RESTART_AT):
+        write_folder(b)
+    q1 = run_span_dedup_stream(
+        spark, stream(), work, ckpt, sentence_words=sw, span_sents=ss,
+        compact_every=COMPACT_EVERY,
+    )
+    q1.awaitTermination(900)
+    durs = _durations(q1)
+
+    compact_gate_state(spark, work, keep_last=2)
+
+    for b in range(RESTART_AT, N_BATCHES):
+        write_folder(b)
+    q2 = run_span_dedup_stream(
+        spark, stream(), work, ckpt, sentence_words=sw, span_sents=ss,
+        compact_every=COMPACT_EVERY,
+    )
+    q2.awaitTermination(900)
+    durs += _durations(q2)
+
+    got = {
+        r["doc_id"]: r
+        for r in read_batches(spark, f"{work}/corpus").collect()
+    }
+    assert len(got) == 3 * N_BATCHES  # every doc admitted (spans removed, not docs)
+    for b in range(N_BATCHES):
+        lead_doc = got[b * 10]
+        if b >= LAG:
+            # the lag-50 block was known (its keeper batch is compacted):
+            # all 3 sentences removed from the late copy
+            assert lead_doc["n_removed"] == ss, (b, lead_doc["n_removed"])
+            assert f"blk{b - LAG}s0w0" not in lead_doc["cleaned"]
+        else:
+            assert lead_doc["n_removed"] == 0, (b, lead_doc["n_removed"])
+        assert got[b * 10 + 1]["n_removed"] == 0
+
+    _assert_bounded_dirs(work, ("corpus", "span_index"), "span_dedup")
+    _assert_latency_flat(durs, "span_dedup")

@@ -556,10 +556,12 @@ def _cdc_scenario(spark, root: str, n: int, base_ts) -> dict:
 
 def scale_sweep() -> None:
     """CDC volume-scaling sweep (SCALE.md evidence, refreshed per round):
-    the SAME scenario at 1× (20k backfill / 40k change window) and 10×
-    (200k / 400k) in one session — warmed once, batch runner + readStream
-    intake at both volumes.  Not part of the driver's bench contract; run
-    manually with ``python bench.py --scale-sweep``.  Writes
+    the SAME scenario at 1× (20k backfill / 40k change window), 10×
+    (200k / 400k) and — with ``--with-100x`` — 100× (2M / 4M) in one
+    session: warmed once, batch runner + readStream intake at every
+    volume, so the intake rate curve spans THREE decades.  Not part of
+    the driver's bench contract; run manually with
+    ``python bench.py --scale-sweep [--with-100x]``.  Writes
     SCALE_SWEEP.json next to this file and prints it."""
     import shutil
     import tempfile
@@ -574,7 +576,10 @@ def scale_sweep() -> None:
             spark, os.path.join(tmp, "warm"), n=2000,
             base_ts=datetime(2021, 5, 1, 12, 0, 0),
         )
-        for label, n in (("1x", 20000), ("10x", 200000)):
+        volumes = [("1x", 20000), ("10x", 200000)]
+        if "--with-100x" in sys.argv:
+            volumes.append(("100x", 2000000))
+        for label, n in volumes:
             root = os.path.join(tmp, label)
             r = _cdc_scenario(
                 spark, root, n=n, base_ts=datetime(2021, 6, 1, 12, 0, 0)

@@ -1396,6 +1396,65 @@ def test_ivfpq_load_ignores_partial_foldin_batch(spark, tmp_path):
     assert S.ivfpq_load(spark, idx_dir).codes.count() == n_complete + 5
 
 
+def test_ivfpq_load_reads_compacted_codes_store(spark, tmp_path):
+    """Index maintenance composition: after ``compact_gate_state`` folds
+    the fold-in stream's ``batch_id=`` code dirs into a segment, a fresh
+    ``ivfpq_load`` + probe must serve the IDENTICAL code set (segments +
+    surviving batch dirs), and a later fold-in batch keeps appending."""
+    import os
+
+    import numpy as np
+
+    from arcane_stream_microsoft_synapse_link_spark.functions import similarity as S
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        compact_gate_state,
+        run_ann_index_stream,
+    )
+
+    rng = np.random.RandomState(13)
+    base = rng.randn(300, 16).astype(np.float32)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    idx_dir, ckpt = str(tmp_path / "ann_index"), str(tmp_path / "ckpt")
+    stream = lambda: spark.readStream.schema(  # noqa: E731
+        "vec_id long, embedding array<float>"
+    ).parquet(str(src / "*"))
+    for b in range(3):
+        rows = [(int(b * 100 + i), base[b * 100 + i].tolist()) for i in range(100)]
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+            1
+        ).write.parquet(str(src / f"b{b}"))
+        run_ann_index_stream(
+            spark, stream(), idx_dir, ckpt, n_centroids=4, codes=16
+        ).awaitTermination(120)
+
+    before = {
+        r["vec_id"] for r in S.ivfpq_load(spark, idx_dir).codes.select("vec_id").collect()
+    }
+    assert len(before) == 300
+    retired = compact_gate_state(spark, idx_dir, keep_last=1)
+    assert retired.get("codes", 0) == 2
+    loaded = S.ivfpq_load(spark, idx_dir)
+    after = {r["vec_id"] for r in loaded.codes.select("vec_id").collect()}
+    assert after == before
+    # probing the compacted index still finds an exact planted vector
+    q = spark.createDataFrame(
+        [(0, base[42].tolist())], "query_id long, embedding array<float>"
+    )
+    got = S.ivfpq_probe(loaded, q, k=1, nprobe=4).collect()
+    assert got[0]["vec_id"] == 42
+
+    # a post-compaction fold-in batch appends next to the segment
+    rows = [(int(9000 + i), base[i].tolist()) for i in range(10)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(str(src / "b3"))
+    run_ann_index_stream(
+        spark, stream(), idx_dir, ckpt, n_centroids=4, codes=16
+    ).awaitTermination(120)
+    assert S.ivfpq_load(spark, idx_dir).codes.count() == 310
+
+
 def test_compact_gate_state_sweeps_all_stores(spark, tmp_path):
     """compact_gate_state: one cadence call compacts every batch-dir
     store under a gate work_dir and the gate keeps operating."""

@@ -4214,3 +4214,143 @@ ORACLE["ops_curation_funnel"] = r"""
     SELECT CAST(3 AS INT), 'contaminated', n - nq - nd, nc, n - nq - nd - nc FROM c
     ORDER BY stage_rank
 """
+
+
+@query("ops_ngram_diversity")
+def ops_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 3-gram diversity — distinct-gram share of all gram
+    instances, in exact ppm.  The mode-collapse / template-domination
+    signal used when auditing synthetic or scraped sources before
+    mixing: a source whose generator loops (or whose pages share a
+    boilerplate skeleton) repeats the same trigrams, so its distinct
+    share collapses long before exact or near-dup dedup would fire
+    (those need whole documents or long spans to repeat).
+
+    Scale shape: the corpus is scanned ONCE; gram instances reduce
+    immediately to (source, gram, n) with map-side combine — the shuffle
+    carries the per-source distinct-gram table (vocabulary-sized, Heaps'
+    law ≪ corpus), never raw gram instances.  No window, no join, no
+    second scan; the same single-scan discipline as ops_ngram_novelty.
+    Parity with the reference inventory: a curation-side analytics
+    operator, like the reference's per-entity intake stats
+    (StreamRunner.scala metrics), extended to content statistics."""
+    t = Tables(spark, sf_dir)
+    w = F.regexp_extract_all(F.lower("text"), F.lit(X.WORD_RE), 0)
+    grams = (
+        t.documents.select("source", w.alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, 3)),
+                )
+            ).alias("gram"),
+        )
+    )
+    per = grams.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_gram_insts"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+        )
+        .select(
+            "source",
+            "n_gram_insts",
+            "n_distinct_grams",
+            F.expr(
+                "CAST((n_distinct_grams * 1000000) DIV n_gram_insts AS BIGINT)"
+            ).alias("diversity_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["ops_ngram_diversity"] = """
+    WITH g AS (
+        SELECT source, array_to_string(w[i:i+2], ' ') AS gram
+        FROM (SELECT source, w, unnest(generate_series(1, len(w) - 2)) AS i
+              FROM (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                    FROM documents)
+              WHERE len(w) >= 3))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_gram_insts,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct_grams,
+           CAST((COUNT(DISTINCT gram) * 1000000) // COUNT(*) AS BIGINT)
+               AS diversity_ppm
+    FROM g GROUP BY source ORDER BY source
+"""
+
+
+@query("ops_doc_concat_detect")
+def ops_doc_concat_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glued-document detector — the crawl-extraction artifact where two
+    unrelated pages land in one record (boilerplate joins, mis-split
+    WARC payloads).  Signal: the Jaccard similarity of the DISTINCT word
+    sets of a document's first and second halves, in exact ppm — a
+    coherent document's halves share vocabulary; two glued articles
+    don't.  ``suspect_concat`` flags long docs (>= 40 words, where the
+    set estimate is meaningful) whose half-overlap falls below 10%.
+
+    Scale shape: pure per-row projection — split, slice, two
+    array_distinct, array_intersect/union — inside one whole-stage
+    codegen scan; ZERO shuffles beyond the presentation order.  The
+    arrays live only inside the projection (never exploded), so the
+    operator is corpus-linear with no state."""
+    t = Tables(spark, sf_dir)
+    w = F.regexp_extract_all(F.lower("text"), F.lit(X.WORD_RE), 0)
+    half = (
+        t.documents.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.size("w").alias("n_words"),
+            F.array_distinct(
+                F.slice("w", F.lit(1), (F.size("w") / 2).cast("int"))
+            ).alias("h1"),
+            F.array_distinct(
+                F.expr("slice(w, CAST(size(w) / 2 AS INT) + 1, size(w))")
+            ).alias("h2"),
+        )
+    )
+    jacc = F.expr(
+        "CAST((size(array_intersect(h1, h2)) * 1000000)"
+        " DIV size(array_union(h1, h2)) AS BIGINT)"
+    )
+    return (
+        half.select(
+            "doc_id",
+            "n_words",
+            F.when(F.size(F.array_union("h1", "h2")) > 0, jacc)
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("half_jaccard_ppm"),
+        )
+        .withColumn(
+            "suspect_concat",
+            (F.col("n_words") >= 40) & (F.col("half_jaccard_ppm") < 100000),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["ops_doc_concat_detect"] = """
+    WITH h AS (
+        SELECT doc_id, len(w) AS n_words,
+               list_distinct(w[1:len(w) // 2]) AS h1,
+               list_distinct(w[len(w) // 2 + 1:len(w)]) AS h2
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+              FROM documents)),
+    j AS (
+        SELECT doc_id, n_words,
+               len(list_intersect(h1, h2)) AS inter,
+               len(list_distinct(list_concat(h1, h2))) AS uni
+        FROM h)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(CASE WHEN uni > 0 THEN (inter * 1000000) // uni ELSE 0 END
+                AS BIGINT) AS half_jaccard_ppm,
+           (n_words >= 40 AND
+            CASE WHEN uni > 0 THEN (inter * 1000000) // uni ELSE 0 END < 100000)
+               AS suspect_concat
+    FROM j ORDER BY doc_id
+"""

@@ -1595,3 +1595,61 @@ def test_source_cap_property_matches_python_model(spark):
             cum += nt
             expect[(source, doc_id)] = (nt, cum, 1 if cum <= cap else 0)
     assert got == expect
+
+
+def test_ngram_diversity_detects_mode_collapse(spark, tmp_path):
+    """Planted discrimination for ops_ngram_diversity: a source that loops
+    one sentence scores far lower distinct-trigram share than a source of
+    unique text — the synthetic-data mode-collapse signal."""
+    from arcane_stream_microsoft_synapse_link_spark.plans import QUERIES
+
+    loop = "the same old sentence again and again "
+    rows = [(i, loop * 12, "en", "collapsed", 1) for i in range(6)]
+    rows += [
+        (100 + i, " ".join(f"u{i}w{j}" for j in range(80)), "en", "fresh", 1)
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: r for r in QUERIES["ops_ngram_diversity"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"collapsed", "fresh"}
+    # every trigram of the fresh source is unique → ppm 1_000_000
+    assert got["fresh"]["diversity_ppm"] == 1_000_000
+    # the looped source repeats its handful of trigrams 6*12 times
+    assert got["collapsed"]["diversity_ppm"] < 25_000
+    assert got["collapsed"]["n_distinct_grams"] < 10
+
+
+def test_doc_concat_detect_flags_glued_documents(spark, tmp_path):
+    """Planted discrimination for ops_doc_concat_detect: a coherent doc
+    (halves share vocabulary) passes; two disjoint articles glued into
+    one record are flagged; short docs are never flagged."""
+    from arcane_stream_microsoft_synapse_link_spark.plans import QUERIES
+
+    coherent = ("alpha beta gamma delta epsilon zeta eta theta " * 8).strip()
+    glued = (
+        " ".join(f"cooking{i}" for i in range(30))
+        + " "
+        + " ".join(f"astronomy{i}" for i in range(30))
+    )
+    short_glued = "apples pears plums figs"
+    rows = [
+        (1, coherent, "en", "s", 1),
+        (2, glued, "en", "s", 1),
+        (3, short_glued, "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["ops_doc_concat_detect"](spark, str(tmp_path)).collect()
+    }
+    assert got[1]["half_jaccard_ppm"] == 1_000_000  # identical half-vocabularies
+    assert not got[1]["suspect_concat"]
+    assert got[2]["half_jaccard_ppm"] == 0  # disjoint halves
+    assert got[2]["suspect_concat"]
+    assert got[3]["half_jaccard_ppm"] == 0 and not got[3]["suspect_concat"]  # too short

@@ -739,10 +739,111 @@ def scale_queries() -> None:
     )
 
 
+def scale_tpch_decade2() -> None:
+    """Second-decade TPC-H scaling (SCALE_TPCH_D2.json): the canonical 22
+    at sf0.1 AND at a 10×-replicated corpus (~TPC-H sf1: 6M-row lineitem,
+    1.5M orders, 150k customers), so the relational core's scaling curve
+    spans sf0.01 → sf0.1 (SCALE_QUERIES.json) → sf≈1 — two decades.
+
+    Replication here is key-shifted per replica (every FK shifted by the
+    same replica offset, so referential integrity holds and join
+    fan-outs stay 1:1) — safe for RELATIONAL entries precisely where it
+    poisons the text-dedup entries (SCALE_QUERIES docstring): replicas
+    duplicate VALUES (names, dates), which changes nothing about a join
+    or aggregate's work per row, but would plant real duplicate
+    documents.  Dims (nation/region) keep their original cardinality.
+    Method: min of 2 timed passes per scale after a warm pass; run
+    manually with ``python bench.py --scale-tpch-d2``."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    spark = get_spark("arcane-tpch-d2")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="tpch_d2_")
+    shifts = {  # per-replica key offsets, > max key of each domain
+        "orderkey": 10_000_000,
+        "custkey": 1_000_000,
+        "partkey": 1_000_000,
+        "suppkey": 100_000,
+    }
+    shifted_cols = {
+        "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey", "l_suppkey": "suppkey"},
+        "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+        "customer": {"c_custkey": "custkey"},
+        "supplier": {"s_suppkey": "suppkey"},
+        "part": {"p_partkey": "partkey"},
+    }
+    try:
+        for name in ("region", "nation", "events", "documents", "embeddings"):
+            os.symlink(f"{sf_dir}/{name}.parquet", f"{tmp}/{name}.parquet")
+        for tbl, cols in shifted_cols.items():
+            base = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+            out = None
+            for r in range(10):
+                rep = base
+                for c, dom in cols.items():
+                    rep = rep.withColumn(c, F.col(c) + F.lit(r * shifts[dom]))
+                out = rep if out is None else out.unionByName(rep)
+            nfiles = 32 if tbl == "lineitem" else 8
+            out.repartition(nfiles).write.parquet(f"{tmp}/{tbl}.parquet")
+
+        import __spark_entry__ as em
+
+        queries = {k: v for k, v in em.queries().items() if k.startswith("tpch_")}
+        for fn in queries.values():  # warm codegen on the small corpus
+            try:
+                fn(spark, "/root/testdata/sf0.01").collect()
+            except Exception:
+                pass
+        _gc_hint(spark)
+        per: dict[str, dict] = {k: {} for k in queries}
+        for label, d in (("sf0.1", sf_dir), ("sf1", tmp)):
+            mins: dict[str, float] = {}
+            for _ in range(2):
+                for k, fn in queries.items():
+                    t0 = _time.perf_counter()
+                    try:
+                        fn(spark, d).collect()
+                        dt = _time.perf_counter() - t0
+                        mins[k] = min(mins.get(k, dt), dt)
+                    except Exception as exc:  # noqa: BLE001
+                        print(f"ERROR {k} @ {label}: {exc}", file=sys.stderr)
+                    _release_cached_blocks(spark)
+                _gc_hint(spark)
+            for k, v in mins.items():
+                per[k][label] = round(v, 4)
+        for k, v in per.items():
+            v["ratio"] = (
+                round(v["sf1"] / v["sf0.1"], 2) if v.get("sf0.1") and v.get("sf1") else None
+            )
+        out = {
+            "scales": {"sf0.1": "600k lineitem", "sf1": "6M lineitem (10x key-shifted replicas)"},
+            "method": "min of 2 timed passes per scale after sf0.01 warm pass",
+            "entries": len(per),
+            "total_sf01_sec": round(sum(v.get("sf0.1", 0) for v in per.values()), 2),
+            "total_sf1_sec": round(sum(v.get("sf1", 0) for v in per.values()), 2),
+            "per_entry": per,
+        }
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_TPCH_D2.json"),
+            "w",
+        ) as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+        print(json.dumps({k: out[k] for k in ("entries", "total_sf01_sec", "total_sf1_sec")}))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--scale-sweep" in sys.argv:
         scale_sweep()
     elif "--scale-queries" in sys.argv:
         scale_queries()
+    elif "--scale-tpch-d2" in sys.argv:
+        scale_tpch_decade2()
     else:
         main()

@@ -1159,3 +1159,116 @@ def span_dedup(
             ).alias("cleaned"),
         )
     )
+
+def exact_substring_dedup(
+    df: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): remove every token
+    that lies inside a VERBATIM duplicated run of >= ``min_len`` tokens,
+    keeping the globally first occurrence (min ``(doc_id, start)``) of
+    each duplicated run.  The paper's reference implementation builds a
+    suffix array over the concatenated corpus; a suffix array is a
+    driver-sized sequential structure that cannot shard, so this engine
+    uses the equivalent GRAM-ANCHORED form:
+
+    *A duplicated run of m >= L tokens contains exactly m-L+1 duplicated
+    stride-1 L-grams, and every duplicated L-gram lies inside a
+    duplicated run.*  So (1) hash every L-token window (one md5 per
+    position — the xL text overlap stays inside the hash argument, never
+    materialized), (2) keep-first per gram hash via a mergeable
+    ``min(struct(doc_id, start))`` hash-agg (no corpus-wide sort),
+    (3) the union of token intervals ``[start, start+L)`` over all
+    NON-FIRST duplicated gram occurrences is precisely the suffix
+    array's maximal-match extension: overlapping anchors chain across a
+    long shared run, nested and adjacent duplicates merge in the
+    interval union, and the first copy's tokens stay untouched unless a
+    self-overlapping repeat (period < L) eats into them — the same
+    byte-range-cut semantics as the reference tool.
+
+    Scale shape: gram explode is corpus-linear (one 32-char hash + two
+    ints per token position); the keep-first agg and the join back touch
+    duplicated hashes only; the removed-token explode is
+    removed-run-sized; reassembly is the window-free
+    ``sort_array(collect_list(struct))`` rebuild shared with span_dedup
+    (dedup.py:span_dedup).  No all-pairs stage, no suffix array, no
+    driver state at any corpus size.
+
+    Returns ``(doc_id, n_tokens, n_removed, cleaned)`` — counts plus the
+    surviving tokens reassembled in order (empty string when everything
+    was removed or the doc had no tokens).
+    """
+    L = min_len
+    w = df.select(
+        F.col(id_col).alias("doc_id"), _span_word_array(text_col).alias("_ws")
+    )
+    grams = w.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.when(
+                F.size("_ws") >= L,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_ws") - (L - 1)),
+                    lambda i: F.md5(F.array_join(F.slice("_ws", i, L), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_p", "h"),
+    ).where(F.col("h").isNotNull()).select(
+        "doc_id", (F.col("_p") + 1).alias("start"), "h"
+    )
+    firsts = (
+        grams.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("doc_id", "start")).alias("first"),
+        )
+        .where(F.col("cnt") >= 2)
+    )
+    removed_occ = (
+        grams.join(firsts, "h")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("start") == F.col("first.start"))
+            )
+        )
+        .select("doc_id", "start")
+    )
+    removed_tids = (
+        removed_occ.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + (L - 1))).alias(
+                "tid"
+            ),
+        )
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+    )
+    tokens = w.select(
+        "doc_id", F.posexplode_outer("_ws").alias("_p", "token")
+    ).select("doc_id", (F.col("_p") + 1).alias("tid"), "token")
+    return (
+        tokens.join(removed_tids, ["doc_id", "tid"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("token").alias("n_tokens"),
+            F.count("_rm").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rm").isNull() & F.col("token").isNotNull(),
+                                F.struct(F.col("tid"), F.col("token")),
+                            )
+                        )
+                    ),
+                    lambda st: st["token"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+    )

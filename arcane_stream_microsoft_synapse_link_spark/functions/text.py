@@ -11,8 +11,9 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from ..session import local_df
 
 # token = maximal run of non-whitespace (same regex class in Spark/RE2)
@@ -710,8 +711,6 @@ def bpe_train(
     ``(rank, left, right, weighted_pair_count)`` and the final symbolized
     vocabulary ``(sym, wcnt)`` as a DataFrame.
     """
-    import re as _re
-
     words = (
         docs.select(
             F.explode(
@@ -725,6 +724,21 @@ def bpe_train(
     vocab = words.select(
         F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "wcnt"
     ).cache()
+    return _bpe_merge_loop(vocab, docs.sparkSession, n_merges, driver_vocab_limit)
+
+
+def _bpe_merge_loop(
+    vocab: DataFrame,
+    spark: SparkSession,
+    n_merges: int,
+    driver_vocab_limit: int,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The adaptive driver/distributed greedy-merge loop shared by
+    ``bpe_train`` (char symbols) and ``bpe_bytes_train`` (hex-byte
+    symbols).  ``vocab`` is a CACHED ``(sym, wcnt)`` DataFrame whose
+    ``sym`` is the space-joined initial symbolization; symbols must be
+    space-free (both callers guarantee it)."""
+    import re as _re
 
     n_vocab = vocab.count()  # materializes the cache either way
     if n_vocab <= driver_vocab_limit:
@@ -760,7 +774,6 @@ def bpe_train(
                 key = tuple(out)
                 nxt[key] = nxt.get(key, 0) + c
             local = nxt
-        spark = docs.sparkSession
         final = local_df(
             spark,
             [(" ".join(sym), c) for sym, c in sorted(local.items())],
@@ -823,7 +836,15 @@ def bpe_encode_word(word: str, rank_of: dict[tuple[str, str], int]) -> list[str]
     left-to-right within a rank, until no learned pair remains.  Unlike
     apply-in-rank-order, this also catches pairs a later merge CREATES
     whose rank precedes it.  Deterministic; pure function."""
-    sym = list(word)
+    return bpe_merge_symbols(list(word), rank_of)
+
+
+def bpe_merge_symbols(
+    sym: list[str], rank_of: dict[tuple[str, str], int]
+) -> list[str]:
+    """Best-pair-first merge over an arbitrary initial symbolization —
+    the kernel shared by char-level ``bpe_encode_word`` and byte-level
+    ``bpe_bytes_encode`` (whose initial symbols are hex byte pairs)."""
     while len(sym) >= 2:
         best_rank = None
         for i in range(len(sym) - 1):
@@ -951,6 +972,117 @@ def bpe_load(spark, path: str) -> list[tuple[int, str, str, int]]:
         (int(r["merge_rank"]), r["left_sym"], r["right_sym"], r["pair_count"])
         for r in rows
     ]
+
+
+def _hex_bytes(w: str) -> list[str]:
+    """UTF-8 bytes of ``w`` as lowercase 2-hex-digit symbols — the
+    byte-level initial alphabet.  Hex keeps every symbol printable,
+    space-free, and lexicographically comparable identically in Spark,
+    DuckDB, and Python (the tie-break contract)."""
+    return [f"{b:02x}" for b in w.encode("utf-8")]
+
+
+def bpe_bytes_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    driver_vocab_limit: int = 2_000_000,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Byte-level BPE training (GPT-2-style byte fallback, Radford et al.
+    2019): the initial alphabet is the 256 UTF-8 byte values — rendered
+    as lowercase hex pairs — so EVERY input string is coverable and the
+    trained tokenizer has no OOV on any text, any script, any binary
+    mojibake a 100 TB crawl contains.  Words are whitespace-split and
+    case-preserving (byte-level tokenizers see raw bytes; the char-level
+    ``bpe_train`` lowercases because its alphabet is [a-z]).
+
+    Same greedy argmax loop, tie-break (count DESC, left ASC, right ASC
+    on the hex strings), and adaptive driver/distributed engine as
+    ``bpe_train`` — the shared ``_bpe_merge_loop``; only the initial
+    symbolization differs: ``hex(encode(w, 'utf-8'))`` split into byte
+    pairs, entirely JVM-side.  Merged symbols are concatenated hex
+    (always even length), decodable back to bytes at any point.
+
+    Returns ``(merges, vocab_df)`` in the ``bpe_train`` shape — the merge
+    table feeds ``bpe_bytes_encode`` / ``bpe_save`` unchanged."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+        )
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        # single-byte words carry no pairs — excluded from the LOOP's
+        # vocab (pure size saving, identical merge table)
+        .where(F.length(F.encode("w", "utf-8")) >= 2)
+    )
+    vocab = words.select(
+        F.trim(
+            F.regexp_replace(F.lower(F.hex(F.encode("w", "utf-8"))), "(..)", "$1 ")
+        ).alias("sym"),
+        "wcnt",
+    ).cache()
+    return _bpe_merge_loop(vocab, docs.sparkSession, n_merges, driver_vocab_limit)
+
+
+def bpe_bytes_encode(
+    docs: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed byte-level BPE encoding — ``bpe_encode``'s byte twin
+    with the no-OOV guarantee: every whitespace word decomposes into hex
+    byte symbols first, so ANY input (emoji, CJK, control bytes) encodes
+    to ``ceil`` tokens instead of dropping.  Same vocab-compression
+    economics: distinct words segmented once in Arrow ``mapInPandas``
+    (merge table in the closure — KBs), per-doc totals via one word-key
+    join + agg.  Docs with no non-whitespace content are omitted
+    (mirrors ``bpe_encode``'s explode).  Returns
+    ``(id, n_words, n_tokens, n_bytes)``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    rank_of: dict[tuple[str, str], int] = {}
+    for i, m in enumerate(merges):
+        if len(m) >= 3 and isinstance(m[0], int):
+            rank_of[(m[1], m[2])] = m[0]
+        else:
+            rank_of[(m[0], m[1])] = i
+
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+    ).where(F.length("w") >= 1)
+    distinct_words = toks.select("w").distinct()
+
+    out_schema = T.StructType(
+        [
+            T.StructField("w", T.StringType()),
+            T.StructField("w_tokens", T.LongType()),
+            T.StructField("w_bytes", T.LongType()),
+        ]
+    )
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nt, nb = [], []
+            for w in pdf["w"]:
+                syms = _hex_bytes(w)
+                nb.append(len(syms))
+                nt.append(len(bpe_merge_symbols(syms, rank_of)))
+            yield pd.DataFrame({"w": pdf["w"], "w_tokens": nt, "w_bytes": nb})
+
+    encoded_vocab = distinct_words.mapInPandas(seg, schema=out_schema)
+    return (
+        toks.join(encoded_vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w_tokens").alias("n_tokens"),
+            F.sum("w_bytes").alias("n_bytes"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1171,8 +1303,18 @@ def unigram_encode(
     logp = {r["piece"]: r["logp_ppm"] / 1e6 for r in mrows}
     L = max_piece_len
     # the output id column mirrors the INPUT's name and type — ids pass
-    # through untouched (no integer coercion: string/uuid ids are legal)
-    id_type = docs.schema[id_col].dataType.simpleString()
+    # through untouched (no integer coercion: string/uuid ids are legal).
+    # Built as a StructType, not a DDL f-string: a name needing backticks
+    # (spaces, hyphens, reserved words) would fail DDL parsing even though
+    # select(id_col) accepts it.
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_pieces", T.LongType()),
+            T.StructField("pieces_md5", T.StringType()),
+        ]
+    )
 
     def run(batches):
         import pandas as pd
@@ -1203,8 +1345,4 @@ def unigram_encode(
                     }
                 )
 
-    return docs.select(id_col, text_col).mapInPandas(
-        run,
-        schema=f"{id_col} {id_type}, n_words bigint, n_pieces bigint, "
-        "pieces_md5 string",
-    )
+    return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)

@@ -4314,9 +4314,11 @@ def ops_doc_concat_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h2"),
         )
     )
+    # size() is 32-bit: promote to BIGINT before the ppm multiply, or any
+    # document whose halves share >2147 distinct words overflows under ANSI.
     jacc = F.expr(
-        "CAST((size(array_intersect(h1, h2)) * 1000000)"
-        " DIV size(array_union(h1, h2)) AS BIGINT)"
+        "(CAST(size(array_intersect(h1, h2)) AS BIGINT) * 1000000)"
+        " DIV CAST(size(array_union(h1, h2)) AS BIGINT)"
     )
     return (
         half.select(
@@ -4354,3 +4356,111 @@ ORACLE["ops_doc_concat_detect"] = """
                AS suspect_concat
     FROM j ORDER BY doc_id
 """
+
+@query("ops_exact_substring_dedup")
+def ops_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021): cut every verbatim duplicated
+    run of >= 20 tokens, keeping the globally first occurrence — the
+    exact counterpart of ops_substring_dedup's winnowing APPROXIMATION
+    and the C4-style span removal's fixed-granularity cousin
+    (ops_span_dedup removes whole 3-sentence spans; this removes the
+    precise duplicated token range, whatever its alignment).  20 tokens
+    is the 50-BPE-token paper threshold scaled to this corpus's ~55-word
+    documents; the operator is threshold-parametric.
+
+    Plan (functions/dedup.py:exact_substring_dedup): gram-anchored — a
+    duplicated run of m >= L tokens is exactly the union of its m-L+1
+    duplicated stride-1 L-gram intervals, so maximal-match extension
+    falls out of overlapping anchors with no suffix array and no
+    driver-side state: one corpus-linear gram-hash explode →
+    ``min(struct(doc_id, start))`` keep-first hash-agg (mergeable,
+    duplicated hashes only survive) → removed-interval explode
+    (removed-run-sized) → window-free ordered reassembly."""
+    t = Tables(spark, sf_dir)
+    return (
+        D.exact_substring_dedup(t.documents, min_len=20)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            F.md5("cleaned").alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["ops_exact_substring_dedup"] = r"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    g AS (
+        SELECT doc_id, i AS start,
+               md5(array_to_string(ws[i:i+19], ' ')) AS h
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 19)) AS i
+              FROM w WHERE len(ws) >= 20)),
+    occ AS (
+        SELECT doc_id, start,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+        FROM g),
+    rm AS (
+        SELECT DISTINCT doc_id, tid
+        FROM (SELECT o.doc_id, o.start + j AS tid
+              FROM occ o, unnest(range(0, 20)) AS r(j)
+              WHERE o.rn >= 2)),
+    tok AS (
+        SELECT doc_id, i AS tid, ws[i] AS token
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+              FROM w WHERE len(ws) >= 1)),
+    agg AS (
+        SELECT t.doc_id, COUNT(*) AS n_tokens, COUNT(rm.tid) AS n_removed,
+               md5(COALESCE(array_to_string(
+                   list_transform(
+                       list_sort(list(CASE WHEN rm.tid IS NULL
+                                      THEN {'tid': t.tid, 'token': t.token} END)),
+                       x -> x.token),
+                   ' '), '')) AS cleaned_md5
+        FROM tok t LEFT JOIN rm ON t.doc_id = rm.doc_id AND t.tid = rm.tid
+        GROUP BY t.doc_id)
+    SELECT w.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+    FROM w LEFT JOIN agg a USING (doc_id)
+    ORDER BY w.doc_id
+"""
+
+@query("ops_bpe_bytes_train")
+def ops_bpe_bytes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE training (GPT-2-style byte fallback, Radford et al.
+    2019) — completes the tokenizer family with the no-OOV variant: the
+    initial alphabet is the 256 UTF-8 byte values as lowercase hex
+    pairs, words are whitespace-split and case-preserving, so ANY input
+    (emoji, CJK, mojibake) is coverable.  Same greedy argmax loop,
+    tie-break, and adaptive driver/distributed engine as ops_bpe_train
+    (functions/text.py:_bpe_merge_loop — shared code path).  Oracle:
+    independent sequential byte-BPE reference
+    (plans/values_oracle.py:ref_bpe_bytes_train, pinned to sf0.01)."""
+    t = Tables(spark, sf_dir)
+    merges, vocab = X.bpe_bytes_train(t.documents, n_merges=10)
+    vocab.unpersist()
+    df = local_df(
+        spark,
+        [(r, l, rt, l + rt, c) for (r, l, rt, c) in merges],
+        "merge_rank long, left_sym string, right_sym string, merged string, pair_count long",
+    )
+    return df.orderBy("merge_rank")
+
+
+@query("ops_bpe_bytes_encode")
+def ops_bpe_bytes_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE train → ENCODE with the no-OOV guarantee: every
+    whitespace word decomposes to hex byte symbols before merging, so
+    nothing is dropped on any script (functions/text.py:
+    bpe_bytes_encode — distinct words segmented once in Arrow
+    mapInPandas, per-doc totals via one word-key join + agg, the
+    Heaps-law vocab-compression economics of ops_bpe_encode).  Oracle:
+    independent sequential train+encode reference
+    (plans/values_oracle.py:ref_bpe_bytes_encode, pinned to sf0.01)."""
+    t = Tables(spark, sf_dir)
+    merges, vocab = X.bpe_bytes_train(t.documents, n_merges=10)
+    vocab.unpersist()
+    return X.bpe_bytes_encode(t.documents, merges).orderBy("doc_id")

@@ -354,6 +354,90 @@ def ref_bpe_train(sf_dir: str, n_merges: int = 10) -> list[tuple]:
     return out
 
 
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s+ (ASCII), not Python's unicode \s
+
+
+def _ws_words(text: str | None) -> list[str]:
+    return [w for w in _WS_RE.split(text or "") if w]
+
+
+def ref_bpe_bytes_train(sf_dir: str, n_merges: int = 10) -> list[tuple]:
+    """(merge_rank, left_sym, right_sym, merged, pair_count) — sequential
+    BYTE-level BPE: whitespace-split case-preserving words, UTF-8 bytes
+    as lowercase hex-pair symbols, count-desc / lexicographic tie-break,
+    greedy left-to-right merge.  Independent of engine code."""
+    from collections import Counter
+
+    wc = Counter(w for _, t in _documents(sf_dir) for w in _ws_words(t))
+    vocab = {
+        tuple(f"{b:02x}" for b in w.encode("utf-8")): c
+        for w, c in wc.items()
+        if len(w.encode("utf-8")) >= 2
+    }
+    out = []
+    for rank in range(n_merges):
+        pc: Counter = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += c
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((rank, l, r, l + r, cnt))
+        nxt: dict[tuple, int] = {}
+        for sym, c in vocab.items():
+            merged, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(sym[i])
+                    i += 1
+            key = tuple(merged)
+            nxt[key] = nxt.get(key, 0) + c
+        vocab = nxt
+    return out
+
+
+def ref_bpe_bytes_encode(sf_dir: str, n_merges: int = 10) -> list[tuple]:
+    """(doc_id, n_words, n_tokens, n_bytes) — sequential byte-level BPE
+    encode with merges from ``ref_bpe_bytes_train``: best-pair-first.
+    Docs with no non-whitespace content are omitted (mirrors the
+    engine's explode)."""
+    merges = ref_bpe_bytes_train(sf_dir, n_merges)
+    rank_of = {(l, r): rank for rank, l, r, _, _ in merges}
+    rows = []
+    for doc_id, text in _documents(sf_dir):
+        words = _ws_words(text)
+        if not words:
+            continue
+        n_tokens, n_bytes = 0, 0
+        for w in words:
+            sym = [f"{b:02x}" for b in w.encode("utf-8")]
+            n_bytes += len(sym)
+            while len(sym) >= 2:
+                best = None
+                for i in range(len(sym) - 1):
+                    rk = rank_of.get((sym[i], sym[i + 1]))
+                    if rk is not None and (best is None or rk < best):
+                        best, left, right = rk, sym[i], sym[i + 1]
+                if best is None:
+                    break
+                out, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            n_tokens += len(sym)
+        rows.append((doc_id, len(words), n_tokens, n_bytes))
+    return sorted(rows)
+
+
 def ref_simhash_near_dup(sf_dir: str, max_hamming: int = 8, band_bits: int = 16) -> list[tuple]:
     """(id_a, id_b, hamming) — sequential SimHash (pandas SipHash word
     hash, bit votes), banded candidate generation, exact Hamming verify."""
@@ -2050,6 +2134,25 @@ def build() -> dict[str, str]:
                     ("n_words", "BIGINT"),
                     ("n_tokens", "BIGINT"),
                     ("n_chars_encoded", "BIGINT"),
+                ],
+            ),
+            "ops_bpe_bytes_train": sql_values(
+                ref_bpe_bytes_train(_SF_PIN),
+                [
+                    ("merge_rank", "BIGINT"),
+                    ("left_sym", "VARCHAR"),
+                    ("right_sym", "VARCHAR"),
+                    ("merged", "VARCHAR"),
+                    ("pair_count", "BIGINT"),
+                ],
+            ),
+            "ops_bpe_bytes_encode": sql_values(
+                ref_bpe_bytes_encode(_SF_PIN),
+                [
+                    ("doc_id", "BIGINT"),
+                    ("n_words", "BIGINT"),
+                    ("n_tokens", "BIGINT"),
+                    ("n_bytes", "BIGINT"),
                 ],
             ),
             "ops_unigram_train": sql_values(

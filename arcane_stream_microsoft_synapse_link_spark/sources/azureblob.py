@@ -54,6 +54,7 @@ import hmac
 import os
 import re
 import tempfile
+import threading
 import time
 import urllib.error
 import urllib.parse
@@ -114,15 +115,23 @@ class TokenCredentialChain:
         self._env = env if env is not None else dict(os.environ)
         self._token: str | None = None
         self._expires_at = 0.0
+        # MultiEntityRunner drives blob IO from a thread pool: without the
+        # lock, concurrent refreshes stampede the token endpoint, and an
+        # invalidate() between the _acquire() assignment and the return
+        # could hand back None ("Authorization: Bearer None").
+        self._lock = threading.Lock()
 
     def token(self) -> str:
-        if self._token and time.time() < self._expires_at - self.REFRESH_SKEW_S:
-            return self._token
-        self._token, self._expires_at = self._acquire()
-        return self._token
+        with self._lock:
+            if self._token and time.time() < self._expires_at - self.REFRESH_SKEW_S:
+                return self._token
+            tok, exp = self._acquire()
+            self._token, self._expires_at = tok, exp
+            return tok
 
     def invalidate(self) -> None:
-        self._token, self._expires_at = None, 0.0
+        with self._lock:
+            self._token, self._expires_at = None, 0.0
 
     def _acquire(self) -> tuple[str, float]:
         import json as _json

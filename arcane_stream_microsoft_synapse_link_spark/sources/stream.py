@@ -27,6 +27,7 @@ from __future__ import annotations
 import csv
 import os
 import re
+import sys
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 from datetime import datetime, timezone
@@ -98,6 +99,69 @@ class CsvChunkPartition(InputPartition):
     path: str
     folder: str  # batch folder name = source version (provenance + watermark)
     attributes: tuple[CdmAttribute, ...]
+    # byte range [offset, offset+length) of PROVEN whole records; length -1
+    # = to EOF.  Ranges are planned by _csv_split_points, whose cuts sit
+    # right after quote-parity-even newlines — true record boundaries even
+    # when quoted fields embed newlines.
+    offset: int = 0
+    length: int = -1
+
+
+# planner-side sub-file splitting: one Python-worker partition per CSV file
+# serializes the Arrow parse when a folder is a handful of huge blobs (the
+# 100×-volume readStream gap — 3 files, 32 cores, 3 busy).  Files larger
+# than this are cut into parity-safe byte ranges.  Option ``chunkBytes``.
+DEFAULT_CHUNK_BYTES = 32 * 1024 * 1024
+
+
+def _csv_split_points(path: str, chunk_bytes: int) -> list[int]:
+    """Byte offsets that are PROVEN record starts, ~chunk_bytes apart.
+
+    A newline at byte i is a record boundary iff the count of quote chars
+    in [0, i) is even (records start outside quotes; every ``"`` toggles
+    state; the ``""`` escape toggles twice — net zero).  This is the same
+    parity argument as ``cdm.paths_are_line_splittable``, applied
+    cumulatively so the planner needs no per-line scan: one sequential
+    block read (bounded memory, numpy byte ops at ~GB/s), picking the
+    first parity-even newline at/after each chunk_bytes multiple.  On an
+    object store this pass becomes ranged GETs; here the Python
+    DataSource path is local-only (``_local_path``), so it is one cheap
+    page-cache pass the 32-way parallel parse then amortizes."""
+    import numpy as np
+
+    size = os.path.getsize(path)
+    if size <= 2 * chunk_bytes:
+        return []
+    cuts: list[int] = []
+    parity = 0
+    pos = 0
+    target = chunk_bytes
+    block_sz = 8 * 1024 * 1024
+    with open(path, "rb") as fh:
+        while pos < size and target < size:
+            block = fh.read(block_sz)
+            if not block:
+                break
+            arr = np.frombuffer(block, dtype=np.uint8)
+            if pos + len(block) > target:
+                nl = np.flatnonzero(arr == 0x0A)
+                if nl.size:
+                    q = np.flatnonzero(arr == 0x22)
+                    par = (parity + np.searchsorted(q, nl, side="left")) % 2
+                    safe_abs = (nl[par == 0] + pos).astype(np.int64)
+                    while target < size:
+                        k = int(np.searchsorted(safe_abs, target))
+                        if k == len(safe_abs):
+                            break  # next safe newline lives in a later block
+                        cut = int(safe_abs[k]) + 1
+                        if cut >= size:
+                            target = size
+                            break
+                        cuts.append(cut)
+                        target = cut + chunk_bytes
+            parity = (parity + int((arr == 0x22).sum())) % 2
+            pos += len(block)
+    return cuts
 
 
 def _local_path(path: str) -> str:
@@ -124,9 +188,11 @@ class SynapseLinkStreamReader(DataSourceStreamReader):
         query_columns: tuple[str, ...] = (),
         query_types: tuple = (),
         use_arrow: bool = True,
+        chunk_bytes: int = DEFAULT_CHUNK_BYTES,
     ):
         self._source = SynapseLinkSource(root, entity)
         self._max_folders = max_folders_per_trigger
+        self._chunk_bytes = max(0, chunk_bytes)
         # Arrow mode (default): read() yields pyarrow RecordBatches — the
         # C++ CSV parse + columnar convert, ~vectorized-JVM-class speed —
         # falling back to row tuples only when pyarrow is unavailable or
@@ -182,11 +248,46 @@ class SynapseLinkStreamReader(DataSourceStreamReader):
             if not csvs:
                 continue
             attrs = self._source.entity_schema(folder).attributes
-            parts.extend(
-                CsvChunkPartition(path=p, folder=folder.name, attributes=attrs)
-                for p in csvs
-            )
+            for p in csvs:
+                parts.extend(self._file_partitions(p, folder.name, attrs))
         return parts
+
+    def _file_partitions(
+        self, path: str, folder: str, attrs
+    ) -> list[CsvChunkPartition]:
+        """One partition per parity-safe byte range of the file — the
+        file-source ``maxPartitionBytes`` discipline for this reader: a
+        folder made of a few huge blobs would otherwise collapse the scan
+        to the file count.  Non-local schemes and small files stay whole."""
+        if self._chunk_bytes:
+            try:
+                local = _local_path(path)
+                cuts = _csv_split_points(local, self._chunk_bytes)
+            except (NotImplementedError, OSError):
+                cuts = []
+            if cuts:
+                bounds = [0, *cuts, os.path.getsize(local)]
+                return [
+                    CsvChunkPartition(
+                        path=path,
+                        folder=folder,
+                        attributes=attrs,
+                        offset=lo,
+                        length=hi - lo,
+                    )
+                    for lo, hi in zip(bounds, bounds[1:])
+                ]
+        return [CsvChunkPartition(path=path, folder=folder, attributes=attrs)]
+
+    @staticmethod
+    def _chunk_text(partition: CsvChunkPartition) -> str:
+        """The partition's byte range decoded — whole records by the
+        planner's parity proof."""
+        with open(_local_path(partition.path), "rb") as fh:
+            if partition.offset:
+                fh.seek(partition.offset)
+            data = fh.read(partition.length if partition.length >= 0 else -1)
+        return data.decode("utf-8")
 
     # -- executor-side read (A3) ------------------------------------------
     def read(self, partition: CsvChunkPartition) -> Iterator:
@@ -204,10 +305,16 @@ class SynapseLinkStreamReader(DataSourceStreamReader):
         return [(by_name.get(c), attrs[by_name[c]] if c in by_name else None) for c in cols]
 
     def _read_tuples(self, partition: CsvChunkPartition) -> Iterator[tuple]:
+        import io
+
         attrs = partition.attributes
         n = len(attrs)
         plan = self._row_plan(attrs)
-        with open(_local_path(partition.path), newline="") as fh:
+        if partition.offset or partition.length >= 0:
+            fh = io.StringIO(self._chunk_text(partition), newline="")
+        else:
+            fh = open(_local_path(partition.path), newline="")
+        with fh:
             # quoted, quote-escaped-by-doubling — same dialect as the JVM read
             for row in csv.reader(fh):
                 padded = (row + [None] * n)[:n]
@@ -320,9 +427,17 @@ class SynapseLinkStreamReader(DataSourceStreamReader):
             bad_lines.append(row.text)
             return "skip"
 
+        if partition.offset or partition.length >= 0:
+            with open(_local_path(partition.path), "rb") as fh:
+                if partition.offset:
+                    fh.seek(partition.offset)
+                raw = fh.read(partition.length if partition.length >= 0 else -1)
+            source = pa.BufferReader(raw)
+        else:
+            source = _local_path(partition.path)
         try:
             table = pacsv.read_csv(
-                _local_path(partition.path),
+                source,
                 read_options=pacsv.ReadOptions(column_names=[a.name for a in attrs]),
                 parse_options=pacsv.ParseOptions(
                     quote_char='"',
@@ -336,9 +451,13 @@ class SynapseLinkStreamReader(DataSourceStreamReader):
                 ),
             )
         except pa.ArrowInvalid:
-            # whole-file fallback (still Arrow out — modes never mix)
-            with open(_local_path(partition.path), newline="") as fh:
-                rows = rows_from_text(fh.read().splitlines())
+            # whole-chunk fallback (still Arrow out — modes never mix)
+            if partition.offset or partition.length >= 0:
+                text = self._chunk_text(partition)
+            else:
+                with open(_local_path(partition.path), newline="") as fh:
+                    text = fh.read()
+            rows = rows_from_text(text.splitlines())
             if rows:
                 yield self._rows_to_batch(rows, fields, partition.folder)
             return
@@ -416,15 +535,38 @@ class SynapseLinkDataSource(DataSource):
             query_columns=tuple(f.name for f in data_fields),
             query_types=tuple(f.dataType for f in data_fields),
             use_arrow=self.options.get("arrowbatches", "true").lower() != "false",
+            chunk_bytes=int(self.options.get("chunkbytes", DEFAULT_CHUNK_BYTES)),
         )
 
 
 def register(spark) -> None:
     """Register the source on a session (idempotent). Call before
-    ``readStream.format("synapse_link")``."""
+    ``readStream.format("synapse_link")``.
+
+    The source graph (this module + synapse + cdm) is marked for
+    cloudpickle BY-VALUE serialization before registration: Spark's
+    streaming-source PLANNER worker (python_streaming_source_runner)
+    does not receive the session's python includes the way task workers
+    do, so a by-reference pickle raises ModuleNotFoundError on any
+    driver whose cwd doesn't contain this package (observed on the
+    vanilla-session verify drive from /tmp).  By-value embeds the class
+    and function definitions in the pickled command itself — no import
+    needed at unpickle time.  Executor task workers still get the
+    shipped zip (session.tune → addPyFile), which covers the partition
+    pickles the planner re-serializes by reference."""
     from ..session import tune
 
     tune(spark)  # confs + ship package zip so executors can unpickle us
+    try:
+        from pyspark import cloudpickle
+
+        from . import cdm as _cdm
+        from . import synapse as _synapse
+
+        for m in (sys.modules[__name__], _synapse, _cdm):
+            cloudpickle.register_pickle_by_value(m)
+    except Exception:  # older cloudpickle without the API: keep the
+        pass  # addPyFile path, which covers same-cwd drivers
     spark.dataSource.register(SynapseLinkDataSource)
 
 

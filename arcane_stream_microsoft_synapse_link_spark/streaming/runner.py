@@ -711,6 +711,33 @@ class MultiEntityRunner:
         """Concurrent full-history replay per entity; rows per target."""
         return self._parallel(lambda r: r.backfill())
 
+    # ---- per-entity suspend / reload (B23 at consolidation scale) --------
+    # The reference's arcane/state annotation is per-CR (docs/crd.md:9-14);
+    # in the consolidated runner each entity's control file lives under its
+    # OWN target root, so suspending/reloading one stream never touches the
+    # other N-1 — these helpers just route to the right runner.
+    def _runner(self, target_root: str) -> StreamRunner:
+        try:
+            return self.runners[target_root]
+        except KeyError:
+            raise KeyError(
+                f"no entity stream targets {target_root!r}; "
+                f"known targets: {sorted(self.runners)}"
+            ) from None
+
+    def suspend_entity(self, target_root: str) -> None:
+        self._runner(target_root).request_suspend()
+
+    def resume_entity(self, target_root: str) -> None:
+        self._runner(target_root).request_resume()
+
+    def reload_entity(self, target_root: str) -> None:
+        self._runner(target_root).request_reload()
+
+    def states(self) -> dict[str, str]:
+        """Desired state per target — the consolidated status view."""
+        return {name: r.desired_state() for name, r in self.runners.items()}
+
     def run_once_all(self) -> dict[str, int]:
         """One change-capture tick per entity; folders merged per entity."""
         return self._parallel(lambda r: r.run_once())

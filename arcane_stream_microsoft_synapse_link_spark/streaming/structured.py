@@ -30,6 +30,7 @@ their own replay.
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,6 +65,8 @@ def write_batch(
 
 
 _COMPACT_MANIFEST = "_compacted.json"
+_COMPACT_LOCK = "_compact.lock"
+_COMPACT_LOCK_TTL_S = 3600.0  # a crashed compactor's lock is stolen after this
 
 
 def _read_manifest(root: str) -> dict:
@@ -171,9 +174,6 @@ def compact_batches(
     still-uncommitted batch into a segment and permanently wedge the
     stream's restart replay.  Returns the number of batch dirs retired
     (0 = nothing to do)."""
-    import json
-    import shutil
-
     if keep_last < 1:
         raise ValueError(
             f"compact_batches(keep_last={keep_last}): keep_last must be >= 1 — "
@@ -182,12 +182,56 @@ def compact_batches(
         )
     if not os.path.isdir(root):
         return 0
+    # single-compactor lock: a cadence job and a gate's in-step
+    # compact_every would otherwise race on the manifest (last-write-wins)
+    # and on the physical deletes.  O_CREAT|O_EXCL is the atomic
+    # take-it-or-leave-it; a loser skips the cycle (compaction is cadence
+    # work — the next tick retries).  A crash while holding the lock is
+    # healed by the TTL: a lock older than lock_ttl_s is stolen.
+    lock_path = os.path.join(root, _COMPACT_LOCK)
+    try:
+        lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            stale = (time.time() - os.path.getmtime(lock_path)) > _COMPACT_LOCK_TTL_S
+        except OSError:
+            stale = False
+        if not stale:
+            return 0
+        try:
+            os.unlink(lock_path)
+            lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except OSError:
+            return 0
+    try:
+        os.write(lock_fd, str(os.getpid()).encode())
+    finally:
+        os.close(lock_fd)
+    try:
+        return _compact_batches_locked(spark, root, keep_last, target_partitions)
+    finally:
+        try:
+            os.unlink(lock_path)
+        except OSError:
+            pass
+
+
+def _compact_batches_locked(
+    spark: SparkSession, root: str, keep_last: int, target_partitions: int
+) -> int:
+    import json
+    import shutil
+
     manifest = _read_manifest(root)
     old_segments = manifest["segments"]
     # grace-period cleanup: dirs retired by the PREVIOUS compaction cycle
     # have now survived one full cycle — no reader planned before that
     # cycle's manifest swap can still be scanning them; delete for real.
-    expired = manifest.get("pending_delete", [])
+    # Defense in depth on top of the lock: never delete a name the LIVE
+    # manifest still references (a pre-lock compactor could have folded a
+    # pending segment back in), silently dropping it from the queue.
+    live_refs = {s["dir"] for s in old_segments}
+    expired = [n for n in manifest.get("pending_delete", []) if n not in live_refs]
     for name in expired:
         shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     # orphan-segment sweep: a crash between segment write and manifest
@@ -265,13 +309,22 @@ def compact_batches(
 
 
 def read_stream(spark: SparkSession, spec: StreamSpec) -> DataFrame:
+    """Build the streaming source for a spec.  Volume-scaled admission:
+    the spec's throughput block drives the source's per-trigger caps —
+    ``max_folders_per_tick`` maps onto ``maxFoldersPerTrigger`` (the same
+    coarse B6/B18 cap the batch runner enforces per tick) so the batch
+    and structured paths shape intake identically, and oversized batch
+    CSVs are byte-range-split for a full-width parallel parse
+    (``chunkBytes``, sources/stream.py:_csv_split_points)."""
     register(spark)
-    return (
+    reader = (
         spark.readStream.format("synapse_link")
         .option("path", spec.source_root)
         .option("entity", spec.entity_name)
-        .load()
     )
+    if spec.max_folders_per_tick:
+        reader = reader.option("maxFoldersPerTrigger", spec.max_folders_per_tick)
+    return reader.load()
 
 
 def run_structured(

@@ -630,12 +630,13 @@ def scale_queries() -> None:
     ladder keeps per-entry output semantics stable while the input decade
     scales.
 
-    Per entry and per scale the sweep times two passes (after a full
+    Per entry and per scale the sweep times three passes (after a full
     sf0.001 warm pass for codegen/Python-worker parity) and keeps the
-    MIN — the plan-attributable cost, robust to this box's one-sided GC /
-    neighbor noise (SCALE.md variance band).  Entries whose 10× time
+    MEDIAN — the same estimator as the headline bench since r10
+    (VERDICT r9 item 8 unified the two; the ratio is median/median so
+    both scales are measured identically).  Entries whose 10× time
     ratio exceeds ``FLAG_RATIO`` get one confirmation re-run at both
-    scales before being flagged.  Writes SCALE_QUERIES.json:
+    scales (min-of-medians) before being flagged.  Writes SCALE_QUERIES.json:
     ``{"per_entry": {name: {"t_1x": s, "t_10x": s, "ratio": r}},
     "flagged": [...], "data_ratio": {...}}``.  Run:
     ``python bench.py --scale-queries``."""
@@ -678,21 +679,34 @@ def scale_queries() -> None:
         return out
 
     names = list(queries)
-    mins: dict[str, dict[str, float]] = {"lo": {}, "hi": {}}
+    passes: dict[str, dict[str, list[float]]] = {
+        "lo": {n: [] for n in names},
+        "hi": {n: [] for n in names},
+    }
     for label, sf_dir in (("lo", lo_dir), ("hi", hi_dir)):
-        for _ in range(2):
+        for _ in range(3):
             run = timed_pass(sf_dir, names)
             for k, v in run.items():
-                prev = mins[label].get(k)
-                mins[label][k] = v if prev is None else min(prev, v)
+                passes[label][k].append(v)
             _gc_hint(spark)
+
+    def _median(xs: list[float]) -> float:
+        good = sorted(x for x in xs if x == x)
+        if not good:
+            return float("nan")
+        return good[len(good) // 2]
+
+    mins: dict[str, dict[str, float]] = {
+        label: {n: _median(v) for n, v in d.items()} for label, d in passes.items()
+    }
 
     def ratio(name: str) -> float:
         lo, hi = mins["lo"][name], mins["hi"][name]
         return round(hi / lo, 2) if lo and lo == lo and hi == hi else float("nan")
 
     # confirmation re-run for apparent superlinear entries: one more
-    # timed pass at both scales on a GC'd heap; keep the min
+    # timed pass at both scales on a GC'd heap; keep the min of
+    # (median, confirmation) — a one-sided-noise victim clears itself
     suspects = [n for n in names if ratio(n) > FLAG_RATIO]
     if suspects:
         _gc_hint(spark)
@@ -718,8 +732,9 @@ def scale_queries() -> None:
             "embeddings": 4.0,
             "dims": 1.0,
         },
-        "method": "min of 2 timed passes per scale after full sf0.001 warm "
-        "pass; flagged entries re-confirmed with a 3rd pass",
+        "method": "median of 3 timed passes per scale after full sf0.001 warm "
+        "pass (same estimator as the headline bench); flagged entries "
+        "re-confirmed with a 4th pass",
         "flag_ratio": FLAG_RATIO,
         "entries": len(per_entry),
         "total_1x_sec": round(sum(v["t_1x"] for v in per_entry.values()), 2),
@@ -838,6 +853,206 @@ def scale_tpch_decade2() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def scale_ops_d2() -> None:
+    """Second-decade scaling for the ops_* surface (SCALE_OPS_D2.json):
+    every LLM-pipeline entry whose 10× corpus is constructible WITHOUT
+    poisoning its semantics runs at sf0.1 and at a constructed ~sf1
+    (VERDICT r9 item 3 — TPC-H already has its second decade in
+    SCALE_TPCH_D2.json; this covers the ops families).
+
+    Corpus construction (per table, 10 key-shifted replicas):
+    - ``documents``: doc_id shifted; replica text gets a replica-unique
+      prefix (``r<r>doc<id>``) so exact hashes, opening-80-char digests,
+      and rolling fingerprints stay distinct across replicas — the
+      per-doc and group-by workloads scale 10× without planting cross-
+      replica exact duplicates; n_chars re-derived.
+    - ``embeddings``: vec_id shifted; each component nudged by a
+      replica-scaled epsilon so vector workloads see 10× distinct points.
+    - ``events`` + the 5 relational fact tables: plain key-shifted
+      replication (the SCALE_TPCH_D2 discipline); dims symlinked.
+
+    EXCLUDED (recorded with reasons, not silently dropped): the near-dup
+    candidate-pair family — replicas are true near-duplicates of their
+    siblings, so candidate pairs grow ~45×/10× by CONSTRUCTION and the
+    measurement would indict the data, not the plan — the span-removal
+    family (replicas share every span), and the media entries (their
+    input is an in-query fixed-size synthetic fixture that does not
+    scale with sf).  Method: median of 3 timed passes per scale after an
+    sf0.01 warm pass — the headline bench's estimator.  Run:
+    ``python bench.py --scale-ops-d2``."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    EXCLUDED = {
+        # near-dup pair family: replicas ARE near-dups of their siblings
+        "ops_minhash_near_dup": "replicas are true near-dups: candidate pairs grow ~45x per 10x by construction",
+        "ops_simhash_near_dup": "replicas are true near-dups: banded Hamming candidates grow superlinearly by construction",
+        "ops_embedding_near_dup": "replica vectors are near-identical: cosine pair set grows superlinearly by construction",
+        "ops_semantic_dedup": "near-identical replica vectors concentrate clusters: pairwise stage poisoned by construction",
+        "ops_incremental_dedup": "new-batch buckets fill with replica siblings: candidate set poisoned by construction",
+        "ops_dedup_pipeline": "contains the MinHash near-dup stage (see ops_minhash_near_dup)",
+        "ops_lsh_eval": "ground-truth pair set becomes replica-sibling-dominated: recall measurement meaningless",
+        "ops_leakage_safe_split": "LSH pair graph is replica-sibling-dominated: component structure poisoned",
+        # span-structure family: replicas share every span/run verbatim
+        "ops_paragraph_dedup": "replicas share every paragraph: removal set explodes by construction",
+        "ops_span_dedup": "replicas share every 3-sentence span: removal set explodes by construction",
+        "ops_substring_dedup": "replicas share every winnowed fingerprint: dup fraction saturates by construction",
+        "ops_exact_substring_dedup": "replicas share every >=20-token run: removed-interval set explodes by construction",
+        # media: in-query fixed-size synthetic fixture
+        "ops_media_features": "input is an in-query fixed-size synthetic fixture; does not scale with sf",
+        "ops_media_resize": "input is an in-query fixed-size synthetic fixture; does not scale with sf",
+        "ops_media_frames": "input is an in-query fixed-size synthetic fixture; does not scale with sf",
+        "ops_image_near_dup": "input is an in-query fixed-size synthetic fixture; does not scale with sf",
+        "ops_audio_near_dup": "input is an in-query fixed-size synthetic fixture; does not scale with sf",
+        "ops_video_near_dup": "input is an in-query fixed-size synthetic fixture; does not scale with sf",
+    }
+    FLAG_RATIO = 13.0
+
+    spark = get_spark("arcane-ops-d2")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="ops_d2_")
+    shifts = {
+        "orderkey": 10_000_000,
+        "custkey": 1_000_000,
+        "partkey": 1_000_000,
+        "suppkey": 100_000,
+    }
+    shifted_cols = {
+        "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey", "l_suppkey": "suppkey"},
+        "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+        "customer": {"c_custkey": "custkey"},
+        "supplier": {"s_suppkey": "suppkey"},
+        "part": {"p_partkey": "partkey"},
+    }
+    try:
+        for name in ("region", "nation"):
+            os.symlink(f"{sf_dir}/{name}.parquet", f"{tmp}/{name}.parquet")
+        for tbl, cols in shifted_cols.items():
+            base = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+            out = None
+            for r in range(10):
+                rep = base
+                for c, dom in cols.items():
+                    rep = rep.withColumn(c, F.col(c) + F.lit(r * shifts[dom]))
+                out = rep if out is None else out.unionByName(rep)
+            out.repartition(32 if tbl == "lineitem" else 8).write.parquet(
+                f"{tmp}/{tbl}.parquet"
+            )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = None
+        for r in range(10):
+            rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * 10_000_000))
+            if r > 0:
+                rep = rep.withColumn(
+                    "text",
+                    F.concat(
+                        F.lit(f"r{r}doc"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" "),
+                        F.col("text"),
+                    ),
+                )
+            rep = rep.withColumn("n_chars", F.length("text").cast("long"))
+            out = rep if out is None else out.unionByName(rep)
+        out.repartition(16).write.parquet(f"{tmp}/documents.parquet")
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = None
+        for r in range(10):
+            rep = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * 10_000_000))
+            if r > 0:
+                eps = float(r) * 1e-3
+                rep = rep.withColumn(
+                    "embedding",
+                    F.transform("embedding", lambda x: (x + F.lit(eps)).cast("float")),
+                )
+            out = rep if out is None else out.unionByName(rep)
+        out.repartition(8).write.parquet(f"{tmp}/embeddings.parquet")
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = None
+        for r in range(10):
+            rep = ev.withColumn(
+                "event_id", F.col("event_id") + F.lit(r * 100_000_000)
+            ).withColumn("user_id", F.col("user_id") + F.lit(r * 10_000_000))
+            out = rep if out is None else out.unionByName(rep)
+        out.repartition(16).write.parquet(f"{tmp}/events.parquet")
+
+        import __spark_entry__ as em
+
+        queries = {
+            k: v
+            for k, v in em.queries().items()
+            if not k.startswith(("q", "tpch")) and k not in EXCLUDED
+        }
+        for fn in queries.values():  # warm codegen at the gate scale
+            try:
+                fn(spark, "/root/testdata/sf0.01").collect()
+            except Exception:
+                pass
+        _release_cached_blocks(spark)
+        _gc_hint(spark)
+
+        per: dict[str, dict] = {k: {} for k in queries}
+        for label, d in (("sf0.1", sf_dir), ("sf1", tmp)):
+            samples: dict[str, list[float]] = {k: [] for k in queries}
+            for _ in range(3):
+                for k, fn in queries.items():
+                    t0 = _time.perf_counter()
+                    try:
+                        fn(spark, d).collect()
+                        samples[k].append(_time.perf_counter() - t0)
+                    except Exception as exc:  # noqa: BLE001
+                        samples[k].append(float("nan"))
+                        print(f"ERROR {k} @ {label}: {exc}", file=sys.stderr)
+                    _release_cached_blocks(spark)
+                _gc_hint(spark)
+            for k, xs in samples.items():
+                good = sorted(x for x in xs if x == x)
+                per[k][label] = round(good[len(good) // 2], 4) if good else None
+        for k, v in per.items():
+            v["ratio"] = (
+                round(v["sf1"] / v["sf0.1"], 2)
+                if v.get("sf0.1") and v.get("sf1")
+                else None
+            )
+        flagged = sorted(
+            k for k, v in per.items() if v["ratio"] is not None and v["ratio"] > FLAG_RATIO
+        )
+        result = {
+            "scales": {
+                "sf0.1": "5k docs / 2k vecs / 100k events / 600k lineitem",
+                "sf1": "10x key-shifted replicas (replica-prefixed texts, "
+                "epsilon-perturbed vectors)",
+            },
+            "method": "median of 3 timed passes per scale after sf0.01 warm pass",
+            "flag_ratio": FLAG_RATIO,
+            "entries": len(per),
+            "excluded": EXCLUDED,
+            "total_sf01_sec": round(sum(v.get("sf0.1") or 0 for v in per.values()), 2),
+            "total_sf1_sec": round(sum(v.get("sf1") or 0 for v in per.values()), 2),
+            "flagged": flagged,
+            "per_entry": per,
+        }
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_OPS_D2.json"),
+            "w",
+        ) as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+        print(
+            json.dumps(
+                {k: result[k] for k in ("entries", "total_sf01_sec", "total_sf1_sec", "flagged")}
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--scale-sweep" in sys.argv:
         scale_sweep()
@@ -845,5 +1060,7 @@ if __name__ == "__main__":
         scale_queries()
     elif "--scale-tpch-d2" in sys.argv:
         scale_tpch_decade2()
+    elif "--scale-ops-d2" in sys.argv:
+        scale_ops_d2()
     else:
         main()

@@ -563,3 +563,48 @@ def test_cdc_scenario_over_azure_blob(spark, blob_server, tmp_path):
     assert state[KEYS[1]] == BASE_VERSION + 100
     assert KEYS[5] in state and KEYS[6] in state
     assert runner.table.watermark() == frontier
+
+
+def test_token_credential_chain_thread_safety():
+    """ADVICE r9: concurrent token() calls must not stampede the token
+    endpoint (single _acquire under the lock) and an interleaved
+    invalidate() must never let token() return None."""
+    import threading
+
+    from arcane_stream_microsoft_synapse_link_spark.sources.azureblob import (
+        TokenCredentialChain,
+    )
+
+    chain = TokenCredentialChain(env={})
+    calls = []
+
+    def fake_acquire():
+        calls.append(1)
+        return f"tok-{len(calls)}", __import__("time").time() + 3600
+    chain._acquire = fake_acquire
+
+    results: list[str | None] = []
+    errors: list[BaseException] = []
+
+    def worker():
+        try:
+            for _ in range(50):
+                results.append(chain.token())
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def invalidator():
+        for _ in range(25):
+            chain.invalidate()
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    threads.append(threading.Thread(target=invalidator))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert None not in results and all(r.startswith("tok-") for r in results)
+    # without invalidations 400 calls share ONE acquire; with 25 racing
+    # invalidations the bound is 1 + invalidations
+    assert len(calls) <= 26, len(calls)

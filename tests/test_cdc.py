@@ -539,3 +539,81 @@ def test_multi_entity_failure_isolation(spark, tmp_path):
     assert all(merged[s.target_root] == 0 for s in specs[1:])
     assert r0.table.read(spark).count() == 7
     assert r0.table.watermark() == folders[0]
+
+
+def test_multi_entity_per_entity_suspend_and_reload(spark, tmp_path):
+    """VERDICT r9 item 6: the reference's arcane/state annotation is
+    per-CR (docs/crd.md:9-14) — in the consolidated runner one entity can
+    be SUSPENDED while the other seven keep streaming (its watermark and
+    rows freeze, theirs advance), resume drains its backlog with no
+    duplicate effects, and a per-entity RELOAD re-backfills only that
+    entity in place."""
+    from arcane_stream_microsoft_synapse_link_spark.streaming.runner import (
+        MultiEntityRunner,
+    )
+
+    n_entities = 8
+    fxs, specs = [], []
+    for i in range(n_entities):
+        fx = SynapseFixture(str(tmp_path / f"src{i}"))
+        fx.upload_batch(minus(hours=2), update_changelog=True)
+        fxs.append(fx)
+        specs.append(
+            StreamSpec(
+                entity_name=ENTITY,
+                source_root=str(tmp_path / f"src{i}"),
+                target_root=str(tmp_path / f"tgt{i}"),
+            )
+        )
+    m = MultiEntityRunner(spark, specs, max_workers=8)
+    assert m.backfill_all() == {s.target_root: 5 for s in specs}
+    t0 = specs[0].target_root
+    wm0 = m.runners[t0].table.watermark()
+
+    # suspend entity 0, then a change folder lands for EVERY entity
+    m.suspend_entity(t0)
+    assert m.states()[t0] == "suspended"
+    assert all(v == "running" for k, v in m.states().items() if k != t0)
+    folders = [
+        fx.upload_batch(minus(minutes=10), add_upsert=True, update_changelog=True)
+        for fx in fxs
+    ]
+    merged = m.run_once_all()
+    assert merged[t0] == 0  # paused: no scan, no merge
+    assert m.runners[t0].table.watermark() == wm0
+    assert m.runners[t0].table.read(spark).count() == 5
+    for i, spec in enumerate(specs[1:], start=1):
+        r = m.runners[spec.target_root]
+        assert merged[spec.target_root] == 1
+        assert r.table.read(spark).count() == 7
+        assert r.table.watermark() == folders[i]
+
+    # resume: only entity 0 has backlog; it drains, others no-op
+    m.resume_entity(t0)
+    merged = m.run_once_all()
+    assert merged[t0] == 1
+    assert all(merged[s.target_root] == 0 for s in specs[1:])
+    assert m.runners[t0].table.read(spark).count() == 7
+    assert m.runners[t0].table.watermark() == folders[0]
+
+    # per-entity reload: entity 1 re-backfills in place; nobody else moves
+    t1 = specs[1].target_root
+    counts_before = {
+        s.target_root: m.runners[s.target_root].table.read(spark).count()
+        for s in specs
+    }
+    m.reload_entity(t1)
+    assert m.states()[t1] == "reload-requested"
+    merged = m.run_once_all()
+    assert merged[t1] == 0  # the reload tick reports no folders consumed
+    assert m.states()[t1] == "running"
+    got = {
+        s.target_root: m.runners[s.target_root].table.read(spark).count()
+        for s in specs
+    }
+    assert got == counts_before  # re-backfill reproduces the same state
+    # unknown target is a clear error, not a silent no-op
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="known targets"):
+        m.suspend_entity(str(tmp_path / "nope"))

@@ -1653,3 +1653,162 @@ def test_doc_concat_detect_flags_glued_documents(spark, tmp_path):
     assert got[2]["half_jaccard_ppm"] == 0  # disjoint halves
     assert got[2]["suspect_concat"]
     assert got[3]["half_jaccard_ppm"] == 0 and not got[3]["suspect_concat"]  # too short
+
+
+def test_doc_concat_detect_long_document_no_overflow(spark, tmp_path):
+    """A document whose halves share >2147 distinct words must not abort:
+    size() is 32-bit, so the ppm multiply needs BIGINT promotion (ANSI mode
+    turns the overflow into ARITHMETIC_OVERFLOW instead of a wrap)."""
+    from arcane_stream_microsoft_synapse_link_spark.plans import QUERIES
+
+    # 6000 distinct words, each appearing in both halves → intersect ≈ 6000.
+    vocab = " ".join(f"w{i}" for i in range(6000))
+    long_doc = vocab + " " + vocab
+    spark.createDataFrame(
+        [(1, long_doc, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["ops_doc_concat_detect"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["half_jaccard_ppm"] == 1_000_000
+    assert not rows[0]["suspect_concat"]
+
+
+def test_exact_substring_dedup_planted(spark):
+    """Planted ExactSubstr semantics at L=4: cross-doc duplicated run is
+    cut from the SECOND doc only (first-occurrence-keeps), overlapping
+    anchors extend to the maximal shared run, a within-doc repeat loses
+    its second copy, sub-threshold docs and empty docs pass untouched."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.dedup import (
+        exact_substring_dedup,
+    )
+
+    rows = [
+        (1, "a b c d e f"),                    # first occurrence — kept whole
+        (2, "x y a b c d e z"),                # shares "a b c d e" with doc 1
+        (3, "p q r s t u p q r s t u"),        # self-repeat, period 6 >= L
+        (4, "a b c"),                          # < L tokens: never touched
+        (5, ""),                               # empty doc must survive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(df, min_len=4).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    # doc 1 is the global first occurrence of every duplicated gram
+    assert got[1]["n_removed"] == 0 and got[1]["cleaned"] == "a b c d e f"
+    # doc 2 loses the full maximal run "a b c d e" (5 tokens from two
+    # overlapping 4-gram anchors), keeps its unique frame
+    assert got[2]["n_removed"] == 5 and got[2]["cleaned"] == "x y z"
+    # doc 3's second copy of the 6-token run is cut, first copy intact
+    assert got[3]["n_tokens"] == 12 and got[3]["n_removed"] == 6
+    assert got[3]["cleaned"] == "p q r s t u"
+    # sub-threshold and empty docs are identity
+    assert got[4]["n_removed"] == 0 and got[4]["cleaned"] == "a b c"
+    assert got[5]["n_tokens"] == 0 and got[5]["cleaned"] == ""
+
+
+def test_exact_substring_dedup_nested_and_adjacent(spark):
+    """Nested (a long run containing a shorter duplicated run) and
+    adjacent duplicated runs merge in the interval union — no token is
+    double-counted and the cut is the union of maximal matches."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.dedup import (
+        exact_substring_dedup,
+    )
+
+    # doc 1 holds both runs; doc 2 glues them adjacently; doc 3 nests
+    # run A inside fresh context.
+    run_a = "a1 a2 a3 a4 a5"
+    run_b = "b1 b2 b3 b4"
+    rows = [
+        (1, f"{run_a} mid1 mid2 {run_b}"),
+        (2, f"{run_a} {run_b}"),               # adjacent: union = 9 tokens
+        (3, f"u1 u2 {run_a} u3 u4"),           # nested in unique context
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(df, min_len=4).collect()
+    }
+    assert got[1]["n_removed"] == 0
+    assert got[2]["n_removed"] == 9 and got[2]["cleaned"] == ""
+    assert got[3]["n_removed"] == 5 and got[3]["cleaned"] == "u1 u2 u3 u4"
+
+
+def test_unigram_encode_id_col_needing_backticks(spark):
+    """ADVICE r9: an id column whose name needs backticks (spaces) must
+    work — the mapInPandas schema is a StructType, not a DDL f-string."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    train_docs = spark.createDataFrame(
+        [(i, "orbit penguin orbit cactus") for i in range(4)],
+        "doc_id long, text string",
+    )
+    model = unigram_train(train_docs)
+    docs = spark.createDataFrame(
+        [("u1", "orbit penguin")], ["doc id", "text"]
+    )
+    enc = unigram_encode(docs, model, id_col="doc id")
+    assert enc.columns == ["doc id", "n_words", "n_pieces", "pieces_md5"]
+    assert enc.collect()[0]["doc id"] == "u1"
+
+
+def test_bpe_bytes_train_matches_sequential_reference(spark, sf_dir):
+    """The distributed byte-level trainer's merge table equals the
+    independent sequential byte-BPE reference on the real corpus —
+    exact, all 10 ranks — and the distributed loop (forced by a tiny
+    driver_vocab_limit) produces the identical table."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import (
+        bpe_bytes_train,
+    )
+    from arcane_stream_microsoft_synapse_link_spark.plans.values_oracle import (
+        ref_bpe_bytes_train,
+    )
+
+    from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
+
+    docs = Tables(spark, sf_dir).documents
+    expected = [(r, l, rt, c) for r, l, rt, _, c in ref_bpe_bytes_train(sf_dir, 10)]
+    merges, vocab = bpe_bytes_train(docs, n_merges=10)
+    vocab.unpersist()
+    assert merges == expected
+    merges_dist, vocab_dist = bpe_bytes_train(docs, n_merges=4, driver_vocab_limit=1)
+    vocab_dist.unpersist()
+    assert merges_dist == expected[:4]
+
+
+def test_bpe_bytes_encode_no_oov_on_any_script(spark):
+    """The no-OOV contract: emoji, CJK, umlauts, digits, punctuation —
+    every whitespace word encodes (to its byte count when no merge
+    applies), nothing is dropped, and n_bytes is the true UTF-8 length."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import (
+        bpe_bytes_encode,
+        bpe_bytes_train,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "hello hello world") for i in range(3)], "doc_id long, text string"
+    )
+    merges, vocab = bpe_bytes_train(train, n_merges=6)
+    vocab.unpersist()
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "\U0001F600 中文 café 123 !?"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bpe_bytes_encode(docs, merges).collect()}
+    # trained words compress: "hello" -> 1 token after 4 merges of its chain
+    assert got[1]["n_words"] == 2 and got[1]["n_tokens"] < got[1]["n_bytes"]
+    # untrained scripts fall back to raw bytes — present, never dropped
+    assert got[2]["n_words"] == 5
+    assert got[2]["n_bytes"] == 4 + 6 + 5 + 3 + 2  # emoji + CJK + café + 123 + !?
+    assert got[2]["n_tokens"] == got[2]["n_bytes"]  # no merges learned for them
+    # whitespace-only doc is omitted, mirroring the reference explode
+    assert 3 not in got

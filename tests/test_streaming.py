@@ -1546,3 +1546,109 @@ def test_dedup_stream_inline_compaction(spark, tmp_path):
     assert 300 not in admitted and 301 in admitted
     hits = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(f"{work}/hits").collect()}
     assert (300, 1) in hits
+
+
+def test_compact_batches_single_compactor_lock(spark, tmp_path):
+    """ADVICE r9: a cadence compactor racing a gate's in-step compaction
+    must not double-run — a held ``_compact.lock`` makes the loser skip
+    the cycle untouched; a STALE lock (crashed compactor) is stolen; and
+    a pending_delete name re-referenced by the live manifest is never
+    physically deleted."""
+    import json
+    import os
+    import time
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming import structured as st
+
+    root = str(tmp_path / "state")
+    for b in range(4):
+        st.write_batch(
+            spark.createDataFrame([(b, f"v{b}")], "id long, v string"), root, b
+        )
+    # a live lock held by "another" compactor → this run is a no-op
+    lock = os.path.join(root, st._COMPACT_LOCK)
+    with open(lock, "w") as f:
+        f.write("9999")
+    assert st.compact_batches(spark, root, keep_last=1) == 0
+    assert not os.path.exists(os.path.join(root, st._COMPACT_MANIFEST))
+    assert os.path.exists(lock)  # loser must not release the holder's lock
+    # stale lock (older than TTL) is stolen and compaction proceeds
+    old = time.time() - st._COMPACT_LOCK_TTL_S - 10
+    os.utime(lock, (old, old))
+    assert st.compact_batches(spark, root, keep_last=1) == 3
+    assert not os.path.exists(lock)  # released after the cycle
+    # defense in depth: a pending_delete name that the live manifest still
+    # references survives the grace-period sweep
+    mpath = os.path.join(root, st._COMPACT_MANIFEST)
+    m = json.loads(open(mpath).read())
+    live_seg = m["segments"][0]["dir"]
+    m["pending_delete"] = sorted(set(m.get("pending_delete", [])) | {live_seg})
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    st.compact_batches(spark, root, keep_last=1)
+    assert os.path.isdir(os.path.join(root, live_seg))
+    got = {
+        (r["id"], r["v"]) for r in st.read_batches(spark, root).collect()
+    }
+    assert got == {(b, f"v{b}") for b in range(4)}
+
+
+def test_readstream_chunked_large_csv_with_embedded_newlines(spark, tmp_path):
+    """Sub-file parallelism for huge batch CSVs (the 100×-volume intake
+    gap): a single large CSV is planned as multiple parity-safe byte
+    ranges, the parse fans out across workers, and the merged target is
+    byte-identical to the unsplit read — including rows whose quoted
+    display value embeds newlines (parity cuts never land inside them)."""
+    import os
+    from datetime import datetime
+
+    from arcane_stream_microsoft_synapse_link_spark.sources.stream import (
+        SynapseLinkStreamReader,
+    )
+    from arcane_stream_microsoft_synapse_link_spark.streaming.runner import StreamSpec
+    from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+    from .synapse_fixture import data_row, model_json
+
+    fx = SynapseFixture(tmp_path / "source")
+    n = 4000
+    rows = []
+    for i in range(n):
+        disp = f"multi\nline\nD{i}" if i % 7 == 0 else f"D{i}"
+        rows.append(data_row(f"{i:08d}-aaaa-bbbb-cccc-ddddeeee0000", 5_000_000_000 + i, disp))
+    ts = datetime(2021, 7, 1, 12, 0, 0)
+    name = fx.folder_name(ts)
+    d = os.path.join(fx.root, name, ENTITY)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(fx.root, name, "model.json"), "w") as fh:
+        fh.write(model_json())
+    with open(os.path.join(d, "data.csv"), "w") as fh:
+        fh.write("\n".join(rows) + "\n")
+    fx.set_changelog(name)
+
+    # the planner must actually split: probe partitions() directly
+    reader = SynapseLinkStreamReader(str(tmp_path / "source"), ENTITY, chunk_bytes=64 * 1024)
+    parts = reader.partitions({"folder": ""}, reader.latestOffset())
+    assert len(parts) > 4, [p.offset for p in parts]
+    assert parts[0].offset == 0 and all(p.offset > 0 for p in parts[1:])
+
+    spec = StreamSpec(
+        entity_name=ENTITY,
+        source_root=str(tmp_path / "source"),
+        target_root=str(tmp_path / "target"),
+    )
+    import arcane_stream_microsoft_synapse_link_spark.sources.stream as stream_mod
+    old = stream_mod.DEFAULT_CHUNK_BYTES
+    stream_mod.DEFAULT_CHUNK_BYTES = 64 * 1024
+    try:
+        q = run_structured(spark, spec, str(tmp_path / "ckpt"), available_now=True)
+        q.awaitTermination(120)
+    finally:
+        stream_mod.DEFAULT_CHUNK_BYTES = old
+    got = VersionedTable(spec.target_root).read(spark)
+    assert got.count() == n
+    sample = {
+        r["Id"]: r["displayvalue"]
+        for r in got.where("Id like '0000000%'").collect()
+    }
+    assert sample["00000000-aaaa-bbbb-cccc-ddddeeee0000"] == "multi\nline\nD0"
+    assert sample["00000001-aaaa-bbbb-cccc-ddddeeee0000"] == "D1"

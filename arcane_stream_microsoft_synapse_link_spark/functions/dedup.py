@@ -1160,8 +1160,42 @@ def span_dedup(
         )
     )
 
+def exact_substring_grams(
+    df: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_id, start, h)`` — md5 of every stride-1 ``min_len``-token
+    window (1-based token start).  The anchor stream
+    ``exact_substring_dedup`` consumes, exposed separately so the
+    streaming gate can append a batch's gram hashes to its persisted
+    index without recomputing the dedup."""
+    L = min_len
+    w = df.select(
+        F.col(id_col).alias("doc_id"), _span_word_array(text_col).alias("_ws")
+    )
+    return (
+        w.select(
+            "doc_id",
+            F.posexplode_outer(
+                F.when(
+                    F.size("_ws") >= L,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_ws") - (L - 1)),
+                        lambda i: F.md5(F.array_join(F.slice("_ws", i, L), " ")),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("_p", "h"),
+        )
+        .where(F.col("h").isNotNull())
+        .select("doc_id", (F.col("_p") + 1).alias("start"), "h")
+    )
+
+
 def exact_substring_dedup(
     df: DataFrame,
+    known: DataFrame | None = None,
     min_len: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -1197,6 +1231,13 @@ def exact_substring_dedup(
     (dedup.py:span_dedup).  No all-pairs stage, no suffix array, no
     driver state at any corpus size.
 
+    With ``known`` (a ``(h)`` DataFrame of gram hashes already admitted
+    by earlier batches/crawls) EVERY occurrence of a known gram is
+    removed — its keeper copy lives in the prior corpus — and only fresh
+    grams compete for within-batch keep-first: the streaming-gate form
+    (run_exact_substring_stream), the same contract as ``span_dedup``'s
+    known index at token granularity.
+
     Returns ``(doc_id, n_tokens, n_removed, cleaned)`` — counts plus the
     surviving tokens reassembled in order (empty string when everything
     was removed or the doc had no tokens).
@@ -1205,20 +1246,18 @@ def exact_substring_dedup(
     w = df.select(
         F.col(id_col).alias("doc_id"), _span_word_array(text_col).alias("_ws")
     )
-    grams = w.select(
-        "doc_id",
-        F.posexplode_outer(
-            F.when(
-                F.size("_ws") >= L,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_ws") - (L - 1)),
-                    lambda i: F.md5(F.array_join(F.slice("_ws", i, L), " ")),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("_p", "h"),
-    ).where(F.col("h").isNotNull()).select(
-        "doc_id", (F.col("_p") + 1).alias("start"), "h"
-    )
+    grams = exact_substring_grams(df, min_len, text_col, id_col)
+    if known is not None:
+        # streaming-gate form: every occurrence of a gram already in the
+        # persisted index is removed — its keeper copy was admitted by an
+        # earlier batch (the span_dedup known-index contract at token
+        # granularity); only fresh grams compete for within-batch
+        # keep-first.
+        known_h = known.select("h").distinct()
+        removed_known = grams.join(known_h, "h").select("doc_id", "start")
+        grams = grams.join(known_h, "h", "left_anti")
+    else:
+        removed_known = None
     firsts = (
         grams.groupBy("h")
         .agg(
@@ -1237,6 +1276,8 @@ def exact_substring_dedup(
         )
         .select("doc_id", "start")
     )
+    if removed_known is not None:
+        removed_occ = removed_occ.unionByName(removed_known)
     removed_tids = (
         removed_occ.select(
             "doc_id",

@@ -1346,3 +1346,225 @@ def unigram_encode(
                 )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (Schuster & Nakajima 2012; the BERT tokenizer)
+# ---------------------------------------------------------------------------
+
+
+def _wordpiece_symbolize(w: str) -> tuple[str, ...]:
+    """BERT-style initial symbolization: word-initial char plain, every
+    continuation char prefixed ``##`` — merged symbols inherit the
+    head's form (``c + ##at -> cat``, ``##a + ##t -> ##at``)."""
+    return tuple([w[0], *(f"##{c}" for c in w[1:])])
+
+
+def _wp_merge(left: str, right: str) -> str:
+    return left + (right[2:] if right.startswith("##") else right)
+
+
+def wordpiece_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    driver_vocab_limit: int = 2_000_000,
+) -> list[tuple[int, str, str, str, int, int, int]]:
+    """WordPiece training — the third classic subword algorithm next to
+    BPE (``bpe_train``) and unigram-LM (``unigram_train``): each round
+    merges the adjacent pair maximizing the LIKELIHOOD gain
+    ``count(pair) / (count(left) * count(right))`` — BPE's rule is raw
+    pair count; WordPiece normalizes by the parts' own frequencies, so
+    it prefers pairs that co-occur more than chance, not just often.
+
+    Scale shape: the corpus collapses to the distinct-word frequency
+    table first (one distributed pass — the only corpus scan, same
+    Heaps-law compression as ``bpe_train``); the merge loop then runs
+    driver-side over the collected vocabulary.  Unlike BPE there is no
+    distributed merge-loop branch: the argmax is over a RATIONAL score,
+    and cross-engine determinism demands exact fraction comparison
+    (``c1*a2*b2 <=> c2*a1*b1`` in unbounded ints) which a float orderBy
+    cannot guarantee — a vocabulary beyond ``driver_vocab_limit`` (2M
+    words; Heaps' law keeps natural language far below it at any corpus
+    size) raises rather than silently degrading determinism.
+
+    Tie-break: exact score DESC, then (left, right) ASC.  Returns
+    ``(rank, left, right, merged, pair_count, left_count, right_count)``
+    — all integers, so the table is hash-stable across engines.
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .where(F.length("w") >= 2)
+    )
+    rows = words.collect()
+    if len(rows) > driver_vocab_limit:
+        raise ValueError(
+            f"wordpiece_train: vocabulary {len(rows)} exceeds "
+            f"driver_vocab_limit={driver_vocab_limit}; exact-fraction argmax "
+            "is driver-side by design (see docstring)"
+        )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        key = _wordpiece_symbolize(r["w"])
+        vocab[key] = vocab.get(key, 0) + int(r["wcnt"])
+    merges: list[tuple[int, str, str, str, int, int, int]] = []
+    for rank in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        sc: dict[str, int] = {}
+        for sym, c in vocab.items():
+            for s in sym:
+                sc[s] = sc.get(s, 0) + c
+            for i in range(len(sym) - 1):
+                k = (sym[i], sym[i + 1])
+                pc[k] = pc.get(k, 0) + c
+        if not pc:
+            break
+        best = None
+        for (l, r), c in pc.items():
+            cand = (c, sc[l], sc[r], l, r)
+            if best is None:
+                best = cand
+                continue
+            # exact fraction compare: c/(a*b) vs best — cross-multiplied
+            lhs = c * best[1] * best[2]
+            rhs = best[0] * sc[l] * sc[r]
+            if lhs > rhs or (lhs == rhs and (l, r) < (best[3], best[4])):
+                best = cand
+        c, la, rb, l, r = best
+        merges.append((rank, l, r, _wp_merge(l, r), c, la, rb))
+        nxt: dict[tuple[str, ...], int] = {}
+        for sym, cnt in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(_wp_merge(l, r))
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + cnt
+        vocab = nxt
+    return merges
+
+
+def wordpiece_vocab(docs: DataFrame, merges: list[tuple], text_col: str = "text") -> set[str]:
+    """The encode-time vocabulary: every single-char unit seen in
+    training (word-initial plain + ``##`` continuation) plus each
+    merge's output symbol."""
+    chars = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .select(F.explode(F.split(F.col("w"), "")).alias("c"))
+        .where(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    vocab = set()
+    for r in chars:
+        vocab.add(r["c"])
+        vocab.add(f"##{r['c']}")
+    for m in merges:
+        vocab.add(m[3] if len(m) >= 4 else _wp_merge(m[0], m[1]))
+    return vocab
+
+
+def wordpiece_encode_word(word: str, vocab: set[str]) -> list[str]:
+    """Greedy longest-match-first (the BERT runtime rule): repeatedly
+    take the LONGEST vocab prefix of the remainder (``##``-prefixed
+    after the first piece); if no prefix matches, the whole word is
+    ``[UNK]``.  Pure function; deterministic."""
+    out: list[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        j = n
+        piece = None
+        while j > i:
+            cand = word[i:j] if i == 0 else f"##{word[i:j]}"
+            if cand in vocab:
+                piece = cand
+                break
+            j -= 1
+        if piece is None:
+            return ["[UNK]"]
+        out.append(piece)
+        i = j
+    return out
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    merges: list[tuple],
+    vocab: set[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed WordPiece encoding — the ``bpe_encode`` economics
+    (distinct words segmented ONCE in Arrow ``mapInPandas`` with the
+    vocab set in the closure, per-doc totals via one word-key join +
+    agg).  Returns ``(id, n_words, n_pieces, n_unk, pieces_md5)`` —
+    ``n_unk`` counts words that fell to ``[UNK]`` (chars unseen in
+    training), the coverage signal a tokenizer report carries."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    toks = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0).alias(
+            "_ws"
+        ),
+    ).select(F.col(id_col), F.explode("_ws").alias("w"))
+    distinct_words = toks.select("w").distinct()
+
+    out_schema = T.StructType(
+        [
+            T.StructField("w", T.StringType()),
+            T.StructField("w_pieces", T.LongType()),
+            T.StructField("w_unk", T.LongType()),
+            T.StructField("w_md5", T.StringType()),
+        ]
+    )
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            np_, nu, md = [], [], []
+            for w in pdf["w"]:
+                pieces = wordpiece_encode_word(w, vocab)
+                np_.append(len(pieces))
+                nu.append(1 if pieces == ["[UNK]"] else 0)
+                md.append(hashlib.md5(" ".join(pieces).encode()).hexdigest())
+            yield pd.DataFrame(
+                {"w": pdf["w"], "w_pieces": np_, "w_unk": nu, "w_md5": md}
+            )
+
+    encoded = distinct_words.mapInPandas(seg, schema=out_schema)
+    return (
+        toks.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w_pieces").alias("n_pieces"),
+            F.sum("w_unk").alias("n_unk"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("w", "w_md5"))),
+                        lambda st: st["w_md5"],
+                    ),
+                )
+            ).alias("pieces_md5"),
+        )
+    )

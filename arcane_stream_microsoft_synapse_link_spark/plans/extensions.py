@@ -1460,14 +1460,27 @@ def ops_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost at sf0.1 is 0.94 s at rsd 0.01 vs 0.28 s at 0.02 for an answer
     that differs by <1% here. Sub-1% requirements belong to the mergeable
     DataSketches path (ops_hll_sketch) or exact salted counting
-    (ops_salted_distinct)."""
+    (ops_salted_distinct).
+
+    Exact and approx run as SEPARATE aggregations cross-joined at one
+    row each — never in one agg: Catalyst plans mixed
+    count_distinct + approx_count_distinct as Expand → HashAggregate
+    keyed on (key, gid) with the partial HLL buffers attached to EVERY
+    expanded group, so the shuffled state becomes |distinct keys| ×
+    KB-sized HLL buffers — measured 27× for 10× data on the sf1 corpus
+    (the one flag of the round-10 SCALE_OPS_D2 sweep) vs 2.7× split.
+    Split, the exact side shuffles bare distinct keys and the approx
+    side carries exactly two map-side-mergeable buffers total."""
     t = Tables(spark, sf_dir)
-    return t.lineitem.agg(
+    exact = t.lineitem.agg(
         F.count_distinct(F.col("l_partkey")).cast("bigint").alias("exact_part"),
         F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("exact_supp"),
+    )
+    apx = t.lineitem.agg(
         F.approx_count_distinct("l_partkey", 0.02).cast("bigint").alias("_ap"),
         F.approx_count_distinct("l_suppkey", 0.02).cast("bigint").alias("_as"),
-    ).select(
+    )
+    return exact.crossJoin(apx).select(
         "exact_part",
         "exact_supp",
         (
@@ -4464,3 +4477,42 @@ def ops_bpe_bytes_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, vocab = X.bpe_bytes_train(t.documents, n_merges=10)
     vocab.unpersist()
     return X.bpe_bytes_encode(t.documents, merges).orderBy("doc_id")
+
+@query("ops_wordpiece_train")
+def ops_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece training (Schuster & Nakajima 2012, the BERT tokenizer)
+    — the third classic subword algorithm, completing the trio with BPE
+    (raw pair-count argmax) and unigram-LM (Viterbi pruning): each round
+    merges the pair maximizing the likelihood gain
+    count(pair)/(count(left)·count(right)), compared as exact
+    cross-multiplied integers so the table is deterministic across
+    engines (functions/text.py:wordpiece_train — corpus pass
+    distributed, merge loop driver-side over the Heaps-compressed
+    vocabulary by design; see docstring).  Oracle: independent
+    sequential reference (plans/values_oracle.py:ref_wordpiece_train,
+    pinned to sf0.01)."""
+    t = Tables(spark, sf_dir)
+    merges = X.wordpiece_train(t.documents, n_merges=10)
+    df = local_df(
+        spark,
+        merges,
+        "merge_rank long, left_sym string, right_sym string, merged string, "
+        "pair_count long, left_count long, right_count long",
+    )
+    return df.orderBy("merge_rank")
+
+
+@query("ops_wordpiece_encode")
+def ops_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece train → ENCODE: greedy longest-match-first against the
+    trained vocabulary (##-continuation pieces, whole-word [UNK] on an
+    unseen char — n_unk is the coverage column a tokenizer report
+    carries).  Distinct words segmented once in Arrow mapInPandas with
+    the vocab set in the closure, per-doc totals via one word-key join +
+    agg (the ops_bpe_encode economics).  Oracle: independent sequential
+    train+encode reference (plans/values_oracle.py:ref_wordpiece_encode,
+    pinned to sf0.01)."""
+    t = Tables(spark, sf_dir)
+    merges = X.wordpiece_train(t.documents, n_merges=10)
+    vocab = X.wordpiece_vocab(t.documents, merges)
+    return X.wordpiece_encode(t.documents, merges, vocab).orderBy("doc_id")

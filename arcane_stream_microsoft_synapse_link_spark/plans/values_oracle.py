@@ -438,6 +438,126 @@ def ref_bpe_bytes_encode(sf_dir: str, n_merges: int = 10) -> list[tuple]:
     return sorted(rows)
 
 
+def _ref_wp_merge(left: str, right: str) -> str:
+    return left + (right[2:] if right.startswith("##") else right)
+
+
+def ref_wordpiece_train(sf_dir: str, n_merges: int = 10) -> list[tuple]:
+    """(rank, left, right, merged, pair_count, left_count, right_count) —
+    sequential WordPiece: likelihood score count(pair)/(count(l)count(r))
+    compared as exact cross-multiplied integers, tie-break (left, right)
+    ASC; greedy left-to-right merge.  Independent of engine code."""
+    from collections import Counter
+
+    wc = Counter(
+        w
+        for _, t in _documents(sf_dir)
+        for w in re.findall("[a-z]+", (t or "").lower())
+    )
+    vocab: dict[tuple, int] = {}
+    for w, c in wc.items():
+        if len(w) < 2:
+            continue
+        key = tuple([w[0], *(f"##{ch}" for ch in w[1:])])
+        vocab[key] = vocab.get(key, 0) + c
+    out = []
+    for rank in range(n_merges):
+        pc: Counter = Counter()
+        sc: Counter = Counter()
+        for sym, c in vocab.items():
+            for s in sym:
+                sc[s] += c
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += c
+        if not pc:
+            break
+        best = None
+        for (l, r), c in pc.items():
+            if best is None:
+                best = (c, sc[l], sc[r], l, r)
+                continue
+            lhs = c * best[1] * best[2]
+            rhs = best[0] * sc[l] * sc[r]
+            if lhs > rhs or (lhs == rhs and (l, r) < (best[3], best[4])):
+                best = (c, sc[l], sc[r], l, r)
+        c, la, rb, l, r = best
+        out.append((rank, l, r, _ref_wp_merge(l, r), c, la, rb))
+        nxt: dict[tuple, int] = {}
+        for sym, cnt in vocab.items():
+            merged, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    merged.append(_ref_wp_merge(l, r))
+                    i += 2
+                else:
+                    merged.append(sym[i])
+                    i += 1
+            key = tuple(merged)
+            nxt[key] = nxt.get(key, 0) + cnt
+        vocab = nxt
+    return out
+
+
+def ref_wordpiece_encode(sf_dir: str, n_merges: int = 10) -> list[tuple]:
+    """(doc_id, n_words, n_pieces, n_unk, pieces_md5) — sequential
+    WordPiece encode: vocab = training chars (plain + ##) + merge
+    outputs; greedy longest-match-first, whole word → [UNK] on a miss.
+    pieces_md5 = md5 of the space-joined per-occurrence word-piece md5s
+    sorted by word (the engine's order-free per-doc digest)."""
+    merges = ref_wordpiece_train(sf_dir, n_merges)
+    vocab: set[str] = set()
+    for _, t in _documents(sf_dir):
+        for w in re.findall("[a-z]+", (t or "").lower()):
+            for ch in set(w):
+                vocab.add(ch)
+                vocab.add(f"##{ch}")
+    for m in merges:
+        vocab.add(m[3])
+
+    def enc(word: str) -> list[str]:
+        out, i, n = [], 0, len(word)
+        while i < n:
+            j = n
+            piece = None
+            while j > i:
+                cand = word[i:j] if i == 0 else f"##{word[i:j]}"
+                if cand in vocab:
+                    piece = cand
+                    break
+                j -= 1
+            if piece is None:
+                return ["[UNK]"]
+            out.append(piece)
+            i = j
+        return out
+
+    memo: dict[str, tuple[int, int, str]] = {}
+    rows = []
+    for doc_id, text in _documents(sf_dir):
+        words = re.findall("[a-z]+", (text or "").lower())
+        if not words:
+            continue
+        n_pieces = n_unk = 0
+        occ = []
+        for w in words:
+            got = memo.get(w)
+            if got is None:
+                pieces = enc(w)
+                got = (
+                    len(pieces),
+                    1 if pieces == ["[UNK]"] else 0,
+                    hashlib.md5(" ".join(pieces).encode()).hexdigest(),
+                )
+                memo[w] = got
+            n_pieces += got[0]
+            n_unk += got[1]
+            occ.append((w, got[2]))
+        occ.sort()
+        digest = hashlib.md5(" ".join(md for _, md in occ).encode()).hexdigest()
+        rows.append((doc_id, len(words), n_pieces, n_unk, digest))
+    return sorted(rows)
+
+
 def ref_simhash_near_dup(sf_dir: str, max_hamming: int = 8, band_bits: int = 16) -> list[tuple]:
     """(id_a, id_b, hamming) — sequential SimHash (pandas SipHash word
     hash, bit votes), banded candidate generation, exact Hamming verify."""
@@ -2153,6 +2273,28 @@ def build() -> dict[str, str]:
                     ("n_words", "BIGINT"),
                     ("n_tokens", "BIGINT"),
                     ("n_bytes", "BIGINT"),
+                ],
+            ),
+            "ops_wordpiece_train": sql_values(
+                ref_wordpiece_train(_SF_PIN),
+                [
+                    ("merge_rank", "BIGINT"),
+                    ("left_sym", "VARCHAR"),
+                    ("right_sym", "VARCHAR"),
+                    ("merged", "VARCHAR"),
+                    ("pair_count", "BIGINT"),
+                    ("left_count", "BIGINT"),
+                    ("right_count", "BIGINT"),
+                ],
+            ),
+            "ops_wordpiece_encode": sql_values(
+                ref_wordpiece_encode(_SF_PIN),
+                [
+                    ("doc_id", "BIGINT"),
+                    ("n_words", "BIGINT"),
+                    ("n_pieces", "BIGINT"),
+                    ("n_unk", "BIGINT"),
+                    ("pieces_md5", "VARCHAR"),
                 ],
             ),
             "ops_unigram_train": sql_values(

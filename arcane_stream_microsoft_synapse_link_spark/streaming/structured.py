@@ -572,6 +572,78 @@ def run_span_dedup_stream(
     )
 
 
+def run_exact_substring_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    work_dir: str,
+    checkpoint_dir: str,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fault_hook: FaultHook | None = None,
+    compact_every: int | None = None,
+):
+    """Streaming ExactSubstr removal: every micro-batch's verbatim
+    duplicated runs of >= ``min_len`` tokens are cut against the
+    ACCUMULATED gram-hash index before admission — the intake twin of
+    ``functions.dedup.exact_substring_dedup`` (the batch entry
+    ops_exact_substring_dedup), extending the gate family from
+    fixed-granularity spans (run_span_dedup_stream) to the exact
+    token-range form.
+
+    Per micro-batch (foreachBatch):
+
+    1. clean the batch with ``exact_substring_dedup(batch, known=index)``
+       — grams already in the index are removed from EVERY batch
+       occurrence (their keeper run was admitted earlier); fresh grams
+       get the within-batch global-keep-first rule.  Only the batch is
+       hashed — the admitted corpus is never re-hashed, O(batch) like
+       every other gate;
+    2. append the cleaned documents to ``corpus/``;
+    3. append the batch's not-yet-known distinct gram hashes to
+       ``gram_index/`` (hash-only rows — at 100 TB the index is one
+       32-byte hash per admitted token position, partition-pruned by the
+       gate's compaction cadence like the other stores).
+
+    Hashes are taken from the ORIGINAL batch text (ExactSubstr
+    semantics: runs created by stitching tokens around a removal are not
+    re-checked).  Replay-idempotent via the module's batch_id-keyed
+    ``write_batch`` overwrite + ``read_batches(before=batch_id)``
+    discipline."""
+    from ..functions.dedup import exact_substring_dedup, exact_substring_grams
+
+    idx_dir = os.path.join(work_dir, "gram_index")
+    corpus_dir = os.path.join(work_dir, "corpus")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(id_col, text_col).localCheckpoint()
+        known = read_batches(spark, idx_dir, before=batch_id)
+        cleaned = exact_substring_dedup(
+            batch_df, known, min_len, text_col, id_col
+        ).localCheckpoint()
+        out = batch_df.withColumnsRenamed({id_col: "doc_id"}).join(cleaned, "doc_id")
+        write_batch(out, corpus_dir, batch_id)
+        if fault_hook:
+            fault_hook("after_corpus", batch_id)
+        fresh = (
+            exact_substring_grams(batch_df, min_len, text_col, id_col)
+            .select("h")
+            .distinct()
+        )
+        if known is not None:
+            fresh = fresh.join(known.select("h").distinct(), "h", "left_anti")
+        write_batch(fresh, idx_dir, batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_gate_state(spark, work_dir, keep_last=2)
+
+    return (
+        source.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_decontaminate_stream(
     spark: SparkSession,
     source: DataFrame,

@@ -291,3 +291,34 @@ def test_values_oracles_registered_when_testdata_present():
     }
     missing = promoted - set(ORACLE)
     assert not missing, sorted(missing)
+
+
+def test_scale_ops_d2_covers_ops_surface():
+    """SCALE_OPS_D2.json (the ops-surface second decade, VERDICT r9 item
+    3) must account for EVERY ops_* entry: measured with a finite ratio,
+    or excluded with a written reason — never silently absent — with
+    zero flagged-superlinear entries and no overlap between the two
+    sets."""
+    import json
+    import math
+    import pathlib
+
+    root = pathlib.Path(entry.__file__).resolve().parent
+    d2 = json.loads((root / "SCALE_OPS_D2.json").read_text())
+    ops = {n for n in QUERIES if not n.startswith(("q", "tpch"))}
+    measured = set(d2["per_entry"])
+    excluded = set(d2["excluded"])
+    assert measured & excluded == set()
+    missing = sorted(ops - measured - excluded)
+    stale = sorted((measured | excluded) - ops)
+    assert missing == [], f"ops entries unaccounted for: {missing}"
+    assert stale == [], f"swept entries no longer in registry: {stale}"
+    assert d2["flagged"] == [], f"superlinear ops entries: {d2['flagged']}"
+    bad = {
+        k: v
+        for k, v in d2["per_entry"].items()
+        if v["ratio"] is None or not math.isfinite(v["ratio"])
+    }
+    assert bad == {}, f"entries with failed timings: {bad}"
+    empty_reasons = [k for k, v in d2["excluded"].items() if not str(v).strip()]
+    assert empty_reasons == []

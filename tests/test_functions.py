@@ -1812,3 +1812,59 @@ def test_bpe_bytes_encode_no_oov_on_any_script(spark):
     assert got[2]["n_tokens"] == got[2]["n_bytes"]  # no merges learned for them
     # whitespace-only doc is omitted, mirroring the reference explode
     assert 3 not in got
+
+
+def test_wordpiece_train_likelihood_beats_raw_count(spark):
+    """The discriminating property vs BPE: a pair whose parts are
+    ubiquitous (high count(l)*count(r)) loses to a rarer but
+    tightly-coupled pair.  'ta' appears 30x but t,a are everywhere;
+    'qz' appears only 10x but q and z occur ONLY together → WordPiece
+    merges ##q-ish pair first where BPE would take the count leader."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import (
+        bpe_train,
+        wordpiece_train,
+    )
+
+    # 'tata' floods t/a counts; 'qz' is exclusive: count(q)=count(z)=count(qz)
+    rows = [(i, "tata tata tata qz") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wp = wordpiece_train(docs, n_merges=1)
+    bp, vocab = bpe_train(docs, n_merges=1)
+    vocab.unpersist()
+    assert wp[0][1] == "q" and wp[0][2] == "##z"  # score 10/(10*10)=0.1 wins
+    assert (bp[0][1], bp[0][2]) != ("q", "z")  # BPE takes a 'tata' pair (count 30+)
+
+
+def test_wordpiece_encode_longest_match_and_unk(spark):
+    """Greedy longest-match-first with ## continuation; a word containing
+    a char unseen in training becomes one [UNK]."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import (
+        wordpiece_encode,
+        wordpiece_encode_word,
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "hugging hugging hugging hug") for i in range(5)],
+        "doc_id long, text string",
+    )
+    merges = wordpiece_train(train, n_merges=8)
+    vocab = wordpiece_vocab(train, merges)
+    # longest-match: 'hugging' segments through trained pieces, and any
+    # split must start with the longest vocab prefix
+    pieces = wordpiece_encode_word("hugging", vocab)
+    assert "".join(p.lstrip("#") for p in pieces) == "hugging"
+    assert pieces[0] == max(
+        (p for p in vocab if not p.startswith("##") and "hugging".startswith(p)),
+        key=len,
+    )
+    # unseen char → whole word [UNK]
+    assert wordpiece_encode_word("hug9ing", vocab) == ["[UNK]"]
+    docs = spark.createDataFrame(
+        [(1, "hugging hug"), (2, "zebra")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in wordpiece_encode(docs, merges, vocab).collect()}
+    assert got[1]["n_unk"] == 0 and got[1]["n_words"] == 2
+    # 'zebra' has chars (z,b,r,e,a)... all seen? training had h,u,g,i,n only
+    assert got[2]["n_unk"] == 1 and got[2]["n_pieces"] == 1  # the [UNK] piece

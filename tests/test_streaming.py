@@ -1652,3 +1652,65 @@ def test_readstream_chunked_large_csv_with_embedded_newlines(spark, tmp_path):
     }
     assert sample["00000000-aaaa-bbbb-cccc-ddddeeee0000"] == "multi\nline\nD0"
     assert sample["00000001-aaaa-bbbb-cccc-ddddeeee0000"] == "D1"
+
+
+def test_exact_substring_stream_cross_batch_and_replay(spark, tmp_path):
+    """run_exact_substring_stream: a >=20-token verbatim run admitted in
+    batch 1 is cut from every later occurrence (cross-batch keep-first at
+    token granularity); the within-batch rule keeps the (doc_id,start)-min
+    copy; a crash between the corpus and index appends replays without
+    double-admitting rows or index hashes."""
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_exact_substring_stream,
+    )
+
+    run = " ".join(f"w{i}" for i in range(20))  # exactly the L=20 run
+
+    def uniq(seed):
+        return " ".join(f"u{seed}x{j}" for j in range(25))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    batch1 = [(1, run + " " + uniq(1)), (2, uniq(2)), (3, uniq(5) + " " + run)]
+    batch2 = [(10, uniq(3) + " " + run + " " + uniq(6)), (11, uniq(4))]
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    q = run_exact_substring_stream(spark, stream(), work, ckpt)
+    q.awaitTermination(120)
+
+    got1 = {r["doc_id"]: r for r in spark.read.parquet(f"{work}/corpus").collect()}
+    # within-batch keep-first: doc 1 (min doc_id, start) keeps, doc 3 loses
+    assert got1[1]["n_removed"] == 0
+    assert got1[3]["n_removed"] == 20 and run not in got1[3]["cleaned"]
+    assert got1[2]["n_removed"] == 0
+
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    q2 = run_exact_substring_stream(
+        spark, stream(), work, ckpt, fault_hook=_crash_once("after_corpus", 1)
+    )
+    _await_failure(q2)
+    q3 = run_exact_substring_stream(spark, stream(), work, ckpt)
+    q3.awaitTermination(120)
+
+    corpus = spark.read.parquet(f"{work}/corpus").collect()
+    ids = [r["doc_id"] for r in corpus]
+    assert sorted(ids) == sorted(set(ids)) == [1, 2, 3, 10, 11]
+    got = {r["doc_id"]: r for r in corpus}
+    # cross-batch: doc 10's mid-document run was known from batch 1 → cut,
+    # surrounding unique frame survives intact
+    assert got[10]["n_removed"] == 20 and run not in got[10]["cleaned"]
+    assert uniq(3) in got[10]["cleaned"] and uniq(6) in got[10]["cleaned"]
+    assert got[11]["n_removed"] == 0 and got[11]["cleaned"] == uniq(4)
+    idx = spark.read.parquet(f"{work}/gram_index")
+    assert idx.count() == idx.select("h").distinct().count()
+    # the replayed batch added only its genuinely fresh hashes
+    b0 = spark.read.parquet(f"{work}/gram_index/batch_id=0")
+    b1 = spark.read.parquet(f"{work}/gram_index/batch_id=1")
+    assert b1.join(b0, "h").count() == 0

@@ -1868,3 +1868,63 @@ def test_wordpiece_encode_longest_match_and_unk(spark):
     assert got[1]["n_unk"] == 0 and got[1]["n_words"] == 2
     # 'zebra' has chars (z,b,r,e,a)... all seen? training had h,u,g,i,n only
     assert got[2]["n_unk"] == 1 and got[2]["n_pieces"] == 1  # the [UNK] piece
+
+
+def test_exact_substring_dedup_random_mirror(spark):
+    """Randomized cross-check: engine ExactSubstr vs an independent
+    sequential mirror on seeded corpora engineered for overlap-heavy
+    structure (small vocab + shared motifs → nested/adjacent/overlapping
+    duplicated runs arise organically).  Equality on counts AND the
+    reassembled text, every doc, every seed."""
+    import random
+
+    from arcane_stream_microsoft_synapse_link_spark.functions.dedup import (
+        exact_substring_dedup,
+    )
+
+    L = 5
+
+    def mirror(docs: list[tuple[int, str]]) -> dict[int, tuple[int, int, str]]:
+        toks = {d: (t or "").lower().split() for d, t in docs}
+        occ: dict[tuple, list[tuple[int, int]]] = {}
+        for d, ws in sorted(toks.items()):
+            for s in range(len(ws) - L + 1):
+                occ.setdefault(tuple(ws[s : s + L]), []).append((d, s + 1))
+        removed: dict[int, set[int]] = {d: set() for d, _ in docs}
+        for g, positions in occ.items():
+            if len(positions) < 2:
+                continue
+            positions.sort()
+            for d, s in positions[1:]:
+                removed[d].update(range(s, s + L))
+        out = {}
+        for d, ws in toks.items():
+            keep = [w for i, w in enumerate(ws, start=1) if i not in removed[d]]
+            out[d] = (len(ws), len(removed[d] & set(range(1, len(ws) + 1))), " ".join(keep))
+        return out
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(12)]
+        motifs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(L, 2 * L)))
+            for _ in range(4)
+        ]
+        docs = []
+        for d in range(12):
+            parts = []
+            for _ in range(rng.randint(1, 4)):
+                if rng.random() < 0.6:
+                    parts.append(rng.choice(motifs))
+                else:
+                    parts.append(
+                        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 8)))
+                    )
+            docs.append((d, " ".join(p for p in parts if p)))
+        expect = mirror(docs)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned"])
+            for r in exact_substring_dedup(df, min_len=L).collect()
+        }
+        assert got == expect, f"seed {seed}: {got} != {expect}"

@@ -4516,3 +4516,18 @@ def ops_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = X.wordpiece_train(t.documents, n_merges=10)
     vocab = X.wordpiece_vocab(t.documents, merges)
     return X.wordpiece_encode(t.documents, merges, vocab).orderBy("doc_id")
+
+@query("ops_token_packing_bfd")
+def ops_token_packing_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing — documents stay WHOLE and
+    bins fill greedily (the padding-efficiency upgrade over
+    ops_token_packing's concat-and-chop when attention must not cross
+    document boundaries; see functions/curation.py:bfd_pack for the
+    determinism contract and the per-stratum applyInPandas scale shape —
+    packing runs over the 24-byte-per-doc token-count table, never
+    text).  Oracle: independent sequential BFD mirror
+    (plans/values_oracle.py:ref_token_packing_bfd, pinned to sf0.01)."""
+    from ..functions.curation import bfd_pack
+
+    t = Tables(spark, sf_dir)
+    return bfd_pack(t.documents, budget=4096).orderBy("lang", "seq_id")

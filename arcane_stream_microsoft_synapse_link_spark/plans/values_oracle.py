@@ -438,6 +438,47 @@ def ref_bpe_bytes_encode(sf_dir: str, n_merges: int = 10) -> list[tuple]:
     return sorted(rows)
 
 
+def ref_token_packing_bfd(sf_dir: str, budget: int = 4096) -> list[tuple]:
+    """(lang, seq_id, n_docs, seq_tokens, fill_ppm) — sequential
+    best-fit-decreasing packing mirror: per lang, docs sorted by
+    whitespace-token count DESC (doc_id ASC tie-break), each placed in
+    the fullest bin that still fits (ties → lowest bin id), else a new
+    bin; oversized docs capped at budget alone."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    ws = re.compile(r"\S+")
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for d, lang, text in zip(
+        t.column("doc_id").to_pylist(),
+        t.column("lang").to_pylist(),
+        t.column("text").to_pylist(),
+    ):
+        by_lang.setdefault(lang, []).append((len(ws.findall(text or "")), d))
+    rows = []
+    for lang in sorted(by_lang):
+        docs = sorted(by_lang[lang], key=lambda p: (-p[0], p[1]))
+        loads: list[int] = []
+        ndocs: list[int] = []
+        for tok, _ in docs:
+            eff = min(tok, budget)
+            best, best_load = -1, -1
+            for i, ld in enumerate(loads):
+                if ld + eff <= budget and ld > best_load:
+                    best, best_load = i, ld
+            if best < 0:
+                loads.append(eff)
+                ndocs.append(1)
+            else:
+                loads[best] += eff
+                ndocs[best] += 1
+        for i, (ld, nd) in enumerate(zip(loads, ndocs)):
+            rows.append((lang, i, nd, ld, ld * 1_000_000 // budget))
+    return rows
+
+
 def _ref_wp_merge(left: str, right: str) -> str:
     return left + (right[2:] if right.startswith("##") else right)
 
@@ -2273,6 +2314,16 @@ def build() -> dict[str, str]:
                     ("n_words", "BIGINT"),
                     ("n_tokens", "BIGINT"),
                     ("n_bytes", "BIGINT"),
+                ],
+            ),
+            "ops_token_packing_bfd": sql_values(
+                ref_token_packing_bfd(_SF_PIN),
+                [
+                    ("lang", "VARCHAR"),
+                    ("seq_id", "BIGINT"),
+                    ("n_docs", "BIGINT"),
+                    ("seq_tokens", "BIGINT"),
+                    ("fill_ppm", "BIGINT"),
                 ],
             ),
             "ops_wordpiece_train": sql_values(

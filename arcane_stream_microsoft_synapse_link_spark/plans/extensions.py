@@ -4180,6 +4180,101 @@ def ops_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ops_curation_funnel_langid")
+def ops_curation_funnel_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The langid-FIRST funnel — the stage order every public pipeline
+    the ops family cites actually runs (CCNet/C4/RefinedWeb/FineWeb gate
+    on language before quality and dedup): langid (trained hashed-ngram
+    NB, functions/langid.py — reject when the prediction isn't the
+    target language or the log-odds margin is below 12 nats, the
+    low-confidence drop) → quality → exact-dup → contamination, each
+    document charged to its FIRST rejecting stage so counts sum to the
+    intake.  Extends ops_curation_funnel (kept as the 3-stage SQL-oracle
+    form) with the stage that entry couldn't attribute before the
+    engine could produce a language prediction.  Oracle: sequential
+    mirror (plans/values_oracle.py:ref_curation_funnel_langid, pinned
+    sf0.01 — langid flags from the same numpy NB the driver already
+    verifies via ops_langid)."""
+    from ..functions.langid import langid_fit_predict
+
+    t = Tables(spark, sf_dir)
+    preds = langid_fit_predict(t.documents).select(
+        "doc_id",
+        (
+            (F.col("lang_pred") != F.lit("en"))
+            | (F.col("margin_ppm") < F.lit(12_000_000))
+        ).alias("lreject"),
+    )
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(X.WORD_RE), F.lit(0))
+    bench = t.documents.where(F.col("source") == "src0")
+    corpus = t.documents.where(F.col("source") != "src0")
+    d = corpus.select(
+        "doc_id",
+        "text",
+        F.size(words).alias("n_tokens"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("ur"),
+    )
+    keeper = d.groupBy(F.md5("text").alias("_h")).agg(F.min("doc_id").alias("_keeper"))
+    bench_grams = (
+        bench.select(X.word_ngram_strings(words, 8).alias("_gs"))
+        .select(F.explode("_gs").alias("gram"))
+        .distinct()
+    )
+    contam_ids = (
+        corpus.select("doc_id", F.explode(X.word_ngram_strings(words, 8)).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_contam", F.lit(1))
+    )
+    flags = (
+        d.join(preds, "doc_id")
+        .join(keeper, F.md5(F.col("text")) == F.col("_h"), "left")
+        .join(contam_ids, "doc_id", "left")
+        .select(
+            F.col("lreject"),
+            ((F.col("n_tokens") < 40) | (F.col("ur") < 0.2)).alias("qfail"),
+            (F.col("doc_id") != F.col("_keeper")).alias("dup"),
+            F.col("_contam").isNotNull().alias("contam"),
+        )
+    )
+    c = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("lreject").cast("bigint")).alias("nl"),
+        F.sum((~F.col("lreject") & F.col("qfail")).cast("bigint")).alias("nq"),
+        F.sum(
+            (~F.col("lreject") & ~F.col("qfail") & F.col("dup")).cast("bigint")
+        ).alias("nd"),
+        F.sum(
+            (
+                ~F.col("lreject") & ~F.col("qfail") & ~F.col("dup") & F.col("contam")
+            ).cast("bigint")
+        ).alias("nc"),
+    )
+    stage = lambda rank, name, n_in, n_rej: F.struct(  # noqa: E731
+        F.lit(rank).alias("stage_rank"),
+        F.lit(name).alias("stage"),
+        n_in.alias("n_in"),
+        n_rej.alias("n_rejected"),
+        (n_in - n_rej).alias("n_out"),
+    )
+    n, nl, nq, nd, nc = (F.col(x) for x in ("n", "nl", "nq", "nd", "nc"))
+    return (
+        c.select(
+            F.explode(
+                F.array(
+                    stage(1, "langid", n, nl),
+                    stage(2, "quality", n - nl, nq),
+                    stage(3, "exact_dup", n - nl - nq, nd),
+                    stage(4, "contaminated", n - nl - nq - nd, nc),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy("stage_rank")
+    )
+
+
 ORACLE["ops_curation_funnel"] = r"""
     WITH corpus AS (
         SELECT doc_id, text,
@@ -4516,6 +4611,47 @@ def ops_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = X.wordpiece_train(t.documents, n_merges=10)
     vocab = X.wordpiece_vocab(t.documents, merges)
     return X.wordpiece_encode(t.documents, merges, vocab).orderBy("doc_id")
+
+@query("ops_langid_train")
+def ops_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language-ID model (hashed byte-n-gram multinomial NB —
+    Cavnar & Trenkle 1994 profiles over a fastText-style hashed feature
+    space): the first gate of every public curation pipeline (CCNet, C4,
+    RefinedWeb, FineWeb filter on language BEFORE quality/dedup), and the
+    in-engine producer of the ``lang`` column the curation ops consume
+    (bfd_pack strata, mixture weights).  Unlike ops_lang_id's fixed
+    charset heuristic this is TRAINED on the labeled corpus: one Arrow
+    scan to (label, bucket, cnt) partials, one bounded model-sized
+    shuffle (functions/langid.py:langid_train).  Declared result = the
+    per-lang summary whose model_md5 pins every count in the L×B model.
+    Oracle: independent sequential mirror
+    (plans/values_oracle.py:ref_langid_train, pinned sf0.01)."""
+    from ..functions.langid import langid_doc_counts, langid_model_summary, langid_train
+
+    t = Tables(spark, sf_dir)
+    model = langid_train(t.documents)
+    counts = langid_doc_counts(t.documents)
+    return langid_model_summary(model, counts).orderBy("lang")
+
+
+@query("ops_langid")
+def ops_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID sweep: train the hashed-ngram NB on the labeled corpus,
+    broadcast the bounded L×B log-prob model, score every document in one
+    Arrow pass — (doc_id, lang_pred, margin_ppm), margin = winner's
+    log-odds lead in floor-micro-nats (functions/langid.py:
+    langid_fit_predict; corpus never shuffles).  On this synthetic corpus
+    the labels are near-random w.r.t. text, so the declared result
+    verifies the TRAINING+SCORING machinery bit-for-bit (the
+    ops_quality_classifier discipline) — discrimination skill on actually
+    distinct languages is pytest-proven on planted multilingual text
+    (tests/test_classifier.py).  Oracle: sequential numpy mirror
+    (plans/values_oracle.py:ref_langid, pinned sf0.01)."""
+    from ..functions.langid import langid_fit_predict
+
+    t = Tables(spark, sf_dir)
+    return langid_fit_predict(t.documents).orderBy("doc_id")
+
 
 @query("ops_token_packing_bfd")
 def ops_token_packing_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:

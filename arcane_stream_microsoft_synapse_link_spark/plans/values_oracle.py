@@ -542,6 +542,172 @@ def ref_wordpiece_train(sf_dir: str, n_merges: int = 10) -> list[tuple]:
     return out
 
 
+def _langid_corpus(sf_dir: str) -> list[tuple[int, str, str]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    return list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("lang").to_pylist(),
+        )
+    )
+
+
+def _langid_buckets(text: str, n_buckets: int):
+    """Hashed byte 2-/3-gram buckets — the deterministic feature space of
+    functions/langid.py, re-stated here so the mirror shares no engine
+    code (numpy shift-or over utf-8 bytes, Knuth multiplicative hash)."""
+    import numpy as np
+
+    raw = (" " + (text or "").lower() + " ").encode("utf-8")
+    b = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+    g2 = (b[:-1] << np.uint64(8)) | b[1:]
+    g3 = (b[:-2] << np.uint64(16)) | (b[1:-1] << np.uint64(8)) | b[2:]
+    grams = np.concatenate([g2, g3])
+    return (
+        (grams * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    ) % np.uint64(n_buckets)
+
+
+def _langid_model(sf_dir: str, n_buckets: int):
+    """(sorted labels, int64 count matrix [L×B], doc counts) from one
+    sequential pass."""
+    import numpy as np
+
+    corpus = _langid_corpus(sf_dir)
+    labels = sorted({lang for _, _, lang in corpus})
+    ix = {lang: i for i, lang in enumerate(labels)}
+    cnt = np.zeros((len(labels), n_buckets), dtype=np.int64)
+    n_docs = np.zeros(len(labels), dtype=np.int64)
+    for _, text, lang in corpus:
+        buckets = _langid_buckets(text, n_buckets)
+        cnt[ix[lang]] += np.bincount(buckets.astype(np.int64), minlength=n_buckets)
+        n_docs[ix[lang]] += 1
+    return labels, cnt, n_docs
+
+
+def ref_langid_train(sf_dir: str, n_buckets: int = 4096) -> list[tuple]:
+    """(lang, n_docs, n_grams, buckets_hit, model_md5) — sequential mirror
+    of the hashed-ngram NB sufficient statistics (engine:
+    functions/langid.py:langid_train + langid_model_summary); model_md5
+    digests the canonical 'bucket:cnt' comma-join in bucket order, so 5
+    summary rows pin every count in the L×B model."""
+    labels, cnt, n_docs = _langid_model(sf_dir, n_buckets)
+    rows = []
+    for i, lang in enumerate(labels):
+        nz = cnt[i].nonzero()[0]
+        canon = ",".join(f"{int(b)}:{int(cnt[i][b])}" for b in nz)
+        rows.append(
+            (
+                lang,
+                int(n_docs[i]),
+                int(cnt[i].sum()),
+                int(len(nz)),
+                hashlib.md5(canon.encode()).hexdigest(),
+            )
+        )
+    return rows
+
+
+def ref_langid(sf_dir: str, n_buckets: int = 4096) -> list[tuple]:
+    """(doc_id, lang_pred, margin_ppm) — sequential mirror of the NB
+    train+sweep (engine: functions/langid.py:langid_fit_predict): Laplace
+    log-probs and priors in float64, per-doc score via the same
+    fixed-order pairwise reduction (logp*hist).sum(axis=1), argmax ties
+    to the first (lexicographically smallest) label, margin floored to
+    micro-nats."""
+    import math
+
+    import numpy as np
+
+    labels, cnt, n_docs = _langid_model(sf_dir, n_buckets)
+    cntf = cnt.astype(np.float64)
+    totals = cntf.sum(axis=1)
+    logp = np.log((cntf + 1.0) / (totals + float(n_buckets))[:, None])
+    ndf = n_docs.astype(np.float64)
+    logprior = np.log(ndf / ndf.sum())
+    rows = []
+    for doc_id, text, _ in _langid_corpus(sf_dir):
+        buckets = _langid_buckets(text, n_buckets)
+        hist = np.bincount(buckets.astype(np.int64), minlength=n_buckets).astype(
+            np.float64
+        )
+        scores = (logp * hist).sum(axis=1) + logprior
+        best = int(np.argmax(scores))
+        if len(labels) < 2:
+            margin = 0
+        else:
+            runner = np.max(np.delete(scores, best))
+            margin = int(math.floor((float(scores[best]) - float(runner)) * 1e6))
+        rows.append((doc_id, labels[best], margin))
+    rows.sort()
+    return rows
+
+
+def ref_curation_funnel_langid(
+    sf_dir: str, margin_floor: int = 12_000_000, target: str = "en"
+) -> list[tuple]:
+    """(stage_rank, stage, n_in, n_rejected, n_out) — sequential mirror of
+    the langid-first curation funnel (engine:
+    plans/extensions.py:ops_curation_funnel_langid): langid rejection
+    from the same NB mirror ref_langid verifies, then quality / exact-dup
+    / contamination flags re-derived sequentially, each doc charged to
+    its FIRST rejecting stage."""
+    import pyarrow.parquet as pq
+
+    preds = {d: (lang, margin) for d, lang, margin in ref_langid(sf_dir)}
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    rows = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("source").to_pylist(),
+        )
+    )
+    corpus = [(d, tx or "") for d, tx, src in rows if src != "src0"]
+    bench_grams: set[str] = set()
+    for _, tx, src in rows:
+        if src == "src0":
+            ws = WORD_RE.findall((tx or "").lower())
+            for i in range(len(ws) - 7):
+                bench_grams.add(" ".join(ws[i : i + 8]))
+    keeper: dict[str, int] = {}
+    for d, tx in corpus:
+        h = hashlib.md5(tx.encode("utf-8")).hexdigest()
+        keeper[h] = min(keeper.get(h, d), d)
+    n = len(corpus)
+    nl = nq = nd = nc = 0
+    for d, tx in corpus:
+        lang, margin = preds[d]
+        if lang != target or margin < margin_floor:
+            nl += 1
+            continue
+        ws = WORD_RE.findall(tx.lower())
+        if len(ws) < 40 or (len(set(ws)) / len(ws)) < 0.2:
+            nq += 1
+            continue
+        if d != keeper[hashlib.md5(tx.encode("utf-8")).hexdigest()]:
+            nd += 1
+            continue
+        if any(
+            " ".join(ws[i : i + 8]) in bench_grams for i in range(len(ws) - 7)
+        ):
+            nc += 1
+    return [
+        (1, "langid", n, nl, n - nl),
+        (2, "quality", n - nl, nq, n - nl - nq),
+        (3, "exact_dup", n - nl - nq, nd, n - nl - nq - nd),
+        (4, "contaminated", n - nl - nq - nd, nc, n - nl - nq - nd - nc),
+    ]
+
+
 def ref_wordpiece_encode(sf_dir: str, n_merges: int = 10) -> list[tuple]:
     """(doc_id, n_words, n_pieces, n_unk, pieces_md5) — sequential
     WordPiece encode: vocab = training chars (plain + ##) + merge
@@ -2349,6 +2515,34 @@ def build() -> dict[str, str]:
                     ("n_pieces", "BIGINT"),
                     ("n_unk", "BIGINT"),
                     ("pieces_md5", "VARCHAR"),
+                ],
+            ),
+            "ops_langid_train": sql_values(
+                ref_langid_train(_SF_PIN),
+                [
+                    ("lang", "VARCHAR"),
+                    ("n_docs", "BIGINT"),
+                    ("n_grams", "BIGINT"),
+                    ("buckets_hit", "BIGINT"),
+                    ("model_md5", "VARCHAR"),
+                ],
+            ),
+            "ops_langid": sql_values(
+                ref_langid(_SF_PIN),
+                [
+                    ("doc_id", "BIGINT"),
+                    ("lang_pred", "VARCHAR"),
+                    ("margin_ppm", "BIGINT"),
+                ],
+            ),
+            "ops_curation_funnel_langid": sql_values(
+                ref_curation_funnel_langid(_SF_PIN),
+                [
+                    ("stage_rank", "INTEGER"),
+                    ("stage", "VARCHAR"),
+                    ("n_in", "BIGINT"),
+                    ("n_rejected", "BIGINT"),
+                    ("n_out", "BIGINT"),
                 ],
             ),
             "ops_unigram_train": sql_values(

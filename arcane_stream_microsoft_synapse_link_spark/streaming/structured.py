@@ -1012,6 +1012,7 @@ def _train_curation_version(
     text_col: str,
     id_col: str,
     dsir_variant: str,
+    langid_label: str | None = None,
 ) -> str:
     """Train both curation models (DSIR λ table + IRLS quality classifier)
     from ``reference`` into the NEXT version directory and atomically
@@ -1020,12 +1021,16 @@ def _train_curation_version(
     pointer swings to it (tmp + ``os.replace``) — readers resolve
     ``CURRENT`` once per batch, so every batch scores with one CONSISTENT
     (λ, β) pair and an in-flight batch is unaffected by a concurrent
-    refresh.  Returns the new version name."""
+    refresh.  With ``langid_label`` (a label column on ``reference``) the
+    version also carries the hashed-ngram NB language-ID model
+    (functions/langid.py) — integer count tables, so the persisted model
+    is byte-stable across restarts.  Returns the new version name."""
     import json
     import shutil
 
     from ..functions.classifier import irls_train, text_feature_frame
     from ..functions.curation import dsir_lambda_table, hashed_lambda_table
+    from ..functions.langid import langid_doc_counts, langid_train
 
     root = _model_root(work_dir)
     os.makedirs(root, exist_ok=True)
@@ -1048,6 +1053,13 @@ def _train_curation_version(
     beta = irls_train(feat)
     with open(os.path.join(tmp_dir, "beta.json"), "w") as f:
         json.dump(beta, f)
+    if langid_label is not None:
+        langid_train(reference, text_col, langid_label).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp_dir, "langid_model"))
+        langid_doc_counts(reference, langid_label).write.mode("overwrite").parquet(
+            os.path.join(tmp_dir, "langid_counts")
+        )
     os.replace(tmp_dir, vdir)
     cur_tmp = os.path.join(root, "CURRENT._tmp")
     with open(cur_tmp, "w") as f:
@@ -1064,6 +1076,7 @@ def curation_model_refresh(
     text_col: str = "text",
     id_col: str = "doc_id",
     dsir_variant: str = "vocab",
+    langid_label: str | None = None,
 ) -> str:
     """Retrain the streaming curation gate's models on a NEW reference
     corpus and atomically swap them in — the per-crawl retrain cadence a
@@ -1072,7 +1085,8 @@ def curation_model_refresh(
     scores with the new model; a restart keeps the new model (``CURRENT``
     survives on disk).  Returns the new version name."""
     return _train_curation_version(
-        spark, work_dir, reference, target, text_col, id_col, dsir_variant
+        spark, work_dir, reference, target, text_col, id_col, dsir_variant,
+        langid_label,
     )
 
 
@@ -1089,6 +1103,9 @@ def run_curation_stream(
     id_col: str = "doc_id",
     dsir_variant: str = "vocab",
     fault_hook: FaultHook | None = None,
+    langid_label: str | None = None,
+    langid_accept: tuple[str, ...] = ("en",),
+    langid_min_margin_ppm: int = 0,
 ):
     """Streaming curation gate: score every micro-batch of incoming
     documents with BOTH trained curation models — the IRLS quality
@@ -1118,20 +1135,34 @@ def run_curation_stream(
     ``"hashed"`` persists the fixed 1024-bucket λ (the published DSIR
     form) — the natural choice for unbounded streams, since every future
     bigram already has a bucket and a λ, while an out-of-vocab bigram
-    under ``"vocab"`` simply contributes 0."""
+    under ``"vocab"`` simply contributes 0.
+
+    ``langid_label`` arms the language gate as the FIRST stage (the
+    CCNet/C4/RefinedWeb/FineWeb ordering): the version dir additionally
+    carries the hashed-ngram NB model (functions/langid.py) trained on
+    ``reference``'s label column, every batch is scored in one Arrow
+    sweep against the version's (bounded, integer) model, and a doc is
+    accepted only when its prediction is in ``langid_accept`` with a
+    log-odds margin ≥ ``langid_min_margin_ppm``.  Scored rows then carry
+    ``lang_pred``/``margin_ppm`` plus ``first_reject`` ('langid' /
+    'quality' / NULL) — the per-row attribution ops_curation_funnel_langid
+    aggregates, so the intake funnel can be read straight off the gate's
+    own output."""
     import json
 
     from pyspark.sql import functions as F
 
     from ..functions.classifier import classifier_scores, text_feature_frame
     from ..functions.curation import dsir_score, hashed_dsir_score
+    from ..functions.langid import collect_model, langid_predict
 
     accept_dir = os.path.join(work_dir, "accept")
     reject_dir = os.path.join(work_dir, "reject")
 
     if _current_version(work_dir) is None:
         _train_curation_version(
-            spark, work_dir, reference, target, text_col, id_col, dsir_variant
+            spark, work_dir, reference, target, text_col, id_col, dsir_variant,
+            langid_label,
         )
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
@@ -1148,13 +1179,36 @@ def run_curation_stream(
             dsir = hashed_dsir_score(batch_df, lam, text_col, id_col)
         else:
             dsir = dsir_score(batch_df, lam, text_col, id_col)
-        scored = (
-            batch_df.join(quality, id_col)
-            .join(dsir.select(id_col, "dsir_ppm"), id_col)
-            .localCheckpoint()
+        scored = batch_df.join(quality, id_col).join(
+            dsir.select(id_col, "dsir_ppm"), id_col
         )
-        ok = (F.col("score_ppm") >= min_score_ppm) & (
-            F.col("dsir_ppm") >= min_dsir_ppm
+        lang_ok = F.lit(True)
+        if langid_label is not None and os.path.isdir(
+            os.path.join(vdir, "langid_model")
+        ):
+            labels, logp, logprior = collect_model(
+                spark.read.parquet(os.path.join(vdir, "langid_model")),
+                spark.read.parquet(os.path.join(vdir, "langid_counts")),
+            )
+            preds = langid_predict(
+                batch_df, labels, logp, logprior, text_col, id_col
+            )
+            scored = scored.join(preds, id_col)
+            lang_ok = F.col("lang_pred").isin(list(langid_accept)) & (
+                F.col("margin_ppm") >= langid_min_margin_ppm
+            )
+            scored = scored.withColumn(
+                "first_reject",
+                F.when(~lang_ok, F.lit("langid"))
+                .when(F.col("score_ppm") < min_score_ppm, F.lit("quality"))
+                .when(F.col("dsir_ppm") < min_dsir_ppm, F.lit("dsir"))
+                .otherwise(F.lit(None).cast("string")),
+            )
+        scored = scored.localCheckpoint()
+        ok = (
+            lang_ok
+            & (F.col("score_ppm") >= min_score_ppm)
+            & (F.col("dsir_ppm") >= min_dsir_ppm)
         )
         write_batch(scored.where(ok), accept_dir, batch_id)
         if fault_hook:

@@ -1714,3 +1714,71 @@ def test_exact_substring_stream_cross_batch_and_replay(spark, tmp_path):
     b0 = spark.read.parquet(f"{work}/gram_index/batch_id=0")
     b1 = spark.read.parquet(f"{work}/gram_index/batch_id=1")
     assert b1.join(b0, "h").count() == 0
+
+
+def test_curation_stream_langid_first_stage(spark, tmp_path):
+    """VERDICT r10 item 6: the trained langid gate runs as the FIRST
+    stage of run_curation_stream.  Reference carries (text, target,
+    lang); the gate trains quality+DSIR+langid into v000001, batch 1
+    crashes between the accept and reject appends, the restart replays
+    it and batch 2 (added after the restart) streams through — every
+    non-English doc must land in reject/ with first_reject='langid',
+    quality rejections attribute to 'quality', accepts carry NULL
+    first_reject, and no doc is duplicated across the crash."""
+    from pyspark.sql import functions as F
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_curation_stream,
+    )
+
+    prose = "the quick brown fox jumps over the lazy dog and it is fine "
+    junk = "x,y;z.!? q,w;e.!? "
+    de = "der schnelle braune fuchs springt über den faulen hund im park und es ist schön "
+    fr = "le renard brun rapide saute par dessus le chien paresseux et la journée est belle "
+    ref_rows = [(i, prose * (2 + i % 3), "en") for i in range(0, 30, 2)]
+    ref_rows += [(i, junk * (4 + i % 3), "en") for i in range(1, 30, 2)]
+    ref_rows += [(100 + i, de * (2 + i % 2), "de") for i in range(8)]
+    ref_rows += [(200 + i, fr * (2 + i % 2), "fr") for i in range(8)]
+    reference = spark.createDataFrame(ref_rows, "doc_id long, text string, lang string")
+    target = F.col("lang") == "en"  # quality seed: english rows (prose+junk mix)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(300, prose * 3), (301, de * 4)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    gate = lambda hook=None: run_curation_stream(  # noqa: E731
+        spark, stream(), reference, target, work, ckpt,
+        min_score_ppm=0, min_dsir_ppm=-(10**9),
+        fault_hook=hook, langid_label="lang", langid_accept=("en",),
+    )
+    q = gate(_crash_once("after_accept", 0))
+    _await_failure(q)
+    # second batch arrives while the gate is down; restart must replay
+    # batch 0's reject append AND process batch 1
+    spark.createDataFrame(
+        [(302, prose * 2), (303, fr * 4)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q2 = gate()
+    q2.awaitTermination(120)
+
+    acc = {r["doc_id"]: r for r in spark.read.parquet(f"{work}/accept").collect()}
+    rej = {r["doc_id"]: r for r in spark.read.parquet(f"{work}/reject").collect()}
+    assert set(acc) == {300, 302} and set(rej) == {301, 303}
+    assert all(r["lang_pred"] == "en" and r["first_reject"] is None for r in acc.values())
+    assert rej[301]["lang_pred"] == "de" and rej[301]["first_reject"] == "langid"
+    assert rej[303]["lang_pred"] == "fr" and rej[303]["first_reject"] == "langid"
+    # the funnel row, read straight off the gate's own output
+    funnel = (
+        spark.read.parquet(f"{work}/accept")
+        .unionByName(spark.read.parquet(f"{work}/reject"))
+        .groupBy("first_reject")
+        .count()
+        .collect()
+    )
+    counts = {r["first_reject"]: r["count"] for r in funnel}
+    assert counts == {None: 2, "langid": 2}

@@ -66,6 +66,9 @@ class StreamSpec:
     # because only key-derived partitions are safe to prune a MERGE by
     target_partition_transforms: tuple[tuple[str, str], ...] = ()
     max_folders_per_tick: int = 0  # coarse admission cap (folders per tick)
+    # structured path: byte-range split threshold for oversized batch CSVs
+    # (sources/stream.py:_csv_split_points); 0 → the source default (32 MiB)
+    chunk_bytes: int = 0
     # B6 grouping (docs/crd.md:35-43): rows are emitted in groups of at most
     # rowsPerGroup; a partial group goes out when the grouping interval
     # elapses — here: per-commit row cap + backlog drain cadence

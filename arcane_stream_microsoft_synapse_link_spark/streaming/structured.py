@@ -343,6 +343,8 @@ def read_stream(spark: SparkSession, spec: StreamSpec) -> DataFrame:
     )
     if spec.max_folders_per_tick:
         reader = reader.option("maxFoldersPerTrigger", spec.max_folders_per_tick)
+    if spec.chunk_bytes:
+        reader = reader.option("chunkBytes", spec.chunk_bytes)
     return reader.load()
 
 

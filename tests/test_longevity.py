@@ -307,3 +307,97 @@ def test_exact_substring_gate_across_compaction_and_restart(spark, tmp_path):
             assert rep["cleaned"] == uniq(b, 1)
         # unique filler documents are identity
         assert got[b * 10 + 2]["n_removed"] == 0
+
+
+@pytest.mark.slow
+def test_multi_entity_huge_blob_chunked_intake(spark, tmp_path):
+    """VERDICT r10 item 7 — multi-entity × chunked-reader combined probe:
+    entity 0's change window is ONE huge CSV blob (the 100× shape: ~45 MB,
+    150k rows in a single file) while 7 entities stream small folders, all
+    eight as CONCURRENT structured streams in one app.  Asserts (a) the
+    planner cut the blob into >1 quote-parity byte-range partitions,
+    (b) statusTracker task counts — jobs resolved via the streaming
+    query's runId job group — show the blob's scan stage ran one task per
+    planned chunk (all workers busy, not one task per file), and (c) every
+    entity's target lands complete and correct."""
+    import os
+    from datetime import datetime
+
+    from arcane_stream_microsoft_synapse_link_spark.sources.stream import (
+        SynapseLinkStreamReader,
+        register,
+    )
+    from arcane_stream_microsoft_synapse_link_spark.streaming.runner import StreamSpec
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_structured,
+    )
+
+    from .synapse_fixture import ENTITY, SynapseFixture, data_row, model_json
+
+    chunk = 4 * 1024 * 1024
+    n_small, n_blob = 2000, 150_000
+    ts = datetime(2021, 8, 1, 12, 0)
+
+    def build_entity(i: int) -> str:
+        fx = SynapseFixture(str(tmp_path / f"e{i}" / "source"))
+        name = fx.folder_name(ts)
+        d = os.path.join(fx.root, name, ENTITY)
+        os.makedirs(d)
+        with open(os.path.join(fx.root, name, "model.json"), "w") as fh:
+            fh.write(model_json())
+        n = n_blob if i == 0 else n_small
+        rows = [
+            data_row(f"{i:02d}{j:06d}-aaaa-bbbb-cccc-ddddeeee0000", 6_000_000_000 + j, f"D{j}")
+            for j in range(n)
+        ]
+        with open(os.path.join(d, "data.csv"), "w") as fh:
+            fh.write("\n".join(rows) + "\n")
+        fx.set_changelog(name)
+        return fx.root
+
+    roots = [build_entity(i) for i in range(8)]
+
+    # (a) planner evidence: the blob splits into byte-range partitions
+    rdr = SynapseLinkStreamReader(roots[0], ENTITY, chunk_bytes=chunk)
+    planned = len(rdr.partitions(rdr.initialOffset(), rdr.latestOffset()))
+    blob_csv = next(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(roots[0])
+        for f in fs
+        if f == "data.csv"
+    )
+    assert planned >= os.path.getsize(blob_csv) // (2 * chunk) and planned > 1
+
+    # (b)+(c): eight concurrent streams, chunked source, full CDC merge
+    register(spark)
+    queries = []
+    for i, root in enumerate(roots):
+        spec = StreamSpec(
+            entity_name=ENTITY,
+            source_root=root,
+            target_root=str(tmp_path / f"e{i}" / "target"),
+            chunk_bytes=chunk,
+        )
+        q = run_structured(spark, spec, str(tmp_path / f"e{i}" / "ckpt"))
+        queries.append((i, q, str(q.runId), spec))
+    for _i, q, _rid, _s in queries:
+        q.awaitTermination(600)
+
+    st = spark.sparkContext.statusTracker()
+    blob_run_id = queries[0][2]
+    task_counts = []
+    for j in st.getJobIdsForGroup(blob_run_id):
+        ji = st.getJobInfo(j)
+        if ji is None:
+            continue
+        for sid in ji.stageIds:
+            si = st.getStageInfo(sid)
+            if si is not None:
+                task_counts.append(si.numTasks)
+    assert task_counts and max(task_counts) == planned, (task_counts, planned)
+
+    from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+
+    for i, _q, _rid, spec in queries:
+        got = VersionedTable(spec.target_root).read(spark).count()
+        assert got == (n_blob if i == 0 else n_small), (i, got)

@@ -1782,3 +1782,67 @@ def test_curation_stream_langid_first_stage(spark, tmp_path):
     )
     counts = {r["first_reject"]: r["count"] for r in funnel}
     assert counts == {None: 2, "langid": 2}
+
+
+def test_curation_stream_langid_model_refresh(spark, tmp_path):
+    """Langid model refresh e2e: v000001 trains with ('en', 'de') labels
+    and accepts en; curation_model_refresh retrains on a reference whose
+    labels are REMAPPED (German text now labeled 'en') and swings
+    CURRENT to v000002 — the post-refresh batch routes German docs to
+    accept/ because the NEW model learned German bytes as the accept
+    label.  A restart keeps v000002."""
+    from pyspark.sql import functions as F
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        _current_version,
+        curation_model_refresh,
+        run_curation_stream,
+    )
+
+    prose = "the quick brown fox jumps over the lazy dog and it is fine "
+    de = "der schnelle braune fuchs springt über den faulen hund im park und es ist schön "
+    ref_rows = [(i, prose * (2 + i % 3), "en") for i in range(0, 30, 2)]
+    ref_rows += [(100 + i, de * (2 + i % 2), "de") for i in range(15)]
+    reference = spark.createDataFrame(ref_rows, "doc_id long, text string, lang string")
+    target = F.col("lang") == "en"
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(300, prose * 3), (301, de * 4)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    gate = lambda: run_curation_stream(  # noqa: E731
+        spark, stream(), reference, target, work, ckpt,
+        min_score_ppm=0, min_dsir_ppm=-(10**9),
+        langid_label="lang", langid_accept=("en",),
+    )
+    q = gate()
+    q.awaitTermination(120)
+    assert _current_version(work) == "v000001"
+    rej = {r["doc_id"]: r for r in spark.read.parquet(f"{work}/reject").collect()}
+    assert rej[301]["first_reject"] == "langid" and rej[301]["lang_pred"] == "de"
+
+    # refresh: German text is now LABELED 'en' (the accept label), English
+    # 'other' — the swapped model must accept German and reject English
+    flipped = reference.select(
+        "doc_id", "text",
+        F.when(F.col("lang") == "de", F.lit("en")).otherwise(F.lit("other")).alias("lang"),
+    )
+    v2 = curation_model_refresh(
+        spark, work, flipped, F.col("lang") == "en", langid_label="lang"
+    )
+    assert v2 == "v000002"
+    spark.createDataFrame(
+        [(302, prose * 2), (303, de * 4)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q2 = gate()
+    q2.awaitTermination(120)
+    assert _current_version(work) == "v000002"
+    acc = {r["doc_id"]: r for r in spark.read.parquet(f"{work}/accept").collect()}
+    rej = {r["doc_id"]: r for r in spark.read.parquet(f"{work}/reject").collect()}
+    assert 303 in acc and acc[303]["lang_pred"] == "en"  # German now the accept label
+    assert rej[302]["first_reject"] == "langid" and rej[302]["lang_pred"] == "other"

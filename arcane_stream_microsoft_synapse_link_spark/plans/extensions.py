@@ -22,6 +22,8 @@ from ..functions import text as X
 from .oracle import ORACLE
 from .queries import QUERIES, query
 from ..session import local_df
+from ..functions.web import CANON_URL_SQL as WB_CANON_URL_SQL
+from ..functions.web import SYNTH_URL_SQL as WB_SYNTH_URL_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -4667,3 +4669,116 @@ def ops_token_packing_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return bfd_pack(t.documents, budget=4096).orderBy("lang", "seq_id")
+
+
+# ---------------------------------------------------------------------------
+# URL-level curation (functions/web.py) — the crawl pipeline's stage zero
+# ---------------------------------------------------------------------------
+
+
+@query("ops_url_normalize")
+def ops_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (RFC 3986 §6 syntax normalization + the
+    tracking-param strip every public crawl pipeline applies — RefinedWeb
+    §3.1, C4): lower-cased scheme/host, www. stripped, default port
+    dropped, fragment dropped, utm_*/ref/fbclid/gclid params removed,
+    surviving params byte-sorted, trailing slash stripped.  One codegen'd
+    projection — regex + array lambdas, no Python, no shuffle
+    (functions/web.py:canonicalize_url).  The corpus has no url column,
+    so both sides synthesize the SAME deterministic url from
+    (doc_id, source) first (functions/web.py:synthesize_url /
+    SYNTH_URL_SQL), exercising every rule."""
+    from ..functions import web as WB
+
+    t = Tables(spark, sf_dir)
+    url = WB.synthesize_url(F.col("doc_id"), F.col("source"))
+    return (
+        t.documents.select(
+            "doc_id",
+            url.alias("url"),
+            WB.canonicalize_url(url).alias("canon_url"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["ops_url_normalize"] = f"""
+    WITH u AS (
+        SELECT doc_id, {WB_SYNTH_URL_SQL} AS url FROM documents)
+    SELECT doc_id, url, {WB_CANON_URL_SQL} AS canon_url
+    FROM u ORDER BY doc_id
+"""
+
+
+@query("ops_url_dedup")
+def ops_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: one row per canonical URL, keeper = longest text,
+    ties to smallest doc_id (RefinedWeb dedups on the canonical URL
+    BEFORE any text processing — it is the cheapest dedup stage because
+    it never reads the body).  ONE hash aggregation on the canonical key
+    with a mergeable max(struct) arg-max — map-side combine collapses
+    duplicates pre-shuffle, no window, no second corpus pass
+    (functions/web.py:url_dedup)."""
+    from ..functions import web as WB
+
+    t = Tables(spark, sf_dir)
+    url = WB.synthesize_url(F.col("doc_id"), F.col("source"))
+    canon = t.documents.select(
+        "doc_id", "n_chars", WB.canonicalize_url(url).alias("canon_url")
+    )
+    return WB.url_dedup(canon).orderBy("keeper_id", "canon_url")
+
+
+ORACLE["ops_url_dedup"] = f"""
+    WITH u AS (
+        SELECT doc_id, n_chars, {WB_SYNTH_URL_SQL} AS url FROM documents),
+    c AS (
+        SELECT doc_id, n_chars, {WB_CANON_URL_SQL} AS canon_url FROM u),
+    r AS (
+        SELECT canon_url, doc_id, n_chars,
+               row_number() OVER (PARTITION BY canon_url ORDER BY n_chars DESC, doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY canon_url) AS n_copies
+        FROM c)
+    SELECT canon_url, doc_id AS keeper_id, n_chars AS keeper_chars,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM r WHERE rn = 1 ORDER BY keeper_id, canon_url
+"""
+
+
+@query("ops_domain_cap")
+def ops_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host contribution cap (C4 / MassiveText limit how much any one
+    domain contributes to training): keep at most 16 documents per
+    canonical host, selected by smallest md5(doc_id) — a deterministic
+    uniform sample, unbiased w.r.t. content.  Declared form is the exact
+    per-host row_number window; the 100-TB form (documented on
+    functions/web.py:host_cap) computes each host's cap-th-smallest hash
+    as a threshold (one agg + one semi-join) so no per-host sort
+    materializes.  Output pins the kept set via an md5 over the ordered
+    kept doc_ids."""
+    from ..functions import web as WB
+
+    t = Tables(spark, sf_dir)
+    url = WB.synthesize_url(F.col("doc_id"), F.col("source"))
+    hosts = t.documents.select(
+        "doc_id",
+        F.regexp_extract(WB.canonicalize_url(url), r"^[^:]+://([^/:?#]*)", 1).alias("host"),
+    )
+    return WB.host_cap(hosts, cap=16).orderBy("host")
+
+
+ORACLE["ops_domain_cap"] = f"""
+    WITH u AS (
+        SELECT doc_id, {WB_SYNTH_URL_SQL} AS url FROM documents),
+    c AS (
+        SELECT doc_id, regexp_extract({WB_CANON_URL_SQL}, '^[^:]+://([^/:?#]*)', 1) AS host FROM u),
+    r AS (
+        SELECT host, doc_id,
+               row_number() OVER (PARTITION BY host ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM c)
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(string_agg(CASE WHEN rn <= 16 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id)) AS kept_md5
+    FROM r GROUP BY host ORDER BY host
+"""

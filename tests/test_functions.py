@@ -2071,3 +2071,104 @@ def test_bfd_pack_giant_stratum_bounded_and_near_unsharded_fill(spark):
     n_shards = -(-n_docs // shard_rows)
     assert len(sharded) <= len(unsharded) + n_shards
     assert sorted(r["seq_id"] for r in sharded) == list(range(len(sharded)))
+
+
+# ---------------------------------------------------------------------------
+# URL-level curation (functions/web.py)
+# ---------------------------------------------------------------------------
+
+
+class TestUrlCuration:
+    def _canon(self, spark, urls):
+        from arcane_stream_microsoft_synapse_link_spark.functions import web as WB
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [r.c for r in df.select(WB.canonicalize_url(F.col("url")).alias("c")).collect()]
+
+    def test_canonicalize_rules(self, spark):
+        """Every documented rule, one planted case each."""
+        cases = {
+            # scheme+host lowering
+            "HTTPS://EXAMPLE.COM/a": "https://example.com/a",
+            # www strip
+            "https://www.example.com/a": "https://example.com/a",
+            # default port dropped (https)
+            "https://example.com:443/a": "https://example.com/a",
+            # default port dropped (http)
+            "http://example.com:80/a": "http://example.com/a",
+            # non-default port kept
+            "https://example.com:8443/a": "https://example.com:8443/a",
+            # fragment dropped
+            "https://example.com/a#frag": "https://example.com/a",
+            # tracking params stripped, survivors sorted
+            "https://example.com/a?z=1&utm_source=x&a=2&ref=tw": "https://example.com/a?a=2&z=1",
+            # all params tracking -> no query at all
+            "https://example.com/a?utm_campaign=c&fbclid=f&gclid=g": "https://example.com/a",
+            # trailing slash stripped; root path collapses to empty
+            "https://example.com/a/": "https://example.com/a",
+            "https://example.com/": "https://example.com",
+            # a non-tracking param whose VALUE mentions utm survives
+            "https://example.com/a?q=utm_source": "https://example.com/a?q=utm_source",
+        }
+        got = self._canon(spark, list(cases))
+        for (raw, want), c in zip(cases.items(), got):
+            assert c == want, f"{raw!r}: got {c!r}, want {want!r}"
+
+    def test_canonicalize_matches_duckdb_mirror(self, spark):
+        """The engine expression and the oracle SQL constant agree on a
+        pile of adversarial URLs (mixed case, multi-param, ports,
+        fragments, empty query)."""
+        import duckdb as ddb
+
+        from arcane_stream_microsoft_synapse_link_spark.functions.web import CANON_URL_SQL
+
+        urls = [
+            "HTTP://WWW.Example.COM:80/X/Y/?b=2&a=1&utm_medium=m#z",
+            "https://sub.www.example.com/p",  # www strip is prefix-only
+            "https://example.com:9090/?utm_source=s",
+            "https://example.com/deep/path///",
+            "https://example.com/a?single=1",
+            "https://example.com/a?",
+        ]
+        eng = self._canon(spark, urls)
+        con = ddb.connect()
+        con.execute("CREATE TABLE u(url VARCHAR)")
+        con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in urls])
+        ora = [r[0] for r in con.execute(f"SELECT {CANON_URL_SQL} FROM u").fetchall()]
+        assert eng == ora
+
+    def test_url_dedup_keeper(self, spark):
+        from arcane_stream_microsoft_synapse_link_spark.functions import web as WB
+
+        rows = [
+            # one canonical group: longest wins, tie -> smallest doc_id
+            (1, 50, "https://a.com/x"),
+            (2, 90, "https://a.com/x"),
+            (3, 90, "https://a.com/x"),
+            # singleton group
+            (9, 10, "https://b.com/y"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long, canon_url string")
+        out = {r.canon_url: r for r in WB.url_dedup(df).collect()}
+        assert out["https://a.com/x"].keeper_id == 2
+        assert out["https://a.com/x"].keeper_chars == 90
+        assert out["https://a.com/x"].n_copies == 3
+        assert out["https://b.com/y"].keeper_id == 9
+        assert out["https://b.com/y"].n_copies == 1
+
+    def test_host_cap_binds_and_pins_kept_set(self, spark):
+        import hashlib
+
+        from arcane_stream_microsoft_synapse_link_spark.functions import web as WB
+
+        rows = [("big.com", i) for i in range(40)] + [("small.com", 100 + i) for i in range(3)]
+        df = spark.createDataFrame(rows, "host string, doc_id long")
+        out = {r.host: r for r in WB.host_cap(df, cap=5).collect()}
+        assert out["big.com"].n_docs == 40 and out["big.com"].n_kept == 5
+        assert out["small.com"].n_docs == 3 and out["small.com"].n_kept == 3
+        # mirror the deterministic selection sequentially
+        kept = sorted(
+            sorted(range(40), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:5]
+        )
+        want = hashlib.md5(",".join(str(i) for i in kept).encode()).hexdigest()
+        assert out["big.com"].kept_md5 == want

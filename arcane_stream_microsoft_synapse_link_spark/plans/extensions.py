@@ -4782,3 +4782,107 @@ ORACLE["ops_domain_cap"] = f"""
            md5(string_agg(CASE WHEN rn <= 16 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id)) AS kept_md5
     FROM r GROUP BY host ORDER BY host
 """
+
+
+# ---------------------------------------------------------------------------
+# Kneser–Ney bigram LM (functions/lm.py) — the CCNet perplexity gate, exact
+# ---------------------------------------------------------------------------
+
+_KN_ORACLE_COMMON = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    bg AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+              FROM toks WHERE len(ws) >= 2)),
+    model AS (
+        SELECT w1, w2, COUNT(*) AS c FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+    ctx AS (
+        SELECT w1, SUM(c) AS cu, COUNT(*) AS n1u FROM model GROUP BY w1),
+    cont AS (
+        SELECT w2, COUNT(*) AS n1w FROM model GROUP BY w2),
+    tot AS (
+        SELECT COUNT(*) AS n1tot FROM model)
+"""
+
+
+@query("ops_kn_lm_train")
+def ops_kn_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM training (Kneser & Ney 1995;
+    Chen & Goodman 1999) — the smoothed upgrade of ops_bigram_lm and the
+    in-engine form of CCNet's KenLM gate.  Trains on the even-doc_id
+    half; declared result = the 100 most frequent bigrams with their
+    full KN decomposition (c, cu, n1u, n1w, n1tot, p_ppm in the exact
+    3/4-discount integer arithmetic functions/lm.py documents).  ONE
+    corpus aggregation; every other quantity derives from the
+    vocab²-bounded count table."""
+    from ..functions import lm as LM
+
+    t = Tables(spark, sf_dir)
+    train = t.documents.where(F.col("doc_id") % 2 == 0)
+    model, ctx, cont, tot = LM.kn_model(train)
+    return (
+        LM.kn_model_table(model, ctx, cont, tot)
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(100)
+    )
+
+
+ORACLE["ops_kn_lm_train"] = _KN_ORACLE_COMMON + r"""
+    SELECT w1, w2, CAST(c AS BIGINT) AS c, CAST(cu AS BIGINT) AS cu,
+           CAST(n1u AS BIGINT) AS n1u, CAST(n1w AS BIGINT) AS n1w,
+           CAST(n1tot AS BIGINT) AS n1tot,
+           CAST((GREATEST(4 * c - 3, 0) * 1000000) // (4 * cu)
+                + (3 * n1u * n1w * 1000000) // (4 * cu * n1tot) AS BIGINT) AS p_ppm
+    FROM model JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+    ORDER BY c DESC, w1, w2 LIMIT 100
+"""
+
+
+@query("ops_kn_perplexity")
+def ops_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KN fluency sweep: train on the even half, score EVERY doc (the odd
+    half is genuinely held out, so the continuation-backoff path runs on
+    real unseen bigrams — n_unseen counts them).  kn_ppm = integer mean
+    transition probability (the ops_bigram_lm ranking convention, log-free
+    and hash-stable).  Two corpus passes total (count + score); the
+    (w1,w2) model join is the only corpus-sized shuffle, per-context /
+    per-word tables broadcast (functions/lm.py:kn_score)."""
+    from ..functions import lm as LM
+
+    t = Tables(spark, sf_dir)
+    train = t.documents.where(F.col("doc_id") % 2 == 0)
+    scored = LM.kn_score(t.documents, *LM.kn_model(train))
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_unseen",
+        "kn_ppm",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("train"))
+        .otherwise(F.lit("held"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+ORACLE["ops_kn_perplexity"] = _KN_ORACLE_COMMON + r"""
+    , scored AS (
+        SELECT bg.doc_id,
+               model.c,
+               CASE WHEN ctx.cu IS NULL
+                    THEN (coalesce(cont.n1w, 0) * 1000000) // (SELECT n1tot FROM tot)
+                    ELSE (GREATEST(4 * coalesce(model.c, 0) - 3, 0) * 1000000) // (4 * ctx.cu)
+                         + (3 * ctx.n1u * coalesce(cont.n1w, 0) * 1000000)
+                           // (4 * ctx.cu * (SELECT n1tot FROM tot))
+               END AS p_ppm
+        FROM bg
+        LEFT JOIN model USING (w1, w2)
+        LEFT JOIN ctx USING (w1)
+        LEFT JOIN cont USING (w2))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+           CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS kn_ppm,
+           CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'held' END AS split
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+"""

@@ -2172,3 +2172,69 @@ class TestUrlCuration:
         )
         want = hashlib.md5(",".join(str(i) for i in kept).encode()).hexdigest()
         assert out["big.com"].kept_md5 == want
+
+
+# ---------------------------------------------------------------------------
+# Kneser–Ney bigram LM (functions/lm.py)
+# ---------------------------------------------------------------------------
+
+
+class TestKneserNey:
+    @pytest.fixture(scope="class")
+    def tiny(self, spark):
+        from arcane_stream_microsoft_synapse_link_spark.functions import lm as LM
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b a b"),   # train
+                (1, "a b x c"),   # held: seen-pair, unseen-word, unseen-context
+                (2, "a c"),       # train
+            ],
+            "doc_id long, text string",
+        )
+        train = docs.where(F.col("doc_id") % 2 == 0)
+        parts = LM.kn_model(train)
+        scored = {r.doc_id: r for r in LM.kn_score(docs, *parts).collect()}
+        return parts, scored
+
+    def test_hand_computed_values(self, tiny):
+        """model: (a,b):2 (b,a):1 (a,c):1; n1tot=3; cu(a)=3 n1u(a)=2;
+        cu(b)=1 n1u(b)=1; n1w = 1 for a, b, c.  All probabilities below
+        are hand-derived from the documented 3/4-discount arithmetic."""
+        _, scored = tiny
+        # doc 1: (a,b)=416666+166666, (b,x)=0 (discount eats c<1, n1w=0),
+        # (x,c) unseen ctx -> 1e6//3
+        assert scored[1].n_bigrams == 3
+        assert scored[1].n_unseen == 2
+        assert scored[1].kn_ppm == (583332 + 0 + 333333) // 3
+        # doc 0: (a,b) twice + (b,a)=250000+250000
+        assert scored[0].n_bigrams == 3
+        assert scored[0].n_unseen == 0
+        assert scored[0].kn_ppm == (583332 + 500000 + 583332) // 3
+
+    def test_seen_context_distribution_sums_to_one(self, tiny, spark):
+        """Interpolated KN is a proper distribution: for a seen context u,
+        sum over the TRAIN VOCAB of p(w|u) plus the unseen-word mass must
+        be 1 (up to the defined <=2-ppm-per-term floor).  Checked for
+        context 'a' over vocabulary {a,b,c}."""
+        from arcane_stream_microsoft_synapse_link_spark.functions import lm as LM
+
+        (model, ctx, cont, tot), _ = tiny
+        vocab = spark.createDataFrame([("a",), ("b",), ("c",)], "w2 string")
+        pairs = vocab.withColumn("w1", F.lit("a"))
+        j = (
+            pairs.join(model, ["w1", "w2"], "left")
+            .join(ctx, "w1", "left")
+            .join(cont, "w2", "left")
+            .crossJoin(tot)
+            .select(LM.kn_transition_ppm())
+        )
+        total = sum(r.p_ppm for r in j.collect())
+        assert abs(total - 1_000_000) <= 2 * 3  # <=2 ppm floor loss per term
+
+    def test_held_out_backoff_is_nonzero_for_seen_words(self, tiny):
+        """The whole point of KN over MLE: a held-out bigram of two SEEN
+        words gets continuation mass, not zero — doc 1's (x,c) context is
+        unseen yet p>0 because c is a known continuation."""
+        _, scored = tiny
+        assert scored[1].kn_ppm > 0

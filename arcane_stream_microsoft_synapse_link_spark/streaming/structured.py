@@ -489,6 +489,96 @@ def run_dedup_stream(
     )
 
 
+def run_url_dedup_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    work_dir: str,
+    checkpoint_dir: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fault_hook: FaultHook | None = None,
+    compact_every: int | None = None,
+):
+    """Streaming URL-level intake dedup — the crawl pipeline's stage-zero
+    gate (RefinedWeb dedups on the canonical URL before reading any
+    body): canonicalize each arriving document's URL
+    (``functions.web.canonicalize_url``, one codegen'd projection), keep
+    the best copy per canonical URL WITHIN the batch (longest text, ties
+    to smallest id — the ``url_dedup`` arg-max), and reject anything
+    whose canonical URL the gate has already admitted (cross-batch
+    keep-FIRST, the refetch/mirror case).
+
+    The accumulated state is canonical-URL-only — bytes per admitted
+    page, not the page — so the per-batch cost is one projection, one
+    batch-sized agg, and one key join against the index (bucket
+    ``url_index`` by the canonical key's hash in a production layout so
+    the probe prunes).  Rejections land in ``hits/`` with the stage that
+    caught them (``batch`` vs ``index``).  Replay-idempotent under the
+    module's write_batch/read-before contract: a crash between the three
+    appends re-runs the batch, replacing partial output.  Returns the
+    started StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from ..functions.web import canonicalize_url
+
+    idx_dir = os.path.join(work_dir, "url_index")
+    corpus_dir = os.path.join(work_dir, "corpus")
+    hits_dir = os.path.join(work_dir, "hits")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.withColumn(
+            "canon_url", canonicalize_url(F.col(url_col))
+        ).localCheckpoint()
+        row = F.struct(*[F.col(c) for c in batch_df.columns])
+        best = (
+            batch_df.groupBy("canon_url")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.length(text_col).alias("len"),
+                        (-F.col(id_col)).alias("neg"),
+                        row.alias("r"),
+                    )
+                ).alias("b")
+            )
+            .select("b.r.*")
+        )
+        rejected_batch = (
+            batch_df.join(best.select(id_col), id_col, "left_anti")
+            .select("canon_url", id_col)
+            .withColumn("reason", F.lit("batch"))
+        )
+        index = read_batches(spark, idx_dir, before=batch_id)
+        if index is not None:
+            known = index.select("canon_url").distinct()
+            kept = best.join(known, "canon_url", "left_anti").localCheckpoint()
+            hits = rejected_batch.unionByName(
+                best.join(known, "canon_url", "left_semi")
+                .select("canon_url", id_col)
+                .withColumn("reason", F.lit("index"))
+            )
+        else:
+            kept = best.localCheckpoint()
+            hits = rejected_batch
+        write_batch(hits, hits_dir, batch_id)
+        if fault_hook:
+            fault_hook("after_hits", batch_id)
+        write_batch(kept, corpus_dir, batch_id)
+        if fault_hook:
+            fault_hook("after_corpus", batch_id)
+        write_batch(kept.select("canon_url"), idx_dir, batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_gate_state(spark, work_dir, keep_last=2)
+
+    return (
+        source.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def compact_gate_state(
     spark: SparkSession, work_dir: str, keep_last: int = 2
 ) -> dict[str, int]:

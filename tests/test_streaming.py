@@ -1846,3 +1846,62 @@ def test_curation_stream_langid_model_refresh(spark, tmp_path):
     rej = {r["doc_id"]: r for r in spark.read.parquet(f"{work}/reject").collect()}
     assert 303 in acc and acc[303]["lang_pred"] == "en"  # German now the accept label
     assert rej[302]["first_reject"] == "langid" and rej[302]["lang_pred"] == "other"
+
+
+def test_url_dedup_stream_cross_batch_and_replay(spark, tmp_path):
+    """run_url_dedup_stream: within-batch keep-best (longest text, tie to
+    smallest id) per CANONICAL url — raw forms differing only in case /
+    www / tracking params / fragments collapse; cross-batch keep-first
+    rejects refetches; a crash between corpus and index appends replays
+    without double-admitting."""
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_url_dedup_stream,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    schema = "doc_id long, url string, text string"
+    batch1 = [
+        # three raw spellings of ONE canonical url: longest text wins
+        (1, "https://example.com/a?utm_source=x", "short"),
+        (2, "HTTPS://WWW.Example.com/a", "the longest body of the three"),
+        (3, "https://example.com:443/a#frag", "medium body"),
+        # a singleton
+        (4, "https://other.com/b", "unique page"),
+    ]
+    batch2 = [
+        # refetch of the admitted canonical url -> rejected by the index
+        (10, "https://example.com/a?fbclid=y", "a refetch, longer than ever"),
+        # genuinely new
+        (11, "https://other.com/c", "new page"),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    stream = lambda: spark.readStream.schema(schema).parquet(str(src / "*"))  # noqa: E731
+
+    run_url_dedup_stream(spark, stream(), work, ckpt).awaitTermination(120)
+    got1 = {r["doc_id"]: r for r in spark.read.parquet(f"{work}/corpus").collect()}
+    assert sorted(got1) == [2, 4]
+    assert got1[2]["canon_url"] == "https://example.com/a"
+    hits1 = {(r["doc_id"], r["reason"]) for r in spark.read.parquet(f"{work}/hits").collect()}
+    assert hits1 == {(1, "batch"), (3, "batch")}
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    q2 = run_url_dedup_stream(
+        spark, stream(), work, ckpt, fault_hook=_crash_once("after_corpus", 1)
+    )
+    _await_failure(q2)
+    run_url_dedup_stream(spark, stream(), work, ckpt).awaitTermination(120)
+
+    corpus = spark.read.parquet(f"{work}/corpus").collect()
+    ids = sorted(r["doc_id"] for r in corpus)
+    assert ids == [2, 4, 11]  # no duplicates after replay, refetch rejected
+    hits = {(r["doc_id"], r["reason"]) for r in spark.read.parquet(f"{work}/hits").collect()}
+    assert (10, "index") in hits
+    idx = spark.read.parquet(f"{work}/url_index").collect()
+    canon = sorted(r["canon_url"] for r in idx)
+    assert canon == sorted(set(canon)) == [
+        "https://example.com/a",
+        "https://other.com/b",
+        "https://other.com/c",
+    ]

@@ -4886,3 +4886,43 @@ ORACLE["ops_kn_perplexity"] = _KN_ORACLE_COMMON + r"""
            CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'held' END AS split
     FROM scored GROUP BY doc_id ORDER BY doc_id
 """
+
+
+@query("ops_tokenizer_fertility")
+def ops_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report — the standard tokenizer-quality eval
+    (tokens-per-word "fertility" and chars-per-token compression, by
+    language): multilingual pipelines watch fertility per language
+    because a tokenizer trained lopsided makes some languages pay 2-3×
+    the sequence length for the same text.  Train BPE, encode the corpus
+    (distinct-word segmentation — Heaps-law sublinear), join lang, ONE
+    per-lang aggregate with integer-DIV ppm ratios.  Oracle: independent
+    sequential train+encode mirror (plans/values_oracle.py:
+    ref_tokenizer_fertility, pinned sf0.01)."""
+    t = Tables(spark, sf_dir)
+    merges, vocab = X.bpe_train(t.documents, n_merges=10)
+    vocab.unpersist()
+    enc = X.bpe_encode(t.documents, merges)
+    return (
+        enc.join(t.documents.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars_encoded").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            F.expr("CAST(n_tokens * 1000000 DIV n_words AS BIGINT)").alias(
+                "fertility_ppm"
+            ),
+            F.expr("CAST(n_chars * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "chars_per_token_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -1034,6 +1034,35 @@ def ref_bpe_encode(sf_dir: str, n_merges: int = 10) -> list[tuple]:
     return rows
 
 
+def ref_tokenizer_fertility(sf_dir: str, n_merges: int = 10) -> list[tuple]:
+    """(lang, n_docs, n_words, n_tokens, fertility_ppm,
+    chars_per_token_ppm) — sequential mirror of the per-language
+    tokenizer-fertility report (engine: plans/extensions.py:
+    ops_tokenizer_fertility): re-uses ref_bpe_encode's independent
+    train+encode, joins lang from the parquet, integer-DIV ppm ratios."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    enc = ref_bpe_encode(sf_dir, n_merges)
+    tb = pq.read_table(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    lang_of = dict(zip(tb.column("doc_id").to_pylist(), tb.column("lang").to_pylist()))
+    agg: dict[str, list[int]] = {}
+    for doc_id, n_words, n_tokens, n_chars in enc:
+        a = agg.setdefault(lang_of[doc_id], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += n_words
+        a[2] += n_tokens
+        a[3] += n_chars
+    rows = []
+    for lang in sorted(agg):
+        n_docs, w, t, c = agg[lang]
+        rows.append((lang, n_docs, w, t, (t * 10**6) // w, (c * 10**6) // t))
+    return rows
+
+
 def _minhash_verified_pairs(
     docs: list[tuple[int, str]],
     threshold_num: int,
@@ -2515,6 +2544,17 @@ def build() -> dict[str, str]:
                     ("n_pieces", "BIGINT"),
                     ("n_unk", "BIGINT"),
                     ("pieces_md5", "VARCHAR"),
+                ],
+            ),
+            "ops_tokenizer_fertility": sql_values(
+                ref_tokenizer_fertility(_SF_PIN),
+                [
+                    ("lang", "VARCHAR"),
+                    ("n_docs", "BIGINT"),
+                    ("n_words", "BIGINT"),
+                    ("n_tokens", "BIGINT"),
+                    ("fertility_ppm", "BIGINT"),
+                    ("chars_per_token_ppm", "BIGINT"),
                 ],
             ),
             "ops_langid_train": sql_values(

@@ -143,3 +143,93 @@ def test_commit_conflict_detection(spark, tmp_path):
     os.utime(claim, (old, old))
     assert t.commit(df) == 2
     assert t.read(spark).count() == 10
+
+
+def _file_stats(path, cols):
+    """Per-parquet-file [min, max] of each column under a snapshot dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    stats = []
+    for dp, _, fs in os.walk(path):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            tb = pq.read_table(os.path.join(dp, f), columns=cols)
+            if tb.num_rows == 0:
+                continue
+            import pyarrow.compute as pc
+
+            stats.append(
+                {
+                    c: (
+                        pc.min(tb.column(c)).as_py(),
+                        pc.max(tb.column(c)).as_py(),
+                    )
+                    for c in cols
+                }
+            )
+    return stats
+
+
+def test_optimize_zorder_shrinks_file_bounding_boxes(spark, tmp_path):
+    """Z-order rewrite: after optimize_zorder(['x','y']), every data file
+    covers a small bounding box in BOTH dimensions (min/max footer stats
+    prune on either predicate), where the random layout's files span the
+    full range; the row set is unchanged."""
+    import random
+
+    from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+
+    rng = random.Random(13)
+    rows = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(40_000)]
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(rows, "x long, y long").repartition(16)
+    t.commit(df)
+
+    before = _file_stats(t._snapshot_dir(1), ["x", "y"])
+    span = 65535.0
+    avg_before = sum((s["x"][1] - s["x"][0]) / span for s in before) / len(before)
+    assert avg_before > 0.9  # random layout: every file spans ~everything
+
+    v2 = t.optimize_zorder(spark, ["x", "y"], n_files=16)
+    assert v2 == 2
+    after = _file_stats(t._snapshot_dir(2), ["x", "y"])
+    assert len(after) >= 8
+    for c in ("x", "y"):
+        avg = sum((s[c][1] - s[c][0]) / span for s in after) / len(after)
+        # 16 z-range files over a 2-D uniform square -> each file covers
+        # roughly a quarter of each axis; allow headroom for curve overlap
+        assert avg < 0.6, f"{c}: avg per-file width {avg:.2f} not clustered"
+
+    # data-skipping evidence: a point predicate on either column can prune
+    # most files by min/max alone
+    for c in ("x", "y"):
+        probe = 17_000
+        containing = sum(1 for s in after if s[c][0] <= probe <= s[c][1])
+        assert containing <= len(after) // 2
+
+    # row multiset unchanged
+    got = sorted((r.x, r.y) for r in t.read(spark).collect())
+    assert got == sorted(rows)
+
+
+def test_optimize_zorder_bucketed_keeps_bucket_layout(spark, tmp_path):
+    """On a bucketed table the z-rewrite keeps __bucket as the outermost
+    directory level (incremental commits keep hard-linking) and z-sorts
+    within buckets."""
+    import os
+
+    from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"), bucket_count=4, bucket_key="k")
+    df = spark.createDataFrame(
+        [(f"k{i}", i % 100, (i * 37) % 100) for i in range(2_000)],
+        "k string, x long, y long",
+    )
+    t.commit(df)
+    v2 = t.optimize_zorder(spark, ["x", "y"])
+    snap = t._snapshot_dir(v2)
+    assert any(n.startswith("__bucket=") for n in os.listdir(snap))
+    assert t.read(spark).count() == 2_000

@@ -4926,3 +4926,116 @@ def ops_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query("ops_gopher_rules")
+def ops_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher/MassiveText document-quality rule set (Rae et
+    al. 2021, App. A1.1) as ONE codegen'd projection — word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio (# and ...), bullet- /
+    ellipsis-line fractions, alphabetic-word fraction, and the ≥2-distinct-
+    stopwords rule — each rule's measurement AND flag declared per doc, so
+    a curation run can report WHICH rule rejected a document (the funnel
+    attribution discipline), plus the failed-rule count and the all-rules
+    verdict.  Thresholds are the PUBLISHED ones, kept honest: the
+    synthetic corpus's vocabulary carries only one listed stopword, so
+    every doc fails the >=2-distinct-stopwords rule and `passes` is
+    false corpus-wide — per-rule discrimination is pinned by planted
+    boundary tests (tests/test_functions.py:TestGopherRules), the
+    ops_langid honesty discipline.  All ratios are exact integer ppm
+    (floor DIV); no shuffle, no Python, no window — this is the cheapest
+    quality gate and runs first after langid in the published
+    pipelines."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("ws"),
+        F.expr("split(text, '\n')").alias("lines"),
+        F.expr(
+            "CAST(regexp_count(text, '#') + regexp_count(text, '\\\\.\\\\.\\\\.') AS BIGINT)"
+        ).alias("n_symbols"),
+    ).select(
+        "doc_id",
+        F.expr("CAST(size(ws) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "CASE WHEN size(ws) = 0 THEN NULL ELSE "
+            "CAST(aggregate(ws, 0L, (a, w) -> a + length(w)) * 1000000 DIV size(ws) AS BIGINT) END"
+        ).alias("mwl_ppm"),
+        F.expr(
+            "CASE WHEN size(ws) = 0 THEN NULL ELSE "
+            "CAST(n_symbols * 1000000 DIV size(ws) AS BIGINT) END"
+        ).alias("symbol_ppm"),
+        F.expr(
+            "CASE WHEN size(ws) = 0 THEN NULL ELSE "
+            "CAST(size(filter(ws, w -> w RLIKE '[a-z]')) * 1000000 DIV size(ws) AS BIGINT) END"
+        ).alias("alpha_ppm"),
+        F.expr(
+            "CAST(size(filter(lines, l -> l RLIKE '^\\\\s*([-*•]|[0-9]+\\\\.)\\\\s')) * 1000000 "
+            "DIV size(lines) AS BIGINT)"
+        ).alias("bullet_ppm"),
+        F.expr(
+            "CAST(size(filter(lines, l -> l RLIKE '\\\\.\\\\.\\\\.\\\\s*$')) * 1000000 "
+            "DIV size(lines) AS BIGINT)"
+        ).alias("ellipsis_ppm"),
+        F.expr(
+            "CAST(size(array_intersect(array_distinct(ws), "
+            "array('the','be','to','of','and','that','have','with'))) AS BIGINT)"
+        ).alias("n_stop_distinct"),
+    )
+    flags = (
+        "CAST(NOT n_words BETWEEN 50 AND 100000 AS INT)"
+        " + CAST(NOT coalesce(mwl_ppm BETWEEN 3000000 AND 10000000, false) AS INT)"
+        " + CAST(NOT coalesce(symbol_ppm <= 100000, false) AS INT)"
+        " + CAST(NOT coalesce(alpha_ppm >= 800000, false) AS INT)"
+        " + CAST(NOT bullet_ppm <= 900000 AS INT)"
+        " + CAST(NOT ellipsis_ppm <= 300000 AS INT)"
+        " + CAST(NOT n_stop_distinct >= 2 AS INT)"
+    )
+    return d.select(
+        "*",
+        F.expr(f"CAST({flags} AS BIGINT)").alias("n_rules_failed"),
+        F.expr(f"({flags}) = 0").alias("passes"),
+    ).orderBy("doc_id")
+
+
+ORACLE["ops_gopher_rules"] = r"""
+    WITH d AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
+               string_split(text, chr(10)) AS lines,
+               CAST(len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_symbols
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CASE WHEN len(ws) = 0 THEN NULL ELSE
+                 CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') * 1000000 // len(ws) AS BIGINT) END AS mwl_ppm,
+               CASE WHEN len(ws) = 0 THEN NULL ELSE
+                 CAST(n_symbols * 1000000 // len(ws) AS BIGINT) END AS symbol_ppm,
+               CASE WHEN len(ws) = 0 THEN NULL ELSE
+                 CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) * 1000000 // len(ws) AS BIGINT) END AS alpha_ppm,
+               CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*([-*•]|[0-9]+\.)\s'))) * 1000000
+                    // len(lines) AS BIGINT) AS bullet_ppm,
+               CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) * 1000000
+                    // len(lines) AS BIGINT) AS ellipsis_ppm,
+               CAST(len(list_intersect(list_distinct(ws),
+                    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_distinct
+        FROM d)
+    SELECT *,
+           CAST(CAST(NOT n_words BETWEEN 50 AND 100000 AS INT)
+              + CAST(NOT coalesce(mwl_ppm BETWEEN 3000000 AND 10000000, false) AS INT)
+              + CAST(NOT coalesce(symbol_ppm <= 100000, false) AS INT)
+              + CAST(NOT coalesce(alpha_ppm >= 800000, false) AS INT)
+              + CAST(NOT bullet_ppm <= 900000 AS INT)
+              + CAST(NOT ellipsis_ppm <= 300000 AS INT)
+              + CAST(NOT n_stop_distinct >= 2 AS INT) AS BIGINT) AS n_rules_failed,
+           (CAST(NOT n_words BETWEEN 50 AND 100000 AS INT)
+              + CAST(NOT coalesce(mwl_ppm BETWEEN 3000000 AND 10000000, false) AS INT)
+              + CAST(NOT coalesce(symbol_ppm <= 100000, false) AS INT)
+              + CAST(NOT coalesce(alpha_ppm >= 800000, false) AS INT)
+              + CAST(NOT bullet_ppm <= 900000 AS INT)
+              + CAST(NOT ellipsis_ppm <= 300000 AS INT)
+              + CAST(NOT n_stop_distinct >= 2 AS INT)) = 0 AS passes
+    FROM m ORDER BY doc_id
+"""

@@ -2238,3 +2238,41 @@ class TestKneserNey:
         unseen yet p>0 because c is a known continuation."""
         _, scored = tiny
         assert scored[1].kn_ppm > 0
+
+
+class TestGopherRules:
+    def test_planted_rule_boundaries(self, spark):
+        """One planted doc per rule failure mode; the registry compare
+        covers the corpus, this pins the thresholds themselves."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as e
+
+        mk = lambda n, sep=" ": sep.join(["the", "of", "and"] + [f"word{i}" for i in range(n - 3)])  # noqa: E731
+        rows = [
+            (0, mk(60)),                                # passes all
+            (1, mk(10)),                                # too few words
+            (2, " ".join(["the", "of"] + ["x"] * 58)),  # mean word length < 3
+            (3, mk(60) + " " + "#" * 1 * 9),            # one '#' per ~6 words: symbol_ppm high
+            (4, " ".join(["the", "of"] + ["99999"] * 58)),  # alpha fraction low
+            (5, "\n".join(["- bullet line " + mk(8, " ")] * 10)),  # all bullet lines
+            (6, " ".join(f"word{i}" for i in range(60))),  # no stopwords
+        ]
+        # doc 3: append enough '#' to cross 10% of words
+        rows[3] = (3, mk(60) + " " + " ".join(["#"] * 9))
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                [(i, t, "en", "src0", len(t)) for i, t in rows],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).coalesce(1).write.parquet(f"{td}/documents.parquet")
+            out = {r.doc_id: r for r in e.queries()["ops_gopher_rules"](spark, td).collect()}
+        assert out[0].passes
+        assert not out[1].passes and out[1].n_words < 50
+        assert not out[2].passes and out[2].mwl_ppm < 3_000_000
+        assert not out[3].passes and out[3].symbol_ppm > 100_000
+        assert not out[4].passes and out[4].alpha_ppm < 800_000
+        assert not out[5].passes and out[5].bullet_ppm > 900_000
+        assert not out[6].passes and out[6].n_stop_distinct < 2

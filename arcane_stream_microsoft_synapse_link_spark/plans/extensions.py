@@ -5039,3 +5039,60 @@ ORACLE["ops_gopher_rules"] = r"""
               + CAST(NOT n_stop_distinct >= 2 AS INT)) = 0 AS passes
     FROM m ORDER BY doc_id
 """
+
+
+@query("ops_ccnet_kn_buckets")
+def ops_ccnet_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The authentic CCNet routing chain completed: language → KN-LM
+    fluency → per-language head/middle/tail terciles (Wenzek et al. 2020
+    buckets by KenLM perplexity per language; ops_ccnet_buckets does the
+    same routing on the heuristic quality score).  Scores come from the
+    interpolated-KN sweep (train-on-even, functions/lm.py); the tercile
+    is NTILE(3) over (kn_ppm DESC, doc_id) within each language — higher
+    mean transition probability = head.  Scale note as ops_ccnet_buckets:
+    the declared form keeps the per-language window sort; at 100 TB the
+    same routing computes two tercile thresholds per language with
+    operators/quantiles.exact_percentiles and buckets map-side."""
+    from pyspark.sql import Window as W
+
+    from ..functions import lm as LM
+
+    t = Tables(spark, sf_dir)
+    train = t.documents.where(F.col("doc_id") % 2 == 0)
+    scored = LM.kn_score(t.documents, *LM.kn_model(train))
+    w = W.partitionBy("lang").orderBy(F.desc("kn_ppm"), "doc_id")
+    return (
+        scored.join(t.documents.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "kn_ppm",
+            F.ntile(3).over(w).cast("bigint").alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["ops_ccnet_kn_buckets"] = _KN_ORACLE_COMMON + r"""
+    , scored AS (
+        SELECT bg.doc_id,
+               model.c,
+               CASE WHEN ctx.cu IS NULL
+                    THEN (coalesce(cont.n1w, 0) * 1000000) // (SELECT n1tot FROM tot)
+                    ELSE (GREATEST(4 * coalesce(model.c, 0) - 3, 0) * 1000000) // (4 * ctx.cu)
+                         + (3 * ctx.n1u * coalesce(cont.n1w, 0) * 1000000)
+                           // (4 * ctx.cu * (SELECT n1tot FROM tot))
+               END AS p_ppm
+        FROM bg
+        LEFT JOIN model USING (w1, w2)
+        LEFT JOIN ctx USING (w1)
+        LEFT JOIN cont USING (w2)),
+    docscore AS (
+        SELECT doc_id, CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS kn_ppm
+        FROM scored GROUP BY doc_id)
+    SELECT d.doc_id, docs.lang, d.kn_ppm,
+           CAST(ntile(3) OVER (PARTITION BY docs.lang
+                               ORDER BY d.kn_ppm DESC, d.doc_id) AS BIGINT) AS bucket
+    FROM docscore d JOIN documents docs ON d.doc_id = docs.doc_id
+    ORDER BY d.doc_id
+"""

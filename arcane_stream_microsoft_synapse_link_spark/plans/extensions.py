@@ -5096,3 +5096,123 @@ ORACLE["ops_ccnet_kn_buckets"] = _KN_ORACLE_COMMON + r"""
     FROM docscore d JOIN documents docs ON d.doc_id = docs.doc_id
     ORDER BY d.doc_id
 """
+
+
+@query("ops_event_funnel")
+def ops_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel over the event stream (signup → view →
+    purchase): a user advances a step only with an event STRICTLY AFTER
+    their previous step's time — the product-analytics primitive every
+    warehouse ships (strict-order semantics, not mere co-occurrence).
+    Three per-user hash aggs chained by two user-key joins (co-partitioned
+    on user_id — AQE broadcasts the shrinking step tables); inter-step
+    gaps in exact epoch-microsecond integers (sum DIV count)."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"), F.min("t2").alias("t2"))
+    )
+    r1 = s1.agg(
+        F.lit(1).cast("bigint").alias("step_rank"),
+        F.lit("signup").alias("step"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.lit(None).cast("bigint").alias("mean_gap_us"),
+    )
+    r2 = s2.agg(
+        F.lit(2).cast("bigint").alias("step_rank"),
+        F.lit("view").alias("step"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.expr("CAST(sum(t2 - t1) DIV count(1) AS BIGINT)").alias("mean_gap_us"),
+    )
+    r3 = s3.agg(
+        F.lit(3).cast("bigint").alias("step_rank"),
+        F.lit("purchase").alias("step"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.expr("CAST(sum(t3 - t2) DIV count(1) AS BIGINT)").alias("mean_gap_us"),
+    )
+    return r1.unionByName(r2).unionByName(r3).orderBy("step_rank")
+
+
+ORACLE["ops_event_funnel"] = """
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (
+        SELECT user_id, MIN(us) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+        SELECT ev.user_id, MIN(ev.us) AS t2, MIN(s1.t1) AS t1
+        FROM ev JOIN s1 USING (user_id)
+        WHERE ev.event_type = 'view' AND ev.us > s1.t1 GROUP BY ev.user_id),
+    s3 AS (
+        SELECT ev.user_id, MIN(ev.us) AS t3, MIN(s2.t2) AS t2
+        FROM ev JOIN s2 USING (user_id)
+        WHERE ev.event_type = 'purchase' AND ev.us > s2.t2 GROUP BY ev.user_id)
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS step_rank, 'signup' AS step,
+               CAST(COUNT(*) AS BIGINT) AS n_users, CAST(NULL AS BIGINT) AS mean_gap_us
+        FROM s1
+        UNION ALL
+        SELECT 2, 'view', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(t2 - t1) // COUNT(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(t3 - t2) // COUNT(*) AS BIGINT) FROM s3)
+    ORDER BY step_rank
+"""
+
+
+@query("ops_cohort_retention")
+def ops_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    counted in every later week they were active — (cohort_week,
+    offset_weeks, n_users), the other canonical product-analytics rollup.
+    Two hash aggs (first-seen per user; distinct user-weeks) and one
+    user-key join; week arithmetic on date_trunc('week') is
+    Monday-anchored identically in Spark and DuckDB, offsets are exact
+    day-diffs DIV 7."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("CAST(datediff(wk, cohort_week) DIV 7 AS BIGINT)").alias(
+                "offset_weeks"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "offset_weeks")
+    )
+
+
+ORACLE["ops_cohort_retention"] = """
+    WITH ev AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+    first AS (
+        SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id)
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT) AS offset_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ev JOIN first USING (user_id)
+    GROUP BY cohort_week, offset_weeks
+    ORDER BY cohort_week, offset_weeks
+"""

@@ -2276,3 +2276,71 @@ class TestGopherRules:
         assert not out[4].passes and out[4].alpha_ppm < 800_000
         assert not out[5].passes and out[5].bullet_ppm > 900_000
         assert not out[6].passes and out[6].n_stop_distinct < 2
+
+
+class TestEventAnalytics:
+    def test_funnel_strict_order(self, spark):
+        """A user whose purchase PRECEDES the view must not advance past
+        step 2; gaps are exact epoch-microsecond means."""
+        import datetime as dt
+        import sys
+        import tempfile
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as e
+
+        T = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+        rows = [
+            # user 1: full funnel, gaps 10s then 20s
+            (1, T(0), 1, "signup", 0.0, "{}"),
+            (2, T(10), 1, "view", 0.0, "{}"),
+            (3, T(30), 1, "purchase", 0.0, "{}"),
+            # user 2: purchase BEFORE view -> stops at view
+            (4, T(0), 2, "signup", 0.0, "{}"),
+            (5, T(5), 2, "purchase", 0.0, "{}"),
+            (6, T(8), 2, "view", 0.0, "{}"),
+            # user 3: never signed up -> not even step 1
+            (7, T(0), 3, "view", 0.0, "{}"),
+            (8, T(1), 3, "purchase", 0.0, "{}"),
+        ]
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            ).coalesce(1).write.parquet(f"{td}/events.parquet")
+            out = {r.step: r for r in e.queries()["ops_event_funnel"](spark, td).collect()}
+        assert out["signup"].n_users == 2
+        assert out["view"].n_users == 2  # users 1 and 2
+        assert out["purchase"].n_users == 1  # only user 1 (strict order)
+        # user1 gap 10s, user2 gap 8s -> mean 9s
+        assert out["view"].mean_gap_us == 9_000_000
+        assert out["purchase"].mean_gap_us == 20_000_000
+
+    def test_cohort_retention_offsets(self, spark):
+        import datetime as dt
+        import sys
+        import tempfile
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as e
+
+        # Mondays: 2024-01-01, 2024-01-08, 2024-01-15
+        rows = [
+            # user 1: first week w0, active again w2
+            (1, dt.datetime(2024, 1, 2), 1, "view", 0.0, "{}"),
+            (2, dt.datetime(2024, 1, 16), 1, "view", 0.0, "{}"),
+            # user 2: first week w1 only
+            (3, dt.datetime(2024, 1, 10), 2, "view", 0.0, "{}"),
+        ]
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            ).coalesce(1).write.parquet(f"{td}/events.parquet")
+            got = {
+                (str(r.cohort_week), r.offset_weeks): r.n_users
+                for r in e.queries()["ops_cohort_retention"](spark, td).collect()
+            }
+        assert got == {
+            ("2024-01-01", 0): 1,
+            ("2024-01-01", 2): 1,
+            ("2024-01-08", 0): 1,
+        }

@@ -1573,3 +1573,66 @@ def wordpiece_encode(
             ).alias("pieces_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/MassiveText quality rules (Rae et al. 2021, App. A1.1)
+# ---------------------------------------------------------------------------
+
+def gopher_rules(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The published Gopher/MassiveText document-quality rule set as ONE
+    codegen'd projection: per-doc measurements (exact integer ppm, floor
+    DIV), the failed-rule count, and the all-rules verdict.  Zero
+    shuffle, zero Python, zero windows — the cheapest quality gate, run
+    first after langid in the published pipelines (also the stateless
+    ``gopher`` stage of ``streaming.structured.run_curation_stream``).
+    Declared + oracle-checked as ``ops_gopher_rules``."""
+    d = docs.select(
+        id_col,
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias("ws"),
+        F.expr(f"split({text_col}, '\n')").alias("lines"),
+        F.expr(
+            f"CAST(regexp_count({text_col}, '#') + regexp_count({text_col}, '\\\\.\\\\.\\\\.') AS BIGINT)"
+        ).alias("n_symbols"),
+    ).select(
+        id_col,
+        F.expr("CAST(size(ws) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "CASE WHEN size(ws) = 0 THEN NULL ELSE "
+            "CAST(aggregate(ws, 0L, (a, w) -> a + length(w)) * 1000000 DIV size(ws) AS BIGINT) END"
+        ).alias("mwl_ppm"),
+        F.expr(
+            "CASE WHEN size(ws) = 0 THEN NULL ELSE "
+            "CAST(n_symbols * 1000000 DIV size(ws) AS BIGINT) END"
+        ).alias("symbol_ppm"),
+        F.expr(
+            "CASE WHEN size(ws) = 0 THEN NULL ELSE "
+            "CAST(size(filter(ws, w -> w RLIKE '[a-z]')) * 1000000 DIV size(ws) AS BIGINT) END"
+        ).alias("alpha_ppm"),
+        F.expr(
+            "CAST(size(filter(lines, l -> l RLIKE '^\\\\s*([-*•]|[0-9]+\\\\.)\\\\s')) * 1000000 "
+            "DIV size(lines) AS BIGINT)"
+        ).alias("bullet_ppm"),
+        F.expr(
+            "CAST(size(filter(lines, l -> l RLIKE '\\\\.\\\\.\\\\.\\\\s*$')) * 1000000 "
+            "DIV size(lines) AS BIGINT)"
+        ).alias("ellipsis_ppm"),
+        F.expr(
+            "CAST(size(array_intersect(array_distinct(ws), "
+            "array('the','be','to','of','and','that','have','with'))) AS BIGINT)"
+        ).alias("n_stop_distinct"),
+    )
+    flags = (
+        "CAST(NOT n_words BETWEEN 50 AND 100000 AS INT)"
+        " + CAST(NOT coalesce(mwl_ppm BETWEEN 3000000 AND 10000000, false) AS INT)"
+        " + CAST(NOT coalesce(symbol_ppm <= 100000, false) AS INT)"
+        " + CAST(NOT coalesce(alpha_ppm >= 800000, false) AS INT)"
+        " + CAST(NOT bullet_ppm <= 900000 AS INT)"
+        " + CAST(NOT ellipsis_ppm <= 300000 AS INT)"
+        " + CAST(NOT n_stop_distinct >= 2 AS INT)"
+    )
+    return d.select(
+        "*",
+        F.expr(f"CAST({flags} AS BIGINT)").alias("n_rules_failed"),
+        F.expr(f"({flags}) = 0").alias("passes"),
+    )

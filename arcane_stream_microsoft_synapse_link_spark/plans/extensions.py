@@ -4931,71 +4931,20 @@ def ops_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ops_gopher_rules")
 def ops_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher/MassiveText document-quality rule set (Rae et
-    al. 2021, App. A1.1) as ONE codegen'd projection — word-count bounds,
-    mean-word-length bounds, symbol-to-word ratio (# and ...), bullet- /
-    ellipsis-line fractions, alphabetic-word fraction, and the ≥2-distinct-
-    stopwords rule — each rule's measurement AND flag declared per doc, so
-    a curation run can report WHICH rule rejected a document (the funnel
-    attribution discipline), plus the failed-rule count and the all-rules
-    verdict.  Thresholds are the PUBLISHED ones, kept honest: the
-    synthetic corpus's vocabulary carries only one listed stopword, so
-    every doc fails the >=2-distinct-stopwords rule and `passes` is
-    false corpus-wide — per-rule discrimination is pinned by planted
-    boundary tests (tests/test_functions.py:TestGopherRules), the
-    ops_langid honesty discipline.  All ratios are exact integer ppm
-    (floor DIV); no shuffle, no Python, no window — this is the cheapest
-    quality gate and runs first after langid in the published
-    pipelines."""
+    al. 2021, App. A1.1) as ONE codegen'd projection (functions/text.py:
+    gopher_rules) — word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (# and ...), bullet- / ellipsis-line fractions,
+    alphabetic-word fraction, and the >=2-distinct-stopwords rule — each
+    rule's measurement AND the failed-rule count + verdict declared per
+    doc (funnel attribution).  Thresholds are the PUBLISHED ones, kept
+    honest: the synthetic corpus's vocabulary carries only one listed
+    stopword, so every doc fails that rule and `passes` is false
+    corpus-wide — per-rule discrimination is pinned by planted boundary
+    tests (tests/test_functions.py:TestGopherRules).  All ratios exact
+    integer ppm; no shuffle, no Python, no window — the cheapest quality
+    gate, running first after langid in the published pipelines."""
     t = Tables(spark, sf_dir)
-    d = t.documents.select(
-        "doc_id",
-        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("ws"),
-        F.expr("split(text, '\n')").alias("lines"),
-        F.expr(
-            "CAST(regexp_count(text, '#') + regexp_count(text, '\\\\.\\\\.\\\\.') AS BIGINT)"
-        ).alias("n_symbols"),
-    ).select(
-        "doc_id",
-        F.expr("CAST(size(ws) AS BIGINT)").alias("n_words"),
-        F.expr(
-            "CASE WHEN size(ws) = 0 THEN NULL ELSE "
-            "CAST(aggregate(ws, 0L, (a, w) -> a + length(w)) * 1000000 DIV size(ws) AS BIGINT) END"
-        ).alias("mwl_ppm"),
-        F.expr(
-            "CASE WHEN size(ws) = 0 THEN NULL ELSE "
-            "CAST(n_symbols * 1000000 DIV size(ws) AS BIGINT) END"
-        ).alias("symbol_ppm"),
-        F.expr(
-            "CASE WHEN size(ws) = 0 THEN NULL ELSE "
-            "CAST(size(filter(ws, w -> w RLIKE '[a-z]')) * 1000000 DIV size(ws) AS BIGINT) END"
-        ).alias("alpha_ppm"),
-        F.expr(
-            "CAST(size(filter(lines, l -> l RLIKE '^\\\\s*([-*•]|[0-9]+\\\\.)\\\\s')) * 1000000 "
-            "DIV size(lines) AS BIGINT)"
-        ).alias("bullet_ppm"),
-        F.expr(
-            "CAST(size(filter(lines, l -> l RLIKE '\\\\.\\\\.\\\\.\\\\s*$')) * 1000000 "
-            "DIV size(lines) AS BIGINT)"
-        ).alias("ellipsis_ppm"),
-        F.expr(
-            "CAST(size(array_intersect(array_distinct(ws), "
-            "array('the','be','to','of','and','that','have','with'))) AS BIGINT)"
-        ).alias("n_stop_distinct"),
-    )
-    flags = (
-        "CAST(NOT n_words BETWEEN 50 AND 100000 AS INT)"
-        " + CAST(NOT coalesce(mwl_ppm BETWEEN 3000000 AND 10000000, false) AS INT)"
-        " + CAST(NOT coalesce(symbol_ppm <= 100000, false) AS INT)"
-        " + CAST(NOT coalesce(alpha_ppm >= 800000, false) AS INT)"
-        " + CAST(NOT bullet_ppm <= 900000 AS INT)"
-        " + CAST(NOT ellipsis_ppm <= 300000 AS INT)"
-        " + CAST(NOT n_stop_distinct >= 2 AS INT)"
-    )
-    return d.select(
-        "*",
-        F.expr(f"CAST({flags} AS BIGINT)").alias("n_rules_failed"),
-        F.expr(f"({flags}) = 0").alias("passes"),
-    ).orderBy("doc_id")
+    return X.gopher_rules(t.documents).orderBy("doc_id")
 
 
 ORACLE["ops_gopher_rules"] = r"""
@@ -5216,3 +5165,111 @@ ORACLE["ops_cohort_retention"] = """
     GROUP BY cohort_week, offset_weeks
     ORDER BY cohort_week, offset_weeks
 """
+
+
+@query("ops_curation_funnel_gopher")
+def ops_curation_funnel_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE published stage order with per-stage attribution:
+    langid → Gopher rules → quality → exact-dup → contamination (CCNet/
+    C4/RefinedWeb/FineWeb run exactly this cheap-to-expensive ladder),
+    each doc charged to its FIRST rejecting stage so counts sum to the
+    intake.  The Gopher stage rejects at ``n_rules_failed >= 2`` — the
+    corpus-baseline threshold, since this synthetic corpus structurally
+    fails the stopword rule everywhere (see ops_gopher_rules; C4
+    similarly dropped Gopher rules that didn't fit its corpus — rule-set
+    tuning per corpus is the published practice).  Oracle: sequential
+    mirror (plans/values_oracle.py:ref_curation_funnel_gopher, pinned
+    sf0.01)."""
+    from ..functions.langid import langid_fit_predict
+
+    t = Tables(spark, sf_dir)
+    preds = langid_fit_predict(t.documents).select(
+        "doc_id",
+        (
+            (F.col("lang_pred") != F.lit("en"))
+            | (F.col("margin_ppm") < F.lit(12_000_000))
+        ).alias("lreject"),
+    )
+    gvals = X.gopher_rules(t.documents).select(
+        "doc_id", (F.col("n_rules_failed") >= 2).alias("grej")
+    )
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(X.WORD_RE), F.lit(0))
+    bench = t.documents.where(F.col("source") == "src0")
+    corpus = t.documents.where(F.col("source") != "src0")
+    d = corpus.select(
+        "doc_id",
+        "text",
+        F.size(words).alias("n_tokens"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("ur"),
+    )
+    keeper = d.groupBy(F.md5("text").alias("_h")).agg(F.min("doc_id").alias("_keeper"))
+    bench_grams = (
+        bench.select(X.word_ngram_strings(words, 8).alias("_gs"))
+        .select(F.explode("_gs").alias("gram"))
+        .distinct()
+    )
+    contam_ids = (
+        corpus.select("doc_id", F.explode(X.word_ngram_strings(words, 8)).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_contam", F.lit(1))
+    )
+    flags = (
+        d.join(preds, "doc_id")
+        .join(gvals, "doc_id")
+        .join(keeper, F.md5(F.col("text")) == F.col("_h"), "left")
+        .join(contam_ids, "doc_id", "left")
+        .select(
+            F.col("lreject"),
+            F.col("grej"),
+            ((F.col("n_tokens") < 40) | (F.col("ur") < 0.2)).alias("qfail"),
+            (F.col("doc_id") != F.col("_keeper")).alias("dup"),
+            F.col("_contam").isNotNull().alias("contam"),
+        )
+    )
+    c = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("lreject").cast("bigint")).alias("nl"),
+        F.sum((~F.col("lreject") & F.col("grej")).cast("bigint")).alias("ng"),
+        F.sum(
+            (~F.col("lreject") & ~F.col("grej") & F.col("qfail")).cast("bigint")
+        ).alias("nq"),
+        F.sum(
+            (
+                ~F.col("lreject") & ~F.col("grej") & ~F.col("qfail") & F.col("dup")
+            ).cast("bigint")
+        ).alias("nd"),
+        F.sum(
+            (
+                ~F.col("lreject")
+                & ~F.col("grej")
+                & ~F.col("qfail")
+                & ~F.col("dup")
+                & F.col("contam")
+            ).cast("bigint")
+        ).alias("nc"),
+    )
+    stage = lambda rank, name, n_in, n_rej: F.struct(  # noqa: E731
+        F.lit(rank).cast("int").alias("stage_rank"),
+        F.lit(name).alias("stage"),
+        n_in.cast("bigint").alias("n_in"),
+        n_rej.cast("bigint").alias("n_rejected"),
+        (n_in - n_rej).cast("bigint").alias("n_out"),
+    )
+    n, nl, ng, nq, nd, nc = (F.col(x) for x in ("n", "nl", "ng", "nq", "nd", "nc"))
+    return (
+        c.select(
+            F.explode(
+                F.array(
+                    stage(1, "langid", n, nl),
+                    stage(2, "gopher", n - nl, ng),
+                    stage(3, "quality", n - nl - ng, nq),
+                    stage(4, "exact_dup", n - nl - ng - nq, nd),
+                    stage(5, "contaminated", n - nl - ng - nq - nd, nc),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy("stage_rank")
+    )

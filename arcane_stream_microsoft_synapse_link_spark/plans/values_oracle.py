@@ -708,6 +708,104 @@ def ref_curation_funnel_langid(
     ]
 
 
+_GOPHER_STOPS = {"the", "be", "to", "of", "and", "that", "have", "with"}
+
+
+def _gopher_rules_failed(tx: str) -> int:
+    """Sequential mirror of functions/text.py:gopher_rules — failed-rule
+    count per doc (ASCII corpus: Python \\s == Java \\s here; the engine's
+    Java-regex semantics are the contract, see the _WS_RE discipline)."""
+    ws = re.findall("[a-z0-9]+", (tx or "").lower())
+    lines = (tx or "").split("\n")
+    n_sym = (tx or "").count("#") + len(re.findall(r"\.\.\.", tx or ""))
+    nw = len(ws)
+    fails = 0
+    fails += not (50 <= nw <= 100000)
+    if nw == 0:
+        fails += 3  # mwl / symbol / alpha are NULL -> each rule fails
+    else:
+        mwl = sum(len(w) for w in ws) * 10**6 // nw
+        fails += not (3_000_000 <= mwl <= 10_000_000)
+        fails += not ((n_sym * 10**6 // nw) <= 100_000)
+        alpha = sum(1 for w in ws if re.search("[a-z]", w)) * 10**6 // nw
+        fails += not (alpha >= 800_000)
+    bullet = (
+        sum(1 for l in lines if re.search(r"^\s*([-*•]|[0-9]+\.)\s", l))
+        * 10**6
+        // len(lines)
+    )
+    fails += not (bullet <= 900_000)
+    ell = (
+        sum(1 for l in lines if re.search(r"\.\.\.\s*$", l)) * 10**6 // len(lines)
+    )
+    fails += not (ell <= 300_000)
+    fails += not (len(set(ws) & _GOPHER_STOPS) >= 2)
+    return fails
+
+
+def ref_curation_funnel_gopher(
+    sf_dir: str, margin_floor: int = 12_000_000, target: str = "en"
+) -> list[tuple]:
+    """(stage_rank, stage, n_in, n_rejected, n_out) — sequential mirror of
+    the complete published ladder langid → gopher → quality → exact-dup →
+    contamination (engine: plans/extensions.py:ops_curation_funnel_gopher;
+    gopher stage rejects at n_rules_failed >= 2, the documented
+    corpus-baseline threshold)."""
+    import pyarrow.parquet as pq
+
+    preds = {d: (lang, margin) for d, lang, margin in ref_langid(sf_dir)}
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    rows = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("source").to_pylist(),
+        )
+    )
+    corpus = [(d, tx or "") for d, tx, src in rows if src != "src0"]
+    bench_grams: set[str] = set()
+    for _, tx, src in rows:
+        if src == "src0":
+            ws = WORD_RE.findall((tx or "").lower())
+            for i in range(len(ws) - 7):
+                bench_grams.add(" ".join(ws[i : i + 8]))
+    keeper: dict[str, int] = {}
+    for d, tx in corpus:
+        h = hashlib.md5(tx.encode("utf-8")).hexdigest()
+        keeper[h] = min(keeper.get(h, d), d)
+    n = len(corpus)
+    nl = ng = nq = nd = nc = 0
+    for d, tx in corpus:
+        lang, margin = preds[d]
+        if lang != target or margin < margin_floor:
+            nl += 1
+            continue
+        if _gopher_rules_failed(tx) >= 2:
+            ng += 1
+            continue
+        ws = WORD_RE.findall(tx.lower())
+        if len(ws) < 40 or (len(set(ws)) / len(ws)) < 0.2:
+            nq += 1
+            continue
+        if d != keeper[hashlib.md5(tx.encode("utf-8")).hexdigest()]:
+            nd += 1
+            continue
+        if any(
+            " ".join(ws[i : i + 8]) in bench_grams for i in range(len(ws) - 7)
+        ):
+            nc += 1
+    return [
+        (1, "langid", n, nl, n - nl),
+        (2, "gopher", n - nl, ng, n - nl - ng),
+        (3, "quality", n - nl - ng, nq, n - nl - ng - nq),
+        (4, "exact_dup", n - nl - ng - nq, nd, n - nl - ng - nq - nd),
+        (5, "contaminated", n - nl - ng - nq - nd, nc, n - nl - ng - nq - nd - nc),
+    ]
+
+
 def ref_wordpiece_encode(sf_dir: str, n_merges: int = 10) -> list[tuple]:
     """(doc_id, n_words, n_pieces, n_unk, pieces_md5) — sequential
     WordPiece encode: vocab = training chars (plain + ##) + merge
@@ -2573,6 +2671,16 @@ def build() -> dict[str, str]:
                     ("doc_id", "BIGINT"),
                     ("lang_pred", "VARCHAR"),
                     ("margin_ppm", "BIGINT"),
+                ],
+            ),
+            "ops_curation_funnel_gopher": sql_values(
+                ref_curation_funnel_gopher(_SF_PIN),
+                [
+                    ("stage_rank", "INTEGER"),
+                    ("stage", "VARCHAR"),
+                    ("n_in", "BIGINT"),
+                    ("n_rejected", "BIGINT"),
+                    ("n_out", "BIGINT"),
                 ],
             ),
             "ops_curation_funnel_langid": sql_values(

@@ -1198,6 +1198,7 @@ def run_curation_stream(
     langid_label: str | None = None,
     langid_accept: tuple[str, ...] = ("en",),
     langid_min_margin_ppm: int = 0,
+    gopher: bool = False,
 ):
     """Streaming curation gate: score every micro-batch of incoming
     documents with BOTH trained curation models — the IRLS quality
@@ -1239,7 +1240,15 @@ def run_curation_stream(
     ``lang_pred``/``margin_ppm`` plus ``first_reject`` ('langid' /
     'quality' / NULL) — the per-row attribution ops_curation_funnel_langid
     aggregates, so the intake funnel can be read straight off the gate's
-    own output."""
+    own output.
+
+    ``gopher=True`` arms the published Gopher/MassiveText rule set
+    (functions/text.py:gopher_rules) as the stage between langid and the
+    trained scorers — exactly the published ordering (cheap stateless
+    heuristics before model scoring): rejected rows carry
+    ``first_reject='gopher'`` and their ``n_rules_failed``; the stage is
+    a pure projection, so it adds no state and no shuffle to the
+    gate."""
     import json
 
     from pyspark.sql import functions as F
@@ -1247,6 +1256,7 @@ def run_curation_stream(
     from ..functions.classifier import classifier_scores, text_feature_frame
     from ..functions.curation import dsir_score, hashed_dsir_score
     from ..functions.langid import collect_model, langid_predict
+    from ..functions.text import gopher_rules
 
     accept_dir = os.path.join(work_dir, "accept")
     reject_dir = os.path.join(work_dir, "reject")
@@ -1274,6 +1284,15 @@ def run_curation_stream(
         scored = batch_df.join(quality, id_col).join(
             dsir.select(id_col, "dsir_ppm"), id_col
         )
+        gopher_ok = F.lit(True)
+        if gopher:
+            scored = scored.join(
+                gopher_rules(batch_df, text_col, id_col).select(
+                    id_col, "n_rules_failed"
+                ),
+                id_col,
+            )
+            gopher_ok = F.col("n_rules_failed") == 0
         lang_ok = F.lit(True)
         if langid_label is not None and os.path.isdir(
             os.path.join(vdir, "langid_model")
@@ -1292,6 +1311,15 @@ def run_curation_stream(
             scored = scored.withColumn(
                 "first_reject",
                 F.when(~lang_ok, F.lit("langid"))
+                .when(~gopher_ok, F.lit("gopher"))
+                .when(F.col("score_ppm") < min_score_ppm, F.lit("quality"))
+                .when(F.col("dsir_ppm") < min_dsir_ppm, F.lit("dsir"))
+                .otherwise(F.lit(None).cast("string")),
+            )
+        elif gopher:
+            scored = scored.withColumn(
+                "first_reject",
+                F.when(~gopher_ok, F.lit("gopher"))
                 .when(F.col("score_ppm") < min_score_ppm, F.lit("quality"))
                 .when(F.col("dsir_ppm") < min_dsir_ppm, F.lit("dsir"))
                 .otherwise(F.lit(None).cast("string")),
@@ -1299,6 +1327,7 @@ def run_curation_stream(
         scored = scored.localCheckpoint()
         ok = (
             lang_ok
+            & gopher_ok
             & (F.col("score_ppm") >= min_score_ppm)
             & (F.col("dsir_ppm") >= min_dsir_ppm)
         )

@@ -401,3 +401,67 @@ def test_multi_entity_huge_blob_chunked_intake(spark, tmp_path):
     for i, _q, _rid, spec in queries:
         got = VersionedTable(spec.target_root).read(spark).count()
         assert got == (n_blob if i == 0 else n_small), (i, got)
+
+
+@pytest.mark.slow
+def test_url_dedup_gate_longevity_100_batches(spark, tmp_path):
+    """run_url_dedup_stream over 100 micro-batches with in-step compaction
+    and a restart at batch 60: each batch brings 3 fresh URLs plus one
+    refetch of the URL admitted LAG batches earlier (different raw
+    spelling — tracking params — same canonical form); the refetch must be
+    rejected by the accumulated index every time, batch-dir counts stay
+    bounded, and per-batch latency stays flat (state is canonical-key-only
+    so cost must not grow with history)."""
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_url_dedup_stream,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    schema = "doc_id long, url string, text string"
+
+    def url(b: int, j: int, refetch: bool = False) -> str:
+        base = f"https://host{j}.example.com/p/{b}/{j}"
+        return base + ("?utm_source=refetch" if refetch else "")
+
+    def write_folder(b: int) -> None:
+        rows = []
+        for j in range(3):
+            rows.append((b * 10 + j, url(b, j), f"text {b} {j}"))
+        if b >= LAG:
+            rows.append((b * 10 + 9, url(b - LAG, 0, refetch=True), "refetched"))
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{b:03d}")
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    for b in range(RESTART_AT):
+        write_folder(b)
+    q1 = run_url_dedup_stream(spark, stream(), work, ckpt, compact_every=COMPACT_EVERY)
+    q1.awaitTermination(900)
+    durs = _durations(q1)
+
+    compact_gate_state(spark, work, keep_last=2)
+
+    for b in range(RESTART_AT, N_BATCHES):
+        write_folder(b)
+    q2 = run_url_dedup_stream(spark, stream(), work, ckpt, compact_every=COMPACT_EVERY)
+    q2.awaitTermination(900)
+    durs += _durations(q2)
+
+    admitted = {r["doc_id"] for r in read_batches(spark, f"{work}/corpus").collect()}
+    want = {b * 10 + j for b in range(N_BATCHES) for j in range(3)}
+    assert admitted == want  # every refetch rejected, nothing else lost
+    hits = read_batches(spark, f"{work}/hits").collect()
+    index_rejects = {r["doc_id"] for r in hits if r["reason"] == "index"}
+    assert index_rejects == {b * 10 + 9 for b in range(LAG, N_BATCHES)}
+
+    _assert_bounded_dirs(work, ("corpus", "url_index", "hits"), "url_dedup")
+    _assert_latency_flat(durs, "url_dedup")

@@ -191,12 +191,12 @@ def test_optimize_zorder_shrinks_file_bounding_boxes(spark, tmp_path):
     before = _file_stats(t._snapshot_dir(1), ["x", "y"])
     span = 65535.0
     avg_before = sum((s["x"][1] - s["x"][0]) / span for s in before) / len(before)
-    assert avg_before > 0.9  # random layout: every file spans ~everything
+    assert avg_before > 0.9, f"random layout unexpectedly clustered: {before}"
 
     v2 = t.optimize_zorder(spark, ["x", "y"], n_files=16)
     assert v2 == 2
     after = _file_stats(t._snapshot_dir(2), ["x", "y"])
-    assert len(after) >= 8
+    assert len(after) >= 8, f"too few data files after rewrite: {after}"
     for c in ("x", "y"):
         avg = sum((s[c][1] - s[c][0]) / span for s in after) / len(after)
         # 16 z-range files over a 2-D uniform square -> each file covers
@@ -208,7 +208,7 @@ def test_optimize_zorder_shrinks_file_bounding_boxes(spark, tmp_path):
     for c in ("x", "y"):
         probe = 17_000
         containing = sum(1 for s in after if s[c][0] <= probe <= s[c][1])
-        assert containing <= len(after) // 2
+        assert containing <= len(after) // 2, (c, containing, after)
 
     # row multiset unchanged
     got = sorted((r.x, r.y) for r in t.read(spark).collect())

@@ -1905,3 +1905,60 @@ def test_url_dedup_stream_cross_batch_and_replay(spark, tmp_path):
         "https://other.com/b",
         "https://other.com/c",
     ]
+
+
+def test_curation_stream_gopher_stage(spark, tmp_path):
+    """gopher=True arms the published rule set between langid-absent and
+    the trained scorers: a doc failing a Gopher rule (too few words) is
+    rejected with first_reject='gopher' BEFORE the classifier gets a say,
+    a rule-passing doc flows through to the quality stage, and restart
+    replays idempotently."""
+    from pyspark.sql import functions as F
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_curation_stream,
+    )
+
+    # 60+ words with several listed stopwords and sane word lengths: passes
+    # every Gopher rule; the quality classifier separates prose vs junk.
+    prose = ("the quick brown fox jumps over the lazy dog and that is fine "
+             "to have with all of the usual words in good measure here now ") * 2
+    junk = "x,y;z.!? q,w;e.!? "
+    ref_rows = [(i, prose + f"tail{i} more of the usual words") for i in range(0, 30, 2)]
+    ref_rows += [(i, junk * (4 + i % 3)) for i in range(1, 30, 2)]
+    reference = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    target = F.col("doc_id") % 2 == 0
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    short = "the of and that have with be to"  # all stopwords but 8 words: fails word-count rule
+    # 102: passes every Gopher rule (64 words, sane lengths, two listed
+    # stopwords, no symbols) but carries the junk reference's punctuation
+    # signature, so the CLASSIFIER rejects it — the post-gopher stage
+    punct_junk = "foo,bar;baz.!? qux,quux;corge.!? the of " * 8
+    spark.createDataFrame(
+        [(100, prose), (101, short), (102, punct_junk)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = lambda: spark.readStream.schema("doc_id long, text string").parquet(  # noqa: E731
+        str(src / "*")
+    )
+    q = run_curation_stream(
+        spark, stream(), reference, target, work, ckpt,
+        min_score_ppm=500000, gopher=True,
+        fault_hook=_crash_once("after_accept", 0),
+    )
+    _await_failure(q)
+    q2 = run_curation_stream(
+        spark, stream(), reference, target, work, ckpt,
+        min_score_ppm=500000, gopher=True,
+    )
+    q2.awaitTermination(120)
+
+    accepted = {r["doc_id"] for r in spark.read.parquet(f"{work}/accept").collect()}
+    rej = {r["doc_id"]: r for r in spark.read.parquet(f"{work}/reject").collect()}
+    assert accepted == {100}
+    assert set(rej) == {101, 102}
+    assert rej[101]["first_reject"] == "gopher" and rej[101]["n_rules_failed"] >= 1
+    assert rej[102]["first_reject"] == "quality" and rej[102]["n_rules_failed"] == 0

@@ -20,9 +20,13 @@ denominators, so probabilities are declared in ppm fixed point:
       p_ppm     = term1_ppm + term2_ppm
 
   (two exact divisions instead of one over a common denominator keeps
-  every intermediate ≤ 3·|V|²·1e6 < 2⁶³ for vocabularies to ~1e6 types;
-  each term floors independently, a ≤2-ppm defined semantics mirrored
-  verbatim in the oracle);
+  the intermediates small: term2's numerator is ≤ 3·|V|²·1e6 < 2⁶³ for
+  vocabularies to ~1e6 types, and term1's numerator 4·c(u,w)·1e6 is
+  bounded by the CORPUS bigram count, not the vocabulary — it stays
+  under 2⁶³ while every single bigram occurs < 2⁶³/4e6 ≈ 2.3e12 times,
+  i.e. for any corpus below ~2.3 quadrillion tokens even if one bigram
+  dominated it outright; each term floors independently, a ≤2-ppm
+  defined semantics mirrored verbatim in the oracle);
 
 * unseen context: pure continuation, ``p_ppm = (n1w · 1e6) DIV n1tot``;
 

@@ -111,7 +111,9 @@ def canonicalize_url(url: Column) -> Column:
     host = F.regexp_replace(F.regexp_replace(hostport, r":[0-9]+$", ""), r"^www\.", "")
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     path = F.regexp_replace(F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1), r"/+$", "")
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # Anchored to the pre-fragment substring: a '?' that first appears
+    # inside the fragment (e.g. https://e.com/a#x?q=1) is NOT a query.
+    query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     params = F.filter(
         F.split(query, "&"),
         lambda x: (x != "") & (~x.rlike(TRACKING_PARAM_RE)),
@@ -145,9 +147,9 @@ CANON_URL_SQL = r"""
         THEN ':' || regexp_extract(lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)), ':([0-9]+)$', 1)
         ELSE '' END
     || regexp_replace(regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1), '/+$', '')
-    || CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+    || CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&'),
                 x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|ref|fbclid|gclid)='))), '&') <> ''
-        THEN '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        THEN '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&'),
                 x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|ref|fbclid|gclid)='))), '&')
         ELSE '' END
 """

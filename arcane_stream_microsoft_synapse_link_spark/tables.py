@@ -284,8 +284,20 @@ class VersionedTable:
         """Deterministic merge-key bucket (bucket(arcane_merge_key, N))."""
         return F.pmod(F.xxhash64(self.bucket_key), F.lit(self.bucket_count)).cast("int")
 
-    def commit(self, df: DataFrame, touched_buckets: list[int] | None = None) -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        touched_buckets: list[int] | None = None,
+        sort_override: tuple[str, ...] | None = None,
+    ) -> int:
         """Write a new immutable snapshot and atomically advance the pointer.
+
+        ``sort_override``: replace the table's configured ``sorted_by``
+        in-partition sort for THIS commit only (used by
+        :meth:`optimize_zorder`, whose clustering the default re-sort
+        would silently undo).  Override columns prefixed ``__`` are
+        treated as layout-only auxiliaries: they order the rows, then
+        are dropped before the write.
 
         ``touched_buckets`` (bucketed tables only): incremental commit — the
         DataFrame holds only the touched buckets' rows; untouched bucket
@@ -316,9 +328,15 @@ class VersionedTable:
                 tnames.append(name)
         part_cols = (["__bucket"] if bucketed else []) + tnames
 
-        sort_cols = [c for c in self.sorted_by if c in df.columns]
+        if sort_override is not None:
+            sort_cols = [c for c in sort_override if c in df.columns]
+        else:
+            sort_cols = [c for c in self.sorted_by if c in df.columns]
         if sort_cols:
             df = df.sortWithinPartitions(*part_cols, *sort_cols)
+            aux = [c for c in sort_cols if c.startswith("__")]
+            if aux:
+                df = df.drop(*aux)  # projection only — row order is kept
         w = df.write.mode("overwrite")
         if self.max_rows_per_file > 0:
             w = w.option("maxRecordsPerFile", str(self.max_rows_per_file))
@@ -492,16 +510,16 @@ class VersionedTable:
         z = zorder_key(df, columns)
         clustered = df.withColumn("__z", z)
         if self.bucket_count and self.bucket_key in df.columns:
-            clustered = (
-                clustered.withColumn("__bucket", self.bucket_expr())
-                .repartition("__bucket")
-                .sortWithinPartitions("__bucket", "__z")
+            clustered = clustered.withColumn("__bucket", self.bucket_expr()).repartition(
+                "__bucket"
             )
         else:
-            clustered = clustered.repartitionByRange(
-                n_files, "__z"
-            ).sortWithinPartitions("__z")
-        return self.commit(clustered.drop("__z"))
+            clustered = clustered.repartitionByRange(n_files, "__z")
+        # sort_override: the z-sort happens INSIDE commit, replacing the
+        # table's configured sorted_by for this commit only — otherwise
+        # commit's default re-sort would silently undo the clustering
+        # this rewrite exists to produce (__z is dropped before write).
+        return self.commit(clustered, sort_override=("__z",))
 
     # ---- maintenance (operators C2-C3 analog) ----------------------------
     def remove_orphans(self, older_than_s: float = 3600.0) -> list[str]:

@@ -370,16 +370,17 @@ def cdc_bench(spark) -> dict:
             # the 8-concurrent-jobs tick is the noisiest scenario in the
             # suite (JIT/GC/thread-scheduling sensitive: identical-code
             # trials swing several-fold on an otherwise idle machine) —
-            # same discipline as _cdc_band_check keeping the better
-            # attempt: run 3 fresh-fixture attempts, report the best as
-            # the achievable steady rate, and keep the spread visible
+            # run 3 fresh-fixture attempts, report the MEDIAN as the
+            # headline (same estimator as every query timing — the max
+            # was optimistically biased), and keep the spread visible
             attempts: list[float] = []
             for a in range(3):
                 attempts.append(
                     _multi_entity_bench(spark, os.path.join(tmp, f"multi{a}"))
                 )
                 _gc_hint(spark)
-            out["multi_entity_rows_per_sec"] = max(attempts)
+            ordered = sorted(attempts)
+            out["multi_entity_rows_per_sec"] = ordered[len(ordered) // 2]
             out["multi_entity_attempts"] = [round(x, 1) for x in attempts]
             out["multi_entity_n"] = 8
         except Exception as exc:
@@ -853,7 +854,7 @@ def scale_tpch_decade2() -> None:
             )
         out = {
             "scales": {"sf0.1": "600k lineitem", "sf1": "6M lineitem (10x key-shifted replicas)"},
-            "method": "median of 3 timed passes per scale after sf0.01 warm pass; flagged entries re-confirmed with a fresh GC'd median-of-3 (min kept)",
+            "method": "median of 3 timed passes per scale after sf0.01 warm pass",
             "entries": len(per),
             "total_sf01_sec": round(sum(v.get("sf0.1") or 0 for v in per.values()), 2),
             "total_sf1_sec": round(sum(v.get("sf1") or 0 for v in per.values()), 2),
@@ -1059,6 +1060,8 @@ def scale_ops_d2() -> None:
         )
         if suspects:
             _gc_hint(spark)
+            errs: dict[str, list[str]] = {k: [] for k in suspects}
+            empty: dict[str, list[str]] = {k: [] for k in suspects}
             for label, d in (("sf0.1", sf_dir), ("sf1", tmp)):
                 xs: dict[str, list[float]] = {k: [] for k in suspects}
                 for _ in range(3):
@@ -1067,8 +1070,13 @@ def scale_ops_d2() -> None:
                         try:
                             queries[k](spark, d).collect()
                             xs[k].append(_time.perf_counter() - t0)
-                        except Exception:
-                            pass
+                        except Exception as exc:
+                            # record the failure — a consistently failing
+                            # suspect must NOT keep its old number while
+                            # claiming reconfirmed=True
+                            errs[k].append(
+                                f"{label}: {type(exc).__name__}: {exc}"[:120]
+                            )
                         _release_cached_blocks(spark)
                 for k, v in xs.items():
                     good = sorted(v)
@@ -1076,6 +1084,8 @@ def scale_ops_d2() -> None:
                         per[k][label] = min(
                             per[k][label], round(good[len(good) // 2], 4)
                         )
+                    else:
+                        empty[k].append(label)
             for k in suspects:
                 v = per[k]
                 v["ratio"] = (
@@ -1083,7 +1093,12 @@ def scale_ops_d2() -> None:
                     if v.get("sf0.1") and v.get("sf1")
                     else None
                 )
-                v["reconfirmed"] = True
+                # reconfirmed only if every scale produced at least one
+                # fresh measurement; otherwise the entry keeps its sweep
+                # number but is explicitly marked unverified
+                v["reconfirmed"] = not empty[k]
+                if errs[k]:
+                    v["reconfirm_errors"] = errs[k][:6]
         flagged = sorted(
             k for k, v in per.items() if v["ratio"] is not None and v["ratio"] > FLAG_RATIO
         )
@@ -1093,7 +1108,7 @@ def scale_ops_d2() -> None:
                 "sf1": "10x key-shifted replicas (replica-prefixed texts, "
                 "epsilon-perturbed vectors)",
             },
-            "method": "median of 3 timed passes per scale after sf0.01 warm pass; flagged entries re-confirmed with a fresh GC'd median-of-3 (min kept)",
+            "method": "median of 3 timed passes per scale after sf0.01 warm pass; flagged entries re-confirmed with a fresh GC'd median-of-3 (min kept; re-run failures recorded, reconfirmed=false when a scale yields no fresh measurement)",
             "flag_ratio": FLAG_RATIO,
             "entries": len(per),
             "excluded": EXCLUDED,

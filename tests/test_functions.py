@@ -2109,6 +2109,10 @@ class TestUrlCuration:
             "https://example.com/": "https://example.com",
             # a non-tracking param whose VALUE mentions utm survives
             "https://example.com/a?q=utm_source": "https://example.com/a?q=utm_source",
+            # a '?' that first appears INSIDE the fragment is not a query
+            "https://example.com/a#x?q=1": "https://example.com/a",
+            # real query + fragment containing another '?'
+            "https://example.com/a?b=2#x?q=1": "https://example.com/a?b=2",
         }
         got = self._canon(spark, list(cases))
         for (raw, want), c in zip(cases.items(), got):
@@ -2129,6 +2133,8 @@ class TestUrlCuration:
             "https://example.com/deep/path///",
             "https://example.com/a?single=1",
             "https://example.com/a?",
+            "https://example.com/a#x?q=1",
+            "https://example.com/a?b=2&utm_source=s#x?q=1",
         ]
         eng = self._canon(spark, urls)
         con = ddb.connect()

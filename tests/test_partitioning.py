@@ -233,3 +233,33 @@ def test_optimize_zorder_bucketed_keeps_bucket_layout(spark, tmp_path):
     snap = t._snapshot_dir(v2)
     assert any(n.startswith("__bucket=") for n in os.listdir(snap))
     assert t.read(spark).count() == 2_000
+
+
+def test_optimize_zorder_survives_sorted_by(spark, tmp_path):
+    """Regression (round-11 advice): when the table has sorted_by
+    configured, commit() used to re-apply sortWithinPartitions with the
+    configured sort columns AFTER the z-sort, silently undoing the
+    clustering.  The z-commit now carries a sort override, so files stay
+    z-clustered on both dimensions even with sorted_by set."""
+    import random
+
+    from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+
+    rng = random.Random(29)
+    rows = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(40_000)]
+    # sorted_by=('y',): a plain y-sort leaves x files spanning the full range
+    t = VersionedTable(str(tmp_path / "t"), sorted_by=("y",))
+    t.commit(spark.createDataFrame(rows, "x long, y long").repartition(16))
+
+    v2 = t.optimize_zorder(spark, ["x", "y"], n_files=16)
+    after = _file_stats(t._snapshot_dir(v2), ["x", "y"])
+    assert len(after) >= 8
+    span = 65535.0
+    for c in ("x", "y"):
+        avg = sum((s[c][1] - s[c][0]) / span for s in after) / len(after)
+        assert avg < 0.6, f"{c}: sorted_by undid the z-sort (avg width {avg:.2f})"
+    # __z never leaks into the written schema
+    assert "__z" not in t.read(spark).columns
+    # subsequent plain commits keep honoring sorted_by
+    t.commit(t.read(spark))
+    assert "__z" not in t.read(spark).columns

@@ -5273,3 +5273,214 @@ def ops_curation_funnel_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
         .orderBy("stage_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# document-graph operators (functions/graph.py)
+# ---------------------------------------------------------------------------
+
+
+@query("ops_connected_components")
+def ops_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a deterministic synthesized doc graph:
+    every node labeled with its component's MIN node id; edge-less nodes
+    are singleton components.  The propagation engine is the SAME
+    adaptive min-label machinery that resolves duplicate clusters
+    (functions/dedup.py:duplicate_clusters — driver union-find for small
+    edge sets, pointer-jumping O(log diameter) rounds above it), here
+    exposed as a first-class graph operator.  The oracle is an
+    independent recursive-CTE min-label closure, pruned to decreasing
+    labels (functions/graph.py:CC_ORACLE_SQL)."""
+    from ..functions import graph as G
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    edges = G.synthesize_edges(docs)
+    nodes = docs.select(F.col("doc_id").cast("bigint").alias("node"))
+    return G.connected_components(nodes, edges).orderBy("node")
+
+
+ORACLE["ops_connected_components"] = None  # set below from the module constant
+
+
+@query("ops_pagerank")
+def ops_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank in exact ppm fixed point (5 synchronous rounds, damping
+    85/100, integer DIV at every step — bit-identical across engines)
+    over the same synthesized doc graph: the link-centrality primitive
+    every public crawl pipeline ranks hosts by (Common Crawl publishes
+    PageRank/harmonic host ranks) re-expressed as the canonical
+    join+agg-per-round Spark loop (functions/graph.py:pagerank_ppm).
+    The oracle replays the identical recurrence as chained CTEs."""
+    from ..functions import graph as G
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    edges = G.synthesize_edges(docs)
+    nodes = docs.select(F.col("doc_id").cast("bigint").alias("node"))
+    return G.pagerank_ppm(nodes, edges, iterations=5).orderBy("node")
+
+
+from ..functions.graph import CC_ORACLE_SQL as _CC_SQL  # noqa: E402
+from ..functions.graph import pagerank_oracle_sql as _pr_sql  # noqa: E402
+
+ORACLE["ops_connected_components"] = _CC_SQL
+ORACLE["ops_pagerank"] = _pr_sql(5)
+
+
+# ---------------------------------------------------------------------------
+# encoding repair / curriculum / duplication-aware reweighting
+# ---------------------------------------------------------------------------
+
+
+@query("ops_mojibake_detect")
+def ops_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mojibake audit — the encoding-repair screen (public
+    form: the ftfy tool's core heuristic) every crawl pipeline runs:
+    UTF-8 bytes decoded as Latin-1/cp1252 leave telltale two-byte
+    sequences ('Ã¡' for á, 'â€™' for ’) that never occur in clean
+    text.  The corpus is synthetic ASCII, so both sides first plant the
+    SAME deterministic corruption (doc_id % 19 selects victims), then
+    detect it by counting the telltales — the detection expression is
+    what a real pipeline ships.  One codegen'd projection + one
+    hash-agg; no Python, no second pass."""
+    t = Tables(spark, sf_dir)
+    did = F.col("doc_id")
+    corrupted = (
+        F.when(did % 19 == 0, F.regexp_replace(F.col("text"), "a", "Ã¡"))
+        .when(did % 19 == 7, F.regexp_replace(F.col("text"), "e", "â€™"))
+        .otherwise(F.col("text"))
+    )
+    hits = F.regexp_count(corrupted, F.lit("Ã¡|â€™")).cast("bigint")
+    return (
+        t.documents.select("source", hits.alias("n_hits"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_hits") > 0).cast("bigint")).alias("n_mojibake_docs"),
+            F.sum("n_hits").alias("total_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["ops_mojibake_detect"] = """
+    WITH c AS (
+        SELECT source,
+               CASE WHEN doc_id % 19 = 0 THEN replace(text, 'a', 'Ã¡')
+                    WHEN doc_id % 19 = 7 THEN replace(text, 'e', 'â€™')
+                    ELSE text END AS ctext
+        FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(ctext, 'Ã¡|â€™')) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mojibake_docs,
+           CAST(SUM(len(regexp_extract_all(ctext, 'Ã¡|â€™'))) AS BIGINT) AS total_hits
+    FROM c GROUP BY source ORDER BY source
+"""
+
+
+@query("ops_curriculum_order")
+def ops_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering (Bengio et al. 2009 applied to corpus
+    scheduling): sort the corpus easy→hard by a difficulty proxy
+    (token count), but deterministically shuffle WITHIN each difficulty
+    decile so a training epoch doesn't see monotone length — decile via
+    ntile(10) over the difficulty order, intra-decile order via the md5
+    of the doc id (a hash is the only engine-portable 'shuffle').
+    Output: the first 3 and last 3 docs of each decile — the
+    band-boundary sample a curriculum audit inspects.  Plan: one global
+    range-sort for the window (range partitioning samples; no single
+    reducer), one projection."""
+    t = Tables(spark, sf_dir)
+    from ..functions import text as XT
+
+    base = t.documents.select(
+        "doc_id", XT.token_count(F.col("text")).alias("difficulty")
+    )
+    from pyspark.sql.window import Window
+
+    dec = F.ntile(10).over(Window.orderBy(F.col("difficulty"), F.col("doc_id")))
+    ranked = base.select("doc_id", "difficulty", dec.alias("decile"))
+    pos = F.row_number().over(
+        Window.partitionBy("decile").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("decile"))
+    return (
+        ranked.select("doc_id", "difficulty", "decile", pos.alias("pos"), n.alias("n"))
+        .where((F.col("pos") <= 3) | (F.col("pos") > F.col("n") - 3))
+        .select("decile", "pos", "doc_id", "difficulty")
+        .orderBy("decile", "pos")
+    )
+
+
+ORACLE["ops_curriculum_order"] = r"""
+    WITH d AS (
+        SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS difficulty
+        FROM documents),
+    r AS (
+        SELECT doc_id, difficulty,
+               ntile(10) OVER (ORDER BY difficulty, doc_id) AS decile
+        FROM d),
+    p AS (
+        SELECT decile, doc_id, difficulty,
+               row_number() OVER (PARTITION BY decile ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos,
+               COUNT(*) OVER (PARTITION BY decile) AS n
+        FROM r)
+    SELECT decile, pos, doc_id, CAST(difficulty AS BIGINT) AS difficulty
+    FROM p WHERE pos <= 3 OR pos > n - 3 ORDER BY decile, pos
+"""
+
+
+@query("ops_soft_dedup")
+def ops_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware sampling weights (SoftDeDup, He et al. ACL
+    2024): instead of REMOVING duplicates, keep every copy but weight it
+    1/n_copies so the cluster contributes one document's worth of
+    gradient — the modern alternative to hard dedup when duplicates
+    carry distribution signal.  weight_ppm = 1e6 DIV n_copies (exact
+    integer, hash-stable); the per-source rollup reports effective size
+    (Σ weights) vs raw size, i.e. how much the source shrinks under soft
+    dedup.  ONE hash-agg on (md5) with map-side combine + a broadcast
+    of the cluster-size table back onto the corpus."""
+    t = Tables(spark, sf_dir)
+    sizes = t.documents.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    weighted = (
+        t.documents.select("doc_id", "source", F.md5("text").alias("h"))
+        .join(F.broadcast(sizes), "h")
+        .select(
+            "source",
+            F.expr("CAST(1000000 DIV n_copies AS BIGINT)").alias("w_ppm"),
+        )
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w_ppm").alias("effective_ppm"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "effective_ppm",
+            F.expr("CAST(effective_ppm DIV n_docs AS BIGINT)").alias("mean_weight_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["ops_soft_dedup"] = """
+    WITH s AS (
+        SELECT md5(text) AS h, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)),
+    w AS (
+        SELECT d.source, CAST(1000000 // s.n_copies AS BIGINT) AS w_ppm
+        FROM documents d JOIN s ON md5(d.text) = s.h)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(w_ppm) AS BIGINT) AS effective_ppm,
+           CAST(CAST(SUM(w_ppm) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_weight_ppm
+    FROM w GROUP BY source ORDER BY source
+"""

@@ -1,0 +1,130 @@
+"""Document-graph operators (functions/graph.py): planted-structure and
+independent-reference tests for connected components and ppm PageRank."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _ref_components(nodes, edges):
+    """Sequential union-find reference (independent of the engine)."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def _ref_pagerank_ppm(nodes, edges, iterations=5):
+    """Sequential exact-integer reference of the declared recurrence."""
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(iterations):
+        incoming = {n: 0 for n in nodes}
+        for s, d in edges:
+            incoming[d] += rank[s] // outdeg[s]
+        rank = {n: 150_000 + (85 * incoming[n]) // 100 for n in nodes}
+    return rank
+
+
+PLANTED_NODES = list(range(12))
+# two components: a chain 0-1-2-3 with a hub edge 1->0, and a star 10<-{5,6,7};
+# nodes 4, 8, 9, 11 isolated (except 8->9 making a pair)
+PLANTED_EDGES = [(0, 1), (1, 2), (2, 3), (1, 0), (5, 10), (6, 10), (7, 10), (8, 9)]
+
+
+def test_connected_components_planted(spark):
+    from arcane_stream_microsoft_synapse_link_spark.functions.graph import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(n,) for n in PLANTED_NODES], "node long")
+    edges = spark.createDataFrame(PLANTED_EDGES, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(nodes, edges).collect()}
+    want = _ref_components(PLANTED_NODES, PLANTED_EDGES)
+    assert got == want
+    assert got[4] == 4 and got[11] == 11  # isolated nodes = singleton components
+    assert got[10] == 5 and got[9] == 8
+
+
+def test_connected_components_distributed_branch(spark, monkeypatch):
+    """Force the pointer-jumping distributed branch (driver_threshold=0 is
+    not reachable through connected_components' signature, so patch the
+    underlying clusterer) on a 3-chain + ring graph and compare with the
+    sequential reference."""
+    from arcane_stream_microsoft_synapse_link_spark.functions import dedup as D
+    from arcane_stream_microsoft_synapse_link_spark.functions import graph as G
+
+    orig = D.duplicate_clusters
+    monkeypatch.setattr(
+        D, "duplicate_clusters", lambda pairs, **kw: orig(pairs, driver_threshold=0)
+    )
+    nodes = list(range(60))
+    edges = [(i, i + 1) for i in range(0, 19)]  # chain 0..19
+    edges += [(20 + i, 20 + (i + 1) % 20) for i in range(20)]  # ring 20..39
+    edges += [(40, 59), (41, 58)]  # two pairs
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in G.connected_components(ndf, edf).collect()}
+    assert got == _ref_components(nodes, edges)
+
+
+def test_pagerank_ppm_matches_sequential_reference(spark):
+    from arcane_stream_microsoft_synapse_link_spark.functions.graph import (
+        pagerank_ppm,
+    )
+
+    nodes = spark.createDataFrame([(n,) for n in PLANTED_NODES], "node long")
+    edges = spark.createDataFrame(PLANTED_EDGES, "src long, dst long")
+    got = {r.node: r.rank_ppm for r in pagerank_ppm(nodes, edges, 5).collect()}
+    assert got == _ref_pagerank_ppm(PLANTED_NODES, PLANTED_EDGES, 5)
+    # the star hub out-ranks its spokes; sinks with no in-links sit at teleport
+    assert got[10] > got[5] and got[4] == 150_000
+
+
+def test_synthesized_graph_component_bound(spark):
+    """Every synthesized component stays inside one 100-block (the bound
+    the recursive oracle's cost argument rests on) at sf0.01."""
+    from arcane_stream_microsoft_synapse_link_spark.functions import graph as G
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    edges = G.synthesize_edges(docs)
+    nodes = docs.select(F.col("doc_id").cast("bigint").alias("node"))
+    comp = G.connected_components(nodes, edges)
+    spans = comp.groupBy("component").agg(
+        (F.max("node") - F.min("node")).alias("span"), F.count("*").alias("n")
+    )
+    mx = spans.agg(F.max("span"), F.max("n")).first()
+    assert mx[0] < 100 and mx[1] <= 100
+    # edges never leave a block and never point at missing nodes
+    bad = edges.where(
+        (F.col("src") - F.col("src") % 100 != F.col("dst") - F.col("dst") % 100)
+    ).count()
+    assert bad == 0
+
+
+def test_pagerank_mass_and_hub_concentration(spark):
+    """On the synthesized graph, block hubs (node % 100 == 0) carry the
+    star fan-in, so the hub rank dominates its block's median; total mass
+    stays within the teleport/damping envelope."""
+    from arcane_stream_microsoft_synapse_link_spark.functions import graph as G
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    edges = G.synthesize_edges(docs)
+    nodes = docs.select(F.col("doc_id").cast("bigint").alias("node"))
+    ranks = G.pagerank_ppm(nodes, edges, 5)
+    hub = ranks.where(F.col("node") % 100 == 0).agg(F.min("rank_ppm")).first()[0]
+    others = ranks.where(F.col("node") % 100 != 0)
+    med = others.approxQuantile("rank_ppm", [0.5], 0.0)[0]
+    assert hub > 3 * med
+    # every rank >= teleport floor
+    assert ranks.agg(F.min("rank_ppm")).first()[0] >= 150_000

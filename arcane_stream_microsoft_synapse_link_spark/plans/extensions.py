@@ -5388,9 +5388,13 @@ def ops_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile(10) over the difficulty order, intra-decile order via the md5
     of the doc id (a hash is the only engine-portable 'shuffle').
     Output: the first 3 and last 3 docs of each decile — the
-    band-boundary sample a curriculum audit inspects.  Plan: one global
-    range-sort for the window (range partitioning samples; no single
-    reducer), one projection."""
+    band-boundary sample a curriculum audit inspects.  The global ntile
+    window is the declared exact form (same concession as
+    q49_ntile_deciles: one window sort); the 100-TB path computes decile
+    BOUNDARIES via the distributed sort-based percentiles the engine
+    already ships (operators/quantiles.py, ops_exact_percentiles_dist)
+    and assigns deciles with a boundary-compare projection — no global
+    window, identical buckets up to boundary ties."""
     t = Tables(spark, sf_dir)
     from ..functions import text as XT
 

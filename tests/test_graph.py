@@ -128,3 +128,35 @@ def test_pagerank_mass_and_hub_concentration(spark):
     assert hub > 3 * med
     # every rank >= teleport floor
     assert ranks.agg(F.min("rank_ppm")).first()[0] >= 150_000
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_graph_ops_randomized_property(spark, seed):
+    """Randomized mirror property: on a seeded random graph (Erdős–Rényi-ish
+    sparse + a planted hub), distributed CC and ppm PageRank equal the
+    sequential references exactly — components as sets, ranks bit-for-bit."""
+    import random
+
+    rng = random.Random(seed)
+    n = rng.randrange(80, 200)
+    nodes = list(range(n))
+    edges = set()
+    for _ in range(int(n * 1.3)):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((a, b))
+    hub = rng.randrange(n)
+    for _ in range(10):  # planted hub fan-in
+        s = rng.randrange(n)
+        if s != hub:
+            edges.add((s, hub))
+    edges = sorted(edges)
+
+    from arcane_stream_microsoft_synapse_link_spark.functions import graph as G
+
+    ndf = spark.createDataFrame([(x,) for x in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got_cc = {r.node: r.component for r in G.connected_components(ndf, edf).collect()}
+    assert got_cc == _ref_components(nodes, edges)
+    got_pr = {r.node: r.rank_ppm for r in G.pagerank_ppm(ndf, edf, 4).collect()}
+    assert got_pr == _ref_pagerank_ppm(nodes, edges, 4)

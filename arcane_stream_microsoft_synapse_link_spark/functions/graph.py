@@ -161,12 +161,13 @@ def pagerank_ppm(
     n = nodes.select(F.col(id_col).cast("bigint").alias("node"))
     e = edges.select(F.col("src").cast("bigint"), F.col("dst").cast("bigint"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # the edges⋈outdeg join is loop-invariant — materialize it ONCE so each
+    # round pays a single join (ranks), not two
+    ed = e.join(outdeg, "src").localCheckpoint(eager=False)
     rank = n.withColumn("rank_ppm", F.lit(1_000_000).cast("bigint"))
     for _ in range(iterations):
-        contrib = (
-            e.join(rank.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
-            .select("dst", F.expr("rank_ppm DIV outdeg").alias("c"))
+        contrib = ed.join(rank.withColumnRenamed("node", "src"), "src").select(
+            "dst", F.expr("rank_ppm DIV outdeg").alias("c")
         )
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         rank = (

@@ -232,3 +232,67 @@ CC_ORACLE_SQL = (
     )
     SELECT node, MIN(label) AS component FROM reach GROUP BY node ORDER BY node"""
 )
+
+
+def cc_fold_in(labels: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Incremental connected components: fold a NEW batch of edges into an
+    existing ``(node, component)`` labeling WITHOUT re-touching the old
+    edge set — the crawl-N+1 pattern (the graph twin of
+    ``dedup.incremental_near_duplicates`` / ``similarity.ivfpq_merge``).
+
+    Correctness: components of G_old ∪ G_new equal the components of the
+    SUPER-graph whose vertices are G_old's components (labels) plus
+    G_new's endpoints, with one super-edge per new edge joining the two
+    endpoint labels.  Labels are component-min node ids, so the merged
+    component's min label IS the merged component's min node id — the
+    fold-in converges to exactly the from-scratch labeling, which is what
+    the declared oracle checks.
+
+    100-TB shape: the old CORPUS and the old EDGES never participate —
+    the new batch is relabeled by one node-keyed equi-join against the
+    label table, the super-graph is ≤|new batch| edges (resolved by the
+    same adaptive engine: driver union-find when tiny, pointer jumping
+    above), and the relabel-back is one join ON THE LABEL TABLE keyed by
+    old label.  Per fold-in: two node-table joins + one tiny component
+    resolution.  Persist ``labels`` as parquet between crawls and this is
+    a constant-cost maintenance step per batch.
+    """
+    from .dedup import duplicate_clusters
+
+    lab = labels.select("node", "component")
+    # endpoints of the new batch, labeled: known nodes take their current
+    # component, genuinely new nodes label themselves
+    def _labeled(col: str) -> DataFrame:
+        return (
+            new_edges.select(F.col(col).alias("node"))
+            .join(lab, "node", "left")
+            .select(
+                F.col("node"),
+                F.coalesce("component", "node").alias("lbl"),
+            )
+        )
+
+    e = (
+        new_edges.join(
+            _labeled("src").withColumnsRenamed({"node": "src", "lbl": "la"}), "src"
+        )
+        .join(_labeled("dst").withColumnsRenamed({"node": "dst", "lbl": "lb"}), "dst")
+        .where(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("id_a"), F.col("lb").alias("id_b"))
+        .distinct()
+    )
+    roots = duplicate_clusters(e).select(
+        F.col("id").alias("component"), F.col("cluster_id").alias("root")
+    )
+    new_nodes = (
+        new_edges.select(F.col("src").alias("node"))
+        .unionAll(new_edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(lab, "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return (
+        lab.unionByName(new_nodes)
+        .join(roots, "component", "left")
+        .select("node", F.coalesce("root", "component").alias("component"))
+    )

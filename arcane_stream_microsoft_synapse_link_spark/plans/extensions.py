@@ -5488,3 +5488,30 @@ ORACLE["ops_soft_dedup"] = """
            CAST(CAST(SUM(w_ppm) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_weight_ppm
     FROM w GROUP BY source ORDER BY source
 """
+
+
+@query("ops_cc_incremental")
+def ops_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components — crawl-N+1 maintenance of the
+    component labeling (functions/graph.py:cc_fold_in): label the base
+    half of the synthesized edge set from scratch, then FOLD IN the other
+    half touching only the label table and the new batch (old edges never
+    re-read; super-graph = one tiny component resolution per batch).
+    Labels are component-min node ids, so the fold-in provably converges
+    to the from-scratch labeling of the FULL graph — which is exactly
+    what the oracle computes (the same recursive min-label closure as
+    ops_connected_components), making the incremental path's equivalence
+    the checked contract, not an implementation detail."""
+    from ..functions import graph as G
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    edges = G.synthesize_edges(docs)
+    base = edges.where(F.col("src") % 2 == 0)
+    increment = edges.where(F.col("src") % 2 == 1)
+    nodes = docs.select(F.col("doc_id").cast("bigint").alias("node"))
+    base_labels = G.connected_components(nodes, base)
+    return G.cc_fold_in(base_labels, increment).orderBy("node")
+
+
+ORACLE["ops_cc_incremental"] = _CC_SQL

@@ -160,3 +160,64 @@ def test_graph_ops_randomized_property(spark, seed):
     assert got_cc == _ref_components(nodes, edges)
     got_pr = {r.node: r.rank_ppm for r in G.pagerank_ppm(ndf, edf, 4).collect()}
     assert got_pr == _ref_pagerank_ppm(nodes, edges, 4)
+
+
+def test_cc_fold_in_equals_from_scratch_planted(spark):
+    """Fold-in over a split edge set equals the from-scratch labeling,
+    including merges ACROSS base components and brand-new nodes that only
+    the increment introduces."""
+    from arcane_stream_microsoft_synapse_link_spark.functions import graph as G
+
+    nodes = list(range(14))
+    base = [(0, 1), (2, 3), (5, 6), (8, 9)]
+    # merges 0-1 with 2-3, attaches new node 12 to 5-6, new pair 10-11,
+    # and a chain through previously isolated 4 and 7
+    inc = [(1, 2), (12, 5), (10, 11), (4, 7)]
+    ndf = spark.createDataFrame([(x,) for x in nodes], "node long")
+    base_labels = G.connected_components(
+        ndf, spark.createDataFrame(base, "src long, dst long")
+    )
+    folded = {
+        r.node: r.component
+        for r in G.cc_fold_in(
+            base_labels, spark.createDataFrame(inc, "src long, dst long")
+        ).collect()
+    }
+    want = _ref_components(nodes + [10, 11, 12], base + inc)
+    # node 13 is isolated and only in the node table
+    assert folded == {n: want.get(n, n) for n in set(nodes) | {10, 11, 12}}
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_cc_fold_in_randomized(spark, seed):
+    """Randomized split property: from-scratch CC of the full random graph
+    equals base-CC + fold-in of the remainder, for any deterministic
+    split."""
+    import random
+
+    rng = random.Random(seed)
+    n = rng.randrange(60, 150)
+    nodes = list(range(n))
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(int(n * 1.2))
+            )
+            if a != b
+        }
+    )
+    base = [e for e in edges if (e[0] + e[1]) % 3 != 0]
+    inc = [e for e in edges if (e[0] + e[1]) % 3 == 0]
+
+    from arcane_stream_microsoft_synapse_link_spark.functions import graph as G
+
+    ndf = spark.createDataFrame([(x,) for x in nodes], "node long")
+    base_labels = G.connected_components(
+        ndf, spark.createDataFrame(base or [(0, 0)], "src long, dst long").where("src <> dst")
+    )
+    inc_df = spark.createDataFrame(inc or [(0, 0)], "src long, dst long").where(
+        "src <> dst"
+    )
+    folded = {r.node: r.component for r in G.cc_fold_in(base_labels, inc_df).collect()}
+    assert folded == _ref_components(nodes, edges)

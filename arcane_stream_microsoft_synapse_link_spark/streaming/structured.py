@@ -1342,3 +1342,65 @@ def run_curation_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_cc_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    work_dir: str,
+    checkpoint_dir: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    fault_hook: FaultHook | None = None,
+):
+    """Streaming connected-components maintenance: each micro-batch of
+    edges folds into a PERSISTED (node, component) labeling via
+    ``functions.graph.cc_fold_in`` — the link graph a crawl accumulates
+    is kept component-resolved as it streams in, without ever re-reading
+    old edges (per batch: one label-table join to relabel the batch's
+    endpoints, one batch-sized super-graph resolution, one label commit).
+
+    Exactly-once EFFECT without a batch ledger: fold-in is idempotent —
+    re-folding an already-applied batch relabels its endpoints to labels
+    that are already merged, the super-graph has no ``la != lb`` edge
+    left, and the commit rewrites an identical labeling — so a crash
+    between the fold and the checkpoint advancing simply replays into a
+    no-op.  Labels live in a ``VersionedTable`` (atomic pointer commits;
+    a crash mid-write never corrupts the readable version).
+
+    100-TB shape: the label table is node-sized and the per-batch work
+    is batch-sized; the corpus and the historical edge stream never
+    participate.  Returns the started StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from ..functions.graph import cc_fold_in
+    from ..tables import VersionedTable
+
+    labels_tbl = VersionedTable(os.path.join(work_dir, "cc_labels"))
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        edges = (
+            batch_df.select(
+                F.col(src_col).cast("bigint").alias("src"),
+                F.col(dst_col).cast("bigint").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .localCheckpoint()
+        )
+        if edges.isEmpty():
+            return
+        if labels_tbl.current_version() > 0:
+            labels = labels_tbl.read(spark)
+        else:
+            labels = spark.createDataFrame([], "node bigint, component bigint")
+        folded = cc_fold_in(labels, edges).localCheckpoint()
+        if fault_hook:
+            fault_hook("before_commit", batch_id)
+        labels_tbl.commit(folded)
+
+    return (
+        source.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

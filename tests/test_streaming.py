@@ -1962,3 +1962,48 @@ def test_curation_stream_gopher_stage(spark, tmp_path):
     assert set(rej) == {101, 102}
     assert rej[101]["first_reject"] == "gopher" and rej[101]["n_rules_failed"] >= 1
     assert rej[102]["first_reject"] == "quality" and rej[102]["n_rules_failed"] == 0
+
+
+def test_cc_stream_incremental_labels_and_replay(spark, tmp_path):
+    """run_cc_stream: the persisted labeling after draining N edge batches
+    equals from-scratch CC of the union, across batches that merge
+    earlier components; a crash before the label commit replays into the
+    SAME labeling (fold-in idempotence), never a corrupted or
+    double-merged one."""
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        run_cc_stream,
+    )
+
+    src = tmp_path / "edges"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    schema = "src long, dst long"
+    batch1 = [(0, 1), (2, 3), (10, 11)]
+    # merges 0-1 with 2-3 (cross-component), extends 10-11, new pair 20-21
+    batch2 = [(1, 2), (11, 12), (20, 21)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    stream = lambda: spark.readStream.schema(schema).parquet(str(src / "*"))  # noqa: E731
+
+    run_cc_stream(spark, stream(), work, ckpt).awaitTermination(120)
+    from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+
+    tbl = VersionedTable(f"{work}/cc_labels")
+    got1 = {r.node: r.component for r in tbl.read(spark).collect()}
+    assert got1 == {0: 0, 1: 0, 2: 2, 3: 2, 10: 10, 11: 10}
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    q2 = run_cc_stream(
+        spark, stream(), work, ckpt, fault_hook=_crash_once("before_commit", 1)
+    )
+    _await_failure(q2)
+    run_cc_stream(spark, stream(), work, ckpt).awaitTermination(120)
+
+    want = {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    got2 = {r.node: r.component for r in tbl.read(spark).collect()}
+    assert got2 == want
+
+    # replaying the full drain once more (fresh checkpoint, same folders)
+    # is a semantic no-op: identical labeling, no phantom components
+    run_cc_stream(spark, stream(), work, str(tmp_path / "ckpt2")).awaitTermination(120)
+    got3 = {r.node: r.component for r in tbl.read(spark).collect()}
+    assert got3 == want

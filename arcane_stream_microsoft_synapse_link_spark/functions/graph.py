@@ -263,8 +263,12 @@ def cc_fold_in(labels: DataFrame, new_edges: DataFrame) -> DataFrame:
     # endpoints of the new batch, labeled: known nodes take their current
     # component, genuinely new nodes label themselves
     def _labeled(col: str) -> DataFrame:
+        # distinct BEFORE the label join: one row per endpoint node, so the
+        # relabel join below stays 1:1 per edge (a hub with degree d must
+        # not fan the batch out d-fold before the super-edge distinct)
         return (
             new_edges.select(F.col(col).alias("node"))
+            .distinct()
             .join(lab, "node", "left")
             .select(
                 F.col("node"),

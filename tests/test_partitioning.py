@@ -263,3 +263,47 @@ def test_optimize_zorder_survives_sorted_by(spark, tmp_path):
     # subsequent plain commits keep honoring sorted_by
     t.commit(t.read(spark))
     assert "__z" not in t.read(spark).columns
+
+
+def test_optimize_zorder_sorted_by_bucketed_incremental(spark, tmp_path):
+    """sort_override composes with the bucketed layout: a z-rewrite on a
+    bucketed + sorted_by table keeps __bucket as the outermost directory
+    level, drops __z from the written schema, and later incremental
+    commits (touched_buckets) still hard-link untouched bucket dirs."""
+    import os
+
+    from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+
+    t = VersionedTable(
+        str(tmp_path / "t"), bucket_count=4, bucket_key="k", sorted_by=("y",)
+    )
+    df = spark.createDataFrame(
+        [(f"k{i}", i % 100, (i * 37) % 100) for i in range(2_000)],
+        "k string, x long, y long",
+    )
+    t.commit(df)
+    v2 = t.optimize_zorder(spark, ["x", "y"])
+    snap = t._snapshot_dir(v2)
+    assert any(n.startswith("__bucket=") for n in os.listdir(snap))
+    assert "__z" not in t.read(spark).columns
+    assert t.read(spark).count() == 2_000
+
+    # incremental commit touching only bucket 0: other buckets hard-link
+    full = t.read(spark)
+    b0 = full.withColumn("__bucket", t.bucket_expr()).where("__bucket = 0")
+    v3 = t.commit(b0, touched_buckets=[0])
+    assert t.read(spark).count() == 2_000
+    prev, cur = t._snapshot_dir(v2), t._snapshot_dir(v3)
+
+    def inodes(root, bucket):
+        d = os.path.join(root, f"__bucket={bucket}")
+        return {
+            os.stat(os.path.join(dp, f)).st_ino
+            for dp, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    for b in (1, 2, 3):  # untouched buckets share inodes with the z-snapshot
+        assert inodes(cur, b) == inodes(prev, b)
+    assert inodes(cur, 0) != inodes(prev, 0)

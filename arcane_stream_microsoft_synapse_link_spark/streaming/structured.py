@@ -1393,6 +1393,10 @@ def run_cc_stream(
             labels = labels_tbl.read(spark)
         else:
             labels = spark.createDataFrame([], "node bigint, component bigint")
+        # the raw edge stream also lands in a replay-idempotent batch store
+        # so rank maintenance (pagerank_refresh) can recompute over the
+        # accumulated graph on its own cadence
+        write_batch(edges, os.path.join(work_dir, "edges"), batch_id)
         folded = cc_fold_in(labels, edges).localCheckpoint()
         if fault_hook:
             fault_hook("before_commit", batch_id)
@@ -1404,3 +1408,40 @@ def run_cc_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def pagerank_refresh(
+    spark: SparkSession, work_dir: str, iterations: int = 5
+) -> int | None:
+    """Maintenance-cadence PageRank over the edge stream a
+    :func:`run_cc_stream` gate has accumulated — the crawl-frontier
+    prioritization step (rank hosts/pages before deciding what to fetch
+    or sample next), run on its own schedule like the other maintenance
+    ops (`curation_model_refresh`, gate-state compaction).
+
+    Reads the accumulated ``edges/`` batch store, computes the exact-ppm
+    integer PageRank (`functions.graph.pagerank_ppm` — the declared
+    oracle-backed recurrence) over every endpoint, and commits
+    ``(node, rank_ppm)`` into ``work_dir/pagerank`` (a `VersionedTable`:
+    readers always see a complete ranking; a crashed refresh leaves the
+    previous version readable).  Returns the committed version, or None
+    when no edges have arrived yet.  Unlike the per-batch label fold-in,
+    rank is a GLOBAL fixpoint — an edge anywhere can shift every rank —
+    so recompute-on-cadence is the honest form; the per-round cost is
+    the documented one-join-one-agg over the edge table."""
+    from pyspark.sql import functions as F
+
+    from ..functions.graph import pagerank_ppm
+    from ..tables import VersionedTable
+
+    edges = read_batches(spark, os.path.join(work_dir, "edges"))
+    if edges is None:
+        return None
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = pagerank_ppm(nodes, edges, iterations=iterations)
+    return VersionedTable(os.path.join(work_dir, "pagerank")).commit(ranks)

@@ -2007,3 +2007,55 @@ def test_cc_stream_incremental_labels_and_replay(spark, tmp_path):
     run_cc_stream(spark, stream(), work, str(tmp_path / "ckpt2")).awaitTermination(120)
     got3 = {r.node: r.component for r in tbl.read(spark).collect()}
     assert got3 == want
+
+
+def test_pagerank_refresh_over_cc_stream_edges(spark, tmp_path):
+    """pagerank_refresh: ranks committed over the gate's accumulated edge
+    store equal the exact ppm reference on the union of all drained
+    batches; a second refresh after more edges lands a new version while
+    the old stays readable (VersionedTable time travel)."""
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        pagerank_refresh,
+        run_cc_stream,
+    )
+    from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+
+    src = tmp_path / "edges"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    schema = "src long, dst long"
+    batch1 = [(0, 1), (1, 2), (5, 1)]
+    batch2 = [(2, 0), (6, 1), (0, 1)]  # (0,1) repeats — distinct-folded
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    stream = lambda: spark.readStream.schema(schema).parquet(str(src / "*"))  # noqa: E731
+
+    assert pagerank_refresh(spark, work) is None  # nothing accumulated yet
+    run_cc_stream(spark, stream(), work, ckpt).awaitTermination(120)
+    v1 = pagerank_refresh(spark, work, iterations=4)
+    assert v1 == 1
+
+    def ref(edges, iters=4):
+        nodes = sorted({n for e in edges for n in e})
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        rank = {n: 1_000_000 for n in nodes}
+        for _ in range(iters):
+            inc = {n: 0 for n in nodes}
+            for s, d in edges:
+                inc[d] += rank[s] // outdeg[s]
+            rank = {n: 150_000 + (85 * inc[n]) // 100 for n in nodes}
+        return rank
+
+    tbl = VersionedTable(f"{work}/pagerank")
+    got1 = {r.node: r.rank_ppm for r in tbl.read(spark).collect()}
+    assert got1 == ref(batch1)
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    run_cc_stream(spark, stream(), work, ckpt).awaitTermination(120)
+    v2 = pagerank_refresh(spark, work, iterations=4)
+    assert v2 == 2
+    got2 = {r.node: r.rank_ppm for r in tbl.read(spark).collect()}
+    assert got2 == ref(sorted(set(batch1 + batch2)))
+    # previous ranking still readable (maintenance never breaks readers)
+    assert {r.node: r.rank_ppm for r in tbl.read(spark, version=v1).collect()} == got1

@@ -120,13 +120,19 @@ def connected_components(
     engine that resolves duplicate clusters), then left-joins the full
     node set so isolated nodes keep themselves as the label.  The join
     key is node-sized; the corpus table is never part of the iteration.
+
+    ``nodes`` is de-duplicated internally (one hash-agg on the
+    node-sized projection), so a caller passing a non-distinct node
+    source cannot fan the labeling out — the declared oracles apply
+    ``SELECT DISTINCT`` and this keeps engine/oracle parity independent
+    of input uniqueness.
     """
     from .dedup import duplicate_clusters
 
     labels = duplicate_clusters(
         edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
     )
-    n = nodes.select(F.col(id_col).alias("node"))
+    n = nodes.select(F.col(id_col).alias("node")).distinct()
     return n.join(
         labels.select(F.col("id").alias("node"), "cluster_id"), "node", "left"
     ).select(
@@ -157,8 +163,18 @@ def pagerank_ppm(
     node-sized), hash-agg on dst (map-side combine absorbs hub fan-in),
     node-sized left join back.  localCheckpoint truncates lineage each
     round — without it round N's plan replays every earlier join.
+
+    ``nodes`` is de-duplicated up front (one hash-agg, node-sized,
+    lineage-pinned so the dedup runs once, not once per round): a
+    duplicate node row would otherwise emit duplicate rank rows and
+    double-count nothing but break engine/oracle parity (the oracles
+    take ``SELECT DISTINCT doc_id``).
     """
-    n = nodes.select(F.col(id_col).cast("bigint").alias("node"))
+    n = (
+        nodes.select(F.col(id_col).cast("bigint").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     e = edges.select(F.col("src").cast("bigint"), F.col("dst").cast("bigint"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # the edges⋈outdeg join is loop-invariant — materialize it ONCE so each

@@ -5300,9 +5300,6 @@ def ops_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.connected_components(nodes, edges).orderBy("node")
 
 
-ORACLE["ops_connected_components"] = None  # set below from the module constant
-
-
 @query("ops_pagerank")
 def ops_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank in exact ppm fixed point (5 synchronous rounds, damping
@@ -5446,15 +5443,20 @@ def ops_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry distribution signal.  weight_ppm = 1e6 DIV n_copies (exact
     integer, hash-stable); the per-source rollup reports effective size
     (Σ weights) vs raw size, i.e. how much the source shrinks under soft
-    dedup.  ONE hash-agg on (md5) with map-side combine + a broadcast
-    of the cluster-size table back onto the corpus."""
+    dedup.  ONE hash-agg on (md5) with map-side combine, then the
+    cluster-size table joins back onto the corpus — strategy left to
+    AQE: ``sizes`` has one row per DISTINCT text (corpus cardinality
+    minus the duplicates), so a forced broadcast would cap the operator
+    at the driver/broadcast limit; AQE broadcasts it at test scale and
+    falls back to a shuffle hash join when the distinct-text table
+    outgrows the threshold."""
     t = Tables(spark, sf_dir)
     sizes = t.documents.groupBy(F.md5("text").alias("h")).agg(
         F.count(F.lit(1)).alias("n_copies")
     )
     weighted = (
         t.documents.select("doc_id", "source", F.md5("text").alias("h"))
-        .join(F.broadcast(sizes), "h")
+        .join(sizes, "h")
         .select(
             "source",
             F.expr("CAST(1000000 DIV n_copies AS BIGINT)").alias("w_ppm"),

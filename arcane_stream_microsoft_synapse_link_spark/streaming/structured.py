@@ -1428,7 +1428,18 @@ def pagerank_refresh(
     when no edges have arrived yet.  Unlike the per-batch label fold-in,
     rank is a GLOBAL fixpoint — an edge anywhere can shift every rank —
     so recompute-on-cadence is the honest form; the per-round cost is
-    the documented one-join-one-agg over the edge table."""
+    the documented one-join-one-agg over the edge table.
+
+    SIMPLE-graph semantics, by design: the edge store is ``distinct``-ed
+    before ranking, so a (src, dst) pair observed in several batches (a
+    re-crawl re-reporting the same link) — or twice within one page —
+    counts ONCE in out-degree and contribution weight.  This is the
+    published host-rank convention (Common Crawl's host-level
+    PageRank/harmonic ranks are computed on the distinct host→host
+    graph).  Replay safety does NOT depend on this distinct —
+    ``write_batch`` overwrites per batch_id — so a rank-weighted
+    multigraph variant would drop the ``distinct()`` and feed
+    per-(src,dst) counts as edge weights; it is not the declared form."""
     from pyspark.sql import functions as F
 
     from ..functions.graph import pagerank_ppm

@@ -461,7 +461,16 @@ class VersionedTable:
         default 100MB): rewrite as a new snapshot with files sized toward
         the threshold. Returns the new version, or None when no compaction
         was needed. Incremental bucketed commits leave per-bucket task
-        files; periodic compaction folds them toward the target size."""
+        files; periodic compaction folds them toward the target size.
+
+        Layout-preserving: if the table has a persisted z-order layout
+        (:meth:`optimize_zorder` records its columns in
+        ``_meta/layout.json``, the Iceberg ``WRITE ORDERED BY`` analog),
+        compaction re-sorts the rewritten files along the same z-key via
+        ``sort_override`` — otherwise the default ``sorted_by`` re-sort
+        would silently undo the clustering a prior z-rewrite produced
+        (the exact bug class r11 fixed inside ``optimize_zorder``
+        itself)."""
         v = self.current_version()
         if v == 0:
             return None
@@ -481,11 +490,33 @@ class VersionedTable:
         if sum(sizes) / len(sizes) >= threshold or len(sizes) <= n_files:
             return None
         df = self.read(spark)
-        compacted = df.repartition(n_files)
+        zcols = [c for c in self.zorder_layout() if c in df.columns]
+        if zcols:
+            df = df.withColumn("__z", zorder_key(df, zcols))
         if self.bucket_count and "__bucket" in df.columns:
             # keep bucket dirs; coalesce within buckets via one task each
             compacted = df.repartition("__bucket")
-        return self.commit(compacted)
+        elif zcols:
+            # range-shuffle on the z-key so file boundaries keep tight
+            # z-bounding-boxes, mirroring optimize_zorder's own shape
+            compacted = df.repartitionByRange(n_files, "__z")
+        else:
+            compacted = df.repartition(n_files)
+        return self.commit(
+            compacted, sort_override=("__z",) if zcols else None
+        )
+
+    def zorder_layout(self) -> list[str]:
+        """Columns of the table's persisted z-order layout (set by
+        :meth:`optimize_zorder`, consumed by :meth:`optimize`), or []
+        when the table has never been z-clustered."""
+        import json
+
+        try:
+            with open(os.path.join(self._meta, "layout.json")) as fh:
+                return list(json.loads(fh.read()).get("zorder", []))
+        except FileNotFoundError:
+            return []
 
     def optimize_zorder(
         self, spark: SparkSession, columns: list[str], n_files: int = 16
@@ -505,8 +536,19 @@ class VersionedTable:
         global sort materializes) with an in-partition sort.  On bucketed
         tables the bucket stays the outermost layout (incremental commits
         keep hard-linking untouched buckets) and the z-sort applies
-        within each bucket.  Returns the new committed version."""
+        within each bucket.  Returns the new committed version.
+
+        The chosen columns persist as the table's layout
+        (``_meta/layout.json``, Iceberg's ``WRITE ORDERED BY`` table
+        property analog) so later :meth:`optimize` compactions re-apply
+        the same z-sort instead of reverting to ``sorted_by``."""
+        import json
+
         df = self.read(spark)
+        self._write_atomic(
+            os.path.join(self._meta, "layout.json"),
+            json.dumps({"zorder": list(columns)}),
+        )
         z = zorder_key(df, columns)
         clustered = df.withColumn("__z", z)
         if self.bucket_count and self.bucket_key in df.columns:

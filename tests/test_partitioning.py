@@ -307,3 +307,65 @@ def test_optimize_zorder_sorted_by_bucketed_incremental(spark, tmp_path):
     for b in (1, 2, 3):  # untouched buckets share inodes with the z-snapshot
         assert inodes(cur, b) == inodes(prev, b)
     assert inodes(cur, 0) != inodes(prev, 0)
+
+
+def test_optimize_compaction_preserves_zorder_layout(spark, tmp_path):
+    """Round-12 advice: optimize() (compaction) used to commit without a
+    sort override, so compacting a z-clustered table re-sorted by
+    sorted_by and silently undid the clustering.  optimize_zorder now
+    persists its columns as the table layout (_meta/layout.json) and
+    optimize() re-applies the z-sort: inside every compacted file the
+    Morton key is non-decreasing while the sorted_by column is not —
+    the layout, not sorted_by, won."""
+    import os
+    import random
+
+    import pyarrow.parquet as pq
+
+    from arcane_stream_microsoft_synapse_link_spark.tables import VersionedTable
+
+    rng = random.Random(41)
+    rows = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(40_000)]
+    t = VersionedTable(str(tmp_path / "t"), sorted_by=("y",))
+    t.commit(spark.createDataFrame(rows, "x long, y long").repartition(16))
+    assert t.zorder_layout() == []
+    v2 = t.optimize_zorder(spark, ["x", "y"], n_files=16)
+    assert t.zorder_layout() == ["x", "y"]
+
+    v3 = t.optimize(spark)  # 16 tiny files -> compaction fires
+    assert v3 == v2 + 1
+
+    # python twin of tables.zorder_key (k=2, bits=16, min/max from data,
+    # double scaling with truncation toward zero -- bit-identical)
+    mns = [min(r[i] for r in rows) for i in (0, 1)]
+    mxs = [max(r[i] for r in rows) for i in (0, 1)]
+    levels = (1 << 16) - 1
+
+    def zkey(x, y):
+        z = 0
+        for i, v in enumerate((x, y)):
+            lvl = int((float(v) - mns[i]) * (levels / (mxs[i] - mns[i])))
+            lvl = max(0, min(lvl, levels))
+            for j in range(16):
+                z |= ((lvl >> j) & 1) << (j * 2 + (1 - i))
+        return z
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(t._snapshot_dir(v3))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert files
+    y_sorted_everywhere = True
+    for path in files:
+        tb = pq.read_table(path, columns=["x", "y"])
+        xs, ys = tb.column("x").to_pylist(), tb.column("y").to_pylist()
+        zs = [zkey(a, b) for a, b in zip(xs, ys)]
+        assert zs == sorted(zs), f"{path}: compaction lost the z-order"
+        if ys != sorted(ys):
+            y_sorted_everywhere = False
+    assert not y_sorted_everywhere, "rows are plain y-sorted: sorted_by won"
+
+    # row multiset unchanged by the compaction
+    assert sorted((r.x, r.y) for r in t.read(spark).collect()) == sorted(rows)

@@ -136,3 +136,84 @@ def exact_percentiles(
             v = at[lo] + (h - lo) * (at[hi] - at[lo])
         out.append((float(p), float(v)))
     return local_df(spark, out, out_schema)
+
+
+def ntile_exact(
+    df: DataFrame,
+    k: int,
+    order_cols: list[str],
+    num_range_partitions: int | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact ``NTILE(k) OVER (ORDER BY order_cols)`` WITHOUT the global
+    window: the window form plans as a single-partition sort (one task
+    orders the whole input — the one plan shape that cannot survive a
+    100× scale-up), while this runs the same distributed rank-selection
+    machinery as :func:`exact_percentiles`:
+
+    1. ``repartitionByRange`` on the order columns + in-partition sort —
+       a balanced range shuffle, i.e. a distributed ORDER BY;
+    2. ``monotonically_increasing_id`` encodes (partition, local rank)
+       with zero extra shuffle; per-partition counts (K integers of
+       driver metadata) prefix-sum into global-rank offsets applied as a
+       map literal;
+    3. the bucket is a pure projection of the global rank ``r`` (0-based,
+       ``n`` rows): SQL NTILE gives the first ``n mod k`` buckets
+       ``n div k + 1`` rows and the rest ``n div k`` — closed-form, no
+       second pass.
+
+    ``order_cols`` must be a TOTAL order (append a unique tie-break
+    column) — otherwise tied rows straddle bucket boundaries in an
+    engine-dependent order and the assignment is nondeterministic (the
+    same caveat applies to window NTILE; both declared consumers pin
+    ties).  Output: the input columns plus ``bucket`` (int, 1-based),
+    bit-identical to the window form under a total order.
+
+    The returned frame references localCheckpoint blocks (the pin that
+    keeps the offset map describing the partitioning the output pass
+    reads — see :func:`exact_percentiles`); they are released when the
+    DataFrame is garbage-collected or the session ends, so use within a
+    query scope, not as a long-lived cached table.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark: SparkSession = df.sparkSession
+    p = num_range_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    mid = F.monotonically_increasing_id()
+    ranged = (
+        df.repartitionByRange(p, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", mid)
+        .localCheckpoint()
+    )
+    pid = F.shiftright("__mid", 33).cast("int")
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy(pid.alias("pid")).agg(F.count("*").alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    if counts and max(counts.values()) >= 1 << 33:
+        raise ValueError(
+            f"range partition of {max(counts.values())} rows exceeds the 2^33 "
+            f"id-counter range — raise num_range_partitions (currently {p})"
+        )
+    offsets, cum = {}, 0
+    for pp in sorted(counts):
+        offsets[pp] = cum
+        cum += counts[pp]
+    off_map = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    r0 = (F.element_at(off_map, pid) + local).cast("bigint")  # 0-based global rank
+    q, rem = divmod(n, k)
+    if q == 0:
+        # fewer rows than buckets: rank r lands alone in bucket r+1
+        bucket = (r0 + 1).cast("int")
+    else:
+        head = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+        bucket = (
+            F.when(r0 < head, F.floor(r0 / (q + 1)))
+            .otherwise(rem + F.floor((r0 - head) / q))
+            .cast("int")
+            + 1
+        )
+    return ranged.withColumn(bucket_col, bucket).drop("__mid")

@@ -803,17 +803,25 @@ ORACLE["q48_locf_gap_fill"] = """
 
 @query("q49_ntile_deciles")
 def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE decile assignment + per-decile profile. The window ORDER BY
-    is made total with the o_orderkey tie-break (o_totalprice carries
-    duplicate values) so bucket membership is deterministic in both
-    engines; money sums accumulate in exact decimal (_revenue_dec
-    contract)."""
-    from pyspark.sql.window import Window as W
+    """NTILE decile assignment + per-decile profile — WITHOUT the window:
+    ``ntile(10) OVER (ORDER BY ...)`` plans as a single-partition sort
+    (one task orders every order row; dead at 100×), so the declared
+    plan is ``operators.quantiles.ntile_exact`` — a balanced range
+    shuffle + per-partition offsets + a closed-form bucket projection,
+    bit-identical to the window form because the ORDER BY is made total
+    with the o_orderkey tie-break (o_totalprice carries duplicate
+    values; the tie-pinning is regression-tested in
+    tests/test_quantiles.py).  Money sums accumulate in exact decimal
+    (_revenue_dec contract).  The oracle keeps the window spelling —
+    same buckets, antagonistic plan."""
+    from ..operators.quantiles import ntile_exact
 
     t = Tables(spark, sf_dir)
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    deciled = t.orders.select(
-        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    deciled = ntile_exact(
+        t.orders.select("o_totalprice", "o_orderkey"),
+        10,
+        ["o_totalprice", "o_orderkey"],
+        bucket_col="decile",
     )
     return (
         deciled.groupBy("decile")

@@ -5381,37 +5381,80 @@ def ops_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum data ordering (Bengio et al. 2009 applied to corpus
     scheduling): sort the corpus easy→hard by a difficulty proxy
     (token count), but deterministically shuffle WITHIN each difficulty
-    decile so a training epoch doesn't see monotone length — decile via
-    ntile(10) over the difficulty order, intra-decile order via the md5
-    of the doc id (a hash is the only engine-portable 'shuffle').
-    Output: the first 3 and last 3 docs of each decile — the
-    band-boundary sample a curriculum audit inspects.  The global ntile
-    window is the declared exact form (same concession as
-    q49_ntile_deciles: one window sort); the 100-TB path computes decile
-    BOUNDARIES via the distributed sort-based percentiles the engine
-    already ships (operators/quantiles.py, ops_exact_percentiles_dist)
-    and assigns deciles with a boundary-compare projection — no global
-    window, identical buckets up to boundary ties."""
+    decile so a training epoch doesn't see monotone length — intra-decile
+    order via the md5 of the doc id (a hash is the only engine-portable
+    'shuffle').  Output: the first 3 and last 3 docs of each decile —
+    the band-boundary sample a curriculum audit inspects.
+
+    Scale shape (both former windows eliminated):
+
+    * deciles via ``operators.quantiles.ntile_exact`` — the distributed
+      range-shuffle rank-selection form, bit-identical to the oracle's
+      ``ntile(10) OVER (ORDER BY difficulty, doc_id)`` because the order
+      is total (doc_id tie-break); no single-partition window sort;
+    * head/tail-3 per decile via two-phase partial top-k — per
+      (decile, physical partition) a sorted-slice aggregate keeps ≤3+3
+      structs, then ≤6·P survivors per decile merge in a second
+      hash-agg: the former ``row_number() OVER (PARTITION BY decile)``
+      would funnel corpus/10 rows through each of 10 window tasks; this
+      keeps every task bounded by its input partition and the final
+      per-decile state at 6·P structs (the classic map-side top-k).
+    """
     t = Tables(spark, sf_dir)
     from ..functions import text as XT
+    from ..operators.quantiles import ntile_exact
 
     base = t.documents.select(
         "doc_id", XT.token_count(F.col("text")).alias("difficulty")
     )
-    from pyspark.sql.window import Window
-
-    dec = F.ntile(10).over(Window.orderBy(F.col("difficulty"), F.col("doc_id")))
-    ranked = base.select("doc_id", "difficulty", dec.alias("decile"))
-    pos = F.row_number().over(
-        Window.partitionBy("decile").orderBy(
-            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    deciled = ntile_exact(
+        base, 10, ["difficulty", "doc_id"], bucket_col="decile"
+    )
+    rec = F.struct(
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+        F.col("doc_id"),
+        F.col("difficulty"),
+    )
+    per_part = (
+        deciled.select("decile", rec.alias("rec"))
+        .groupBy("decile", F.spark_partition_id().alias("pid"))
+        .agg(
+            F.slice(F.array_sort(F.collect_list("rec")), 1, 3).alias("lo"),
+            F.slice(F.reverse(F.array_sort(F.collect_list("rec"))), 1, 3).alias("hi"),
+            F.count(F.lit(1)).alias("cnt"),
         )
     )
-    n = F.count(F.lit(1)).over(Window.partitionBy("decile"))
+    merged = per_part.groupBy("decile").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("lo"))), 1, 3).alias("lo3"),
+        # ascending slice of the global LAST 3: merge the per-partition
+        # tails descending, cut to 3, flip back
+        F.reverse(
+            F.slice(F.reverse(F.array_sort(F.flatten(F.collect_list("hi")))), 1, 3)
+        ).alias("hi3"),
+        F.sum("cnt").alias("n"),
+    )
+    lo_rows = merged.select(
+        "decile", F.posexplode("lo3").alias("idx", "r")
+    ).select(
+        "decile",
+        (F.col("idx") + 1).alias("pos"),
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.difficulty").alias("difficulty"),
+    )
+    hi_rows = (
+        merged.select("decile", "n", F.size("hi3").alias("sz"),
+                      F.posexplode("hi3").alias("idx", "r"))
+        .select(
+            "decile",
+            (F.col("n") - F.col("sz") + F.col("idx") + 1).alias("pos"),
+            F.col("r.doc_id").alias("doc_id"),
+            F.col("r.difficulty").alias("difficulty"),
+        )
+        .where(F.col("pos") > 3)  # rows already emitted by the head slice
+    )
     return (
-        ranked.select("doc_id", "difficulty", "decile", pos.alias("pos"), n.alias("n"))
-        .where((F.col("pos") <= 3) | (F.col("pos") > F.col("n") - 3))
-        .select("decile", "pos", "doc_id", "difficulty")
+        lo_rows.unionByName(hi_rows)
+        .select("decile", F.col("pos").cast("int").alias("pos"), "doc_id", "difficulty")
         .orderBy("decile", "pos")
     )
 

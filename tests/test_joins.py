@@ -450,3 +450,44 @@ def test_qgram_assume_min_len_skips_short_path_and_enforces(spark):
     )
     with _pytest.raises(Exception, match="assume_min_len"):
         bad.collect()
+
+
+def test_ntile_exact_matches_window_under_heavy_ties(spark):
+    """Tie-pinning contract: with a TOTAL order (value, unique id),
+    ntile_exact is bit-identical to the window ntile even when the value
+    column is massively tied (here only 7 distinct values over 5,000
+    rows, so every bucket boundary falls inside a tie run and only the
+    id tie-break decides membership).  Also pins the NTILE size rule on
+    n not divisible by k."""
+    from pyspark.sql.window import Window as W
+
+    from arcane_stream_microsoft_synapse_link_spark.operators.quantiles import ntile_exact
+
+    rows = [((i * 31) % 7, i) for i in range(5_003)]  # 5003 % 10 = 3
+    df = spark.createDataFrame(rows, "v long, id long").repartition(16)
+    got = {
+        (r.v, r.id): r.bucket
+        for r in ntile_exact(df, 10, ["v", "id"]).collect()
+    }
+    want = {
+        (r.v, r.id): r.b
+        for r in df.select(
+            "v", "id", F.ntile(10).over(W.orderBy("v", "id")).alias("b")
+        ).collect()
+    }
+    assert got == want
+    # NTILE size rule: first n%k buckets get one extra row
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    assert sorted(sizes.values(), reverse=True) == [501] * 3 + [500] * 7
+
+
+def test_ntile_exact_fewer_rows_than_buckets(spark):
+    from arcane_stream_microsoft_synapse_link_spark.operators.quantiles import ntile_exact
+
+    df = spark.createDataFrame([(3, 1), (1, 2), (2, 3)], "v long, id long")
+    got = sorted((r.v, r.bucket) for r in ntile_exact(df, 10, ["v", "id"]).collect())
+    assert got == [(1, 1), (2, 2), (3, 3)]
+    empty = spark.createDataFrame([], "v long, id long")
+    assert ntile_exact(empty, 4, ["v", "id"]).collect() == []

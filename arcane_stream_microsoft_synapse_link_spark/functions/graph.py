@@ -145,24 +145,43 @@ def pagerank_ppm(
     edges: DataFrame,
     iterations: int = 5,
     id_col: str = "node",
+    dangling: str = "drop",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank_ppm) after ``iterations`` synchronous PageRank rounds
     in exact ppm fixed point:
 
         rank⁰(v)    = 1_000_000
-        rankᵗ⁺¹(v)  = 150_000 + (85 · Σ_{u→v} (rankᵗ(u) DIV outdeg(u))) DIV 100
+        rankᵗ⁺¹(v)  = tele(v) + (85 · (Σ_{u→v} (rankᵗ(u) DIV outdeg(u)) + extra(v))) DIV 100
 
     Every operation is integer (DIV floors), so the result is
     bit-identical across engines — the repo's hash-stable convention.
-    Dangling nodes (outdeg 0) simply contribute nothing, the standard
-    simplification when ranks are used as relative sampling weights.
     Intermediates stay far below 2⁶³: Σ contributions ≤ n_nodes·10⁶, so
     the 85× product needs n_nodes < ~10¹⁴.
 
+    ``dangling``: ``"drop"`` (default) loses sink mass — the
+    simplification fine when ranks are relative sampling weights on a
+    sink-free graph; ``"redistribute"`` adds the standard dangling-mass
+    term: each round the sinks' total rank D is re-spread as
+    ``extra(v) = D DIV N`` (uniform) or ``D DIV |S|`` over the seed set
+    when personalized — real host graphs are full of sinks (pages with
+    no outlinks) and dropping their mass deflates every rank.
+
+    ``seeds`` (personalized PageRank, the seeded-crawl form): teleport
+    mass concentrates on the seed node set instead of spreading
+    uniformly — ``tele(v) = (150_000 · N) DIV |S|`` for seeds, 0
+    otherwise (total teleport mass preserved up to the floor).  Seeds
+    outside the node set are ignored.
+
     Plan per round: edges⋈ranks equi-join on src (one shuffle; ranks is
     node-sized), hash-agg on dst (map-side combine absorbs hub fan-in),
-    node-sized left join back.  localCheckpoint truncates lineage each
-    round — without it round N's plan replays every earlier join.
+    node-sized left join back; with redistribution, plus one scalar agg
+    over the sink-restricted ranks folded in as a single-row cross join
+    (constant-size build side — no driver round-trip inside the loop).
+    localCheckpoint truncates lineage each round — without it round N's
+    plan replays every earlier join.  N and |S| are collected once up
+    front (two counts on node-sized frames — loop-invariant literals,
+    like the percentile operator's offsets).
 
     ``nodes`` is de-duplicated up front (one hash-agg, node-sized,
     lineage-pinned so the dedup runs once, not once per round): a
@@ -170,6 +189,8 @@ def pagerank_ppm(
     double-count nothing but break engine/oracle parity (the oracles
     take ``SELECT DISTINCT doc_id``).
     """
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"dangling must be 'drop'|'redistribute', got {dangling!r}")
     n = (
         nodes.select(F.col(id_col).cast("bigint").alias("node"))
         .distinct()
@@ -180,18 +201,63 @@ def pagerank_ppm(
     # the edges⋈outdeg join is loop-invariant — materialize it ONCE so each
     # round pays a single join (ranks), not two
     ed = e.join(outdeg, "src").localCheckpoint(eager=False)
+
+    plain = dangling == "drop" and seeds is None
+    if plain:
+        tele_expr = f"{TELEPORT_PPM}"
+        extra_expr = "0"
+        base = n
+    else:
+        base = n
+        if seeds is not None:
+            sd = (
+                seeds.select(F.col(id_col).cast("bigint").alias("node"))
+                .distinct()
+                .join(n, "node", "left_semi")
+                .localCheckpoint(eager=False)
+            )
+            s_count = sd.count()
+            if s_count == 0:
+                raise ValueError("personalized PageRank needs >= 1 seed inside the node set")
+            n_count = n.count()
+            base = n.join(
+                sd.withColumn("is_seed", F.lit(True)), "node", "left"
+            ).select(
+                "node", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
+            ).localCheckpoint(eager=False)
+            tele_expr = f"CASE WHEN is_seed THEN {(TELEPORT_PPM * n_count) // s_count} ELSE 0 END"
+            extra_expr = (
+                f"CASE WHEN is_seed THEN dmass DIV {s_count} ELSE 0 END"
+                if dangling == "redistribute"
+                else "0"
+            )
+        else:
+            n_count = n.count()
+            tele_expr = f"{TELEPORT_PPM}"
+            extra_expr = f"dmass DIV {n_count}" if dangling == "redistribute" else "0"
+        if dangling == "redistribute":
+            sinks = n.join(
+                outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+            ).localCheckpoint(eager=False)
+
     rank = n.withColumn("rank_ppm", F.lit(1_000_000).cast("bigint"))
     for _ in range(iterations):
         contrib = ed.join(rank.withColumnRenamed("node", "src"), "src").select(
             "dst", F.expr("rank_ppm DIV outdeg").alias("c")
         )
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        joined = base.join(incoming.withColumnRenamed("dst", "node"), "node", "left")
+        if not plain and dangling == "redistribute":
+            d_mass = rank.join(sinks, "node", "left_semi").agg(
+                F.coalesce(F.sum("rank_ppm"), F.lit(0)).cast("bigint").alias("dmass")
+            )
+            joined = joined.crossJoin(d_mass)
         rank = (
-            n.join(incoming.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
+            joined.select(
                 "node",
                 F.expr(
-                    f"CAST({TELEPORT_PPM} + ({DAMP_NUM} * coalesce(s, 0)) DIV {DAMP_DEN} AS BIGINT)"
+                    f"CAST(({tele_expr}) + ({DAMP_NUM} * (coalesce(s, 0) + ({extra_expr})))"
+                    f" DIV {DAMP_DEN} AS BIGINT)"
                 ).alias("rank_ppm"),
             )
             .localCheckpoint(eager=False)
@@ -315,4 +381,386 @@ def cc_fold_in(labels: DataFrame, new_edges: DataFrame) -> DataFrame:
         lab.unionByName(new_nodes)
         .join(roots, "component", "left")
         .select("node", F.coalesce("root", "component").alias("component"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl-analysis companions: degree / reciprocity / triangles / k-core
+# (the standard host-graph diagnostics published for Common Crawl-scale
+# link graphs; each is a constant number of edge-table joins/aggs)
+# ---------------------------------------------------------------------------
+
+
+def degree_histogram(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Degree DISTRIBUTION of the directed graph — one row per
+    (kind, degree): how many nodes have that in-/out-/total degree,
+    zero-degree nodes included (the histogram every crawl-graph report
+    leads with; its shape — power-law tail, hub mass — is what decides
+    sampling and skew strategy downstream).
+
+    Plan: two edge-sized hash-aggs (out by src, in by dst), two
+    node-sized left joins to zero-fill, one more hash-agg per kind on
+    the DEGREE VALUE — output is histogram-sized (distinct degrees),
+    never node-sized.  No row ever leaves the one-pass agg shape, so
+    hub skew lands in map-side combine."""
+    n = nodes.select(F.col("node").cast("bigint")).distinct()
+    outd = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+
+    def fill(d: DataFrame) -> DataFrame:
+        return n.join(d, "node", "left").select(
+            "node", F.coalesce("d", F.lit(0)).cast("bigint").alias("d")
+        )
+
+    fo, fi = fill(outd), fill(ind)
+    tot = (
+        fo.withColumnRenamed("d", "od")
+        .join(fi.withColumnRenamed("d", "id"), "node")
+        .select("node", (F.col("od") + F.col("id")).alias("d"))
+    )
+    out = None
+    for kind, df in (("in", fi), ("out", fo), ("total", tot)):
+        h = df.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes")).select(
+            F.lit(kind).alias("kind"),
+            F.col("d").alias("degree"),
+            F.col("n_nodes").cast("bigint"),
+        )
+        out = h if out is None else out.unionByName(h)
+    return out
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One-row reciprocity summary of a directed graph: of the distinct
+    directed edges, how many have their reverse present — the
+    crawl-graph symmetry diagnostic (host graphs are highly asymmetric;
+    a reciprocity spike flags mirror/boilerplate link farms).
+
+    ``reciprocity_ppm = 1e6 · |{(u,v): v→u exists}| DIV |E|`` in exact
+    integer ppm.  Plan: one distinct on the edge table, one self
+    equi-join on the REVERSED key (shuffle on (dst,src) — edge-sized,
+    never quadratic), two scalar aggs."""
+    e = edges.select(
+        F.col("src").cast("bigint"), F.col("dst").cast("bigint")
+    ).where(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(recip.agg(F.count(F.lit(1)).alias("n_reciprocal")))
+        .select(
+            F.col("n_edges").cast("bigint"),
+            F.col("n_reciprocal").cast("bigint"),
+            F.expr(
+                "CAST(1000000 * n_reciprocal DIV greatest(n_edges, 1) AS BIGINT)"
+            ).alias("reciprocity_ppm"),
+        )
+    )
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edge set as (a < b) pairs — self-loops
+    dropped, direction and multiplicity folded."""
+    s, d = F.col("src").cast("bigint"), F.col("dst").cast("bigint")
+    return (
+        edges.where(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-block triangle counts of the undirected simple graph —
+    (block, n_triangles), block = the 100-block of the triangle's
+    smallest node (the grammar keeps components inside blocks, so
+    blocks are the natural rollup; a real host graph would group by
+    domain/host prefix).
+
+    The scale-critical choice is the DEGREE orientation (the standard
+    compact-forward / Latapy trick): orient every undirected edge from
+    the endpoint with smaller (degree, id) to the larger, making the
+    oriented graph acyclic with max out-degree O(√m) on any graph — so
+    the wedge join (oriented ⋈ oriented on the middle node) generates
+    O(m^{3/2}) candidates TOTAL regardless of hub skew, where an
+    id-orientation would square the hottest hub's degree.  Plan: one
+    degree agg, two edge-sized equi-joins (wedge build + closing-edge
+    semi-join), one hash-agg."""
+    u = undirected_edges(edges)
+    deg = (
+        u.select(F.col("a").alias("v"))
+        .unionAll(u.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    withdeg = (
+        u.join(deg.withColumnsRenamed({"v": "a", "deg": "da"}), "a")
+        .join(deg.withColumnsRenamed({"v": "b", "deg": "db"}), "b")
+    )
+    # orient low (degree, id) -> high (degree, id); total order => acyclic
+    fwd = withdeg.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+        )
+        .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+        .alias("e")
+    ).select("e.lo", "e.hi")
+    # wedges centered on the oriented source: (x->y), (x->z), y != z
+    w1 = fwd.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    w2 = fwd.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    wedges = w1.join(w2, "x").where(F.col("y") < F.col("z"))
+    # closing edge: {y,z} with y < z numeric is exactly u's (a, b) key
+    closed = wedges.join(
+        u.withColumnsRenamed({"a": "y", "b": "z"}), ["y", "z"], "left_semi"
+    )
+    tri_min = closed.select(
+        F.least("x", "y", "z").alias("m")
+    )
+    return (
+        tri_min.groupBy((F.col("m") - F.col("m") % 100).alias("block"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .select(F.col("block").cast("bigint"), F.col("n_triangles").cast("bigint"))
+    )
+
+
+def kcore(
+    nodes: DataFrame, edges: DataFrame, k: int = 2, rounds: int = 12
+) -> DataFrame:
+    """Nodes surviving ``rounds`` synchronous peeling rounds toward the
+    k-core of the UNDIRECTED simple graph: each round drops every node
+    whose degree among surviving nodes is < k (the classic iterative
+    peel; the k-core is its fixpoint).  A FIXED round count is the
+    declared form so the DuckDB oracle can replay it as chained CTEs —
+    on the synthesized grammar the peel provably stabilizes well inside
+    12 rounds (dangling chain stubs are ≤ ~9 nodes; the engine-side
+    fixpoint is asserted in tests), and a real deployment would loop
+    to emptiness of the dropped set.
+
+    Per round: two alive-semi-joins restricting the edge table + one
+    degree hash-agg — all edge-sized, lineage truncated per round
+    (localCheckpoint; swap in checkpoint() on a cluster)."""
+    u = undirected_edges(edges).localCheckpoint(eager=False)
+    both = u.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+        u.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    alive = nodes.select(F.col("node").cast("bigint")).distinct()
+    for _ in range(rounds):
+        deg = (
+            both.join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+            .join(alive.withColumnRenamed("node", "w"), "w", "left_semi")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = (
+            deg.where(F.col("deg") >= k)
+            .select(F.col("v").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+    return alive
+
+
+def synthesize_back_edges(edges: DataFrame) -> DataFrame:
+    """Deterministic reciprocal augmentation for the reciprocity
+    diagnostic: every chain edge ``i → i+1`` with ``i ≡ 0 (mod 7)``
+    gains its reverse.  ``dst = src + 1`` identifies chain edges
+    uniquely in the synthesized grammar (stars never target src+1 —
+    block starts aren't ≡ 0 mod 5 offsets — and the long-range residue
+    equation 36·i ≡ 1 (mod 100) has no solution); endpoints are already
+    validated because the input edges are.  Without this the grammar's
+    reciprocity is 0 and the metric would be vacuous."""
+    chain = edges.where((F.col("src") % 7 == 0) & (F.col("dst") == F.col("src") + 1))
+    return edges.unionAll(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+#: oracle mirror of synthesize_back_edges, applied to a CTE named allE
+BACK_EDGES_SQL = """
+    SELECT src, dst FROM allE
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM allE WHERE src % 7 = 0 AND dst = src + 1
+"""
+
+
+def synthesize_shortcut_edges(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic triangle-closing augmentation: ``i → i+2`` for
+    ``i ≡ 0 (mod 3)``, staying inside the 100-block, target-validated —
+    together with the chain edges this plants a triangle (i, i+1, i+2)
+    wherever both chain links survive the break rule, so the triangle
+    count is non-vacuous at every scale."""
+    i = F.col(id_col).cast("bigint")
+    sc = docs.where((i % 3 == 0) & (i % 100 < 98)).select(
+        i.alias("src"), (i + 2).alias("dst")
+    )
+    ids = docs.select(i.alias("dst")).distinct()
+    return sc.join(ids, "dst", "inner").select("src", "dst")
+
+
+#: oracle mirror of synthesize_shortcut_edges
+SHORTCUT_EDGES_SQL = """
+    SELECT s.src, s.dst FROM (
+        SELECT doc_id AS src, doc_id + 2 AS dst FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id % 100 < 98
+    ) s JOIN (SELECT DISTINCT doc_id FROM documents) n ON n.doc_id = s.dst
+"""
+
+
+#: degree-histogram oracle over the synthesized graph
+DEGREES_ORACLE_SQL = (
+    "WITH e AS ("
+    + SYNTH_EDGES_SQL
+    + """),
+    n AS (SELECT DISTINCT doc_id AS node FROM documents),
+    fo AS (SELECT n.node, COALESCE(o.d, 0) AS d FROM n
+           LEFT JOIN (SELECT src, COUNT(*) AS d FROM e GROUP BY src) o ON o.src = n.node),
+    fi AS (SELECT n.node, COALESCE(i.d, 0) AS d FROM n
+           LEFT JOIN (SELECT dst, COUNT(*) AS d FROM e GROUP BY dst) i ON i.dst = n.node),
+    tot AS (SELECT fo.node, fo.d + fi.d AS d FROM fo JOIN fi ON fi.node = fo.node)
+    SELECT kind, degree, n_nodes FROM (
+        SELECT 'in' AS kind, d AS degree, COUNT(*) AS n_nodes FROM fi GROUP BY d
+        UNION ALL
+        SELECT 'out', d, COUNT(*) FROM fo GROUP BY d
+        UNION ALL
+        SELECT 'total', d, COUNT(*) FROM tot GROUP BY d
+    ) ORDER BY kind, degree"""
+)
+
+
+#: reciprocity oracle over the back-edge-augmented graph
+RECIPROCITY_ORACLE_SQL = (
+    "WITH e AS ("
+    + SYNTH_EDGES_SQL
+    + "), allE AS (SELECT src, dst FROM e), aug AS ("
+    + BACK_EDGES_SQL
+    + """),
+    d AS (SELECT DISTINCT src, dst FROM aug WHERE src <> dst),
+    r AS (SELECT COUNT(*) AS n_reciprocal FROM d
+          WHERE EXISTS (SELECT 1 FROM d r2 WHERE r2.src = d.dst AND r2.dst = d.src))
+    SELECT CAST(t.n_edges AS BIGINT) AS n_edges,
+           CAST(r.n_reciprocal AS BIGINT) AS n_reciprocal,
+           CAST(1000000 * r.n_reciprocal // greatest(t.n_edges, 1) AS BIGINT) AS reciprocity_ppm
+    FROM (SELECT COUNT(*) AS n_edges FROM d) t, r"""
+)
+
+
+#: per-block triangle-count oracle over the shortcut-augmented graph,
+#: replaying the same degree orientation (least (deg, id) endpoint ->
+#: greatest) so both engines enumerate identical wedge sets
+TRIANGLES_ORACLE_SQL = (
+    "WITH e AS ("
+    + SYNTH_EDGES_SQL
+    + "), sc AS ("
+    + SHORTCUT_EDGES_SQL
+    + """),
+    allE AS (SELECT src, dst FROM e UNION ALL SELECT src, dst FROM sc),
+    u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM allE WHERE src <> dst),
+    deg AS (SELECT v, COUNT(*) AS deg
+            FROM (SELECT a AS v FROM u UNION ALL SELECT b FROM u) GROUP BY v),
+    fwd AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                        THEN u.a ELSE u.b END AS lo,
+                   CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                        THEN u.b ELSE u.a END AS hi
+            FROM u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+    tri AS (SELECT w1.lo AS x, w1.hi AS y, w2.hi AS z
+            FROM fwd w1 JOIN fwd w2 ON w2.lo = w1.lo AND w1.hi < w2.hi
+            WHERE EXISTS (SELECT 1 FROM u WHERE u.a = w1.hi AND u.b = w2.hi)),
+    m AS (SELECT least(x, y, z) AS mn FROM tri)
+    SELECT CAST(mn - mn % 100 AS BIGINT) AS block,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM m GROUP BY 1 ORDER BY block"""
+)
+
+
+def kcore_oracle_sql(k: int = 2, rounds: int = 12) -> str:
+    """DuckDB mirror of :func:`kcore`: the peel unrolled as chained CTEs
+    — round t's survivors are nodes whose degree among round t-1's
+    survivors is >= k."""
+    # AS MATERIALIZED: each round references the previous one TWICE; an
+    # inlining planner would otherwise expand the chain 2^rounds times
+    # (observed: DuckDB re-opening the parquet thousands of times)
+    ctes = [
+        "e AS MATERIALIZED (" + SYNTH_EDGES_SQL + ")",
+        "u AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b"
+        " FROM e WHERE src <> dst)",
+        "bo AS MATERIALIZED (SELECT a AS v, b AS w FROM u UNION ALL SELECT b, a FROM u)",
+        "n0 AS MATERIALIZED (SELECT DISTINCT doc_id AS node FROM documents)",
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f"""n{t + 1} AS MATERIALIZED (
+            SELECT bo.v AS node FROM bo
+            JOIN n{t} x ON x.node = bo.v JOIN n{t} y ON y.node = bo.w
+            GROUP BY bo.v HAVING COUNT(*) >= {k}
+        )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node FROM n{rounds} ORDER BY node"
+    )
+
+
+def pagerank_ext_oracle_sql(
+    iterations: int = 5, dangling: str = "redistribute", seeded: bool = False
+) -> str:
+    """DuckDB mirror of :func:`pagerank_ppm` with dangling-mass
+    redistribution and (optionally) personalization over the synthesized
+    graph — seeds are the block-start hubs (``doc_id % 100 = 0``), the
+    seeded-crawl form.  Chained CTEs replay the identical integer
+    recurrence; every CTE is MATERIALIZED because each round references
+    the previous rank table twice (dangling scalar + contributions) and
+    an inlining planner would expand the chain 2^iterations times."""
+    ctes = [
+        "e AS MATERIALIZED (" + SYNTH_EDGES_SQL + ")",
+        "n AS MATERIALIZED (SELECT DISTINCT doc_id AS node FROM documents)",
+        "od AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS nc FROM n)",
+        "r0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM n)",
+    ]
+    if dangling == "redistribute":
+        ctes.append(
+            "sinks AS MATERIALIZED (SELECT n.node FROM n"
+            " LEFT JOIN od ON od.src = n.node WHERE od.src IS NULL)"
+        )
+    if seeded:
+        ctes.append("sd AS MATERIALIZED (SELECT node FROM n WHERE node % 100 = 0)")
+        ctes.append("sc AS MATERIALIZED (SELECT COUNT(*) AS k FROM sd)")
+        tele = f"CASE WHEN sd.node IS NOT NULL THEN ({TELEPORT_PPM} * nn.nc) // sc.k ELSE 0 END"
+        extra = (
+            "CASE WHEN sd.node IS NOT NULL THEN d.dm // sc.k ELSE 0 END"
+            if dangling == "redistribute"
+            else "0"
+        )
+    else:
+        tele = f"{TELEPORT_PPM}"
+        extra = "d.dm // nn.nc" if dangling == "redistribute" else "0"
+    for t in range(iterations):
+        tail = ", nn"
+        if dangling == "redistribute":
+            ctes.append(
+                f"d{t} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank_ppm), 0) AS dm"
+                f" FROM r{t} r JOIN sinks s ON s.node = r.node)"
+            )
+            tail += f", d{t} d"
+        if seeded:
+            tail += ", sc"
+        seed_join = " LEFT JOIN sd ON sd.node = n.node" if seeded else ""
+        ctes.append(
+            f"""r{t + 1} AS MATERIALIZED (
+            SELECT n.node,
+                   CAST(({tele}) + ({DAMP_NUM} * (COALESCE(s.s, 0) + ({extra}))) // {DAMP_DEN} AS BIGINT) AS rank_ppm
+            FROM n LEFT JOIN (
+                SELECT e.dst, SUM(r.rank_ppm // od.outdeg) AS s
+                FROM e JOIN r{t} r ON r.node = e.src JOIN od ON od.src = e.src
+                GROUP BY e.dst
+            ) s ON s.dst = n.node{seed_join}{tail}
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank_ppm FROM r{iterations} ORDER BY node"
     )

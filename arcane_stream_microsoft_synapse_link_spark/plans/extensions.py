@@ -5318,6 +5318,7 @@ def ops_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank_ppm(nodes, edges, iterations=5).orderBy("node")
 
 
+from ..functions import graph as _G  # noqa: E402
 from ..functions.graph import CC_ORACLE_SQL as _CC_SQL  # noqa: E402
 from ..functions.graph import pagerank_oracle_sql as _pr_sql  # noqa: E402
 
@@ -5560,3 +5561,147 @@ def ops_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["ops_cc_incremental"] = _CC_SQL
+
+
+@query("ops_graph_degrees")
+def ops_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out/total degree DISTRIBUTION of the synthesized doc graph —
+    the histogram every crawl-graph report leads with (Common Crawl's
+    host-graph releases publish exactly these; the tail shape decides
+    hub-skew strategy for every downstream join).  Zero-degree nodes
+    included.  Output is histogram-sized: two edge aggs + two node-sized
+    zero-fill joins + one agg per kind (functions/graph.py:
+    degree_histogram); nothing node-sized ever reaches the driver."""
+    from ..functions import graph as G
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    edges = G.synthesize_edges(docs)
+    nodes = docs.select(F.col("doc_id").cast("bigint").alias("node"))
+    return G.degree_histogram(nodes, edges).orderBy("kind", "degree")
+
+
+ORACLE["ops_graph_degrees"] = _G.DEGREES_ORACLE_SQL
+
+
+@query("ops_graph_reciprocity")
+def ops_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link reciprocity of the doc graph (share of directed edges whose
+    reverse exists — the symmetry diagnostic that flags mirror/link-farm
+    structure in a crawl; host graphs are normally highly asymmetric).
+    The base grammar is acyclically chained so its reciprocity is 0;
+    both engines plant the SAME deterministic reverse edges (every 7th
+    chain link — functions/graph.py:synthesize_back_edges) so the
+    metric is non-vacuous, then measure: one distinct + one reversed-key
+    self semi-join (edge-sized shuffle) + two scalar aggs, exact ppm."""
+    from ..functions import graph as G
+
+    t = Tables(spark, sf_dir)
+    edges = G.synthesize_back_edges(G.synthesize_edges(t.documents))
+    return G.reciprocity(edges)
+
+
+ORACLE["ops_graph_reciprocity"] = _G.RECIPROCITY_ORACLE_SQL
+
+
+@query("ops_graph_triangles")
+def ops_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block triangle counts (the clustering-structure companion to
+    the degree histogram; triangle density separates organic link
+    neighborhoods from spam sprays).  Both engines add the SAME
+    deterministic i→i+2 shortcuts (functions/graph.py:
+    synthesize_shortcut_edges) so the chain grammar actually closes
+    triangles, then count with the DEGREE-ORIENTED wedge join
+    (functions/graph.py:triangle_counts): orient each undirected edge
+    from the smaller (degree, id) endpoint, join wedges at the oriented
+    source, semi-join the closing edge — O(m^1.5) candidates on ANY
+    degree distribution, where a naive orientation squares the hottest
+    hub.  The oracle replays the identical orientation."""
+    from ..functions import graph as G
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    edges = G.synthesize_edges(docs).unionAll(G.synthesize_shortcut_edges(docs))
+    return G.triangle_counts(edges).orderBy("block")
+
+
+ORACLE["ops_graph_triangles"] = _G.TRIANGLES_ORACLE_SQL
+
+
+@query("ops_graph_kcore")
+def ops_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the doc graph by synchronous peeling (12 declared
+    rounds — functions/graph.py:kcore): drop degree-<2 nodes among
+    survivors each round; the fixpoint is the k-core, the standard
+    crawl-graph denoising that strips dangling chains/leaves before
+    centrality or community steps.  The grammar's dangling stubs are
+    ≤ ~9 nodes so 12 rounds provably stabilize (fixpoint asserted in
+    tests/test_graph.py); the oracle unrolls the same peel as chained
+    CTEs.  Per round: two alive semi-joins + one degree agg, edge-sized,
+    lineage truncated per round."""
+    from ..functions import graph as G
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    edges = G.synthesize_edges(docs)
+    nodes = docs.select(F.col("doc_id").cast("bigint").alias("node"))
+    return G.kcore(nodes, edges, k=2, rounds=12).orderBy("node")
+
+
+ORACLE["ops_graph_kcore"] = _G.kcore_oracle_sql(k=2, rounds=12)
+
+
+@query("ops_pagerank_dangling")
+def ops_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution (exact ppm integer):
+    the synthesized grammar has GENUINE sinks (chain-break nodes that
+    are neither star nor long-range sources, e.g. doc_id 16), and real
+    host graphs are full of them — the drop-the-mass simplification of
+    ops_pagerank deflates every rank.  Each round adds ONE scalar agg
+    over the sink-restricted ranks (node-sized semi-join) folded back as
+    a single-row cross join — no driver round-trip in the loop
+    (functions/graph.py:pagerank_ppm(dangling='redistribute')).  The
+    oracle replays the identical recurrence with a per-round dangling
+    CTE, MATERIALIZED against exponential CTE inlining."""
+    from ..functions import graph as G
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    edges = G.synthesize_edges(docs)
+    nodes = docs.select(F.col("doc_id").cast("bigint").alias("node"))
+    return G.pagerank_ppm(
+        nodes, edges, iterations=5, dangling="redistribute"
+    ).orderBy("node")
+
+
+ORACLE["ops_pagerank_dangling"] = _G.pagerank_ext_oracle_sql(
+    5, dangling="redistribute", seeded=False
+)
+
+
+@query("ops_pagerank_personalized")
+def ops_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the block-start hubs (the seeded-crawl
+    form: rank pages by proximity to a trusted seed set instead of
+    global centrality — the standard crawl-frontier policy when
+    expanding from known-good hosts).  Teleport mass concentrates on
+    the seeds ((150000·N) DIV |S| each, total mass preserved up to the
+    floor) and dangling mass re-spreads over the seeds too, keeping the
+    recurrence exact-integer.  Same per-round plan as
+    ops_pagerank_dangling plus one loop-invariant seed-flag join
+    (functions/graph.py:pagerank_ppm(seeds=...))."""
+    from ..functions import graph as G
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    edges = G.synthesize_edges(docs)
+    nodes = docs.select(F.col("doc_id").cast("bigint").alias("node"))
+    seeds = nodes.where(F.col("node") % 100 == 0)
+    return G.pagerank_ppm(
+        nodes, edges, iterations=5, dangling="redistribute", seeds=seeds
+    ).orderBy("node")
+
+
+ORACLE["ops_pagerank_personalized"] = _G.pagerank_ext_oracle_sql(
+    5, dangling="redistribute", seeded=True
+)

@@ -221,3 +221,196 @@ def test_cc_fold_in_randomized(spark, seed):
     )
     folded = {r.node: r.component for r in G.cc_fold_in(base_labels, inc_df).collect()}
     assert folded == _ref_components(nodes, edges)
+
+
+# --------------------------------------------------------------------------
+# crawl-analysis companions: degrees / reciprocity / triangles / k-core
+# --------------------------------------------------------------------------
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _nodes_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "node long")
+
+
+def test_degree_histogram_zero_fill_and_total(spark):
+    """Handcrafted graph: hub 1 -> {2,3,4}, 2 -> 3; node 9 isolated.
+    in/out/total histograms match the by-hand count; zero-degree rows
+    present for every kind."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.graph import degree_histogram
+
+    got = {
+        (r.kind, r.degree): r.n_nodes
+        for r in degree_histogram(
+            _nodes_df(spark, [1, 2, 3, 4, 9]),
+            _edges_df(spark, [(1, 2), (1, 3), (1, 4), (2, 3)]),
+        ).collect()
+    }
+    assert got == {
+        ("out", 3): 1, ("out", 1): 1, ("out", 0): 3,
+        ("in", 0): 2, ("in", 1): 2, ("in", 2): 1,
+        ("total", 3): 1, ("total", 2): 2, ("total", 1): 1, ("total", 0): 1,
+    }
+
+
+def test_reciprocity_counts_mutual_edges(spark):
+    """(1,2)+(2,1) mutual; (2,3) one-way; duplicate and self-loop rows
+    fold before counting.  2 of 3 distinct directed edges reciprocal."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.graph import reciprocity
+
+    row = reciprocity(
+        _edges_df(spark, [(1, 2), (2, 1), (2, 3), (2, 3), (7, 7)])
+    ).collect()[0]
+    assert (row.n_edges, row.n_reciprocal) == (3, 2)
+    assert row.reciprocity_ppm == 1_000_000 * 2 // 3
+
+
+def _ref_triangles(pairs):
+    """Brute-force undirected triangle reference."""
+    u = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    vs = sorted({v for e in u for v in e})
+    tri = [
+        (a, b, c)
+        for i, a in enumerate(vs)
+        for b in vs[i + 1:]
+        if (a, b) in u
+        for c in vs
+        if c > b and (a, c) in u and (b, c) in u
+    ]
+    return tri
+
+
+def test_triangle_counts_match_bruteforce_with_hub(spark):
+    """A hub star (0 -> 1..12, consecutive leaves linked) plus a distant
+    block's plain triangle: degree-oriented counting matches brute force
+    — the hub's wedges are generated from the LEAF side (degree
+    orientation), never hub-degree-squared."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.graph import triangle_counts
+
+    pairs = [(0, i) for i in range(1, 13)]
+    pairs += [(i, i + 1) for i in range(1, 12)]  # hub fan: 11 triangles
+    pairs += [(205, 207), (207, 209), (205, 209)]  # block 200: 1 triangle
+    pairs += [(300, 301)]  # no triangle in block 300
+    got = {r.block: r.n_triangles for r in triangle_counts(_edges_df(spark, pairs)).collect()}
+    ref = _ref_triangles(pairs)
+    want = {}
+    for a, b, c in ref:
+        want[min(a, b, c) - min(a, b, c) % 100] = want.get(min(a, b, c) - min(a, b, c) % 100, 0) + 1
+    assert got == want == {0: 11, 200: 1}
+
+
+def test_triangle_counts_random_matches_bruteforce(spark):
+    import random
+
+    from arcane_stream_microsoft_synapse_link_spark.functions.graph import triangle_counts
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(400)]
+    got = sum(
+        r.n_triangles for r in triangle_counts(_edges_df(spark, pairs)).collect()
+    )
+    assert got == len(_ref_triangles(pairs))
+
+
+def test_kcore_peels_tails_keeps_cycles(spark):
+    """Cycle 1-2-3-4-1 with a dangling tail 4-5-6-7 and an isolated
+    node: the 2-core is exactly the cycle; peeling needs 3 rounds for
+    the length-3 tail and the declared 12 are enough."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.graph import kcore
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (5, 6), (6, 7)]
+    nodes = _nodes_df(spark, list(range(1, 8)) + [99])
+    got = sorted(r.node for r in kcore(nodes, _edges_df(spark, pairs), k=2, rounds=12).collect())
+    assert got == [1, 2, 3, 4]
+    # k=3: no node has 3 surviving neighbors -> empty
+    assert kcore(nodes, _edges_df(spark, pairs), k=3, rounds=12).collect() == []
+
+
+def test_kcore_declared_rounds_reach_fixpoint_on_synth_grammar(spark, sf_dir):
+    """The declared 12 rounds are a FIXPOINT on the synthesized grammar:
+    round 11 and round 12 survivors are identical (the oracle unrolls
+    exactly 12, so stability is what makes the fixed count honest)."""
+    from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
+    from arcane_stream_microsoft_synapse_link_spark.functions.graph import (
+        kcore,
+        synthesize_edges,
+    )
+
+    docs = Tables(spark, sf_dir).documents
+    edges = synthesize_edges(docs)
+    nodes = docs.select(F.col("doc_id").cast("bigint").alias("node"))
+    at11 = sorted(r.node for r in kcore(nodes, edges, k=2, rounds=11).collect())
+    at12 = sorted(r.node for r in kcore(nodes, edges, k=2, rounds=12).collect())
+    assert at11 == at12
+    assert len(at12) > 0  # non-vacuous: the grammar's hub cycles survive
+
+
+def _ref_pagerank_ext(nodes, edges, iterations=5, dangling="redistribute", seeds=None):
+    """Sequential exact-integer reference incl. dangling redistribution
+    and personalization (independent of both engines)."""
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    sd = sorted(set(seeds) & set(nodes)) if seeds is not None else None
+    rank = {v: 1_000_000 for v in nodes}
+    for _ in range(iterations):
+        inc = {v: 0 for v in nodes}
+        for s, d in edges:
+            inc[d] += rank[s] // outdeg[s]
+        dm = sum(rank[v] for v in nodes if v not in outdeg) if dangling == "redistribute" else 0
+        new = {}
+        for v in nodes:
+            if sd is None:
+                tele, extra = 150_000, (dm // n if dangling == "redistribute" else 0)
+            else:
+                tele = (150_000 * n) // len(sd) if v in sd else 0
+                extra = dm // len(sd) if (dangling == "redistribute" and v in sd) else 0
+            new[v] = tele + (85 * (inc[v] + extra)) // 100
+        rank = new
+    return rank
+
+
+def test_pagerank_dangling_redistribution_planted_sink(spark):
+    """Planted sink: 1->2->3 (3 is a sink), 4 isolated.  With 'drop' the
+    sink's mass vanishes; with 'redistribute' every node gets D DIV N
+    back — both match the sequential reference, and the redistributed
+    total strictly exceeds the dropped total (the deflation the term
+    exists to fix)."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.graph import pagerank_ppm
+
+    nodes, edges = [1, 2, 3, 4], [(1, 2), (2, 3)]
+    ndf, edf = _nodes_df(spark, nodes), _edges_df(spark, edges)
+    for mode in ("drop", "redistribute"):
+        got = {r.node: r.rank_ppm for r in pagerank_ppm(ndf, edf, 5, dangling=mode).collect()}
+        assert got == _ref_pagerank_ext(nodes, edges, 5, dangling=mode)
+    dropped = sum(_ref_pagerank_ext(nodes, edges, 5, "drop").values())
+    redist = sum(_ref_pagerank_ext(nodes, edges, 5, "redistribute").values())
+    assert redist > dropped
+
+
+def test_pagerank_personalized_mass_concentrates_on_seed_side(spark):
+    """Personalized from seed {1}: ranks match the sequential reference;
+    nodes reachable from the seed outrank symmetric nodes that are not
+    (5<-6 chain feeding away from the seed)."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.graph import pagerank_ppm
+
+    nodes = [1, 2, 3, 5, 6]
+    edges = [(1, 2), (2, 3), (6, 5)]  # 3 and 5 are sinks
+    ndf, edf = _nodes_df(spark, nodes), _edges_df(spark, edges)
+    seeds = _nodes_df(spark, [1, 99])  # 99 outside the node set: ignored
+    got = {
+        r.node: r.rank_ppm
+        for r in pagerank_ppm(ndf, edf, 5, dangling="redistribute", seeds=seeds).collect()
+    }
+    assert got == _ref_pagerank_ext(nodes, edges, 5, "redistribute", seeds=[1, 99])
+    assert got[2] > got[5] and got[3] > got[5]  # seed-side dominance
+    assert got[1] > got[2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank_ppm(ndf, edf, 2, seeds=_nodes_df(spark, [999]))

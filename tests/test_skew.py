@@ -19,22 +19,31 @@ replicated 10× with shifted keys (6M / 1.5M rows), then 40% of lineitem
 rows rewritten to ONE hot 'F'-status orderkey (~2.4M rows on a single
 join key; the storage layout stays balanced via round-robin files, so
 only the JOIN key is hot — the production shape) — and asserts the
-VERDICT-named plans (tpch_q01, tpch_q21) complete with NO single-task
-straggler: per executed stage, max task duration bounded by a small
-multiple of the stage median.  Task durations come from the JVM
-``AppStatusStore`` (the UI's data source; the UI server is off in tests);
-stages are discovered via the public StatusTracker per job group.
+VERDICT-named plans (tpch_q01, tpch_q21) complete with NO hot task:
+per executed stage, the max task's SHUFFLE-READ RECORD COUNT is bounded
+by a small multiple of the stage median.  Volume, not wall clock
+(r12 advice): per-task input placement is the thing skew handling
+actually controls, and it is immune to the GC/scheduler debt of a
+long-lived suite JVM — the wall-clock form of this assertion flaked at
+minute 80 of a full-suite run on a stage whose DATA was perfectly
+balanced.  Metrics come from the JVM ``AppStatusStore`` task list (the
+UI's data source; the UI server is off in tests); stages are discovered
+via the public StatusTracker per job group.
 
-Calibration honesty (measured while building this probe, 2026-08-15, and
-recorded in SCALE.md): at local[32] sandbox scale the hot partition is
-too CHEAP to dominate — a 2.4M-row narrow-tuple sort is ~40 ms inside a
-task whose constant overheads are ~1 s, so even forcing
-``skewJoin.enabled=false`` on a naive raw-row join of this corpus moves
-the join-stage max/median only to ~1.3× (wall clock 2.6 s → 0.85 s when
-AQE planning is restored).  The assertion therefore guards the
-production bar (bounded spread under engine confs) and the 100 TB
-argument rests on defense 1's plan shape plus defense 2 being ON — both
-asserted here.
+The probe's sensitivity is itself tested (negative control):
+``test_volume_probe_detects_unhandled_skew`` runs the naive raw-row
+sort-merge join with AQE skew splitting DISABLED and asserts the
+detector FIRES on the hot partition (~2.4M records on one task vs a
+~110k median), then re-runs with splitting enabled and asserts it is
+clean — so a silent regression of either the detector or the AQE
+posture fails loudly.
+
+Calibration honesty (measured while building the r8 probe, 2026-08-15,
+and recorded in SCALE.md): at local[32] sandbox scale the hot partition
+is too CHEAP to dominate wall clock (a 2.4M-row narrow-tuple sort is
+~40 ms inside a task with ~1 s constant overheads) — which is exactly
+why the assertion is on record placement, where the 100 TB failure mode
+is visible at any scale.
 """
 
 from __future__ import annotations
@@ -48,23 +57,27 @@ SF = "/root/testdata/sf0.1"
 HOT_FRACTION = 0.4
 REPLICAS = 10
 SHIFT = 10_000_000
-# a task may not exceed this multiple of its stage's median task time...
+# a task may not read more than this multiple of its stage's median
+# shuffle-read record count...
 SPREAD_BOUND = 8.0
-# ...judged only for stages where the max task is slow enough to matter
-MIN_MAX_MS = 1500.0
+# ...judged only for stages where the max task reads enough records for
+# spread to matter (tiny post-agg shuffles are noise)
+MIN_MAX_RECORDS = 50_000
 
 
-def _task_durations_by_stage(
+def _task_shuffle_records_by_stage(
     spark, job_group: str, min_tasks: int = 4
 ) -> dict[int, list[float]]:
-    """Successful-task durations per EXECUTED stage of one job group.
+    """Successful-task shuffle-read record counts per EXECUTED stage of
+    one job group.
 
     Stage discovery uses the PUBLIC StatusTracker (job group → job ids →
-    stage ids); per-task durations come from the JVM ``AppStatusStore``
+    stage ids); per-task metrics come from the JVM ``AppStatusStore``
     ``taskList`` — the same store the UI's task table reads, available
     with the UI server off.  Stages AQE skipped (reused exchange output;
-    zero completed tasks) naturally return no durations and are
-    excluded."""
+    zero completed tasks) naturally return no metrics and are excluded;
+    scan-only stages (zero shuffle-read everywhere) drop out via the
+    caller's MIN_MAX_RECORDS floor."""
     sc = spark.sparkContext
     st = sc.statusTracker()
     store = sc._jsc.sc().statusStore()
@@ -78,29 +91,37 @@ def _task_durations_by_stage(
             if si is None or si.numTasks < min_tasks:
                 continue
             tl = store.taskList(sid, si.currentAttemptId, int(si.numTasks))
-            durs: list[float] = []
+            recs: list[float] = []
             for i in range(tl.size()):
                 t = tl.apply(i)
-                d = t.duration()
-                if d.isDefined() and t.status() == "SUCCESS":
-                    durs.append(float(d.get()))
-            if durs:
-                out[int(sid)] = durs
+                tm = t.taskMetrics()
+                if t.status() == "SUCCESS" and tm.isDefined():
+                    recs.append(float(tm.get().shuffleReadMetrics().recordsRead()))
+            if recs:
+                out[int(sid)] = recs
     return out
 
 
-def _assert_no_straggler(durations: dict[int, list[float]], label: str) -> None:
+def _hot_task_offenders(stats: dict[int, list[float]]) -> list[tuple]:
+    """Stages where one task's shuffle-read records exceed SPREAD_BOUND ×
+    the stage median (floored at 1k records so near-empty stages cannot
+    divide by ~0)."""
     import statistics
 
-    assert durations, f"{label}: no stages captured"
     offenders = []
-    for sid, durs in durations.items():
-        mx, med = max(durs), statistics.median(durs)
-        if mx >= MIN_MAX_MS and mx > SPREAD_BOUND * max(med, 50.0):
-            offenders.append((sid, round(mx), round(med), len(durs)))
+    for sid, recs in stats.items():
+        mx, med = max(recs), statistics.median(recs)
+        if mx >= MIN_MAX_RECORDS and mx > SPREAD_BOUND * max(med, 1_000.0):
+            offenders.append((sid, round(mx), round(med), len(recs)))
+    return offenders
+
+
+def _assert_no_straggler(stats: dict[int, list[float]], label: str) -> None:
+    assert stats, f"{label}: no stages captured"
+    offenders = _hot_task_offenders(stats)
     assert not offenders, (
-        f"{label}: straggler stages (stage, max_ms, median_ms, n_tasks): "
-        f"{offenders} — skew handling did not bound the hot partition"
+        f"{label}: hot-task stages (stage, max_records, median_records, "
+        f"n_tasks): {offenders} — skew handling did not bound the hot partition"
     )
 
 
@@ -178,7 +199,7 @@ def test_hot_orderkey_no_single_task_straggler(spark, skewed_sf):
             finally:
                 spark.sparkContext.setJobGroup("", "")
             assert rows  # the skewed corpus still produces results
-            _assert_no_straggler(_task_durations_by_stage(spark, group), qname)
+            _assert_no_straggler(_task_shuffle_records_by_stage(spark, group), qname)
     finally:
         for k, v in saved.items():
             if v is None:
@@ -207,3 +228,57 @@ def test_hot_orderkey_results_replicate_exactly(spark, skewed_sf):
         for r in QUERIES["tpch_q01"](spark, SF).collect()
     }
     assert got == want
+
+
+@pytest.mark.slow
+def test_volume_probe_detects_unhandled_skew(spark, skewed_sf):
+    """Negative control (r12 advice: keep the probe falsifiable): the
+    NAIVE raw-row sort-merge join of the skewed corpus — no aggregate
+    rewrite, AQE skew splitting OFF — must trip the volume detector
+    (~2.4M records land on the hot task vs a ~110k median); the same
+    join with splitting ON must be clean.  A regression of either the
+    detector or the skew-join posture fails one of the two arms."""
+    li = spark.read.parquet(f"{skewed_sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{skewed_sf}/orders.parquet")
+
+    def run(label: str, skew_enabled: bool) -> list:
+        overrides = {
+            "spark.sql.adaptive.skewJoin.enabled": str(skew_enabled).lower(),
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+            "spark.sql.shuffle.partitions": "32",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k, None) for k in overrides}
+        group = f"skewprobe-naive-{label}"
+        try:
+            for k, v in overrides.items():
+                spark.conf.set(k, v)
+            spark.sparkContext.setJobGroup(group, f"naive skew join {label}")
+            try:
+                (
+                    li.join(orders, li.l_orderkey == orders.o_orderkey)
+                    .agg(F.count(F.lit(1)))
+                    .collect()
+                )
+            finally:
+                spark.sparkContext.setJobGroup("", "")
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        return _hot_task_offenders(_task_shuffle_records_by_stage(spark, group))
+
+    unhandled = run("off", skew_enabled=False)
+    assert unhandled, (
+        "detector missed the planted hot partition with skew splitting off — "
+        "the probe has lost its sensitivity"
+    )
+    handled = run("on", skew_enabled=True)
+    assert not handled, (
+        f"AQE skew splitting left hot tasks: {handled} — posture regression"
+    )

@@ -1313,3 +1313,24 @@ def exact_substring_dedup(
             ).alias("cleaned"),
         )
     )
+
+
+def eval_sample_guard(df: DataFrame, max_docs: int = 2_000) -> DataFrame:
+    """EVALUATION-ONLY input guard for the all-pairs ground-truth arms
+    (ops_lsh_eval and siblings): exact recall/precision measurement
+    needs an exact all-pairs truth set, which is quadratic BY DESIGN —
+    the one place a cartesian is the point — and must therefore never
+    see a corpus-sized frame.  Counts the sample and refuses above
+    ``max_docs`` (2k docs ≈ 2M pairs, seconds anywhere; 1M docs would
+    be 5·10¹¹ pairs).  Returns the input unchanged when within bounds
+    so it chains inline; the count is one job on a sample-sized frame.
+    Point the EVALUATION at a sample; point the PRODUCTION dedup at the
+    banded LSH operators, which never form all pairs."""
+    n = df.count()
+    if n > max_docs:
+        raise ValueError(
+            f"all-pairs evaluation sample has {n} docs (> {max_docs}): "
+            "this harness is evaluation-only — sample the corpus first, or "
+            "use the banded LSH operators for production-scale dedup"
+        )
+    return df

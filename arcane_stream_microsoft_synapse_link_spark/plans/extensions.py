@@ -3656,14 +3656,21 @@ def ops_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision = tp/cands (what the verify step must filter).  Exact
     integers + ppm integer division.  Oracle: sequential mirror sharing
     the MinHash machinery (plans/values_oracle.py:ref_lsh_eval,
-    pinned sf0.01)."""
+    pinned sf0.01).
+
+    EVALUATION-ONLY, enforced: the exact-truth arm is intentionally
+    all-pairs (sample², the one declared cartesian-by-design), so the
+    sample passes through ``dedup.eval_sample_guard`` — pointing this
+    harness at more than its guard bound refuses instead of launching a
+    corpus² plan.  Production-scale dedup is the banded LSH surface
+    (ops_minhash_dedup and friends), which never forms all pairs."""
     t = Tables(spark, sf_dir)
     base = t.documents.where(F.col("doc_id") < 50).select("doc_id", "text")
     variants = base.select(
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" xvariant")).alias("text"),
     )
-    sample = base.unionByName(variants)
+    sample = D.eval_sample_guard(base.unionByName(variants))
     ids = sample.select("doc_id")
     all_pairs = (
         ids.select(F.col("doc_id").alias("id_a"))
@@ -4089,6 +4096,125 @@ def ops_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.unigram_encode(t.documents, model).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# shared funnel gate stages (VERDICT r12 item 6): the three declared
+# funnel forms (ops_curation_funnel / _langid / _gopher) attribute
+# rejections over the SAME underlying per-doc gate flags; each gate's
+# flag frame is computed once per (session, sf_dir) and persisted, so
+# running the trio pays for langid training, the dup-keeper agg and the
+# contamination semi-join ONCE instead of three times — in a real
+# deployment these gates are one pass over the corpus feeding several
+# reports, and recomputing them per report would be the dishonest shape.
+# Entries stay independently callable (whichever runs first
+# materializes; results are deterministic, so sharing cannot change any
+# declared hash), pieces are memoized PER GATE so a 3-stage-funnel-only
+# caller never pays for langid, and the cache is LRU-capped with
+# unpersist-on-evict so long sessions don't pin executor blocks.
+# ---------------------------------------------------------------------------
+_FUNNEL_CACHE: dict = {}
+_FUNNEL_CACHE_MAX = 6
+
+
+def _funnel_memo(spark: SparkSession, sf_dir: str, piece: str, build):
+    key = (spark.sparkContext.applicationId, sf_dir, piece)
+    hit = _FUNNEL_CACHE.pop(key, None)
+    if hit is not None:
+        _FUNNEL_CACHE[key] = hit  # LRU refresh (dicts keep insertion order)
+        return hit
+    df = build().persist()
+    df.count()  # materialize eagerly so every consumer reads pinned blocks
+    while len(_FUNNEL_CACHE) >= _FUNNEL_CACHE_MAX:
+        _FUNNEL_CACHE.pop(next(iter(_FUNNEL_CACHE))).unpersist()
+    _FUNNEL_CACHE[key] = df
+    return df
+
+
+def _funnel_base_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, qfail, dup, contam) over the non-bench corpus — the
+    three gates every funnel form shares: quality (length + unique-word
+    ratio) from one corpus scan, exact-dup as a hash-agg keeper join
+    (md5, never text), contamination as the broadcast 8-gram semi-join
+    shared with ops_decontaminate."""
+
+    def build() -> DataFrame:
+        t = Tables(spark, sf_dir)
+        words = F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(X.WORD_RE), F.lit(0)
+        )
+        bench = t.documents.where(F.col("source") == "src0")
+        corpus = t.documents.where(F.col("source") != "src0")
+        d = corpus.select(
+            "doc_id",
+            "text",
+            F.size(words).alias("n_tokens"),
+            (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias(
+                "ur"
+            ),
+        )
+        keeper = d.groupBy(F.md5("text").alias("_h")).agg(
+            F.min("doc_id").alias("_keeper")
+        )
+        bench_grams = (
+            bench.select(X.word_ngram_strings(words, 8).alias("_gs"))
+            .select(F.explode("_gs").alias("gram"))
+            .distinct()
+        )
+        contam_ids = (
+            corpus.select(
+                "doc_id", F.explode(X.word_ngram_strings(words, 8)).alias("gram")
+            )
+            .join(F.broadcast(bench_grams), "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("_contam", F.lit(1))
+        )
+        return (
+            d.join(keeper, F.md5(F.col("text")) == F.col("_h"), "left")
+            .join(contam_ids, "doc_id", "left")
+            .select(
+                "doc_id",
+                ((F.col("n_tokens") < 40) | (F.col("ur") < 0.2)).alias("qfail"),
+                (F.col("doc_id") != F.col("_keeper")).alias("dup"),
+                F.col("_contam").isNotNull().alias("contam"),
+            )
+        )
+
+    return _funnel_memo(spark, sf_dir, "base", build)
+
+
+def _funnel_lreject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lreject) — the langid gate (trained hashed-ngram NB;
+    reject when the prediction isn't the target language or the
+    log-odds margin is under 12 nats)."""
+
+    def build() -> DataFrame:
+        from ..functions.langid import langid_fit_predict
+
+        t = Tables(spark, sf_dir)
+        return langid_fit_predict(t.documents).select(
+            "doc_id",
+            (
+                (F.col("lang_pred") != F.lit("en"))
+                | (F.col("margin_ppm") < F.lit(12_000_000))
+            ).alias("lreject"),
+        )
+
+    return _funnel_memo(spark, sf_dir, "lreject", build)
+
+
+def _funnel_grej(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, grej) — the Gopher-rules gate at the corpus-baseline
+    ``n_rules_failed >= 2`` threshold (see ops_gopher_rules)."""
+
+    def build() -> DataFrame:
+        t = Tables(spark, sf_dir)
+        return X.gopher_rules(t.documents).select(
+            "doc_id", (F.col("n_rules_failed") >= 2).alias("grej")
+        )
+
+    return _funnel_memo(spark, sf_dir, "grej", build)
+
+
 @query("ops_curation_funnel")
 def ops_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intake-funnel report with FIRST-rejection attribution — the
@@ -4100,45 +4226,13 @@ def ops_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops_curation_pipeline (which emits the surviving docs) and
     ops_dedup_accounting (dedup-only attribution).
 
-    Plan: one corpus scan computes the quality flags; the dup flag is a
-    hash-agg keeper join (md5, never text); contamination is the
-    broadcast gram semi-join shared with ops_decontaminate; the funnel
-    itself is ONE conditional aggregate exploded into 3 literal-struct
-    rows — no per-stage recount, no driver loop."""
-    t = Tables(spark, sf_dir)
-    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(X.WORD_RE), F.lit(0))
-    bench = t.documents.where(F.col("source") == "src0")
-    corpus = t.documents.where(F.col("source") != "src0")
-    d = corpus.select(
-        "doc_id",
-        "text",
-        F.size(words).alias("n_tokens"),
-        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("ur"),
-    )
-    keeper = d.groupBy(F.md5("text").alias("_h")).agg(
-        F.min("doc_id").alias("_keeper")
-    )
-    bench_grams = (
-        bench.select(X.word_ngram_strings(words, 8).alias("_gs"))
-        .select(F.explode("_gs").alias("gram"))
-        .distinct()
-    )
-    contam_ids = (
-        corpus.select("doc_id", F.explode(X.word_ngram_strings(words, 8)).alias("gram"))
-        .join(F.broadcast(bench_grams), "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("_contam", F.lit(1))
-    )
-    flags = (
-        d.join(keeper, F.md5(F.col("text")) == F.col("_h"), "left")
-        .join(contam_ids, "doc_id", "left")
-        .select(
-            ((F.col("n_tokens") < 40) | (F.col("ur") < 0.2)).alias("qfail"),
-            (F.col("doc_id") != F.col("_keeper")).alias("dup"),
-            F.col("_contam").isNotNull().alias("contam"),
-        )
-    )
+    Plan: the gate flags come from the session-memoized shared stage
+    frame (_funnel_base_flags — one corpus scan + keeper hash-agg +
+    broadcast gram semi-join, computed once for all three funnel
+    forms); the funnel itself is ONE conditional aggregate exploded
+    into 3 literal-struct rows — no per-stage recount, no driver
+    loop."""
+    flags = _funnel_base_flags(spark, sf_dir).select("qfail", "dup", "contam")
     c = flags.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("qfail").cast("bigint")).alias("nq"),
@@ -4196,49 +4290,14 @@ def ops_curation_funnel_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine could produce a language prediction.  Oracle: sequential
     mirror (plans/values_oracle.py:ref_curation_funnel_langid, pinned
     sf0.01 — langid flags from the same numpy NB the driver already
-    verifies via ops_langid)."""
-    from ..functions.langid import langid_fit_predict
-
-    t = Tables(spark, sf_dir)
-    preds = langid_fit_predict(t.documents).select(
-        "doc_id",
-        (
-            (F.col("lang_pred") != F.lit("en"))
-            | (F.col("margin_ppm") < F.lit(12_000_000))
-        ).alias("lreject"),
-    )
-    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(X.WORD_RE), F.lit(0))
-    bench = t.documents.where(F.col("source") == "src0")
-    corpus = t.documents.where(F.col("source") != "src0")
-    d = corpus.select(
-        "doc_id",
-        "text",
-        F.size(words).alias("n_tokens"),
-        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("ur"),
-    )
-    keeper = d.groupBy(F.md5("text").alias("_h")).agg(F.min("doc_id").alias("_keeper"))
-    bench_grams = (
-        bench.select(X.word_ngram_strings(words, 8).alias("_gs"))
-        .select(F.explode("_gs").alias("gram"))
-        .distinct()
-    )
-    contam_ids = (
-        corpus.select("doc_id", F.explode(X.word_ngram_strings(words, 8)).alias("gram"))
-        .join(F.broadcast(bench_grams), "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("_contam", F.lit(1))
-    )
+    verifies via ops_langid).  Gate flags come from the session-memoized
+    shared stage frames (_funnel_base_flags + _funnel_lreject): langid
+    training and the base gates are computed once for the whole funnel
+    trio."""
     flags = (
-        d.join(preds, "doc_id")
-        .join(keeper, F.md5(F.col("text")) == F.col("_h"), "left")
-        .join(contam_ids, "doc_id", "left")
-        .select(
-            F.col("lreject"),
-            ((F.col("n_tokens") < 40) | (F.col("ur") < 0.2)).alias("qfail"),
-            (F.col("doc_id") != F.col("_keeper")).alias("dup"),
-            F.col("_contam").isNotNull().alias("contam"),
-        )
+        _funnel_base_flags(spark, sf_dir)
+        .join(_funnel_lreject(spark, sf_dir), "doc_id")
+        .select("lreject", "qfail", "dup", "contam")
     )
     c = flags.agg(
         F.count(F.lit(1)).alias("n"),
@@ -5179,54 +5238,15 @@ def ops_curation_funnel_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarly dropped Gopher rules that didn't fit its corpus — rule-set
     tuning per corpus is the published practice).  Oracle: sequential
     mirror (plans/values_oracle.py:ref_curation_funnel_gopher, pinned
-    sf0.01)."""
-    from ..functions.langid import langid_fit_predict
-
-    t = Tables(spark, sf_dir)
-    preds = langid_fit_predict(t.documents).select(
-        "doc_id",
-        (
-            (F.col("lang_pred") != F.lit("en"))
-            | (F.col("margin_ppm") < F.lit(12_000_000))
-        ).alias("lreject"),
-    )
-    gvals = X.gopher_rules(t.documents).select(
-        "doc_id", (F.col("n_rules_failed") >= 2).alias("grej")
-    )
-    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(X.WORD_RE), F.lit(0))
-    bench = t.documents.where(F.col("source") == "src0")
-    corpus = t.documents.where(F.col("source") != "src0")
-    d = corpus.select(
-        "doc_id",
-        "text",
-        F.size(words).alias("n_tokens"),
-        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("ur"),
-    )
-    keeper = d.groupBy(F.md5("text").alias("_h")).agg(F.min("doc_id").alias("_keeper"))
-    bench_grams = (
-        bench.select(X.word_ngram_strings(words, 8).alias("_gs"))
-        .select(F.explode("_gs").alias("gram"))
-        .distinct()
-    )
-    contam_ids = (
-        corpus.select("doc_id", F.explode(X.word_ngram_strings(words, 8)).alias("gram"))
-        .join(F.broadcast(bench_grams), "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("_contam", F.lit(1))
-    )
+    sf0.01).  Gate flags come from the session-memoized shared stage
+    frames (_funnel_base_flags + _funnel_lreject + _funnel_grej):
+    langid training and the base gates are computed once for the whole
+    funnel trio."""
     flags = (
-        d.join(preds, "doc_id")
-        .join(gvals, "doc_id")
-        .join(keeper, F.md5(F.col("text")) == F.col("_h"), "left")
-        .join(contam_ids, "doc_id", "left")
-        .select(
-            F.col("lreject"),
-            F.col("grej"),
-            ((F.col("n_tokens") < 40) | (F.col("ur") < 0.2)).alias("qfail"),
-            (F.col("doc_id") != F.col("_keeper")).alias("dup"),
-            F.col("_contam").isNotNull().alias("contam"),
-        )
+        _funnel_base_flags(spark, sf_dir)
+        .join(_funnel_lreject(spark, sf_dir), "doc_id")
+        .join(_funnel_grej(spark, sf_dir), "doc_id")
+        .select("lreject", "grej", "qfail", "dup", "contam")
     )
     c = flags.agg(
         F.count(F.lit(1)).alias("n"),

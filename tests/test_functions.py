@@ -2350,3 +2350,14 @@ class TestEventAnalytics:
             ("2024-01-01", 2): 1,
             ("2024-01-08", 0): 1,
         }
+
+
+def test_eval_sample_guard_refuses_corpus_sized_input(spark):
+    """The all-pairs evaluation arm is guarded: within-bounds samples
+    pass through unchanged; above the bound it refuses with the
+    redirect-to-banded-LSH message instead of planning sample²."""
+    small = spark.range(100).select(F.col("id").alias("doc_id"))
+    assert D.eval_sample_guard(small, max_docs=2_000).count() == 100
+    big = spark.range(2_001).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="evaluation-only"):
+        D.eval_sample_guard(big, max_docs=2_000)

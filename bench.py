@@ -273,6 +273,21 @@ def _release_cached_blocks(spark) -> None:
         pass
 
 
+def _steal_seconds() -> float:
+    """Cumulative hypervisor steal time of this VM in CPU-seconds
+    (/proc/stat col 8, jiffies/100): the sandbox shares a host, and
+    steal spikes are the measured root cause of the multi-entity bench
+    variance (r13 diagnosis, tools/diag_multi_entity2.py) — an attempt
+    that lost 170 CPU-s to the neighbor measures the neighbor.  Returns
+    0.0 where /proc/stat is unavailable (the estimator then degrades to
+    plain median-of-3)."""
+    try:
+        with open("/proc/stat") as fh:
+            return int(fh.readline().split()[8]) / 100.0
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
 def _gc_hint(spark) -> None:
     """Nudge the driver JVM to GC so ContextCleaner actually runs.
 
@@ -368,20 +383,38 @@ def cdc_bench(spark) -> dict:
             out["readstream_error"] = f"{type(exc).__name__}: {exc}"[:120]
         try:
             # the 8-concurrent-jobs tick is the noisiest scenario in the
-            # suite (JIT/GC/thread-scheduling sensitive: identical-code
-            # trials swing several-fold on an otherwise idle machine) —
-            # run 3 fresh-fixture attempts, report the MEDIAN as the
-            # headline (same estimator as every query timing — the max
-            # was optimistically biased), and keep the spread visible
+            # suite.  ROOT-CAUSED r13 (tools/diag_multi_entity2.py,
+            # SCALE.md §multi-entity-variance): the several-fold swings of
+            # identical-code attempts are HYPERVISOR CPU STEAL — /proc/stat
+            # steal jiffies spike exactly on the slow attempts (170 CPU-s
+            # stolen during a 26 s attempt vs <4 CPU-s on 4.6-6.0 s
+            # attempts; GC delta <1 s throughout, task count constant).
+            # Estimator: 3 fresh-fixture attempts with per-attempt steal
+            # recorded; attempts whose steal exceeds the threshold are
+            # replaced (at most 2 retries) because they measure the
+            # neighbor, not the engine; headline = median of kept attempts.
+            STEAL_LIMIT_S = 15.0
             attempts: list[float] = []
-            for a in range(3):
-                attempts.append(
-                    _multi_entity_bench(spark, os.path.join(tmp, f"multi{a}"))
-                )
+            steals: list[float] = []
+            retries = 0
+            a = 0
+            while len(attempts) < 3:
+                s0 = _steal_seconds()
+                rate = _multi_entity_bench(spark, os.path.join(tmp, f"multi{a}"))
+                stolen = _steal_seconds() - s0
+                a += 1
                 _gc_hint(spark)
+                if stolen > STEAL_LIMIT_S and retries < 2:
+                    retries += 1
+                    steals.append(round(stolen, 1))  # keep the evidence
+                    continue
+                attempts.append(rate)
+                steals.append(round(stolen, 1))
             ordered = sorted(attempts)
             out["multi_entity_rows_per_sec"] = ordered[len(ordered) // 2]
             out["multi_entity_attempts"] = [round(x, 1) for x in attempts]
+            out["multi_entity_steal_s"] = steals
+            out["multi_entity_steal_retries"] = retries
             out["multi_entity_n"] = 8
         except Exception as exc:
             out["multi_entity_error"] = f"{type(exc).__name__}: {exc}"[:120]

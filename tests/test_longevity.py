@@ -465,3 +465,105 @@ def test_url_dedup_gate_longevity_100_batches(spark, tmp_path):
 
     _assert_bounded_dirs(work, ("corpus", "url_index", "hits"), "url_dedup")
     _assert_latency_flat(durs, "url_dedup")
+
+
+@pytest.mark.slow
+def test_pagerank_refresh_cost_curve_50_batches(spark, tmp_path):
+    """Refresh-on-cadence cost curve (VERDICT r12 item 5): pagerank_refresh
+    recomputes the global fixpoint over the WHOLE accumulated edge store —
+    the documented concession — so its cost must grow (at most) linearly in
+    |E| with a CONSTANT per-refresh job count, or the cadence
+    recommendation is wishful.  50 edge micro-batches drain through the CC
+    gate; a refresh runs every 10 batches; per refresh we record the
+    accumulated edge count, the wall time, and the Spark job count
+    (submission-time window over the status store).  Asserted:
+
+    - per-EDGE refresh cost does not grow: t_last/|E_last| <= 2× t_first/
+      |E_first| (generous to this box's steal noise — catches the
+      superlinear failure, the actual risk);
+    - job count per refresh is CONSTANT (same plan every time: fixed
+      iterations, lineage truncated per round) — ±2 for AQE wiggle.
+
+    The measured curve lands in SCALE_PR_REFRESH.json and SCALE.md's
+    round-13 block."""
+    import json
+    import time
+
+    from arcane_stream_microsoft_synapse_link_spark.streaming.structured import (
+        pagerank_refresh,
+        run_cc_stream,
+    )
+
+    src = tmp_path / "edges"
+    src.mkdir()
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    per_batch = 2_000
+
+    def write_batch_folder(b: int) -> None:
+        # deterministic edge grammar: chains + cross-batch backlinks so the
+        # graph stays connected-ish and node count grows with the store
+        rows = []
+        for k in range(per_batch):
+            s = b * per_batch + k
+            d = (s * 37 + 11) % ((b + 1) * per_batch)
+            if s != d:
+                rows.append((s, d))
+        spark.createDataFrame(rows, "src long, dst long").coalesce(1).write.parquet(
+            str(src / f"b{b:03d}")
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema("src long, dst long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    def jobs_between(t0_ms: float, t1_ms: float) -> int:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        jl = store.jobsList(None)
+        n = 0
+        for i in range(jl.size()):
+            sub = jl.apply(i).submissionTime()
+            if sub.isDefined() and t0_ms <= sub.get().getTime() <= t1_ms:
+                n += 1
+        return n
+
+    jvm_now = lambda: float(  # noqa: E731
+        spark.sparkContext._jvm.java.lang.System.currentTimeMillis()
+    )
+
+    curve = []
+    for leg in range(5):
+        for b in range(leg * 10, (leg + 1) * 10):
+            write_batch_folder(b)
+        run_cc_stream(spark, stream(), work, ckpt).awaitTermination(900)
+        edges = read_batches(spark, f"{work}/edges")
+        n_edges = edges.select("src", "dst").distinct().count()
+        j0, t0 = jvm_now(), time.perf_counter()
+        v = pagerank_refresh(spark, work, iterations=3)
+        dt, j1 = time.perf_counter() - t0, jvm_now()
+        assert v == leg + 1
+        curve.append(
+            {
+                "refresh": leg + 1,
+                "n_edges": n_edges,
+                "wall_s": round(dt, 2),
+                "us_per_edge": round(1e6 * dt / n_edges, 1),
+                "n_jobs": jobs_between(j0, j1),
+            }
+        )
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(__file__)), "SCALE_PR_REFRESH.json"), "w") as fh:
+        json.dump({"per_batch_edges": per_batch, "iterations": 3, "curve": curve}, fh, indent=1)
+    print("pagerank refresh curve:", curve)
+
+    first, last = curve[0], curve[-1]
+    assert last["n_edges"] > 4 * first["n_edges"]  # the store really grew
+    per_edge_first = first["wall_s"] / first["n_edges"]
+    per_edge_last = last["wall_s"] / last["n_edges"]
+    assert per_edge_last <= 2.0 * per_edge_first, (
+        f"superlinear refresh cost: {curve}"
+    )
+    jobs = [c["n_jobs"] for c in curve]
+    assert max(jobs) - min(jobs) <= 2, f"per-refresh job count drifts: {jobs}"

@@ -472,12 +472,9 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
-    """Per-block triangle counts of the undirected simple graph —
-    (block, n_triangles), block = the 100-block of the triangle's
-    smallest node (the grammar keeps components inside blocks, so
-    blocks are the natural rollup; a real host graph would group by
-    domain/host prefix).
+def oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Every triangle of the undirected simple graph exactly once, as
+    (x, y, z) with y < z numeric and x the (degree, id)-minimum vertex.
 
     The scale-critical choice is the DEGREE orientation (the standard
     compact-forward / Latapy trick): orient every undirected edge from
@@ -487,7 +484,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     O(m^{3/2}) candidates TOTAL regardless of hub skew, where an
     id-orientation would square the hottest hub's degree.  Plan: one
     degree agg, two edge-sized equi-joins (wedge build + closing-edge
-    semi-join), one hash-agg."""
+    semi-join).  Shared by :func:`triangle_counts` (per-block rollup)
+    and :func:`clustering_coefficients` (per-node rollup)."""
     u = undirected_edges(edges)
     deg = (
         u.select(F.col("a").alias("v"))
@@ -514,16 +512,62 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     w2 = fwd.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
     wedges = w1.join(w2, "x").where(F.col("y") < F.col("z"))
     # closing edge: {y,z} with y < z numeric is exactly u's (a, b) key
-    closed = wedges.join(
+    return wedges.join(
         u.withColumnsRenamed({"a": "y", "b": "z"}), ["y", "z"], "left_semi"
     )
-    tri_min = closed.select(
-        F.least("x", "y", "z").alias("m")
-    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-block triangle counts of the undirected simple graph —
+    (block, n_triangles), block = the 100-block of the triangle's
+    smallest node (the grammar keeps components inside blocks, so
+    blocks are the natural rollup; a real host graph would group by
+    domain/host prefix).  One hash-agg over
+    :func:`oriented_triangles`."""
+    tri_min = oriented_triangles(edges).select(F.least("x", "y", "z").alias("m"))
     return (
         tri_min.groupBy((F.col("m") - F.col("m") % 100).alias("block"))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .select(F.col("block").cast("bigint"), F.col("n_triangles").cast("bigint"))
+    )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient of the undirected simple
+    graph, exact ppm integer: ``cc_ppm = 1e6 · 2·T(v) DIV
+    (deg(v)·(deg(v)−1))`` for every node with degree ≥ 2 — the
+    organic-neighborhood-vs-spam-spray diagnostic published alongside
+    triangle counts for crawl host graphs (a link farm has huge degree
+    and near-zero closure; a genuine community closes).
+
+    Per-node triangle incidence comes from exploding each oriented
+    triangle to its three corners (output is 3·T rows — triangle-sized,
+    not wedge-sized) and one hash-agg; degrees are one more edge-sized
+    agg; the join-up is node-sized.  Returns (node, degree, n_triangles,
+    cc_ppm) — every term integer, hash-stable."""
+    u = undirected_edges(edges)
+    deg = (
+        u.select(F.col("a").alias("node"))
+        .unionAll(u.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    corners = oriented_triangles(edges).select(
+        F.explode(F.array("x", "y", "z")).alias("node")
+    )
+    tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("bigint"),
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                "CAST(1000000 * 2 * coalesce(n_triangles, 0)"
+                " DIV (degree * (degree - 1)) AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
     )
 
 
@@ -764,3 +808,60 @@ def pagerank_ext_oracle_sql(
         + ",\n".join(ctes)
         + f"\nSELECT node, rank_ppm FROM r{iterations} ORDER BY node"
     )
+
+
+#: per-node clustering-coefficient oracle over the shortcut-augmented
+#: graph — replays the identical degree orientation, then rolls the
+#: triangle corners up per node instead of per block
+CLUSTERING_ORACLE_SQL = (
+    "WITH e AS ("
+    + SYNTH_EDGES_SQL
+    + "), sc AS ("
+    + SHORTCUT_EDGES_SQL
+    + """),
+    allE AS (SELECT src, dst FROM e UNION ALL SELECT src, dst FROM sc),
+    u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM allE WHERE src <> dst),
+    deg AS (SELECT v, COUNT(*) AS deg
+            FROM (SELECT a AS v FROM u UNION ALL SELECT b FROM u) GROUP BY v),
+    fwd AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                        THEN u.a ELSE u.b END AS lo,
+                   CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                        THEN u.b ELSE u.a END AS hi
+            FROM u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+    tri AS (SELECT w1.lo AS x, w1.hi AS y, w2.hi AS z
+            FROM fwd w1 JOIN fwd w2 ON w2.lo = w1.lo AND w1.hi < w2.hi
+            WHERE EXISTS (SELECT 1 FROM u WHERE u.a = w1.hi AND u.b = w2.hi)),
+    corners AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri),
+    tc AS (SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node)
+    SELECT d.v AS node, CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(1000000 * 2 * COALESCE(tc.n_triangles, 0)
+                // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+    FROM deg d LEFT JOIN tc ON tc.node = d.v
+    WHERE d.deg >= 2 ORDER BY node"""
+)
+
+
+#: component-size-histogram oracle: the recursive min-label closure of
+#: CC_ORACLE_SQL rolled up twice (size per component, then components
+#: per size) — singleton (edge-less) nodes included
+COMPONENT_SIZES_ORACLE_SQL = (
+    "WITH RECURSIVE e AS ("
+    + SYNTH_EDGES_SQL
+    + """),
+    u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    n AS (SELECT DISTINCT doc_id AS node FROM documents),
+    reach(node, label) AS (
+        SELECT node, node FROM n
+        UNION
+        SELECT u.dst, r.label FROM reach r JOIN u ON u.src = r.node
+        WHERE r.label < u.dst
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    cs AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+    SELECT CAST(sz AS BIGINT) AS component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM cs GROUP BY sz ORDER BY component_size"""
+)

@@ -5725,3 +5725,193 @@ def ops_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["ops_pagerank_personalized"] = _G.pagerank_ext_oracle_sql(
     5, dangling="redistribute", seeded=True
 )
+
+
+@query("ops_graph_clustering")
+def ops_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the shortcut-augmented
+    doc graph (exact ppm: 1e6·2T(v) DIV (d(v)·(d(v)−1)), degree-≥2
+    nodes) — the neighborhood-closure diagnostic published next to
+    triangle counts for crawl host graphs: link farms have huge degree
+    and near-zero closure, organic communities close.  Triangles come
+    from the SAME degree-oriented enumeration as ops_graph_triangles
+    (functions/graph.py:oriented_triangles — O(m^1.5) wedge candidates
+    on any degree distribution), exploded to corners (3T rows,
+    triangle-sized) and rolled up per node; the oracle replays the
+    identical orientation and rollup."""
+    from ..functions import graph as G
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    edges = G.synthesize_edges(docs).unionAll(G.synthesize_shortcut_edges(docs))
+    return G.clustering_coefficients(edges).orderBy("node")
+
+
+ORACLE["ops_graph_clustering"] = _G.CLUSTERING_ORACLE_SQL
+
+
+@query("ops_graph_component_sizes")
+def ops_graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size HISTOGRAM of the doc graph — (component_size,
+    n_components), singletons included: the first thing a dedup or
+    crawl-structure report states ('N clusters of size 2, M of size
+    3…'), and the shape that decides whether cluster resolution needs
+    the distributed path.  Two hash-aggs over ops_connected_components'
+    labeling (size per component, then components per size) — output is
+    histogram-sized.  Oracle: the recursive min-label closure rolled up
+    twice."""
+    from ..functions import graph as G
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    edges = G.synthesize_edges(docs)
+    nodes = docs.select(F.col("doc_id").cast("bigint").alias("node"))
+    comp = G.connected_components(nodes, edges)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .select(
+            F.col("sz").cast("bigint").alias("component_size"),
+            F.col("n_components").cast("bigint"),
+        )
+        .orderBy("component_size")
+    )
+
+
+ORACLE["ops_graph_component_sizes"] = _G.COMPONENT_SIZES_ORACLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (operators/prefix.py): the training-batch assembly step
+# ---------------------------------------------------------------------------
+
+_PACK_CTX = 2048  # context window (tokens) — GPT-style concat-and-chunk
+
+
+def _pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, sp, w0, w1): each doc's global token offset under
+    concat-and-chunk packing in doc_id order — sp = exclusive prefix sum
+    of token counts (operators/prefix.py:running_total — range shuffle +
+    driver offsets + per-physical-partition parallel windows, NO
+    single-partition scan), w0/w1 = first/last context window the doc
+    touches."""
+    from ..operators.prefix import running_total
+
+    t = Tables(spark, sf_dir)
+    d = t.documents.select("doc_id", X.token_count(F.col("text")).alias("tok"))
+    s = running_total(d, "tok", ["doc_id"], out_col="sp", exclusive=True)
+    return s.select(
+        "doc_id",
+        "tok",
+        "sp",
+        F.expr(f"sp DIV {_PACK_CTX}").alias("w0"),
+        F.expr(
+            f"CASE WHEN tok > 0 THEN (sp + tok - 1) DIV {_PACK_CTX}"
+            f" ELSE sp DIV {_PACK_CTX} END"
+        ).alias("w1"),
+    )
+
+
+@query("ops_sequence_pack")
+def ops_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing audit, the summary row: GPT-style
+    concat-and-chunk packs the token stream (docs concatenated in
+    doc_id order) into fixed 2048-token context windows — THE
+    training-batch assembly step after curation.  Reports corpus size,
+    window count, how many docs straddle a window boundary (the
+    cross-doc-attention contamination a masking strategy must handle),
+    and the tail padding waste in ppm — all exact integers.  The global
+    token offset per doc is the distributed prefix scan
+    (operators/prefix.py): one range shuffle + K driver offsets +
+    per-partition parallel windows; the oracle uses the window spelling
+    (SUM OVER ORDER BY) — same numbers, antagonistic plan."""
+    b = _pack_spans(spark, sf_dir)
+    C = _PACK_CTX
+    return b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.expr(f"CAST((sum(tok) + {C - 1}) DIV {C} AS BIGINT)").alias("n_windows"),
+        F.sum((F.col("w1") > F.col("w0")).cast("bigint")).alias("n_boundary_docs"),
+        F.expr(
+            f"CAST(1000000 * ({C} * ((sum(tok) + {C - 1}) DIV {C}) - sum(tok))"
+            f" DIV ({C} * ((sum(tok) + {C - 1}) DIV {C})) AS BIGINT)"
+        ).alias("tail_waste_ppm"),
+    )
+
+
+ORACLE["ops_sequence_pack"] = rf"""
+    WITH d AS (
+        SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+    s AS (
+        SELECT doc_id, tok,
+               COALESCE(SUM(tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sp
+        FROM d),
+    b AS (
+        SELECT doc_id, tok, sp, sp // {_PACK_CTX} AS w0,
+               CASE WHEN tok > 0 THEN (sp + tok - 1) // {_PACK_CTX}
+                    ELSE sp // {_PACK_CTX} END AS w1
+        FROM s)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           CAST((SUM(tok) + {_PACK_CTX - 1}) // {_PACK_CTX} AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN w1 > w0 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+           CAST(1000000 * ({_PACK_CTX} * ((SUM(tok) + {_PACK_CTX - 1}) // {_PACK_CTX}) - SUM(tok))
+                // ({_PACK_CTX} * ((SUM(tok) + {_PACK_CTX - 1}) // {_PACK_CTX})) AS BIGINT) AS tail_waste_ppm
+    FROM b
+"""
+
+
+@query("ops_sequence_pack_windows")
+def ops_sequence_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing audit, the docs-per-window HISTOGRAM:
+    (docs_per_window, n_windows) — how many context windows contain 1,
+    2, 3… document (fragments).  The shape a masking/attention-isolation
+    decision is made from (mostly-1 means long docs dominate and
+    cross-doc attention is rare; a heavy tail means the packer mixes
+    many short docs per window).  Each doc explodes to the windows it
+    touches (span-sized: Σ(tok DIV ctx + 1) rows, output-proportional),
+    then two hash-aggs.  Same distributed prefix scan as
+    ops_sequence_pack; oracle unnests generate_series over the window
+    form."""
+    b = _pack_spans(spark, sf_dir)
+    per_w = (
+        b.select(F.explode(F.sequence("w0", "w1")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        per_w.groupBy("n_docs")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+        .select(
+            F.col("n_docs").cast("bigint").alias("docs_per_window"),
+            F.col("n_windows").cast("bigint"),
+        )
+        .orderBy("docs_per_window")
+    )
+
+
+ORACLE["ops_sequence_pack_windows"] = rf"""
+    WITH d AS (
+        SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+    s AS (
+        SELECT doc_id, tok,
+               COALESCE(SUM(tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sp
+        FROM d),
+    b AS (
+        -- CAST: DuckDB's windowed SUM yields HUGEINT and generate_series
+        -- binds only BIGINT
+        SELECT doc_id, tok, sp, CAST(sp // {_PACK_CTX} AS BIGINT) AS w0,
+               CAST(CASE WHEN tok > 0 THEN (sp + tok - 1) // {_PACK_CTX}
+                    ELSE sp // {_PACK_CTX} END AS BIGINT) AS w1
+        FROM s),
+    per_w AS (
+        SELECT unnest(generate_series(w0, w1)) AS w FROM b),
+    pc AS (SELECT w, COUNT(*) AS n_docs FROM per_w GROUP BY w)
+    SELECT CAST(n_docs AS BIGINT) AS docs_per_window,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM pc GROUP BY n_docs ORDER BY docs_per_window
+"""

@@ -414,3 +414,40 @@ def test_pagerank_personalized_mass_concentrates_on_seed_side(spark):
 
     with _pytest.raises(ValueError):
         pagerank_ppm(ndf, edf, 2, seeds=_nodes_df(spark, [999]))
+
+
+def test_clustering_coefficients_match_bruteforce(spark):
+    """Random graph: per-node cc_ppm equals the brute-force definition
+    (triangles through v over deg(v)-choose-2 pairs, exact ppm floor);
+    a triangle-free star reports all zeros."""
+    import random
+
+    from arcane_stream_microsoft_synapse_link_spark.functions.graph import (
+        clustering_coefficients,
+    )
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(200)]
+    got = {
+        r.node: (r.degree, r.n_triangles, r.cc_ppm)
+        for r in clustering_coefficients(_edges_df(spark, pairs)).collect()
+    }
+    u = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    adj: dict[int, set[int]] = {}
+    for a, b in u:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            assert v not in got
+            continue
+        t = sum(1 for x in nb for y in nb if x < y and (x, y) in u)
+        assert got[v] == (d, t, 1_000_000 * 2 * t // (d * (d - 1))), v
+    # triangle-free star: hub degree 5, closure 0
+    star = [(100, 100 + i) for i in range(1, 6)]
+    srow = {
+        r.node: r.cc_ppm
+        for r in clustering_coefficients(_edges_df(spark, star)).collect()
+    }
+    assert srow == {100: 0}

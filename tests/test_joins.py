@@ -491,3 +491,33 @@ def test_ntile_exact_fewer_rows_than_buckets(spark):
     assert got == [(1, 1), (2, 2), (3, 3)]
     empty = spark.createDataFrame([], "v long, id long")
     assert ntile_exact(empty, 4, ["v", "id"]).collect() == []
+
+
+def test_running_total_matches_window_form(spark):
+    """Distributed prefix scan == the single-partition window form,
+    inclusive and exclusive, on shuffled input with duplicate values
+    (order made total by id)."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from arcane_stream_microsoft_synapse_link_spark.operators.prefix import running_total
+
+    rng = random.Random(23)
+    rows = [(i, rng.randrange(100)) for i in range(4_000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id long, x long").repartition(16)
+    for exclusive in (False, True):
+        got = {
+            r.id: r.running_total
+            for r in running_total(df, "x", ["id"], exclusive=exclusive).collect()
+        }
+        w = W.orderBy("id").rowsBetween(W.unboundedPreceding, -1 if exclusive else 0)
+        want = {
+            r.id: r.rt or 0
+            for r in df.select("id", F.sum("x").over(w).alias("rt")).collect()
+        }
+        assert got == want
+    assert running_total(
+        spark.createDataFrame([], "id long, x long"), "x", ["id"]
+    ).collect() == []

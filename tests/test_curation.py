@@ -347,3 +347,39 @@ def test_paragraph_dedup_planted_shared_chunk(spark, sf_dir):
     }
     for d, (k, dr) in out.items():
         assert k + dr == chunks[d], (d, k, dr, chunks[d])
+
+
+def test_funnel_memo_lru_caps_and_unpersists(spark):
+    """The shared funnel-stage cache is LRU-capped: filling past the cap
+    evicts (and unpersists) the least-recently-used frame; a hit
+    refreshes recency; results are served from cache (same object)."""
+    from arcane_stream_microsoft_synapse_link_spark.plans import extensions as E
+
+    saved = dict(E._FUNNEL_CACHE)
+    E._FUNNEL_CACHE.clear()
+    try:
+        builds = {"n": 0}
+
+        def mk(i):
+            def build():
+                builds["n"] += 1
+                return spark.range(10 + i)
+
+            return build
+
+        frames = [E._funnel_memo(spark, f"/sf{i}", "base", mk(i)) for i in range(6)]
+        assert builds["n"] == 6 and len(E._FUNNEL_CACHE) == 6
+        # hit: same object back, no new build
+        again = E._funnel_memo(spark, "/sf0", "base", mk(0))
+        assert again is frames[0] and builds["n"] == 6
+        # 7th insert evicts the LRU — /sf1 (sf0 was refreshed)
+        E._funnel_memo(spark, "/sf6", "base", mk(6))
+        assert len(E._FUNNEL_CACHE) == 6
+        keys = {k[1] for k in E._FUNNEL_CACHE}
+        assert "/sf1" not in keys and "/sf0" in keys and "/sf6" in keys
+        # evicted frame was unpersisted (blocks released), still usable
+        assert frames[1].storageLevel.useMemory is False
+        assert frames[1].count() == 11
+    finally:
+        E._FUNNEL_CACHE.clear()
+        E._FUNNEL_CACHE.update(saved)

@@ -865,3 +865,74 @@ COMPONENT_SIZES_ORACLE_SQL = (
            CAST(COUNT(*) AS BIGINT) AS n_components
     FROM cs GROUP BY sz ORDER BY component_size"""
 )
+
+
+def harmonic_truncated(edges: DataFrame, radius: int = 6) -> DataFrame:
+    """Harmonic centrality truncated at ``radius`` hops, exact integer:
+    ``harmonic_ppm(v) = Σ_{u: 0 < d(u→v) ≤ R} (1_000_000 DIV d(u→v))``
+    over directed shortest distances INTO v, plus ``n_sources`` (the
+    reachers) — the centrality family Common Crawl actually publishes
+    for its host graph (harmonic ranks next to PageRank).  Truncation is
+    the published within-k-hops form AND the bounded-compute form: the
+    distance table holds one row per (source, node) pair within the
+    radius — O(N · |ball_R|) rows, ball-bounded, never N².
+
+    Plan: R−1 rounds of frontier expansion — per round ONE equi-join of
+    the distance table against the edge list (on the frontier's endpoint)
+    and ONE (u, v) min hash-agg with map-side combine; lineage truncated
+    per round.  Returns only nodes with ≥1 in-radius source, ordered by
+    the caller.
+
+    100-TB note: exact truncated harmonic is the declared oracle-backed
+    form; FULL-radius harmonic on an unbounded graph is the HyperANF
+    shape — per-node HLL neighborhood sketches unioned per round
+    (Spark's ``hll_sketch_agg``/``hll_union_agg`` are the JVM-side
+    aggregates to build it on) — approximate by construction, so it
+    cannot be a hash-checked entry."""
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    e = (
+        edges.select(F.col("src").cast("bigint"), F.col("dst").cast("bigint"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = e.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).cast("int").alias("d"))
+    for _ in range(radius - 1):
+        grown = (
+            dist.join(e.withColumnsRenamed({"src": "v", "dst": "w"}), "v")
+            .where(F.col("w") != F.col("u"))
+            .select("u", F.col("w").alias("v"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(grown)
+            .groupBy("u", "v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.groupBy(F.col("v").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum(F.expr("1000000 DIV d")).cast("bigint").alias("harmonic_ppm"),
+    )
+
+
+def harmonic_oracle_sql(radius: int = 6) -> str:
+    """DuckDB mirror of :func:`harmonic_truncated` over the synthesized
+    graph: a bounded recursive closure enumerating (u, v, d) walks up to
+    the radius (UNION-deduped, so ≤ R·|ball| rows per source), min-folded
+    per pair, then the harmonic rollup."""
+    return (
+        "WITH RECURSIVE e AS ("
+        + SYNTH_EDGES_SQL
+        + f"""),
+    walk(u, v, d) AS (
+        SELECT src, dst, 1 FROM e WHERE src <> dst
+        UNION
+        SELECT w.u, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v
+        WHERE w.d < {radius} AND e.dst <> w.u
+    ),
+    m AS (SELECT u, v, MIN(d) AS d FROM walk GROUP BY u, v)
+    SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_ppm
+    FROM m GROUP BY v ORDER BY node"""
+    )

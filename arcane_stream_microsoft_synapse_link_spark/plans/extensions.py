@@ -5915,3 +5915,26 @@ ORACLE["ops_sequence_pack_windows"] = rf"""
            CAST(COUNT(*) AS BIGINT) AS n_windows
     FROM pc GROUP BY n_docs ORDER BY docs_per_window
 """
+
+
+@query("ops_graph_harmonic")
+def ops_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality (radius 6) over the doc graph —
+    the OTHER centrality Common Crawl publishes for its host graph
+    (harmonic ranks beside PageRank), in the exact within-k-hops form:
+    harmonic_ppm(v) = Σ over sources u within 6 directed hops of
+    1e6 DIV d(u→v), plus the reacher count.  Five rounds of frontier
+    expansion, each ONE edge-join + ONE (u,v) min hash-agg over a
+    ball-bounded distance table (O(N·|ball|) rows, never N²); the
+    full-radius form at unbounded scale is HyperANF (per-node HLL
+    sketches via hll_sketch_agg/hll_union_agg), approximate by
+    construction and therefore not hash-declarable — documented in
+    functions/graph.py:harmonic_truncated."""
+    from ..functions import graph as G
+
+    t = Tables(spark, sf_dir)
+    edges = G.synthesize_edges(t.documents)
+    return G.harmonic_truncated(edges, radius=6).orderBy("node")
+
+
+ORACLE["ops_graph_harmonic"] = _G.harmonic_oracle_sql(6)

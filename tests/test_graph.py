@@ -451,3 +451,52 @@ def test_clustering_coefficients_match_bruteforce(spark):
         for r in clustering_coefficients(_edges_df(spark, star)).collect()
     }
     assert srow == {100: 0}
+
+
+def test_harmonic_truncated_matches_bfs_reference(spark):
+    """Truncated harmonic centrality equals a sequential multi-source
+    BFS reference (exact integer ppm) on a random directed graph, and
+    respects the radius cutoff (a node 7 hops down a chain contributes
+    nothing at radius 6)."""
+    import random
+    from collections import deque
+
+    from arcane_stream_microsoft_synapse_link_spark.functions.graph import (
+        harmonic_truncated,
+    )
+
+    rng = random.Random(17)
+    pairs = list({(rng.randrange(50), rng.randrange(50)) for _ in range(150)})
+    chain = [(100 + i, 101 + i) for i in range(8)]  # 100->...->108
+    pairs += chain
+    got = {
+        r.node: (r.n_sources, r.harmonic_ppm)
+        for r in harmonic_truncated(_edges_df(spark, pairs), radius=6).collect()
+    }
+
+    adj: dict[int, list[int]] = {}
+    nodes = set()
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, []).append(d)
+        nodes.update((s, d))
+    want: dict[int, list[int]] = {}
+    for u in nodes:  # BFS out of u; charge v with d(u -> v)
+        seen, q = {u: 0}, deque([u])
+        while q:
+            x = q.popleft()
+            if seen[x] >= 6:
+                continue
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen[y] = seen[x] + 1
+                    q.append(y)
+        for v, d in seen.items():
+            if v != u:
+                want.setdefault(v, []).append(d)
+    ref = {
+        v: (len(ds), sum(1_000_000 // d for d in ds)) for v, ds in want.items()
+    }
+    assert got == ref
+    # radius cutoff: node 108 is 8 hops from 100 -> only sources within 6
+    assert got[108][0] == 6

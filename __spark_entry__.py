@@ -40,11 +40,37 @@ def _current_round() -> int:
     return max(rounds) + 1
 
 
+#: Entries whose PHYSICAL PLAN was restructured in the named round (the
+#: optimization rounds re-plan queries without changing what they
+#: compute).  A green driver row earned under the OLD plan does not
+#: vouch for the new one (VERDICT r13 item 2), so each of these ranks
+#: "never verified" — front of the 50-slot window — until it earns a
+#: fresh green row in a driver round >= the re-plan round.
+REPLANNED: dict[str, int] = {
+    # r13: de-windowed via ntile_exact (old green rows predate the plan)
+    # + r14: ntile_exact bucket arithmetic moved to integer DIV
+    "q49_ntile_deciles": 14,
+    # r13 de-window + r14 bounded per-partition top-k (windowed prune)
+    "ops_curriculum_order": 14,
+    # r14 optimization re-plans (see OPTIMIZATION_r14.md)
+    "ops_graph_harmonic": 14,       # frontier-delta BFS expansion
+    "ops_graph_kcore": 14,          # shrinking live-edge set
+    "ops_pagerank": 14,             # union-agg round (no join-back)
+    "ops_pagerank_dangling": 14,    # + sink flag instead of semi-join
+    "ops_pagerank_personalized": 14,
+    "ops_lsh_eval": 14,             # ground-truth arm checkpointed
+    "ops_sequence_pack": 14,        # tail-waste zero-denominator guard
+}
+
+
 def _gate_history() -> tuple[set[str], set[str]]:
     """(green, visited) query names across all prior driver rounds.
 
     ``green``   = at least one row with rows matched, no error, and the
-                  value hash matching when the driver computed one.
+                  value hash matching when the driver computed one —
+                  EXCLUDING entries whose physical plan was restructured
+                  after their last green row (``REPLANNED``): those must
+                  re-earn verification under the new plan.
     ``visited`` = green, PLUS entries the driver ran but structurally
                   cannot hash-verify (``err: "no_oracle"`` — the driver
                   records rows-only entries that way, with
@@ -57,6 +83,7 @@ def _gate_history() -> tuple[set[str], set[str]]:
     """
     import json
     import pathlib
+    import re
 
     here = pathlib.Path(__file__).resolve().parent
     green: set[str] = set()
@@ -66,6 +93,8 @@ def _gate_history() -> tuple[set[str], set[str]]:
             data = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
+        m = re.match(r"CORRECTNESS_r0*(\d+)", p.stem)
+        rnd = int(m.group(1)) if m else 0
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
@@ -74,8 +103,9 @@ def _gate_history() -> tuple[set[str], set[str]]:
                 and row.get("hash_match") is not False
                 and not row.get("err")
             ):
-                green.add(name)
-                visited.add(name)
+                if rnd >= REPLANNED.get(name, 0):
+                    green.add(name)
+                    visited.add(name)
             elif row.get("err") == "no_oracle":
                 visited.add(name)
     return green, visited

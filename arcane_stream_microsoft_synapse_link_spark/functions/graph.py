@@ -174,9 +174,14 @@ def pagerank_ppm(
     outside the node set are ignored.
 
     Plan per round: edges⋈ranks equi-join on src (one shuffle; ranks is
-    node-sized), hash-agg on dst (map-side combine absorbs hub fan-in),
-    node-sized left join back; with redistribution, plus one scalar agg
-    over the sink-restricted ranks folded in as a single-row cross join
+    node-sized), then ONE hash-agg on dst over the UNION of the
+    contribution rows and a per-node zero row carrying that node's
+    teleport/seed/sink constants — the union rides the same exchange, so
+    the former node-sized join back (its own broadcast/shuffle stage per
+    round) disappears; map-side combine absorbs hub fan-in.  With
+    redistribution, the sink mass is one scalar agg over the PREVIOUS
+    round's rank frame filtered on its carried is_sink flag (a column,
+    not a per-round semi-join), folded in as a single-row cross join
     (constant-size build side — no driver round-trip inside the loop).
     localCheckpoint truncates lineage each round — without it round N's
     plan replays every earlier join.  N and |S| are collected once up
@@ -202,67 +207,123 @@ def pagerank_ppm(
     # round pays a single join (ranks), not two
     ed = e.join(outdeg, "src").localCheckpoint(eager=False)
 
-    plain = dangling == "drop" and seeds is None
-    if plain:
-        tele_expr = f"{TELEPORT_PPM}"
-        extra_expr = "0"
-        base = n
-    else:
-        base = n
-        if seeds is not None:
-            sd = (
-                seeds.select(F.col(id_col).cast("bigint").alias("node"))
-                .distinct()
-                .join(n, "node", "left_semi")
-                .localCheckpoint(eager=False)
-            )
-            s_count = sd.count()
-            if s_count == 0:
-                raise ValueError("personalized PageRank needs >= 1 seed inside the node set")
-            n_count = n.count()
-            base = n.join(
-                sd.withColumn("is_seed", F.lit(True)), "node", "left"
-            ).select(
-                "node", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
-            ).localCheckpoint(eager=False)
-            tele_expr = f"CASE WHEN is_seed THEN {(TELEPORT_PPM * n_count) // s_count} ELSE 0 END"
-            extra_expr = (
-                f"CASE WHEN is_seed THEN dmass DIV {s_count} ELSE 0 END"
-                if dangling == "redistribute"
-                else "0"
-            )
-        else:
-            n_count = n.count()
-            tele_expr = f"{TELEPORT_PPM}"
-            extra_expr = f"dmass DIV {n_count}" if dangling == "redistribute" else "0"
-        if dangling == "redistribute":
-            sinks = n.join(
-                outdeg.select(F.col("src").alias("node")), "node", "left_anti"
-            ).localCheckpoint(eager=False)
-
-    rank = n.withColumn("rank_ppm", F.lit(1_000_000).cast("bigint"))
-    for _ in range(iterations):
-        contrib = ed.join(rank.withColumnRenamed("node", "src"), "src").select(
-            "dst", F.expr("rank_ppm DIV outdeg").alias("c")
-        )
-        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        joined = base.join(incoming.withColumnRenamed("dst", "node"), "node", "left")
-        if not plain and dangling == "redistribute":
-            d_mass = rank.join(sinks, "node", "left_semi").agg(
-                F.coalesce(F.sum("rank_ppm"), F.lit(0)).cast("bigint").alias("dmass")
-            )
-            joined = joined.crossJoin(d_mass)
-        rank = (
-            joined.select(
-                "node",
-                F.expr(
-                    f"CAST(({tele_expr}) + ({DAMP_NUM} * (coalesce(s, 0) + ({extra_expr})))"
-                    f" DIV {DAMP_DEN} AS BIGINT)"
-                ).alias("rank_ppm"),
-            )
+    redistribute = dangling == "redistribute"
+    # per-node LOOP-INVARIANT constants, computed once: teleport mass,
+    # seed flag (personalization), sink flag (dangling redistribution).
+    # They enter each round as the zero-contribution row of the union
+    # aggregation below, so no round ever joins back to the node table.
+    if seeds is not None:
+        sd = (
+            seeds.select(F.col(id_col).cast("bigint").alias("node"))
+            .distinct()
+            .join(n, "node", "left_semi")
             .localCheckpoint(eager=False)
         )
-    return rank
+        s_count = sd.count()
+        if s_count == 0:
+            raise ValueError("personalized PageRank needs >= 1 seed inside the node set")
+        n_count = n.count()
+        base = (
+            n.join(sd.withColumn("is_seed", F.lit(True)), "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.coalesce("is_seed", F.lit(False)),
+                    F.lit((TELEPORT_PPM * n_count) // s_count),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("tele"),
+                F.coalesce("is_seed", F.lit(False)).cast("int").alias("seed_i"),
+            )
+        )
+        extra_expr = (
+            f"CASE WHEN seed_i = 1 THEN dmass DIV {s_count} ELSE 0 END"
+            if redistribute
+            else "0"
+        )
+    else:
+        base = n.select(
+            "node",
+            F.lit(TELEPORT_PPM).cast("bigint").alias("tele"),
+            F.lit(0).alias("seed_i"),
+        )
+        if redistribute:
+            n_count = n.count()
+            extra_expr = f"dmass DIV {n_count}"
+        else:
+            extra_expr = "0"
+    if redistribute:
+        base = base.join(
+            outdeg.select(F.col("src").alias("node"), F.lit(1).alias("_nz")),
+            "node",
+            "left",
+        ).select(
+            "node",
+            "tele",
+            "seed_i",
+            F.when(F.col("_nz").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("sink_i"),
+        )
+    else:
+        base = base.withColumn("sink_i", F.lit(0))
+    if seeds is not None or redistribute:
+        base = base.localCheckpoint(eager=False)  # joins above are loop-invariant
+
+    rank = base.select(
+        "node", F.lit(1_000_000).cast("bigint").alias("rank_ppm"), "sink_i"
+    )
+    for _ in range(iterations):
+        contrib = ed.join(
+            rank.select(F.col("node").alias("src"), "rank_ppm"), "src"
+        ).select(
+            "dst",
+            F.expr("rank_ppm DIV outdeg").alias("c"),
+            F.lit(None).cast("bigint").alias("tele"),
+            F.lit(None).cast("int").alias("seed_i"),
+            F.lit(None).cast("int").alias("sink_i"),
+            F.lit(0).alias("is_node"),
+        )
+        zeros = base.select(
+            F.col("node").alias("dst"),
+            F.lit(0).cast("bigint").alias("c"),
+            "tele",
+            "seed_i",
+            "sink_i",
+            F.lit(1).alias("is_node"),
+        )
+        # ONE exchange per round: the zero rows ride the contribution
+        # aggregation, re-supplying every node's constants (max() over the
+        # single non-null copy) — nodes without in-edges sum to the zero
+        # row's 0, and contributions to non-nodes drop on is_node = 0,
+        # exactly the former left-join-back semantics
+        agg = (
+            contrib.unionByName(zeros)
+            .groupBy("dst")
+            .agg(
+                F.sum("c").alias("s"),
+                F.max("tele").alias("tele"),
+                F.max("seed_i").alias("seed_i"),
+                F.max("sink_i").alias("sink_i"),
+                F.max("is_node").alias("is_node"),
+            )
+            .where(F.col("is_node") == 1)
+        )
+        if redistribute:
+            # sink mass of the PREVIOUS round: a column filter over the
+            # checkpointed rank frame — no per-round semi-join
+            d_mass = rank.where(F.col("sink_i") == 1).agg(
+                F.coalesce(F.sum("rank_ppm"), F.lit(0)).cast("bigint").alias("dmass")
+            )
+            agg = agg.crossJoin(d_mass)
+        rank = agg.select(
+            F.col("dst").alias("node"),
+            F.expr(
+                f"CAST(tele + ({DAMP_NUM} * (s + ({extra_expr})))"
+                f" DIV {DAMP_DEN} AS BIGINT)"
+            ).alias("rank_ppm"),
+            "sink_i",
+        ).localCheckpoint(eager=False)
+    return rank.select("node", "rank_ppm")
 
 
 def pagerank_oracle_sql(iterations: int = 5) -> str:
@@ -584,21 +645,27 @@ def kcore(
     fixpoint is asserted in tests), and a real deployment would loop
     to emptiness of the dropped set.
 
-    Per round: two alive-semi-joins restricting the edge table + one
+    Per round: two alive-semi-joins restricting the LIVE edge set + one
     degree hash-agg — all edge-sized, lineage truncated per round
-    (localCheckpoint; swap in checkpoint() on a cluster)."""
+    (localCheckpoint; swap in checkpoint() on a cluster).  The live set
+    is carried ACROSS rounds (alive sets only shrink during a peel, so
+    filtering last round's survivor edges by this round's alive set
+    equals re-filtering the full edge table): every round's joins and
+    degree agg run over a monotonically shrinking frame instead of the
+    full edge list 12 times — after the peel stabilizes, rounds cost
+    only the no-op filter of an already-settled set."""
     u = undirected_edges(edges).localCheckpoint(eager=False)
-    both = u.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+    live = u.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
         u.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )
     alive = nodes.select(F.col("node").cast("bigint")).distinct()
     for _ in range(rounds):
-        deg = (
-            both.join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+        live = (
+            live.join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
             .join(alive.withColumnRenamed("node", "w"), "w", "left_semi")
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=False)
         )
+        deg = live.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
         alive = (
             deg.where(F.col("deg") >= k)
             .select(F.col("v").alias("node"))
@@ -877,11 +944,16 @@ def harmonic_truncated(edges: DataFrame, radius: int = 6) -> DataFrame:
     distance table holds one row per (source, node) pair within the
     radius — O(N · |ball_R|) rows, ball-bounded, never N².
 
-    Plan: R−1 rounds of frontier expansion — per round ONE equi-join of
-    the distance table against the edge list (on the frontier's endpoint)
-    and ONE (u, v) min hash-agg with map-side combine; lineage truncated
-    per round.  Returns only nodes with ≥1 in-radius source, ordered by
-    the caller.
+    Plan: R−1 rounds of FRONTIER-DELTA expansion (the BFS invariant: a
+    pair first reachable in round r has shortest distance exactly r, so
+    only pairs DISCOVERED last round need expanding) — per round ONE
+    equi-join of the frontier (not the whole distance table) against the
+    edge list, one distinct, and one (u, v) anti-join against the
+    accumulated table; lineage truncated per round.  The former
+    re-expand-everything form joined ALL accumulated pairs against the
+    edges every round and min-folded away the rediscoveries — correct,
+    but ~R× more join probes at radius R.  Returns only nodes with ≥1
+    in-radius source, ordered by the caller.
 
     100-TB note: exact truncated harmonic is the declared oracle-backed
     form; FULL-radius harmonic on an unbounded graph is the HyperANF
@@ -897,19 +969,27 @@ def harmonic_truncated(edges: DataFrame, radius: int = 6) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    dist = e.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).cast("int").alias("d"))
-    for _ in range(radius - 1):
-        grown = (
-            dist.join(e.withColumnsRenamed({"src": "v", "dst": "w"}), "v")
+    frontier = e.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).cast("int").alias("d")
+    )
+    dist = frontier
+    for r in range(1, radius):
+        cand = (
+            frontier.join(e.withColumnsRenamed({"src": "v", "dst": "w"}), "v")
             .where(F.col("w") != F.col("u"))
-            .select("u", F.col("w").alias("v"), (F.col("d") + 1).alias("d"))
+            .select("u", F.col("w").alias("v"))
+            .distinct()
         )
-        dist = (
-            dist.unionByName(grown)
-            .groupBy("u", "v")
-            .agg(F.min("d").alias("d"))
+        # pairs seen in ANY earlier round already hold their (smaller) BFS
+        # distance — only genuinely new pairs enter, at distance r + 1
+        frontier = (
+            cand.join(dist, ["u", "v"], "left_anti")
+            .select("u", "v", F.lit(r + 1).cast("int").alias("d"))
             .localCheckpoint(eager=False)
         )
+        # dist is a union of per-round checkpointed frontiers (disjoint by
+        # construction): no min-fold needed, and no extra materialization
+        dist = dist.unionByName(frontier)
     return dist.groupBy(F.col("v").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sources"),
         F.sum(F.expr("1000000 DIV d")).cast("bigint").alias("harmonic_ppm"),

@@ -210,10 +210,15 @@ def ntile_exact(
         bucket = (r0 + 1).cast("int")
     else:
         head = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+        # integer DIV, not float /: Column./ is double division, which
+        # drifts off the exact-integer convention once ranks exceed 2^53
+        # (all terms are non-negative, so DIV == floor-div here)
+        ranged = ranged.withColumn("__r0", r0)
         bucket = (
-            F.when(r0 < head, F.floor(r0 / (q + 1)))
-            .otherwise(rem + F.floor((r0 - head) / q))
+            F.when(F.col("__r0") < head, F.expr(f"__r0 DIV {q + 1}"))
+            .otherwise(rem + F.expr(f"(__r0 - {head}) DIV {q}"))
             .cast("int")
             + 1
         )
+        return ranged.withColumn(bucket_col, bucket).drop("__mid", "__r0")
     return ranged.withColumn(bucket_col, bucket).drop("__mid")

@@ -811,7 +811,8 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the window form because the ORDER BY is made total
     with the o_orderkey tie-break (o_totalprice carries duplicate
     values; the tie-pinning is regression-tested in
-    tests/test_quantiles.py).  Money sums accumulate in exact decimal
+    tests/test_joins.py::test_ntile_exact_matches_window_under_heavy_ties).
+    Money sums accumulate in exact decimal
     (_revenue_dec contract).  The oracle keeps the window spelling —
     same buckets, antagonistic plan."""
     from ..operators.quantiles import ntile_exact

@@ -3680,8 +3680,14 @@ def ops_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = D.verify_jaccard_counts(
         sample, all_pairs, threshold_num=0, threshold_den=1
     )
-    truth = counts.where(2 * F.col("n_inter") >= F.col("n_union")).select(
-        "id_a", "id_b"
+    # truth feeds BOTH the n_true scalar agg and the tp semi-join below;
+    # without the pin each reference re-runs the full exact-Jaccard arm
+    # (sample² shingle joins) — materialize the sample²-bounded pair list
+    # once instead (measured: two verify passes → one)
+    truth = (
+        counts.where(2 * F.col("n_inter") >= F.col("n_union"))
+        .select("id_a", "id_b")
+        .localCheckpoint()
     )
     cands = D.lsh_candidate_pairs(sample).localCheckpoint()
     tp = cands.join(truth, ["id_a", "id_b"], "left_semi")
@@ -4116,7 +4122,16 @@ _FUNNEL_CACHE_MAX = 6
 
 
 def _funnel_memo(spark: SparkSession, sf_dir: str, piece: str, build):
-    key = (spark.sparkContext.applicationId, sf_dir, piece)
+    app_id = spark.sparkContext.applicationId
+    # purge entries from other (stopped) sessions first: their persisted
+    # blocks died with the context, and unpersist() on a stopped context
+    # raises — a dead entry must never abort a live query build
+    for k in [k for k in _FUNNEL_CACHE if k[0] != app_id]:
+        try:
+            _FUNNEL_CACHE.pop(k).unpersist()
+        except Exception:
+            pass  # stopped SparkContext: blocks are already gone
+    key = (app_id, sf_dir, piece)
     hit = _FUNNEL_CACHE.pop(key, None)
     if hit is not None:
         _FUNNEL_CACHE[key] = hit  # LRU refresh (dicts keep insertion order)
@@ -4124,7 +4139,10 @@ def _funnel_memo(spark: SparkSession, sf_dir: str, piece: str, build):
     df = build().persist()
     df.count()  # materialize eagerly so every consumer reads pinned blocks
     while len(_FUNNEL_CACHE) >= _FUNNEL_CACHE_MAX:
-        _FUNNEL_CACHE.pop(next(iter(_FUNNEL_CACHE))).unpersist()
+        try:
+            _FUNNEL_CACHE.pop(next(iter(_FUNNEL_CACHE))).unpersist()
+        except Exception:
+            pass  # evicted entry's context may be gone; eviction must not raise
     _FUNNEL_CACHE[key] = df
     return df
 
@@ -5413,15 +5431,22 @@ def ops_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
       range-shuffle rank-selection form, bit-identical to the oracle's
       ``ntile(10) OVER (ORDER BY difficulty, doc_id)`` because the order
       is total (doc_id tie-break); no single-partition window sort;
-    * head/tail-3 per decile via two-phase partial top-k — per
-      (decile, physical partition) a sorted-slice aggregate keeps ≤3+3
-      structs, then ≤6·P survivors per decile merge in a second
-      hash-agg: the former ``row_number() OVER (PARTITION BY decile)``
-      would funnel corpus/10 rows through each of 10 window tasks; this
-      keeps every task bounded by its input partition and the final
-      per-decile state at 6·P structs (the classic map-side top-k).
+    * head/tail-3 per decile via two-phase partial top-k — phase 1
+      prunes each (decile, physical partition) group to its 3 smallest
+      and 3 largest (hk, doc_id) rows through ranking windows over ONE
+      (decile, pid) shuffle: window sorts are spillable external sorts,
+      so per-task state is bounded everywhere (the former
+      ``slice(array_sort(collect_list(...)))`` held the ENTIRE group in
+      one aggregation buffer — O(rows of the decile within a range
+      partition), which grows with the corpus at fixed partition count);
+      the ≤3+3 survivors per group then merge in a decile-keyed hash-agg
+      whose state is 6·P structs (the classic map-side top-k).  The
+      former ``row_number() OVER (PARTITION BY decile)`` alternative
+      would funnel corpus/10 rows through each of 10 window tasks.
     """
     t = Tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
     from ..functions import text as XT
     from ..operators.quantiles import ntile_exact
 
@@ -5431,19 +5456,41 @@ def ops_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     deciled = ntile_exact(
         base, 10, ["difficulty", "doc_id"], bucket_col="decile"
     )
-    rec = F.struct(
+    part = deciled.select(
+        "decile",
+        "doc_id",
+        "difficulty",
         F.md5(F.col("doc_id").cast("string")).alias("hk"),
-        F.col("doc_id"),
-        F.col("difficulty"),
+        F.spark_partition_id().alias("pid"),
     )
-    per_part = (
-        deciled.select("decile", rec.alias("rec"))
-        .groupBy("decile", F.spark_partition_id().alias("pid"))
-        .agg(
-            F.slice(F.array_sort(F.collect_list("rec")), 1, 3).alias("lo"),
-            F.slice(F.reverse(F.array_sort(F.collect_list("rec"))), 1, 3).alias("hi"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
+    wg = W.partitionBy("decile", "pid")
+    # doc_id is unique, so (hk, doc_id) is a total order — identical
+    # selection to sorting (hk, doc_id, difficulty) structs
+    pruned = part.select(
+        "decile",
+        "pid",
+        "hk",
+        "doc_id",
+        "difficulty",
+        F.row_number().over(wg.orderBy("hk", "doc_id")).alias("_rlo"),
+        F.row_number()
+        .over(wg.orderBy(F.desc("hk"), F.desc("doc_id")))
+        .alias("_rhi"),
+        F.count(F.lit(1)).over(wg).alias("_cnt"),
+    ).where((F.col("_rlo") <= 3) | (F.col("_rhi") <= 3))
+    rec = F.struct(F.col("hk"), F.col("doc_id"), F.col("difficulty"))
+    per_part = pruned.groupBy("decile", "pid").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.when(F.col("_rlo") <= 3, rec))), 1, 3
+        ).alias("lo"),
+        F.slice(
+            F.reverse(
+                F.array_sort(F.collect_list(F.when(F.col("_rhi") <= 3, rec)))
+            ),
+            1,
+            3,
+        ).alias("hi"),
+        F.max("_cnt").alias("cnt"),
     )
     merged = per_part.groupBy("decile").agg(
         F.slice(F.array_sort(F.flatten(F.collect_list("lo"))), 1, 3).alias("lo3"),
@@ -5834,9 +5881,12 @@ def ops_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tok").cast("bigint").alias("total_tokens"),
         F.expr(f"CAST((sum(tok) + {C - 1}) DIV {C} AS BIGINT)").alias("n_windows"),
         F.sum((F.col("w1") > F.col("w0")).cast("bigint")).alias("n_boundary_docs"),
+        # greatest(..., 1): a zero-token corpus has 0 windows — Spark DIV 0
+        # yields NULL where the DuckDB oracle's // 0 raises (parity break);
+        # both sides guard identically (no-op whenever total_tokens > 0)
         F.expr(
             f"CAST(1000000 * ({C} * ((sum(tok) + {C - 1}) DIV {C}) - sum(tok))"
-            f" DIV ({C} * ((sum(tok) + {C - 1}) DIV {C})) AS BIGINT)"
+            f" DIV greatest({C} * ((sum(tok) + {C - 1}) DIV {C}), 1) AS BIGINT)"
         ).alias("tail_waste_ppm"),
     )
 
@@ -5859,7 +5909,7 @@ ORACLE["ops_sequence_pack"] = rf"""
            CAST((SUM(tok) + {_PACK_CTX - 1}) // {_PACK_CTX} AS BIGINT) AS n_windows,
            CAST(SUM(CASE WHEN w1 > w0 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
            CAST(1000000 * ({_PACK_CTX} * ((SUM(tok) + {_PACK_CTX - 1}) // {_PACK_CTX}) - SUM(tok))
-                // ({_PACK_CTX} * ((SUM(tok) + {_PACK_CTX - 1}) // {_PACK_CTX})) AS BIGINT) AS tail_waste_ppm
+                // greatest({_PACK_CTX} * ((SUM(tok) + {_PACK_CTX - 1}) // {_PACK_CTX}), 1) AS BIGINT) AS tail_waste_ppm
     FROM b
 """
 

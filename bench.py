@@ -87,12 +87,15 @@ def main() -> None:
     _gc_hint(spark)
 
     timings: dict[str, float] = {}
+    steals: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     for i, (name, fn) in enumerate(queries.items()):
+        s0 = _steal_seconds()
         start = time.perf_counter()
         try:
             fn(spark, sf_dir).collect()
             timings[name] = round(time.perf_counter() - start, 4)
+            steals[name] = [round(_steal_seconds() - s0, 1)]
         except Exception as exc:  # keep benching; report the failure
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
         # release blocks pinned by intra-query localCheckpoint/persist so a
@@ -117,10 +120,12 @@ def main() -> None:
         rerun: dict[str, float] = {}
         _gc_hint(spark)
         for i, name in enumerate(timings):
+            s0 = _steal_seconds()
             start = time.perf_counter()
             try:
                 queries[name](spark, sf_dir).collect()
                 rerun[name] = round(time.perf_counter() - start, 4)
+                steals[name].append(round(_steal_seconds() - s0, 1))
             except Exception:
                 pass
             _release_cached_blocks(spark)
@@ -128,14 +133,56 @@ def main() -> None:
                 _gc_hint(spark)
         reruns.append(rerun)
 
+    # Steal-aware estimator for the DECLARED-QUERY headline (the same
+    # policy the multi-entity CDC scenario has carried since r13, extended
+    # per VERDICT r13 item 1): each timed run records the hypervisor steal
+    # it suffered (/proc/stat delta); a run that lost more CPU-seconds to
+    # the neighbor VM than the contamination bound measured the NEIGHBOR,
+    # not the engine, so it is re-measured once on a GC'd heap and the
+    # replacement kept when cleaner.  The bound scales with the entry's
+    # own wall clock (a 2 s entry fully stealing 32 cores loses ~64 CPU-s;
+    # an idle-neighbor run records ~0) and has an absolute floor so
+    # sub-second entries aren't churned by jitter.  Replacement evidence
+    # (per-run steal, which samples were replaced) is committed in
+    # BENCH_DETAIL.json; the estimator stays MEDIAN OF THREE runs.
+    samples: dict[str, list[float]] = {
+        k: [v] + [r[k] for r in reruns if k in r] for k, v in timings.items()
+    }
+    replaced: dict[str, int] = {}
+    discarded: dict[str, list[list[float]]] = {}  # name -> [[run#, wall, steal]]
+    retry_budget = 120  # hard cap on extra runs: bounds bench wall clock
+    for name, st in steals.items():
+        if retry_budget <= 0:
+            break
+        for j in range(min(len(st), len(samples[name]))):
+            stolen, wall = st[j], samples[name][j]
+            if stolen <= max(5.0, 1.5 * wall) or retry_budget <= 0:
+                continue
+            _gc_hint(spark)
+            s0 = _steal_seconds()
+            start = time.perf_counter()
+            try:
+                queries[name](spark, sf_dir).collect()
+                t_new = round(time.perf_counter() - start, 4)
+                st_new = round(_steal_seconds() - s0, 1)
+            except Exception:
+                break
+            finally:
+                _release_cached_blocks(spark)
+            retry_budget -= 1
+            # keep the cleaner attempt (by steal, then by wall clock);
+            # the discarded sample stays on record either way
+            if (st_new, t_new) < (stolen, wall):
+                replaced[name] = replaced.get(name, 0) + 1
+                discarded.setdefault(name, []).append([j, wall, stolen])
+                samples[name][j] = t_new
+                st[j] = st_new
+            else:
+                discarded.setdefault(name, []).append([j, t_new, st_new])
+
     import statistics
 
-    median = {
-        k: round(
-            statistics.median([v] + [r[k] for r in reruns if k in r]), 4
-        )
-        for k, v in timings.items()
-    }
+    median = {k: round(statistics.median(v), 4) for k, v in samples.items()}
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     result = {
         "metric": "declared-query wall clock (sum over all queries, median of 3 runs)",
@@ -145,6 +192,14 @@ def main() -> None:
         "first_run": timings,
         "second_run": reruns[0],
         "third_run": reruns[1],
+        # steal-aware evidence: per-run /proc/stat steal deltas (CPU-s) per
+        # entry (replacement retries appended), which entries had runs
+        # replaced, and the contamination bound applied
+        "steal_per_run": steals,
+        "steal_replaced": replaced,
+        "steal_discarded": discarded,
+        "steal_bound": "stolen > max(5.0, 1.5 * wall) CPU-s",
+        "steady_samples": samples,
         # co-equal headline: single-pass total, comparable to rounds 1-3
         # whose headline was one unwarmed pass (methodology changed in r4
         # to warmed best-of-two, in r9 to warmed median-of-three — don't

@@ -60,6 +60,21 @@ REPLANNED: dict[str, int] = {
     "ops_pagerank_personalized": 14,
     "ops_lsh_eval": 14,             # ground-truth arm checkpointed
     "ops_sequence_pack": 14,        # tail-waste zero-denominator guard
+    # r14: exact-money arithmetic moved from per-row decimal products to
+    # bigint-cents fixed point (same rational values — _fixed_money)
+    "tpch_q01": 14,
+    "tpch_q03": 14,
+    "tpch_q05": 14,
+    "tpch_q06": 14,
+    "tpch_q07": 14,
+    "tpch_q08": 14,
+    "tpch_q09": 14,
+    "tpch_q10": 14,
+    "tpch_q14": 14,
+    "tpch_q15": 14,
+    "tpch_q19": 14,
+    "q3_hash_agg_having": 14,
+    "q4_multiway_join": 14,
 }
 
 

@@ -49,15 +49,47 @@ def _dec(col: str, typ: str = "decimal(18,4)"):
     return F.col(col).cast(typ)
 
 
+def _cents100(col: str):
+    """Exact integer hundredths of a 2-decimal money/rate double, as
+    BIGINT: ``v*100`` lands within 1e-9 of an integer for any 2-decimal
+    double, so ROUND recovers it exactly — the fixed-point twin of the
+    decimal cast (same rational value, long arithmetic instead of
+    java.math.BigDecimal per row)."""
+    return F.expr(f"CAST(ROUND({col} * 100) AS BIGINT)")
+
+
+def _fixed_money(sum_fixed, frac_digits: int, round2: bool = True):
+    """Exact fixed-point SUM (units of 10^-frac_digits dollars) → DOUBLE
+    with the decimal contract's single rounding: the bigint sum is lifted
+    to DECIMAL and divided by 10^frac_digits (quotient scale ≥ the value's
+    true fractional digits, so the division is EXACT), optionally
+    ROUND(·, 2) HALF_UP (sign-correct), then one decimal→double cast —
+    bit-identical to summing the equivalent decimal products directly
+    (verified row-identical on the declared corpus, tools/exp_decimal_r14).
+    DECIMAL(32,0) holds 1e32 fixed-point units — overflow-safe past any
+    100 TB corpus where a bare BIGINT accumulator (9.2e18) would not be."""
+    q = sum_fixed.cast("decimal(32,0)") / (10 ** frac_digits)
+    if round2:
+        q = F.round(q, 2)
+    return q.cast("double")
+
+
 def _revenue_dec():
-    """SUM(l_extendedprice * (1 - l_discount)) in exact decimal, rounded
-    HALF_UP to 2 places — bit-identical across engines regardless of
-    partial-aggregation order."""
-    one = F.lit(1).cast("decimal(18,4)")
-    # final cast to DOUBLE: both engines convert the identical exact decimal
-    # to its nearest double — bit-equal; a DECIMAL output type never
-    # hash-matches the driver's oracle hasher
-    return F.round(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))), 2).cast("double")
+    """SUM(l_extendedprice * (1 - l_discount)), exact, rounded HALF_UP to
+    2 places — bit-identical across engines regardless of
+    partial-aggregation order.  Spelled in bigint-cents fixed point: the
+    decimal(18,4) product form types as decimal(37,8), which is
+    java.math.BigDecimal-backed on EVERY row (measured 2.7 s vs 0.8 s for
+    the identical exact arithmetic on the sf0.1 lineitem scan, guide §1.2
+    'per-task work') — the per-row product stays in long (≤ 5e8·100 per
+    row), only the accumulator is decimal (exact to 1e30, far past any
+    100 TB group).  The final cast to DOUBLE: both engines convert the
+    identical exact decimal to its nearest double — bit-equal; a DECIMAL
+    output type never hash-matches the driver's oracle hasher."""
+    prod = (_cents100("l_extendedprice") * (100 - _cents100("l_discount"))).cast(
+        "decimal(20,0)"
+    )
+    return _fixed_money(F.sum(prod), 4)
 
 
 @query("q1_scan_filter_sort")

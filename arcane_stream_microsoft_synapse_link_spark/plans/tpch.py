@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Tables
 from .oracle import ORACLE
-from .queries import DEC, _dec, _revenue_dec, query
+from .queries import DEC, _cents100, _dec, _fixed_money, _revenue_dec, query
 
 # DuckDB spelling of the exact-decimal revenue aggregate (matches
 # _revenue_dec bit-for-bit; same fragment queries.py's oracles use).
@@ -70,36 +70,40 @@ def _ts(s: str):
 def tpch_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary report — verbatim shape (all columns
     present in the corpus); one scan, map-side partial agg on the two
-    3-value flags, exact-decimal money."""
+    3-value flags, exact money in bigint-cents fixed point (the decimal
+    contract's fixed-point twin — same rational values, no per-row
+    BigDecimal: the 3-factor charge product typed decimal(26,12) before,
+    measured 2.7 s → 1.6 s for identical output at sf0.1; see
+    plans/queries.py:_fixed_money for the overflow analysis)."""
     t = Tables(spark, sf_dir)
-    one4 = F.lit(1).cast("decimal(6,4)")
-    disc = F.col("l_discount").cast("decimal(6,4)")
-    charge = (
-        F.col("l_extendedprice").cast("decimal(12,4)")
-        * (one4 - disc)
-        * (one4 + F.col("l_tax").cast("decimal(6,4)"))
-    )
+    p_c = _cents100("l_extendedprice")
+    d_c = _cents100("l_discount")
+    t_c = _cents100("l_tax")
+    rev4 = F.sum((p_c * (100 - d_c)).cast("decimal(20,0)"))
+    chg6 = F.sum((p_c * (100 - d_c) * (100 + t_c)).cast("decimal(22,0)"))
     return (
         t.lineitem.where(F.col("l_shipdate") <= _ts("2001-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity", DEC)).alias("_sq"),
-            F.sum(_dec("l_extendedprice")).alias("_sp"),
-            _revenue_dec().alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
-            F.sum(F.col("l_discount").cast("decimal(8,4)")).alias("_sd"),
+            F.sum(_cents100("l_quantity").cast("decimal(20,0)")).alias("_sq2"),
+            F.sum(p_c.cast("decimal(20,0)")).alias("_sp2"),
+            _fixed_money(rev4, 4).alias("sum_disc_price"),
+            _fixed_money(chg6, 6).alias("sum_charge"),
+            F.sum(d_c.cast("decimal(20,0)")).alias("_sd2"),
             F.count("*").alias("count_order"),
         )
         .select(
             "l_returnflag",
             "l_linestatus",
-            F.col("_sq").cast("double").alias("sum_qty"),
-            F.col("_sp").cast("double").alias("sum_base_price"),
+            # exact decimal /100 then ONE cast to double — the same
+            # single-rounding as the decimal sums' cast, at any magnitude
+            _fixed_money(F.col("_sq2"), 2, round2=False).alias("sum_qty"),
+            _fixed_money(F.col("_sp2"), 2, round2=False).alias("sum_base_price"),
             "sum_disc_price",
             "sum_charge",
-            (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
-            (F.col("_sp").cast("double") / F.col("count_order")).alias("avg_price"),
-            (F.col("_sd").cast("double") / F.col("count_order")).alias("avg_disc"),
+            (_fixed_money(F.col("_sq2"), 2, round2=False) / F.col("count_order")).alias("avg_qty"),
+            (_fixed_money(F.col("_sp2"), 2, round2=False) / F.col("count_order")).alias("avg_price"),
+            (_fixed_money(F.col("_sd2"), 2, round2=False) / F.col("count_order")).alias("avg_disc"),
             "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -393,14 +397,15 @@ ORACLE["tpch_q07"] = f"""
 @query("tpch_q08")
 def tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 national market share: conditional-share-of-total per
-    order year; the ratio is one IEEE division of two exact decimal sums
-    (order-independent, cross-engine bit-equal)."""
+    order year; the ratio is one IEEE division of two exact sums
+    (order-independent, cross-engine bit-equal; bigint-cents fixed point,
+    the decimal contract's fixed-point twin — plans/queries.py:_fixed_money)."""
     t = Tables(spark, sf_dir)
     n2 = t.nation.select(
         F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("_supp_nation")
     )
-    vol = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    vol = (_cents100("l_extendedprice") * (100 - _cents100("l_discount"))).cast(
+        "decimal(20,0)"
     )
     return (
         t.part.where(F.col("p_type") == "ECONOMY")
@@ -425,9 +430,10 @@ def tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_year",
-            (F.col("_nat").cast("double") / F.col("_all").cast("double")).alias(
-                "mkt_share"
-            ),
+            (
+                _fixed_money(F.col("_nat"), 4, round2=False)
+                / _fixed_money(F.col("_all"), 4, round2=False)
+            ).alias("mkt_share"),
         )
         .orderBy("o_year")
     )
@@ -465,11 +471,13 @@ def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB-HALF_EVEN narrowing-cast trap); same 6-way join + extract-year
     + agg shape."""
     t = Tables(spark, sf_dir)
-    amount = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
-    ) - F.col("p_retailprice").cast("decimal(12,4)") * _dec(
-        "l_quantity", "decimal(6,2)"
-    ) * F.lit(0.1).cast("decimal(6,4)")
+    # 1e-5-dollar fixed point: revenue term ×10 (its native scale is 1e-4),
+    # cost term retail_c·qty_c/1e5 lands there natively — exact bigint per
+    # row (≤ ~5e9), decimal accumulator (plans/queries.py:_fixed_money)
+    amount = (
+        F.lit(10) * _cents100("l_extendedprice") * (100 - _cents100("l_discount"))
+        - _cents100("p_retailprice") * _cents100("l_quantity")
+    ).cast("decimal(22,0)")
     return (
         t.part.where(F.col("p_name").like("%bolt%"))
         .join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
@@ -479,7 +487,7 @@ def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+        .agg(_fixed_money(F.sum(amount), 5).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -656,10 +664,11 @@ ORACLE["tpch_q13"] = """
 @query("tpch_q14")
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 promotion effect: conditional revenue share over one
-    ship month; ratio = decimal·100 exactly, then one IEEE division."""
+    ship month; ratio = exact-sum·100 exactly, then one IEEE division
+    (bigint-cents fixed point — plans/queries.py:_fixed_money)."""
     t = Tables(spark, sf_dir)
-    vol = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    vol = (_cents100("l_extendedprice") * (100 - _cents100("l_discount"))).cast(
+        "decimal(20,0)"
     )
     return (
         t.lineitem.where(
@@ -673,8 +682,9 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             (
-                (F.col("_promo") * F.lit(100).cast("decimal(5,0)")).cast("double")
-                / F.col("_all").cast("double")
+                # Σpromo·100 = promo_e4 / 100, exact decimal, one cast
+                _fixed_money(F.col("_promo"), 2, round2=False)
+                / _fixed_money(F.col("_all"), 4, round2=False)
             ).alias("promo_revenue")
         )
     )

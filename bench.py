@@ -133,18 +133,27 @@ def main() -> None:
                 _gc_hint(spark)
         reruns.append(rerun)
 
-    # Steal-aware estimator for the DECLARED-QUERY headline (the same
+    # Contamination-aware estimator for the DECLARED-QUERY headline (the
     # policy the multi-entity CDC scenario has carried since r13, extended
     # per VERDICT r13 item 1): each timed run records the hypervisor steal
-    # it suffered (/proc/stat delta); a run that lost more CPU-seconds to
-    # the neighbor VM than the contamination bound measured the NEIGHBOR,
-    # not the engine, so it is re-measured once on a GC'd heap and the
-    # replacement kept when cleaner.  The bound scales with the entry's
-    # own wall clock (a 2 s entry fully stealing 32 cores loses ~64 CPU-s;
-    # an idle-neighbor run records ~0) and has an absolute floor so
-    # sub-second entries aren't churned by jitter.  Replacement evidence
-    # (per-run steal, which samples were replaced) is committed in
-    # BENCH_DETAIL.json; the estimator stays MEDIAN OF THREE runs.
+    # it suffered (/proc/stat delta); a contaminated run measured the
+    # NEIGHBOR VM (or a driver GC cycle), not the engine, so it is
+    # re-measured once on a GC'd heap and the replacement kept when
+    # cleaner.  Two triggers, both relative to the entry's own FASTEST
+    # run this bench (the clean-mode estimate; bounds must never scale
+    # with the contaminated run's own wall clock — a 13 s steal-inflated
+    # run of a 1 s entry would otherwise raise its own bound past the
+    # 18 CPU-s it lost and evade the check):
+    #   - steal:  stolen > max(5.0, 1.5 * min_wall) CPU-s
+    #   - wall:   wall > max(4 * min_wall, min_wall + 2.0) s with the
+    #     other runs clean — catches the measured zero-steal outliers
+    #     (r14: tpch_q01 24.2 s vs 2.6/2.8 s siblings at 1.9 CPU-s steal;
+    #     ops_wordpiece_encode 17.0 s vs 2.6 s at 0.1) whose cause is the
+    #     periodic full-heap System.gc bleeding into the next timed
+    #     window, which /proc/stat cannot see.
+    # Replacement evidence (per-run steal, which samples were replaced,
+    # every discarded sample) is committed in BENCH_DETAIL.json; the
+    # estimator stays MEDIAN OF THREE runs.
     samples: dict[str, list[float]] = {
         k: [v] + [r[k] for r in reruns if k in r] for k, v in timings.items()
     }
@@ -156,7 +165,7 @@ def main() -> None:
             break
         for j in range(min(len(st), len(samples[name]))):
             stolen, wall = st[j], samples[name][j]
-            if stolen <= max(5.0, 1.5 * wall) or retry_budget <= 0:
+            if not _contaminated(wall, stolen, min(samples[name])) or retry_budget <= 0:
                 continue
             _gc_hint(spark)
             s0 = _steal_seconds()
@@ -198,7 +207,10 @@ def main() -> None:
         "steal_per_run": steals,
         "steal_replaced": replaced,
         "steal_discarded": discarded,
-        "steal_bound": "stolen > max(5.0, 1.5 * wall) CPU-s",
+        "steal_bound": (
+            "stolen > max(5.0, 1.5 * min_wall) CPU-s"
+            " OR wall > max(4 * min_wall, min_wall + 2.0) s"
+        ),
         "steady_samples": samples,
         # co-equal headline: single-pass total, comparable to rounds 1-3
         # whose headline was one unwarmed pass (methodology changed in r4
@@ -326,6 +338,28 @@ def _release_cached_blocks(spark) -> None:
             rdd.unpersist(False)
     except Exception:
         pass
+
+
+def _contaminated(wall: float, stolen: float, min_wall: float) -> bool:
+    """Whether one timed run measured the environment, not the engine.
+
+    ``min_wall`` is the entry's fastest run this bench (the clean-mode
+    estimate).  Both bounds are relative to it, NEVER to the run's own
+    wall clock — a steal-inflated run would otherwise raise its own bound
+    and evade the check (observed r14: a 13.0 s run of a 1.0 s entry lost
+    18.7 CPU-s of steal, under its own 1.5×wall=19.5 bound).
+
+    - steal trigger: more CPU-seconds lost to the hypervisor neighbor
+      than 1.5× the clean wall clock (floor 5.0 so sub-second entries
+      aren't churned by jitter);
+    - wall trigger: ≥4× the clean run AND ≥2 s absolute over it — the
+      zero-steal contamination mode (periodic full-heap System.gc
+      bleeding into the next timed window, invisible to /proc/stat;
+      observed r14: tpch_q01 24.2 s vs 2.6/2.8 s siblings at 1.9 CPU-s
+      steal)."""
+    return stolen > max(5.0, 1.5 * min_wall) or wall > max(
+        4 * min_wall, min_wall + 2.0
+    )
 
 
 def _steal_seconds() -> float:

@@ -54,12 +54,16 @@ REPLANNED: dict[str, int] = {
     "ops_curriculum_order": 14,
     # r14 optimization re-plans (see OPTIMIZATION_r14.md)
     "ops_graph_harmonic": 14,       # frontier-delta BFS expansion
-    "ops_graph_kcore": 14,          # shrinking live-edge set
+    "ops_graph_kcore": 14,          # shrinking live-edge set + early fixpoint stop
     "ops_pagerank": 14,             # union-agg round (no join-back)
     "ops_pagerank_dangling": 14,    # + sink flag instead of semi-join
     "ops_pagerank_personalized": 14,
     "ops_lsh_eval": 14,             # ground-truth arm checkpointed
     "ops_sequence_pack": 14,        # tail-waste zero-denominator guard
+    "ops_pmi_collocations": 14,     # one scan: unigrams ride the pair agg
+    "ops_mixture_apply": 14,        # one agg: 0..n_copies explode, no join
+    "ops_graph_degrees": 14,        # one union-agg + one exploded histogram agg
+    "ops_graph_reciprocity": 14,    # one left-join agg, no semi-join/cross join
     # r14: exact-money arithmetic moved from per-row decimal products to
     # bigint-cents fixed point (same rational values — _fixed_money)
     "tpch_q01": 14,

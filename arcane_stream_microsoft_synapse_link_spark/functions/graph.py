@@ -181,8 +181,10 @@ def pagerank_ppm(
     round) disappears; map-side combine absorbs hub fan-in.  With
     redistribution, the sink mass is one scalar agg over the PREVIOUS
     round's rank frame filtered on its carried is_sink flag (a column,
-    not a per-round semi-join), folded in as a single-row cross join
-    (constant-size build side — no driver round-trip inside the loop).
+    not a per-round semi-join), collected to the driver and folded in as
+    a literal (r14; one scalar per round — the standard PageRank
+    iteration sync, cheaper than the former single-row cross join's
+    extra broadcast stage per round).
     localCheckpoint truncates lineage each round — without it round N's
     plan replays every earlier join.  N and |S| are collected once up
     front (two counts on node-sized frames — loop-invariant literals,
@@ -213,32 +215,30 @@ def pagerank_ppm(
     # They enter each round as the zero-contribution row of the union
     # aggregation below, so no round ever joins back to the node table.
     if seeds is not None:
-        sd = (
-            seeds.select(F.col(id_col).cast("bigint").alias("node"))
-            .distinct()
-            .join(n, "node", "left_semi")
-            .localCheckpoint(eager=False)
+        sd = seeds.select(F.col(id_col).cast("bigint").alias("node")).distinct().join(
+            n, "node", "left_semi"
         )
-        s_count = sd.count()
+        flags = n.join(sd.withColumn("is_seed", F.lit(True)), "node", "left").select(
+            "node", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
+        ).localCheckpoint(eager=False)
+        # ONE job for both loop-invariant scalars (was sd.count() +
+        # n.count()); the agg also materializes the lazy checkpoint the
+        # base projection below reads
+        n_count, s_count = flags.agg(
+            F.count(F.lit(1)), F.count(F.when(F.col("is_seed"), F.lit(1)))
+        ).first()
         if s_count == 0:
             raise ValueError("personalized PageRank needs >= 1 seed inside the node set")
-        n_count = n.count()
-        base = (
-            n.join(sd.withColumn("is_seed", F.lit(True)), "node", "left")
-            .select(
-                "node",
-                F.when(
-                    F.coalesce("is_seed", F.lit(False)),
-                    F.lit((TELEPORT_PPM * n_count) // s_count),
-                )
-                .otherwise(F.lit(0))
-                .cast("bigint")
-                .alias("tele"),
-                F.coalesce("is_seed", F.lit(False)).cast("int").alias("seed_i"),
-            )
+        base = flags.select(
+            "node",
+            F.when(F.col("is_seed"), F.lit((TELEPORT_PPM * n_count) // s_count))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("tele"),
+            F.col("is_seed").cast("int").alias("seed_i"),
         )
         extra_expr = (
-            f"CASE WHEN seed_i = 1 THEN dmass DIV {s_count} ELSE 0 END"
+            f"CASE WHEN seed_i = 1 THEN {{dmass}} DIV {s_count} ELSE 0 END"
             if redistribute
             else "0"
         )
@@ -250,7 +250,7 @@ def pagerank_ppm(
         )
         if redistribute:
             n_count = n.count()
-            extra_expr = f"dmass DIV {n_count}"
+            extra_expr = f"{{dmass}} DIV {n_count}"
         else:
             extra_expr = "0"
     if redistribute:
@@ -310,15 +310,24 @@ def pagerank_ppm(
         )
         if redistribute:
             # sink mass of the PREVIOUS round: a column filter over the
-            # checkpointed rank frame — no per-round semi-join
-            d_mass = rank.where(F.col("sink_i") == 1).agg(
-                F.coalesce(F.sum("rank_ppm"), F.lit(0)).cast("bigint").alias("dmass")
+            # checkpointed rank frame, collected as ONE scalar and folded
+            # in as a literal (r14) — the former single-row cross join
+            # cost a scalar-agg stage + a broadcast build per round; the
+            # driver sync per iteration is the standard PageRank loop
+            # shape, and the first() also materializes the lazy rank
+            # checkpoint the contribution join reads next
+            dmass_val = int(
+                rank.where(F.col("sink_i") == 1)
+                .agg(F.coalesce(F.sum("rank_ppm"), F.lit(0)).cast("bigint"))
+                .first()[0]
             )
-            agg = agg.crossJoin(d_mass)
+            extra = extra_expr.format(dmass=dmass_val)
+        else:
+            extra = extra_expr
         rank = agg.select(
             F.col("dst").alias("node"),
             F.expr(
-                f"CAST(tele + ({DAMP_NUM} * (s + ({extra_expr})))"
+                f"CAST(tele + ({DAMP_NUM} * (s + ({extra})))"
                 f" DIV {DAMP_DEN} AS BIGINT)"
             ).alias("rank_ppm"),
             "sink_i",
@@ -459,39 +468,41 @@ def degree_histogram(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     leads with; its shape — power-law tail, hub mass — is what decides
     sampling and skew strategy downstream).
 
-    Plan: two edge-sized hash-aggs (out by src, in by dst), two
-    node-sized left joins to zero-fill, one more hash-agg per kind on
-    the DEGREE VALUE — output is histogram-sized (distinct degrees),
-    never node-sized.  No row ever leaves the one-pass agg shape, so
-    hub skew lands in map-side combine."""
+    Plan (r14 single-pass form): ONE edge-sized hash-agg over the
+    endpoint union (each edge contributes (src, out) and (dst, in) — the
+    same bytes the former out-agg + in-agg shuffled, through one
+    exchange), ONE node-sized zero-fill join (both degrees live on the
+    same row, so the former out⋈in node join disappears), then ONE
+    histogram agg over the 3-row-per-node (kind, degree) explode — the
+    former shape ran one histogram agg per kind.  Output is
+    histogram-sized (distinct degrees), never node-sized; hub skew still
+    lands in map-side combine."""
     n = nodes.select(F.col("node").cast("bigint")).distinct()
-    outd = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
+    both = edges.select(
+        F.col("src").alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i")
+    ).unionAll(
+        edges.select(F.col("dst").alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i"))
     )
-    ind = edges.groupBy(F.col("dst").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
+    deg = both.groupBy("node").agg(F.sum("o").alias("od"), F.sum("i").alias("id"))
+    filled = n.join(deg, "node", "left").select(
+        F.coalesce("od", F.lit(0)).cast("bigint").alias("od"),
+        F.coalesce("id", F.lit(0)).cast("bigint").alias("id"),
     )
-
-    def fill(d: DataFrame) -> DataFrame:
-        return n.join(d, "node", "left").select(
-            "node", F.coalesce("d", F.lit(0)).cast("bigint").alias("d")
-        )
-
-    fo, fi = fill(outd), fill(ind)
-    tot = (
-        fo.withColumnRenamed("d", "od")
-        .join(fi.withColumnRenamed("d", "id"), "node")
-        .select("node", (F.col("od") + F.col("id")).alias("d"))
+    hist = filled.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("in").alias("kind"), F.col("id").alias("degree")),
+                F.struct(F.lit("out").alias("kind"), F.col("od").alias("degree")),
+                F.struct(
+                    F.lit("total").alias("kind"),
+                    (F.col("od") + F.col("id")).alias("degree"),
+                ),
+            )
+        ).alias("h")
     )
-    out = None
-    for kind, df in (("in", fi), ("out", fo), ("total", tot)):
-        h = df.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes")).select(
-            F.lit(kind).alias("kind"),
-            F.col("d").alias("degree"),
-            F.col("n_nodes").cast("bigint"),
-        )
-        out = h if out is None else out.unionByName(h)
-    return out
+    return hist.groupBy(F.col("h.kind").alias("kind"), F.col("h.degree").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
 
 
 def reciprocity(edges: DataFrame) -> DataFrame:
@@ -501,24 +512,28 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     a reciprocity spike flags mirror/boilerplate link farms).
 
     ``reciprocity_ppm = 1e6 · |{(u,v): v→u exists}| DIV |E|`` in exact
-    integer ppm.  Plan: one distinct on the edge table, one self
-    equi-join on the REVERSED key (shuffle on (dst,src) — edge-sized,
-    never quadratic), two scalar aggs."""
+    integer ppm.  Plan (r14 one-agg form): one distinct on the edge
+    table, one self LEFT join on the REVERSED key (shuffle on (dst,src)
+    — edge-sized, never quadratic; keys are distinct so the join is
+    1:1), then ONE scalar agg counting edges and reverse-marked edges
+    together — the former semi-join + two scalar aggs + cross join
+    collapsed into a single pass over the joined frame."""
     e = edges.select(
         F.col("src").cast("bigint"), F.col("dst").cast("bigint")
     ).where(F.col("src") != F.col("dst")).distinct()
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    recip = e.join(rev, ["src", "dst"], "left_semi")
-    return (
-        e.agg(F.count(F.lit(1)).alias("n_edges"))
-        .crossJoin(recip.agg(F.count(F.lit(1)).alias("n_reciprocal")))
-        .select(
-            F.col("n_edges").cast("bigint"),
-            F.col("n_reciprocal").cast("bigint"),
-            F.expr(
-                "CAST(1000000 * n_reciprocal DIV greatest(n_edges, 1) AS BIGINT)"
-            ).alias("reciprocity_ppm"),
-        )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("has_rev")
+    )
+    marked = e.join(rev, ["src", "dst"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.count("has_rev").cast("bigint").alias("n_reciprocal"),
+    ).select(
+        "n_edges",
+        "n_reciprocal",
+        F.expr(
+            "CAST(1000000 * n_reciprocal DIV greatest(n_edges, 1) AS BIGINT)"
+        ).alias("reciprocity_ppm"),
     )
 
 
@@ -652,13 +667,24 @@ def kcore(
     filtering last round's survivor edges by this round's alive set
     equals re-filtering the full edge table): every round's joins and
     degree agg run over a monotonically shrinking frame instead of the
-    full edge list 12 times — after the peel stabilizes, rounds cost
-    only the no-op filter of an already-settled set."""
+    full edge list 12 times.
+
+    Early fixpoint stop (r14): the alive set is monotone shrinking, so
+    an unchanged COUNT between rounds means an unchanged SET, and every
+    remaining round is the identity — the declared ``rounds``-round
+    result equals the fixpoint already in hand.  Each executed round
+    pays one node-sized count (it materializes the lazy checkpoint the
+    next round would have materialized anyway); every round after
+    stabilization — previously a no-op-shaped but still-scheduled chain
+    of joins and aggregates — is skipped outright.  This is the "loop
+    to emptiness of the dropped set" form a real deployment runs, with
+    the count as the emptiness probe."""
     u = undirected_edges(edges).localCheckpoint(eager=False)
     live = u.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
         u.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )
     alive = nodes.select(F.col("node").cast("bigint")).distinct()
+    prev_count: int | None = None
     for _ in range(rounds):
         live = (
             live.join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
@@ -671,6 +697,10 @@ def kcore(
             .select(F.col("v").alias("node"))
             .localCheckpoint(eager=False)
         )
+        cnt = alive.count()
+        if cnt == prev_count or cnt == 0:
+            break  # fixpoint: all remaining rounds are the identity
+        prev_count = cnt
     return alive
 
 

@@ -2248,30 +2248,51 @@ def ops_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     one JVM HOF pass — no self-join); pair counts and unigram counts are
     partial-agg shuffles; marginals attach via two joins on the word key
     (AQE broadcasts the vocab side when small); top-50 is
-    TakeOrderedAndProject, never a global sort."""
+    TakeOrderedAndProject, never a global sort.
+
+    r14: ONE corpus scan and ONE aggregation — the unigram counts ride
+    the pair aggregation as ``(word, NULL)`` rows emitted from the same
+    explode (the corpus was previously scanned and regexp-tokenized
+    twice, once per branch), and both count frames are filters over the
+    same lazily-checkpointed ``(w1, w2)`` aggregate.  The checkpoint is
+    load-bearing: without it Catalyst pushes each branch's
+    ``w2 IS [NOT] NULL`` through the aggregate (group-key predicates
+    push down), the two exchange subtrees stop being identical, and the
+    runtime re-scans parquet per branch — observed in the executed plan
+    before the pin."""
     t = Tables(spark, sf_dir)
     w = F.regexp_extract_all(F.lower("text"), F.lit(X.WORD_RE), 0)
-    toks = t.documents.select("doc_id", w.alias("w"))
-    pairs = toks.where(F.size("w") >= 2).select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - 1),
-                    lambda i: F.transform(
-                        F.slice("w", i + 1, F.least(F.lit(4), F.size("w") - i)),
-                        lambda nxt: F.struct(
-                            F.element_at("w", i.cast("int")).alias("w1"), nxt.alias("w2")
-                        ),
+    pair_t = "array<struct<w1:string,w2:string>>"
+    pairs_arr = F.when(
+        F.size("w") >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.transform(
+                    F.slice("w", i + 1, F.least(F.lit(4), F.size("w") - i)),
+                    lambda nxt: F.struct(
+                        F.element_at("w", i.cast("int")).alias("w1"), nxt.alias("w2")
                     ),
-                )
+                ),
             )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
-    pair_cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    uni = (
-        toks.select(F.explode("w").alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("c"))
+        ),
+    ).otherwise(F.array().cast(pair_t))
+    uni_arr = F.transform(
+        "w", lambda tok: F.struct(tok.alias("w1"), F.lit(None).cast("string").alias("w2"))
+    )
+    ex = (
+        t.documents.select(w.alias("w"))
+        .select(F.explode(F.concat(pairs_arr, uni_arr)).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    counts = (
+        ex.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
+    pair_cnt = counts.where(F.col("w2").isNotNull())
+    uni = counts.where(F.col("w2").isNull()).select(
+        F.col("w1").alias("word"), F.col("c_ab").alias("c")
     )
     return (
         pair_cnt.where(F.col("c_ab") >= 5)
@@ -3690,24 +3711,28 @@ def ops_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     cands = D.lsh_candidate_pairs(sample).localCheckpoint()
-    tp = cands.join(truth, ["id_a", "id_b"], "left_semi")
-    row = (
-        all_pairs.agg(F.count("*").alias("n_pairs"))
-        .crossJoin(truth.agg(F.count("*").alias("n_true")))
-        .crossJoin(cands.agg(F.count("*").alias("n_cand")))
-        .crossJoin(tp.agg(F.count("*").alias("tp")))
-    )
-    return row.select(
-        F.col("n_pairs").cast("bigint").alias("n_pairs"),
-        F.col("n_true").cast("bigint").alias("n_true"),
-        F.col("n_cand").cast("bigint").alias("n_cand"),
-        F.col("tp").cast("bigint").alias("tp"),
-        F.expr("CAST(1000000 * tp div greatest(n_true, 1) AS BIGINT)").alias(
-            "recall_ppm"
-        ),
-        F.expr("CAST(1000000 * tp div greatest(n_cand, 1) AS BIGINT)").alias(
-            "precision_ppm"
-        ),
+    # r14: the four scalars are counts of frames this function already
+    # materialized (eager checkpoints above) or sample²-bounded — collect
+    # them driver-side and emit ONE literal row, instead of four
+    # single-partition agg stages chained by three broadcast cross joins
+    # (scalar collection over a checkpointed, guard-bounded sample is the
+    # percentile-operator discipline; integer // on non-negative counts is
+    # exactly Spark's DIV).  n_pairs = C(n, 2) exactly: ids are distinct
+    # by construction (doc_id unique; variants offset +10000), so the
+    # a < b cross-join count is the binomial — one tiny count job instead
+    # of re-running the cross join.
+    n_ids = ids.count()
+    n_pairs = n_ids * (n_ids - 1) // 2
+    n_true = truth.count()
+    n_cand = cands.count()
+    tp = cands.join(truth, ["id_a", "id_b"], "left_semi").count()
+    return spark.range(1).select(
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        F.lit(n_true).cast("bigint").alias("n_true"),
+        F.lit(n_cand).cast("bigint").alias("n_cand"),
+        F.lit(tp).cast("bigint").alias("tp"),
+        F.lit(1000000 * tp // max(n_true, 1)).cast("bigint").alias("recall_ppm"),
+        F.lit(1000000 * tp // max(n_cand, 1)).cast("bigint").alias("precision_ppm"),
     )
 
 
@@ -3752,28 +3777,30 @@ def ops_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_copies"),
         )
     )
-    # sequence() counts DOWN when stop < start (same trap documented at
-    # text.word_ngram_strings): a 0-copy doc would yield [1, 0] — guard
-    # to an empty array, which explode drops
+    # r14: ONE scan and ONE aggregation.  The explode counts 0..n_copies —
+    # always an ascending sequence (n_copies >= 0), so no empty-array
+    # guard — where _c >= 1 are the epoch copies and the _c = 0 row marks
+    # the input doc itself.  The former shape scanned+tokenized documents
+    # twice (epoch agg + n_docs agg) and joined the two; here both roll up
+    # from the same exploded stream.  The epoch_rows > 0 filter replicates
+    # the former INNER join exactly: a source whose docs all drew zero
+    # copies had no epoch rows and was dropped there (and is dropped by
+    # the unchanged oracle).
     epoch = docs.select(
         "source",
         "n_tok",
-        F.explode(
-            F.when(
-                F.col("n_copies") >= 1, F.sequence(F.lit(1), F.col("n_copies"))
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("_c"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_copies").cast("bigint"))).alias("_c"),
     )
     return (
         epoch.groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("epoch_rows"),
-            F.sum("n_tok").cast("bigint").alias("epoch_tokens"),
+            F.sum(F.when(F.col("_c") >= 1, 1).otherwise(0)).cast("bigint").alias("epoch_rows"),
+            F.sum(F.when(F.col("_c") >= 1, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("epoch_tokens"),
+            F.sum(F.when(F.col("_c") == 0, 1).otherwise(0)).cast("bigint").alias("n_docs_in"),
         )
-        .join(
-            docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_in")),
-            "source",
-        )
+        .where(F.col("epoch_rows") > 0)
         .select("source", "n_docs_in", "epoch_rows", "epoch_tokens")
         .orderBy("source")
     )

@@ -64,16 +64,23 @@ def test_ever_green_reflects_artifacts():
     import json
     import pathlib
 
+    import re
+
     here = pathlib.Path(entry.__file__).resolve().parent
     expect_green, expect_visited = set(), set()
     for p in here.glob("CORRECTNESS_r*.json"):
         data = json.loads(p.read_text())
+        m = re.match(r"CORRECTNESS_r0*(\d+)", p.stem)
+        rnd = int(m.group(1)) if m else 0
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
             if row.get("rows_match") and row.get("hash_match") is not False and not row.get("err"):
-                expect_green.add(name)
-                expect_visited.add(name)
+                # plan-aware gate (r14): a green row predating the entry's
+                # re-plan round no longer vouches for it
+                if rnd >= entry.REPLANNED.get(name, 0):
+                    expect_green.add(name)
+                    expect_visited.add(name)
             elif row.get("err") == "no_oracle":
                 expect_visited.add(name)
     green, visited = entry._gate_history()

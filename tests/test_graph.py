@@ -329,6 +329,31 @@ def test_kcore_peels_tails_keeps_cycles(spark):
     assert kcore(nodes, _edges_df(spark, pairs), k=3, rounds=12).collect() == []
 
 
+def test_kcore_early_stop_never_under_peels(spark):
+    """r14 early-fixpoint stop: a 14-node path needs 7 peeling rounds to
+    empty under k=2 — a premature stop (e.g. triggering on a small
+    per-round delta rather than set equality) would leave interior path
+    nodes alive.  With a generous round budget the result must be the
+    true fixpoint: empty for the path, and exactly the cycle when one is
+    attached (the cycle survives while the long tail peels away round by
+    round)."""
+    from arcane_stream_microsoft_synapse_link_spark.functions.graph import kcore
+
+    path = [(i, i + 1) for i in range(1, 14)]
+    nodes = _nodes_df(spark, list(range(1, 15)))
+    assert kcore(nodes, _edges_df(spark, path), k=2, rounds=50).collect() == []
+
+    # cycle 20-21-22-23-20 + the 14-node tail attached at 20: the peel
+    # runs ~7 rounds before stabilizing on the cycle
+    cyc = [(20, 21), (21, 22), (22, 23), (23, 20), (14, 20)]
+    nodes2 = _nodes_df(spark, list(range(1, 15)) + [20, 21, 22, 23])
+    got = sorted(
+        r.node
+        for r in kcore(nodes2, _edges_df(spark, path + cyc), k=2, rounds=50).collect()
+    )
+    assert got == [20, 21, 22, 23]
+
+
 def test_kcore_declared_rounds_reach_fixpoint_on_synth_grammar(spark, sf_dir):
     """The declared 12 rounds are a FIXPOINT on the synthesized grammar:
     round 11 and round 12 survivors are identical (the oracle unrolls

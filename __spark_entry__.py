@@ -79,6 +79,12 @@ REPLANNED: dict[str, int] = {
     "tpch_q19": 14,
     "q3_hash_agg_having": 14,
     "q4_multiway_join": 14,
+    # r14 pass-2 batch-2 re-plans
+    "q30_exact_percentiles": 14,     # distributed rank-selection, no 1-reducer buffer
+    "ops_exact_substring_dedup": 14,  # scan spread before the gram fan-out
+    "ops_fuzzy_join_indel": 14,       # scan spread before the q-gram fan-out
+    "ops_graph_triangles": 14,        # shared checkpointed (u, deg) frames
+    "ops_graph_clustering": 14,
 }
 
 

@@ -1172,7 +1172,10 @@ def exact_substring_grams(
     streaming gate can append a batch's gram hashes to its persisted
     index without recomputing the dedup."""
     L = min_len
-    w = df.select(
+    # spread before the per-position md5 fan-out: a one-split local scan
+    # otherwise serializes the whole gram stage onto one core (r14 —
+    # measured 2.5 s single-task; no-op at scale, see spread_small_scan)
+    w = spread_small_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"), _span_word_array(text_col).alias("_ws")
     )
     return (
@@ -1243,6 +1246,10 @@ def exact_substring_dedup(
     was removed or the doc had no tokens).
     """
     L = min_len
+    # same spread as the gram stage: the token re-derivation below is the
+    # other CPU-heavy pass over the same one-split scan (both branches
+    # share one round-robin exchange — identical subtree → ReusedExchange)
+    df = spread_small_scan(df.select(id_col, text_col))
     w = df.select(
         F.col(id_col).alias("doc_id"), _span_word_array(text_col).alias("_ws")
     )

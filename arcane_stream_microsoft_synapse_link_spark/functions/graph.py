@@ -548,7 +548,28 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def oriented_triangles(edges: DataFrame) -> DataFrame:
+def _undirected_with_degrees(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(u, deg) = distinct undirected edges + per-endpoint degrees, both
+    LAZILY checkpointed (r14): every consumer below broadcasts these
+    frames under a DIFFERENT build key (deg keyed a, then b; u keyed
+    (y, z) for the closing semi-join), and BroadcastExchange reuse only
+    fires for identical broadcast modes — so without the pin each
+    broadcast build re-ran the distinct + union-agg from the parquet
+    scan (measured: four ~0.5 s rebuild jobs per triangle entry)."""
+    u = undirected_edges(edges).localCheckpoint(eager=False)
+    deg = (
+        u.select(F.col("a").alias("v"))
+        .unionAll(u.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    return u, deg
+
+
+def oriented_triangles(
+    edges: DataFrame, _ud: tuple[DataFrame, DataFrame] | None = None
+) -> DataFrame:
     """Every triangle of the undirected simple graph exactly once, as
     (x, y, z) with y < z numeric and x the (degree, id)-minimum vertex.
 
@@ -561,14 +582,9 @@ def oriented_triangles(edges: DataFrame) -> DataFrame:
     id-orientation would square the hottest hub's degree.  Plan: one
     degree agg, two edge-sized equi-joins (wedge build + closing-edge
     semi-join).  Shared by :func:`triangle_counts` (per-block rollup)
-    and :func:`clustering_coefficients` (per-node rollup)."""
-    u = undirected_edges(edges)
-    deg = (
-        u.select(F.col("a").alias("v"))
-        .unionAll(u.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    and :func:`clustering_coefficients` (per-node rollup; passes its
+    already-checkpointed (u, deg) via ``_ud``)."""
+    u, deg = _ud if _ud is not None else _undirected_with_degrees(edges)
     withdeg = (
         u.join(deg.withColumnsRenamed({"v": "a", "deg": "da"}), "a")
         .join(deg.withColumnsRenamed({"v": "b", "deg": "db"}), "b")
@@ -618,17 +634,14 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
 
     Per-node triangle incidence comes from exploding each oriented
     triangle to its three corners (output is 3·T rows — triangle-sized,
-    not wedge-sized) and one hash-agg; degrees are one more edge-sized
-    agg; the join-up is node-sized.  Returns (node, degree, n_triangles,
-    cc_ppm) — every term integer, hash-stable."""
-    u = undirected_edges(edges)
-    deg = (
-        u.select(F.col("a").alias("node"))
-        .unionAll(u.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    corners = oriented_triangles(edges).select(
+    not wedge-sized) and one hash-agg; degrees reuse the checkpointed
+    endpoint-degree frame the orientation already computed (r14 — the
+    former shape re-ran the distinct + union-agg); the join-up is
+    node-sized.  Returns (node, degree, n_triangles, cc_ppm) — every
+    term integer, hash-stable."""
+    u, deg0 = _undirected_with_degrees(edges)
+    deg = deg0.select(F.col("v").alias("node"), F.col("deg").alias("degree"))
+    corners = oriented_triangles(edges, _ud=(u, deg0)).select(
         F.explode(F.array("x", "y", "z")).alias("node")
     )
     tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

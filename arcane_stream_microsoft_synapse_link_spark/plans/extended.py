@@ -128,23 +128,38 @@ ORACLE["q29_pivot"] = """
 @query("q30_exact_percentiles")
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (sort-based, interpolated) percentiles — deterministic, unlike
-    percentile_approx which is tolerance-checked separately. The builtin
-    aggregate merges its value buffer on one reducer — right below ~1e8
-    rows; past that use the distributed rank-selection twin
-    (operators/quantiles.py, declared as ops_exact_percentiles_dist).
+    percentile_approx which is tolerance-checked separately.
 
-    Output in quarter-cents (BIGINT): the interpolation fraction is always a
-    multiple of 0.25, so percentile(round(price*100)*4) is an exact-integer
-    double in BOTH engines regardless of their interpolation formula — no
-    float rounding policy in the output at all (a DECIMAL output would never
-    hash-match the driver's oracle hasher)."""
+    r14: computed by the distributed rank-selection operator
+    (operators/quantiles.py:exact_percentiles — one bounded-memory range
+    shuffle + K driver offsets) instead of the ``percentile`` builtin,
+    whose aggregate merges a buffer of EVERY value on one reducer: fine
+    below ~1e8 rows, a guaranteed driver-of-the-plan failure at the
+    declared 100 TB lineitem.  Measured at sf0.1 the builtin's
+    single-reducer merge was also the slower local plan (3.1 s vs ~1.2).
+    The ``cont`` interpolation is bit-identical to DuckDB quantile_cont
+    (verified; and at these fractions every interpolation fraction is a
+    multiple of 0.25 on round(price*100)*4, so the value is an
+    exact-integer double in both engines regardless of formula).
+
+    Output in quarter-cents (BIGINT), one row — the three driver-side
+    interpolated scalars re-emitted as literals (the operator already
+    returns driver-computed (p, value) literals; this is the same
+    metadata-sized collection)."""
+    from ..operators.quantiles import exact_percentiles
+
     t = Tables(spark, sf_dir)
-    qc = F.round(F.col("l_extendedprice") * 100) * 4
-    pct = F.percentile(qc, F.lit([0.25, 0.5, 0.75]))
-    return t.lineitem.agg(
-        F.element_at(pct, 1).cast("bigint").alias("p25_qc"),
-        F.element_at(pct, 2).cast("bigint").alias("p50_qc"),
-        F.element_at(pct, 3).cast("bigint").alias("p75_qc"),
+    qc = (F.round(F.col("l_extendedprice") * 100) * 4).alias("qc")
+    rows = {
+        r["p"]: r["value"]
+        for r in exact_percentiles(
+            t.lineitem.select(qc), "qc", [0.25, 0.5, 0.75], interpolation="cont"
+        ).collect()
+    }
+    return spark.range(1).select(
+        F.lit(rows[0.25]).cast("bigint").alias("p25_qc"),
+        F.lit(rows[0.5]).cast("bigint").alias("p50_qc"),
+        F.lit(rows[0.75]).cast("bigint").alias("p75_qc"),
     )
 
 

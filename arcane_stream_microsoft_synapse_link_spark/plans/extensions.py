@@ -2735,7 +2735,10 @@ def ops_fuzzy_join_indel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import qgram_levenshtein_join
 
     t = Tables(spark, sf_dir)
-    base = t.customer.select(
+    # spread the one-split customer scan before the md5/q-gram fan-out:
+    # the gram stages are CPU-bound per row and otherwise run single-task
+    # on a small local file (r14; no-op at scale — dedup.spread_small_scan)
+    base = D.spread_small_scan(t.customer.select("c_custkey")).select(
         F.col("c_custkey").alias("base_id"),
         F.substring(
             F.md5(F.concat(F.lit("id:"), F.col("c_custkey").cast("string"))), 1, 12

@@ -85,6 +85,20 @@ REPLANNED: dict[str, int] = {
     "ops_fuzzy_join_indel": 14,       # scan spread before the q-gram fan-out
     "ops_graph_triangles": 14,        # shared checkpointed (u, deg) frames
     "ops_graph_clustering": 14,
+    # r14 pass-3: single-pass pair-member fetch (verify_jaccard/-_counts,
+    # embedding verify), KN model pin, bm25_multi shared scan + docs pin
+    "ops_embedding_near_dup": 14,
+    "ops_minhash_near_dup": 14,
+    "ops_incremental_dedup": 14,
+    "ops_dedup_pipeline": 14,
+    "ops_leakage_safe_split": 14,
+    "ops_lsh_eval": 14,
+    "ops_kn_perplexity": 14,
+    "ops_ccnet_kn_buckets": 14,
+    "ops_kn_lm_train": 14,
+    "ops_bm25": 14,
+    "ops_hybrid_retrieval": 14,
+    "ops_contrastive_pairs": 14,
 }
 
 

@@ -270,7 +270,15 @@ def verify_jaccard(
     cost is O(candidates), not O(corpus) — at 100 TB candidates are a tiny
     fraction and the semi-join prunes the scan. Candidates are materialized
     once (localCheckpoint): they are referenced three times below, and
-    without it each reference re-runs the whole LSH pipeline."""
+    without it each reference re-runs the whole LSH pipeline.
+
+    r14: both pair members' shingle sets are fetched in ONE pass —
+    explode each pair to its two ids, join the (candidate-pruned)
+    shingle frame once, re-group by pair (exactly one row per side
+    since ids are unique in ``df`` → max(when) is the side's single
+    non-null set). The former two-join spelling evaluated the shingle
+    subtree once PER SIDE (different aliases → no subtree reuse) — at
+    any scale, two shingling passes where one suffices."""
     pairs = pairs.localCheckpoint()
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
@@ -280,18 +288,27 @@ def verify_jaccard(
     sh = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("_sh")
     )
-    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    j = (
-        pairs.join(a, "id_a").join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
-            ).alias("jaccard"),
+    ex = pairs.select(
+        "id_a", "id_b", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("_id")
+    )
+    g = (
+        ex.join(sh, "_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("_id") == F.col("id_a"), F.col("_sh"))).alias("sh_a"),
+            F.max(F.when(F.col("_id") == F.col("id_b"), F.col("_sh"))).alias("sh_b"),
         )
+        # inner-join parity: the old per-side joins dropped a pair when
+        # either member had no shingle row; max() leaves that side null
+        .where(F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull())
+    )
+    j = g.select(
+        "id_a",
+        "id_b",
+        (
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+        ).alias("jaccard"),
     )
     return j.where(F.col("jaccard") >= threshold)
 
@@ -320,12 +337,21 @@ def verify_jaccard_counts(
     sh = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("_sh")
     )
-    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    # one shingling pass for both sides (see verify_jaccard r14 note)
+    ex = pairs.select(
+        "id_a", "id_b", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("_id")
+    )
+    g = (
+        ex.join(sh, "_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("_id") == F.col("id_a"), F.col("_sh"))).alias("sh_a"),
+            F.max(F.when(F.col("_id") == F.col("id_b"), F.col("_sh"))).alias("sh_b"),
+        )
+        .where(F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull())
+    )
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
+        g.select(
             "id_a",
             "id_b",
             F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_inter"),

@@ -59,9 +59,14 @@ _WORD_RE = "[a-z0-9]+"
 
 def corpus_bigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, w1, w2) — adjacent lowercase word pairs, docs with ≥2
-    tokens only (a codegen'd projection + generate; no shuffle)."""
+    tokens only (a codegen'd projection + generate; no data-sized
+    shuffle — the r14 spread is a no-op once the scan has enough
+    splits, and locally it stops the CPU-bound tokenize+explode from
+    serializing onto the one core that owns the single parquet split)."""
+    from .dedup import spread_small_scan
+
     return (
-        docs.select(
+        spread_small_scan(docs.select("doc_id", "text")).select(
             "doc_id",
             F.expr(f"regexp_extract_all(lower(text), '{_WORD_RE}', 0)").alias("ws"),
         )
@@ -91,7 +96,14 @@ def kn_model(train_docs: DataFrame):
     * ``tot``:   single row (n1tot) — distinct bigram types.
     """
     bg = corpus_bigrams(train_docs)
-    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # pin the bigram count table (vocab²-bounded): ctx/cont/tot below are
+    # each broadcast under a different build key, and without the pin each
+    # broadcast build re-ran the train-corpus tokenize+count from the scan
+    # (r14 measured: four ~0.6 s duplicate single-task jobs per KN entry —
+    # at scale, four corpus passes where one suffices)
+    model = (
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
+    )
     ctx = model.groupBy("w1").agg(
         F.sum("c").alias("cu"), F.count(F.lit(1)).alias("n1u")
     )

@@ -328,7 +328,12 @@ def embedding_sign_signatures(
             ]  # offset into signed-long range for JVM compat
             yield pd.DataFrame({"_id": pdf[id_col], "_sim": sigs})
 
-    return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+    # spread before the per-batch matmul: a small local parquet arrives as
+    # ONE split, serializing the whole projection onto one core (r14; no-op
+    # at scale — see dedup.spread_small_scan)
+    from .dedup import spread_small_scan
+
+    return spread_small_scan(df.select(id_col, vec_col)).mapInPandas(run, schema=out_schema)
 
 
 def band_pairs_64(sig: DataFrame, band_bits: int = 16) -> DataFrame:
@@ -382,15 +387,36 @@ def embedding_near_duplicates(
     back to the vectors — never a corpus × corpus product)."""
     dim = len(df.select(vec_col).first()[0])
     sig = embedding_sign_signatures(df, dim, seed=seed, id_col=id_col, vec_col=vec_col)
-    cands = band_pairs_64(sig, band_bits).where(F.col("hamming") <= max_hamming)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
-        .where(F.col("cos_sim") >= threshold)
+    # materialize candidates once (the verify_jaccard convention): the two
+    # vector joins below broadcast this frame under DIFFERENT build keys
+    # (id_a, then id_b), and broadcast reuse only fires for identical build
+    # modes — without the pin each build re-ran the banded self-join from
+    # the signature scan (r14 measured: two ~1.2 s duplicate jobs)
+    cands = (
+        band_pairs_64(sig, band_bits).where(F.col("hamming") <= max_hamming).localCheckpoint()
     )
+    # fetch both pair members' vectors in ONE corpus scan: explode each
+    # candidate pair to its two ids, join the vector table once, re-group
+    # by pair (exactly 2 rows/group, one per side → max(when) is the
+    # side's single non-null vector). The former two-join spelling ran
+    # the parquet array decode once PER SIDE (~1 s single-task each,
+    # r14 measured) — and at 100 TB it is one corpus scan instead of two;
+    # the added exchange is pair-sized, not corpus-sized.
+    ex = cands.select(
+        "id_a", "id_b", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("_vid")
+    )
+    v = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
+    g = (
+        ex.join(v, "_vid")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("_vid") == F.col("id_a"), F.col("_vec"))).alias("_va"),
+            F.max(F.when(F.col("_vid") == F.col("id_b"), F.col("_vec"))).alias("_vb"),
+        )
+    )
+    return g.select(
+        "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)
 
 
 def ivf_topk(

@@ -495,10 +495,20 @@ def bm25_multi(
     Per-term scores are floored to ppm BEFORE the per-query sum (integer
     addition is associative → aggregation order can't perturb results),
     matching ``bm25_scores`` bit-for-bit when given that query alone."""
+    # ONE spread scan feeds both the doc-length pass and the postings
+    # explode (identical subtree → ReusedExchange; no-op at scale), and
+    # the narrow (id, dl) frame is pinned so the scoring join and the
+    # corpus-stats aggregate don't re-run the regexp count each (r14 —
+    # three corpus scans collapsed to one)
+    from ..functions.dedup import spread_small_scan
+
+    base = spread_small_scan(df.select(id_col, text_col))
     dl_col = F.regexp_count(F.lower(F.col(text_col)), F.lit(WORD_RE))
-    docs = df.select(id_col, dl_col.alias("dl"))
+    docs = base.select(id_col, dl_col.alias("dl"))
+    if materialize:
+        docs = docs.localCheckpoint(eager=False)
     vocab = query_terms.select("term").distinct()
-    toks = df.select(
+    toks = base.select(
         id_col,
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))

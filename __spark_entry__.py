@@ -99,6 +99,15 @@ REPLANNED: dict[str, int] = {
     "ops_bm25": 14,
     "ops_hybrid_retrieval": 14,
     "ops_contrastive_pairs": 14,
+    # r14 pass-4: spread CPU-bound one-split scans; cube sum in bigint cents
+    "ops_cube_agg": 14,
+    "ops_hll_sketch": 14,
+    "ops_cms_heavy_hitters": 14,
+    "ops_langid": 14,
+    "ops_langid_train": 14,
+    "ops_curation_funnel": 14,
+    "ops_curation_funnel_langid": 14,
+    "ops_curation_funnel_gopher": 14,
 }
 
 

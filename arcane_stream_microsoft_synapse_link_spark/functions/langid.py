@@ -115,8 +115,10 @@ def langid_train(
                 {"label": out_label, "bucket": out_bucket, "cnt": out_cnt}
             )
 
-    parts = docs.select(
-        F.col(text_col).alias(text_col), F.col(label_col).alias(label_col)
+    from .dedup import spread_small_scan
+
+    parts = spread_small_scan(
+        docs.select(F.col(text_col).alias(text_col), F.col(label_col).alias(label_col))
     ).mapInPandas(partials, schema=schema)
     return parts.groupBy("label", "bucket").agg(F.sum("cnt").alias("cnt"))
 
@@ -238,7 +240,12 @@ def langid_predict(
                 {id_col: pdf[id_col], "lang_pred": preds, "margin_ppm": margins}
             )
 
-    return docs.select(id_col, text_col).mapInPandas(score, schema=schema)
+    from .dedup import spread_small_scan
+
+    # spread before the per-doc gram hashing (CPU-bound; no-op at scale)
+    return spread_small_scan(docs.select(id_col, text_col)).mapInPandas(
+        score, schema=schema
+    )
 
 
 def langid_fit_predict(

@@ -616,8 +616,14 @@ def cms_heavy_hitters(
         if any_rows:
             yield pd.DataFrame({"row": list(range(depth)), "counts": sketch.tolist()})
 
+    # spread before the CPU-bound tokenize+sketch passes (both this one
+    # and the candidate filter below reuse the spread frame; no-op at
+    # scale — dedup.spread_small_scan)
+    from ..functions.dedup import spread_small_scan
+
+    spread_text = spread_small_scan(df.select(text_col))
     merged_rows = (
-        df.select(text_col)
+        spread_text
         .mapInPandas(partials, schema="row int, counts array<long>")
         .collect()
     )
@@ -660,7 +666,7 @@ def cms_heavy_hitters(
         return run
 
     while True:
-        cands = df.select(text_col).mapInPandas(
+        cands = spread_text.mapInPandas(
             filter_candidates(thresh), schema="token string"
         )
         top = (

@@ -743,8 +743,11 @@ def ops_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-red at the gate.  tests/test_functions.py additionally checks
     sketch merge-equality."""
     t = Tables(spark, sf_dir)
+    # spread the 3-split scan: the per-row sketch update + distinct expand
+    # is CPU-bound (r14 measured 1.8 s in 3 tasks; no-op at scale)
+    base = D.spread_small_scan(t.lineitem.select("l_returnflag", "l_partkey"))
     return (
-        t.lineitem.groupBy("l_returnflag")
+        base.groupBy("l_returnflag")
         .agg(
             F.count_distinct(F.col("l_partkey")).cast("bigint").alias("exact_parts"),
             F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", F.lit(14)))
@@ -1262,13 +1265,32 @@ ORACLE["ops_ngram_novelty"] = """
 def ops_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation — the one grouping variant q13 (ROLLUP) / q14
     (GROUPING SETS) don't cover: all 2^k subtotal combinations. Money sum
-    via exact decimal, emitted as DOUBLE (gate hash contract)."""
+    exact, emitted as DOUBLE (gate hash contract).
+
+    r14: the sum runs in bigint-cents fixed point (the pass-1 TPC-H
+    convention, plans/queries.py:_cents100/_fixed_money) — the former
+    ``sum(cast(qty as decimal(18,2)))`` accumulates into decimal(28,2),
+    a java.math.BigDecimal add on EVERY (row × grouping-set) replica of
+    the CUBE expand; same exact rational value, long arithmetic per row.
+    The scan is spread first: CUBE's 4× expand+agg is CPU-bound and ran
+    on the 3 input splits (2.5 s in 3 tasks; no-op at scale)."""
+    from ..functions.dedup import spread_small_scan
+    from .queries import _cents100, _fixed_money
+
     t = Tables(spark, sf_dir)
+    base = spread_small_scan(
+        t.lineitem.select("l_returnflag", "l_linestatus", "l_quantity")
+    )
     return (
-        t.lineitem.cube("l_returnflag", "l_linestatus")
+        base.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            # exact: pure-long cents sum (quantity ≤ 1e4 cents/row keeps a
+            # bigint accumulator safe past 1e14 rows/group) → one decimal
+            # lift + exact /100 per GROUP → double
+            _fixed_money(F.sum(_cents100("l_quantity")), 2, round2=False).alias(
+                "sum_qty"
+            ),
         )
         .orderBy(
             F.asc_nulls_last("l_returnflag"), F.asc_nulls_last("l_linestatus")

@@ -92,13 +92,25 @@ REPLANNED: dict[str, int] = {
     "ops_incremental_dedup": 14,
     "ops_dedup_pipeline": 14,
     "ops_leakage_safe_split": 14,
-    "ops_lsh_eval": 14,
     "ops_kn_perplexity": 14,
     "ops_ccnet_kn_buckets": 14,
     "ops_kn_lm_train": 14,
     "ops_bm25": 14,
     "ops_hybrid_retrieval": 14,
     "ops_contrastive_pairs": 14,
+    # r14 pass-5: remaining per-row decimal casts/products moved to
+    # bigint-cents fixed point (_cents100/_fixed_money — same rational
+    # values, long arithmetic per row; tpch_q06/q03/q49 were already listed)
+    "q11_window_frame": 14,
+    "q19_math_conditional": 14,
+    "q26_tumbling_window": 14,
+    "q28_session_window": 14,
+    "q40_cond_agg": 14,
+    "tpch_q11": 14,
+    "tpch_q17": 14,
+    "tpch_q18": 14,
+    "tpch_q20": 14,
+    "ops_sessionize": 14,
     # r14 pass-4: spread CPU-bound one-split scans; cube sum in bigint cents
     "ops_cube_agg": 14,
     "ops_hll_sketch": 14,

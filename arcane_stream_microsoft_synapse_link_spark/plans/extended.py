@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import Tables
 from ..functions import text as X
 from .oracle import ORACLE
-from .queries import DEC, QUERIES, query
+from .queries import DEC, QUERIES, _cents100, _fixed_money, query
 
 
 @query("q26_tumbling_window")
@@ -27,9 +27,15 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return (
         t.events.groupBy(F.window("ts", "1 hour"))
-        # decimal sum (associative, order-independent) emitted as double —
-        # DECIMAL output types never hash-match across engines
-        .agg(F.count("*").alias("cnt"), F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_val"))
+        # exact sum in bigint-cents fixed point (same rational value as the
+        # decimal cast, long arithmetic per row — plans/queries.py:_fixed_money),
+        # emitted as double: DECIMAL output types never hash-match across engines
+        .agg(
+            F.count("*").alias("cnt"),
+            _fixed_money(
+                F.sum(_cents100("value").cast("decimal(20,0)")), 2, round2=False
+            ).alias("sum_val"),
+        )
         .select(F.col("window.start").alias("ws"), "cnt", "sum_val")
         .orderBy("ws")
     )
@@ -70,7 +76,12 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return (
         t.events.groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(F.count("*").alias("cnt"), F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_val"))
+        .agg(
+            F.count("*").alias("cnt"),
+            _fixed_money(
+                F.sum(_cents100("value").cast("decimal(20,0)")), 2, round2=False
+            ).alias("sum_val"),
+        )
         .select("user_id", F.col("session_window.start").alias("session_start"), "cnt", "sum_val")
         .orderBy("user_id", "session_start")
     )
@@ -535,9 +546,16 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.groupBy("l_returnflag")
         .agg(
             F.count_if(F.col("l_quantity") > 25).cast("bigint").alias("n_bulk"),
-            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity").cast(DEC)))
-            .cast("double")
-            .alias("qty_hidisc"),
+            _fixed_money(
+                F.sum(
+                    F.when(
+                        F.col("l_discount") > 0.05,
+                        _cents100("l_quantity").cast("decimal(20,0)"),
+                    )
+                ),
+                2,
+                round2=False,
+            ).alias("qty_hidisc"),
             F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
             F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_disc"),
         )
@@ -843,9 +861,9 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         deciled.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
-            ).cast("double").alias("sum_price"),
+            _fixed_money(
+                F.sum(_cents100("o_totalprice").cast("decimal(20,0)")), 2
+            ).alias("sum_price"),
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
         )

@@ -183,19 +183,22 @@ def ops_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState streaming) are covered by tests/test_stateful.py."""
     from ..streaming.stateful import sessionize_sql
 
+    from .queries import _cents100, _fixed_money
+
     t = Tables(spark, sf_dir)
-    # value is an exact 2-decimal double: cast to decimal BEFORE the
-    # session SUM so accumulation is associative (exact decimal addition)
-    # instead of order-dependent double addition — the session agg's
-    # per-partition order is not deterministic across engines
-    events = t.events.withColumn("value", F.col("value").cast("decimal(18,2)"))
+    # value is an exact 2-decimal double: sum in bigint-cents fixed point
+    # so accumulation is associative (exact integer addition) instead of
+    # order-dependent double addition — the session agg's per-partition
+    # order is not deterministic across engines (the former decimal(18,2)
+    # cast paid a BigDecimal.setScale per row for the same rational value)
+    events = t.events.withColumn("value", _cents100("value"))
     s = sessionize_sql(events, gap_s=14400)
     return s.select(
         "user_id",
         "session_start",
         "session_end",
         "n_events",
-        F.col("total_value").cast("double").alias("total_value"),
+        _fixed_money(F.col("total_value"), 2, round2=False).alias("total_value"),
     ).orderBy("user_id", "session_start")
 
 

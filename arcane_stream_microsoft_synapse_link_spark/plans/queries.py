@@ -129,7 +129,9 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity", DEC)).cast("double").alias("sum_qty"),
+            _fixed_money(
+                F.sum(_cents100("l_quantity").cast("decimal(20,0)")), 2, round2=False
+            ).alias("sum_qty"),
             _revenue_dec().alias("revenue"),
             F.count("*").alias("cnt"),
         )
@@ -237,7 +239,12 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
     return (
-        t.events.withColumn("mov_sum", F.sum(_dec("value", DEC)).over(w).cast("double"))
+        # bigint-cents fixed point (§_fixed_money): the sliding-frame sum
+        # adds/retracts a LONG per row instead of a per-row double→decimal
+        # cast (BigDecimal.setScale allocation); /100 is exact decimal
+        t.events.withColumn(
+            "mov_sum", _fixed_money(F.sum(_cents100("value")).over(w), 2, round2=False)
+        )
         .select("event_id", "user_id", "mov_sum")
         .orderBy("user_id", "event_id")
         .limit(500)
@@ -356,21 +363,22 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q19_math_conditional")
 def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    # exact decimal product (2dp inputs → 6dp product, no precision loss),
-    # then HALF_UP round — Spark's ROUND on *doubles* rounds the shortest
-    # string repr while DuckDB rounds the binary value, so doubles must
-    # never reach the ROUND
-    one = F.lit(1).cast("decimal(12,2)")
-    charge = (
-        _dec("l_extendedprice", "decimal(12,2)")
-        * (one - _dec("l_discount", "decimal(12,2)"))
-        * (one + _dec("l_tax", "decimal(12,2)"))
+    # exact product in bigint-cents fixed point (2dp inputs → the 3-factor
+    # product is units of 1e-6 dollars, pure long per row; the decimal(12,2)
+    # spelling typed decimal(38,6) — BigDecimal on every row), then the
+    # exact /1e6 + HALF_UP round in decimal — Spark's ROUND on *doubles*
+    # rounds the shortest string repr while DuckDB rounds the binary value,
+    # so doubles must never reach the ROUND
+    charge_e6 = (
+        _cents100("l_extendedprice")
+        * (100 - _cents100("l_discount"))
+        * (100 + _cents100("l_tax"))
     )
     return (
         t.lineitem.select(
             "l_orderkey",
             "l_linenumber",
-            F.round(charge, 2).cast("double").alias("charge"),
+            _fixed_money(charge_e6, 6).alias("charge"),
             F.when(F.col("l_discount") > 0.05, "HI")
             .when(F.col("l_discount") > 0.02, "MID")
             .otherwise("LO")

@@ -316,9 +316,17 @@ def tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
-            .cast("double")
-            .alias("revenue")
+            # price·discount in bigint-cents fixed point: cents×cents is
+            # units of 1e-4 dollars (long per row; the decimal(18,4)
+            # product form typed decimal(37,8) — BigDecimal per row)
+            _fixed_money(
+                F.sum(
+                    (_cents100("l_extendedprice") * _cents100("l_discount")).cast(
+                        "decimal(20,0)"
+                    )
+                ),
+                4,
+            ).alias("revenue")
         )
     )
 
@@ -563,14 +571,17 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_part = li_n.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
-        F.sum(_dec("l_extendedprice")).alias("_v")
+        F.sum(_cents100("l_extendedprice").cast("decimal(20,0)")).alias("_v")
     )
     total = per_part.agg(F.sum("_v").alias("_t"))
     return (
         per_part.join(F.broadcast(total))
-        .where(F.col("_v").cast("double") > F.col("_t").cast("double") * 0.001)
+        .where(
+            _fixed_money(F.col("_v"), 2, round2=False)
+            > _fixed_money(F.col("_t"), 2, round2=False) * 0.001
+        )
         .select(
-            "ps_partkey", F.round(F.col("_v"), 2).cast("double").alias("value")
+            "ps_partkey", _fixed_money(F.col("_v"), 2).alias("value")
         )
         .orderBy(F.desc("value"), "ps_partkey")
     )
@@ -796,7 +807,15 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey")
     lim = t.lineitem.groupBy(F.col("l_partkey").alias("_pk")).agg(
         (
-            0.2 * (F.sum(_dec("l_quantity", DEC)).cast("double") / F.count("*"))
+            0.2
+            * (
+                _fixed_money(
+                    F.sum(_cents100("l_quantity").cast("decimal(20,0)")),
+                    2,
+                    round2=False,
+                )
+                / F.count("*")
+            )
         ).alias("_qty_lim")
     )
     return (
@@ -804,7 +823,14 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lim, F.col("l_partkey") == F.col("_pk"))
         .where(F.col("l_quantity") < F.col("_qty_lim"))
         .agg(
-            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
+            (
+                _fixed_money(
+                    F.sum(_cents100("l_extendedprice").cast("decimal(20,0)")),
+                    2,
+                    round2=False,
+                )
+                / 7.0
+            ).alias("avg_yearly")
         )
     )
 
@@ -829,15 +855,15 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     big = (
         t.lineitem.groupBy(F.col("l_orderkey").alias("_ok"))
-        .agg(F.sum(_dec("l_quantity", DEC)).alias("_q"))
-        .where(F.col("_q").cast("double") > 300)
+        .agg(F.sum(_cents100("l_quantity").cast("decimal(20,0)")).alias("_q"))
+        .where(_fixed_money(F.col("_q"), 2, round2=False) > 300)
     )
     return (
         t.orders.join(big, F.col("o_orderkey") == F.col("_ok"))
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
-            F.col("_q").cast("double").alias("sum_qty"),
+            _fixed_money(F.col("_q"), 2, round2=False).alias("sum_qty"),
         )
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
@@ -912,7 +938,13 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_partkey").alias(f"_pk{y}"),
                 F.col("l_suppkey").alias(f"_sk{y}"),
             )
-            .agg(F.sum(_dec("l_quantity", DEC)).cast("double").alias(alias))
+            .agg(
+                _fixed_money(
+                    F.sum(_cents100("l_quantity").cast("decimal(20,0)")),
+                    2,
+                    round2=False,
+                ).alias(alias)
+            )
         )
 
     red = t.part.where(F.col("p_name").like("red%")).select("p_partkey")

@@ -160,7 +160,9 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantiles import exact_percentiles
 
     t = Tables(spark, sf_dir)
-    qc = (F.round(F.col("l_extendedprice") * 100) * 4).alias("qc")
+    # RINT not ROUND: same exact quarter-cents (see _cents100), no
+    # per-row BigDecimal in the corpus-wide scan feeding the selection
+    qc = (F.expr("RINT(l_extendedprice * 100)") * 4).alias("qc")
     rows = {
         r["p"]: r["value"]
         for r in exact_percentiles(

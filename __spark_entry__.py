@@ -46,6 +46,13 @@ def _current_round() -> int:
 #: vouch for the new one (VERDICT r13 item 2), so each of these ranks
 #: "never verified" — front of the 50-slot window — until it earns a
 #: fresh green row in a driver round >= the re-plan round.
+#:
+#: INVARIANT (ADVICE r14): the gate is round-granular, so a green row
+#: recorded EARLIER IN THE SAME ROUND as a later re-plan would wrongly
+#: count for the new plan.  Whoever lands a same-round re-plan must
+#: regenerate the round's correctness artifact AFTER the last plan
+#: commit (r14 did: CORRECTNESS_r14.json postdates pass 5), or bump the
+#: entry to the NEXT round number here.
 REPLANNED: dict[str, int] = {
     # r13: de-windowed via ntile_exact (old green rows predate the plan)
     # + r14: ntile_exact bucket arithmetic moved to integer DIV
@@ -111,6 +118,15 @@ REPLANNED: dict[str, int] = {
     "tpch_q18": 14,
     "tpch_q20": 14,
     "ops_sessionize": 14,
+    # r15 pass-1: fused signature+banding mapInPandas (minhash_banded_np),
+    # lazy exploded-pair pin + spread shingle scan in verify_jaccard*/
+    # duplicate_clusters, lsh_eval merged one-job stats
+    "ops_minhash_near_dup": 15,
+    "ops_dedup_pipeline": 15,
+    "ops_leakage_safe_split": 15,
+    "ops_incremental_dedup": 15,
+    "ops_lsh_eval": 15,
+    "ops_cc_incremental": 15,
     # r14 pass-4: spread CPU-bound one-split scans; cube sum in bigint cents
     "ops_cube_agg": 14,
     "ops_hll_sketch": 14,

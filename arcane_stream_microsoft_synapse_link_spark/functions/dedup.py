@@ -182,6 +182,99 @@ def minhash_signatures_np(
     return spread_small_scan(df.select(id_col, text_col)).mapInPandas(run, schema=out_schema)
 
 
+def minhash_banded_np(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, bh) — MinHash signature + banding FUSED in one Arrow
+    mapInPandas pass (r15, VERDICT r14 item 3).
+
+    The r14 shape computed the 128-long signature in Python, shipped the
+    whole array to the JVM, and exploded 32 (band, xxhash64(slice))
+    structs per row there.  Bucket membership only depends on the TUPLE
+    of slice values (the sequential oracle mirrors bucket by exactly that
+    tuple — plans/values_oracle.py:_minhash_sig_and_shingles consumers),
+    so the band hash is free to be computed where the signature already
+    lives: a vectorized FNV-1a fold over the (docs × bands × r) grid.
+    Saves the signature-array Python→JVM transfer, the 32-struct
+    build/explode stage, and the per-band xxhash64 — identical candidate
+    sets (64-bit bucket keys, collisions ~2⁻⁶⁴ exactly as before).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    r = num_hashes // bands
+    rng = np.random.RandomState(seed)
+    A = rng.randint(1, 2**63 - 1, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    B = rng.randint(0, 2**63 - 1, size=num_hashes, dtype=np.uint64)
+    word_re = re.compile(WORD_RE)
+    empty_sig = np.full(num_hashes, 2**63 - 1, dtype=np.uint64)
+    FNV_OFF = np.uint64(0xCBF29CE484222325)
+    FNV_PRIME = np.uint64(0x100000001B3)
+    band_ids = np.arange(bands, dtype=np.int32)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bh", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            all_grams: list[str] = []
+            offsets = [0]
+            for t in pdf[text_col]:
+                words_l = word_re.findall((t or "").lower())
+                if len(words_l) <= shingle_k:
+                    all_grams.append(" ".join(words_l))
+                else:
+                    all_grams.extend(
+                        {
+                            " ".join(words_l[i : i + shingle_k])
+                            for i in range(len(words_l) - shingle_k + 1)
+                        }
+                    )
+                offsets.append(len(all_grams))
+            H = (
+                pd.util.hash_array(np.asarray(all_grams, dtype=object))
+                if all_grams
+                else np.array([], dtype=np.uint64)
+            )
+            n = len(pdf)
+            sigs = np.empty((n, num_hashes), dtype=np.uint64)
+            for i in range(n):
+                h = H[offsets[i] : offsets[i + 1]]
+                sigs[i] = (
+                    (h[:, None] * A[None, :] + B[None, :]).min(axis=0)
+                    if len(h)
+                    else empty_sig
+                )
+            # FNV-1a over each band's r signature values, whole chunk at once
+            grid = sigs.reshape(n, bands, r)
+            bh = np.full((n, bands), FNV_OFF, dtype=np.uint64)
+            for j in range(r):
+                bh = (bh ^ grid[:, :, j]) * FNV_PRIME
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(pdf[id_col].to_numpy(), bands),
+                    "band": np.tile(band_ids, n),
+                    "bh": bh.reshape(-1).view(np.int64),
+                }
+            )
+
+    return spread_small_scan(df.select(id_col, text_col)).mapInPandas(run, schema=out_schema)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -194,34 +287,17 @@ def lsh_candidate_pairs(
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     rows-per-band r = num_hashes/bands; two docs collide if any band of
-    their signatures matches exactly. Plan: signature scan → explode bands
-    (fan-out ×bands) → shuffle on (band, band_hash) → within-bucket pairing.
+    their signatures matches exactly. Plan (r15): fused signature+banding
+    scan → shuffle on (band, band_hash) → within-bucket pairing.
     Returns distinct (id_a, id_b) with id_a < id_b.
 
     ``max_bucket`` caps degenerate buckets (e.g. thousands of empty docs
     sharing a signature) — pairs beyond the cap are dropped and such
     buckets are better handled by exact dedup first.
     """
-    r = num_hashes // bands
-    sig = minhash_signatures_np(df, text_col, id_col, num_hashes, shingle_k)
-    # Bands are unrolled in Python, not a transform-over-sequence lambda:
-    # the 32 references to _sig keep CollapseProject from inlining the
-    # signature computation (multi-referenced non-cheap expr), so the
-    # MinHash aggregate runs once per row, not once per band.
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.slice("_sig", b * r + 1, r)).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bh")
+    # signature + banding fused in the mapInPandas (r15) — the former
+    # JVM-side 32-struct explode and its signature-array transfer are gone
+    banded = minhash_banded_np(df, text_col, id_col, num_hashes, bands, shingle_k)
 
     # Cap BEFORE collecting: row_number over the bucket (spillable external
     # sort on the same shuffle key) keeps only the first max_bucket ids, so
@@ -278,18 +354,30 @@ def verify_jaccard(
     since ids are unique in ``df`` → max(when) is the side's single
     non-null set). The former two-join spelling evaluated the shingle
     subtree once PER SIDE (different aliases → no subtree reuse) — at
-    any scale, two shingling passes where one suffices."""
-    pairs = pairs.localCheckpoint()
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sh = df.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("_sh")
-    )
+    any scale, two shingling passes where one suffices.
+
+    r15 job-structure pass: the EXPLODED pair frame (not the raw pairs)
+    is the multi-referenced one — candidate ids are just its distinct
+    _id — so the pin moves there, LAZILY (eager=False): the checkpoint
+    materializes inside the first consuming job instead of costing its
+    own driver action, and the raw pairs frame is consumed exactly once.
+    The shingle scan is spread before the per-row fold (no-op at scale,
+    see spread_small_scan) — it arrived as ONE split and serialized the
+    candidate shingling onto one core (r15 job trace: 0.33 s single-task
+    job inside ops_minhash_near_dup)."""
     ex = pairs.select(
         "id_a", "id_b", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("_id")
+    ).localCheckpoint(eager=False)
+    # no distinct on the semi-join's right side: LEFT SEMI ignores
+    # duplicate build keys, and dropping the distinct drops one exchange
+    # (and its AQE stage job); the build side is 2 rows/pair vs the
+    # distinct's one-per-doc — a bounded 2x, not the 32x a pre-distinct
+    # band explode would be (r15)
+    cand_ids = ex.select(F.col("_id").alias(id_col))
+    sh = spread_small_scan(df.select(id_col, text_col)).join(
+        cand_ids, id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("_sh")
     )
     g = (
         ex.join(sh, "_id")
@@ -328,18 +416,20 @@ def verify_jaccard_counts(
     float division anywhere, so the result hash-matches any engine
     (the driver-verifiable form; plans/values_oracle.py renders its
     sequential twin as a literal-VALUES oracle)."""
-    pairs = pairs.localCheckpoint()
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sh = df.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("_sh")
-    )
-    # one shingling pass for both sides (see verify_jaccard r14 note)
+    # one shingling pass for both sides (see verify_jaccard r14/r15 notes)
     ex = pairs.select(
         "id_a", "id_b", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("_id")
+    ).localCheckpoint(eager=False)
+    # no distinct on the semi-join's right side: LEFT SEMI ignores
+    # duplicate build keys, and dropping the distinct drops one exchange
+    # (and its AQE stage job); the build side is 2 rows/pair vs the
+    # distinct's one-per-doc — a bounded 2x, not the 32x a pre-distinct
+    # band explode would be (r15)
+    cand_ids = ex.select(F.col("_id").alias(id_col))
+    sh = spread_small_scan(df.select(id_col, text_col)).join(
+        cand_ids, id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("_sh")
     )
     g = (
         ex.join(sh, "_id")
@@ -413,8 +503,10 @@ def duplicate_clusters(
     pin."""
     # the verified-pair graph is small (LSH + Jaccard survivors) but its
     # lineage is the whole LSH pipeline; the size probe and the edge read
-    # below are separate actions — materialize once, not twice
-    pairs = pairs.localCheckpoint()
+    # below are separate actions — materialize once, not twice.  LAZY
+    # (r15): the size-probe count is the first job anyway, so it doubles
+    # as the materialization; an eager pin cost one extra driver action.
+    pairs = pairs.localCheckpoint(eager=False)
     n_edges = pairs.limit(driver_threshold + 1).count()
     if n_edges <= driver_threshold:
         edges_local = [(r[0], r[1]) for r in pairs.select(id_a, id_b).collect()]
@@ -972,22 +1064,8 @@ def minhash_band_index(
     re-signs the historical corpus — the core economics of dedup at a
     growing 100 TB corpus.  Size: ``bands`` rows × 20 bytes per doc.
     """
-    r = num_hashes // bands
-    sig = minhash_signatures_np(df, text_col, id_col, num_hashes, shingle_k, seed)
-    return sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.slice("_sig", b * r + 1, r)).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(F.col("_id").alias("idx_id"), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = minhash_banded_np(df, text_col, id_col, num_hashes, bands, shingle_k, seed)
+    return banded.select(F.col("_id").alias("idx_id"), "band", "bh")
 
 
 def incremental_near_duplicates(
@@ -1348,7 +1426,9 @@ def exact_substring_dedup(
     )
 
 
-def eval_sample_guard(df: DataFrame, max_docs: int = 2_000) -> DataFrame:
+def eval_sample_guard(
+    df: DataFrame, max_docs: int = 2_000, stats: dict | None = None
+) -> DataFrame:
     """EVALUATION-ONLY input guard for the all-pairs ground-truth arms
     (ops_lsh_eval and siblings): exact recall/precision measurement
     needs an exact all-pairs truth set, which is quadratic BY DESIGN —
@@ -1358,8 +1438,12 @@ def eval_sample_guard(df: DataFrame, max_docs: int = 2_000) -> DataFrame:
     be 5·10¹¹ pairs).  Returns the input unchanged when within bounds
     so it chains inline; the count is one job on a sample-sized frame.
     Point the EVALUATION at a sample; point the PRODUCTION dedup at the
-    banded LSH operators, which never form all pairs."""
+    banded LSH operators, which never form all pairs.  ``stats`` (r15)
+    receives ``stats["n"] = n`` so callers that need the sample size
+    anyway don't pay a second count job."""
     n = df.count()
+    if stats is not None:
+        stats["n"] = n
     if n > max_docs:
         raise ValueError(
             f"all-pairs evaluation sample has {n} docs (> {max_docs}): "

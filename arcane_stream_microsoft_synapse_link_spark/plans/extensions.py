@@ -3719,7 +3719,8 @@ def ops_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" xvariant")).alias("text"),
     )
-    sample = D.eval_sample_guard(base.unionByName(variants))
+    guard_stats: dict = {}
+    sample = D.eval_sample_guard(base.unionByName(variants), stats=guard_stats)
     ids = sample.select("doc_id")
     all_pairs = (
         ids.select(F.col("doc_id").alias("id_a"))
@@ -3729,31 +3730,40 @@ def ops_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = D.verify_jaccard_counts(
         sample, all_pairs, threshold_num=0, threshold_den=1
     )
-    # truth feeds BOTH the n_true scalar agg and the tp semi-join below;
-    # without the pin each reference re-runs the full exact-Jaccard arm
-    # (sample² shingle joins) — materialize the sample²-bounded pair list
-    # once instead (measured: two verify passes → one)
-    truth = (
-        counts.where(2 * F.col("n_inter") >= F.col("n_union"))
-        .select("id_a", "id_b")
-        .localCheckpoint()
+    truth = counts.where(2 * F.col("n_inter") >= F.col("n_union")).select(
+        "id_a", "id_b"
     )
-    cands = D.lsh_candidate_pairs(sample).localCheckpoint()
-    # r14: the four scalars are counts of frames this function already
-    # materialized (eager checkpoints above) or sample²-bounded — collect
-    # them driver-side and emit ONE literal row, instead of four
-    # single-partition agg stages chained by three broadcast cross joins
-    # (scalar collection over a checkpointed, guard-bounded sample is the
-    # percentile-operator discipline; integer // on non-negative counts is
-    # exactly Spark's DIV).  n_pairs = C(n, 2) exactly: ids are distinct
-    # by construction (doc_id unique; variants offset +10000), so the
-    # a < b cross-join count is the binomial — one tiny count job instead
-    # of re-running the cross join.
-    n_ids = ids.count()
+    cands = D.lsh_candidate_pairs(sample)
+    # r14 collected the scalars driver-side (one literal output row instead
+    # of four single-partition agg stages chained by broadcast cross
+    # joins).  r15 job-structure pass: truth and cands each had an eager
+    # checkpoint plus their own count job plus a shared semi-join count —
+    # five driver actions.  Both pair sets are distinct by construction,
+    # so ONE outer-merge aggregation computes all three scalars (n_true,
+    # n_cand, tp) in a single job, and with a single consumer each the
+    # checkpoints go away entirely.  n_pairs = C(n, 2) exactly (ids
+    # distinct by construction: doc_id unique, variants offset +10000),
+    # with n reused from the guard's own count (eval_sample_guard stats).
+    n_ids = guard_stats["n"]
     n_pairs = n_ids * (n_ids - 1) // 2
-    n_true = truth.count()
-    n_cand = cands.count()
-    tp = cands.join(truth, ["id_a", "id_b"], "left_semi").count()
+    merged = (
+        cands.select("id_a", "id_b", F.lit(1).alias("_src"))
+        .unionByName(truth.select("id_a", "id_b", F.lit(2).alias("_src")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.col("_src") == 1).alias("in_c"),
+            F.max(F.col("_src") == 2).alias("in_t"),
+        )
+        .agg(
+            F.sum(F.col("in_c").cast("long")).alias("n_cand"),
+            F.sum(F.col("in_t").cast("long")).alias("n_true"),
+            F.sum((F.col("in_c") & F.col("in_t")).cast("long")).alias("tp"),
+        )
+        .first()
+    )
+    n_true = merged["n_true"] or 0
+    n_cand = merged["n_cand"] or 0
+    tp = merged["tp"] or 0
     return spark.range(1).select(
         F.lit(n_pairs).cast("bigint").alias("n_pairs"),
         F.lit(n_true).cast("bigint").alias("n_true"),

@@ -19,6 +19,14 @@ from pyspark.sql import SparkSession
 RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # parallelismFirst deliberately stays at its default (true).  Spark's
+    # docs recommend false-plus-advisory-size for production clusters, and
+    # r15 A/B-tested exactly that (advisory 64m): 20-entry 7-run medians
+    # REGRESSED across the board (embedding_near_dup 2.03→3.72 s, lsh_eval
+    # 2.51→3.10, span_dedup 1.32→1.77 at zero steal) — at bench scale every
+    # exchange is ~MB, so honoring the advisory size collapses post-shuffle
+    # stages to ONE task and serializes work that is genuinely parallel
+    # (banded self-joins, explode+agg chains).  See OPTIMIZATION_r15.md §2.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     # dimension tables (region/nation/supplier/part at test SF) broadcast;
@@ -52,7 +60,9 @@ def get_spark(app_name: str = "arcane-spark", shuffle_partitions: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.ui.enabled", "false")
+        # UI off by default; SPARK_GRAFT_UI=true flips it on for profiling
+        # tools that read per-stage task metrics over the local REST API
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         # fair scheduling: concurrent jobs (multi-entity streams, parallel
         # backfills) share executors instead of queueing FIFO
         .config("spark.scheduler.mode", "FAIR")

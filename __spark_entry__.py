@@ -127,6 +127,9 @@ REPLANNED: dict[str, int] = {
     "ops_incremental_dedup": 15,
     "ops_lsh_eval": 15,
     "ops_cc_incremental": 15,
+    # r15 pass-2: wordpiece encode pre-aggregates per (doc, word) before
+    # the doc rollup (bit-identical md5 input via array_repeat)
+    "ops_wordpiece_encode": 15,
     # r14 pass-4: spread CPU-bound one-split scans; cube sum in bigint cents
     "ops_cube_agg": 14,
     "ops_hll_sketch": 14,

@@ -1017,7 +1017,7 @@ def substring_span_stats(
         # consumed twice below (kind aggregate + join back); the lazy form
         # (materialize=False) exists so plan tests can inspect the full
         # winnowing expression tree, which the checkpoint otherwise hides
-        fps = fps.localCheckpoint()
+        fps = fps.localCheckpoint(eager=False)
     dup_kinds = (
         fps.groupBy("fp")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))

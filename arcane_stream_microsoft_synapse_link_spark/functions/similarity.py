@@ -393,7 +393,9 @@ def embedding_near_duplicates(
     # modes — without the pin each build re-ran the banded self-join from
     # the signature scan (r14 measured: two ~1.2 s duplicate jobs)
     cands = (
-        band_pairs_64(sig, band_bits).where(F.col("hamming") <= max_hamming).localCheckpoint()
+        band_pairs_64(sig, band_bits)
+        .where(F.col("hamming") <= max_hamming)
+        .localCheckpoint(eager=False)
     )
     # fetch both pair members' vectors in ONE corpus scan: explode each
     # candidate pair to its two ids, join the vector table once, re-group

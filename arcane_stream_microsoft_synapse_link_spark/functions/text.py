@@ -522,7 +522,7 @@ def bm25_multi(
         # and only when AQE canonicalization happens to line up).  The
         # postings table is docs × matched-terms — bounded, safe to pin.
         # materialize=False exists for plan-shape tests.
-        tf = tf.localCheckpoint()
+        tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = docs.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
     scored = (
@@ -1421,15 +1421,22 @@ def wordpiece_train(
     # Guard BEFORE collect(): on a 100-TB crawl the distinct [a-z]+ table
     # (typos, DNA strings, base64 runs) can far exceed the cap, and the cap
     # exists to protect the driver — so the cheap count() agg must run first,
-    # not after the oversized vocabulary is already materialized.
-    vocab_size = words.count()
-    if vocab_size > driver_vocab_limit:
-        raise ValueError(
-            f"wordpiece_train: vocabulary {vocab_size} exceeds "
-            f"driver_vocab_limit={driver_vocab_limit}; exact-fraction argmax "
-            "is driver-side by design (see docstring)"
-        )
-    rows = words.collect()
+    # not after the oversized vocabulary is already materialized.  Cached
+    # so the guard count and the collect share ONE corpus pass (r15 — the
+    # bpe_train/_bpe_merge_loop convention; the former spelling ran the
+    # explode+groupBy twice).
+    words = words.persist()
+    try:
+        vocab_size = words.count()  # materializes the cache
+        if vocab_size > driver_vocab_limit:
+            raise ValueError(
+                f"wordpiece_train: vocabulary {vocab_size} exceeds "
+                f"driver_vocab_limit={driver_vocab_limit}; exact-fraction argmax "
+                "is driver-side by design (see docstring)"
+            )
+        rows = words.collect()
+    finally:
+        words.unpersist()
     vocab: dict[tuple[str, ...], int] = {}
     for r in rows:
         key = _wordpiece_symbolize(r["w"])
@@ -1571,19 +1578,29 @@ def wordpiece_encode(
             )
 
     encoded = distinct_words.mapInPandas(seg, schema=out_schema)
+    # r15: pre-aggregate per (doc, word) BEFORE the doc rollup (guide §2.3
+    # "aggregate before you shuffle").  The former single groupBy buffered
+    # EVERY word occurrence in a per-doc collect_list and sorted it; the
+    # (doc, word) counts collapse repeats map-side, and the md5 input
+    # string is reconstructed bit-identically: the occurrence list sorted
+    # by (w, w_md5) is exactly the distinct words sorted by w with each
+    # w_md5 repeated cnt times.
+    wcnt = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        toks.join(encoded, "w")
+        wcnt.join(encoded, "w")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("w_pieces").alias("n_pieces"),
-            F.sum("w_unk").alias("n_unk"),
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("w_pieces") * F.col("cnt")).alias("n_pieces"),
+            F.sum(F.col("w_unk") * F.col("cnt")).alias("n_unk"),
             F.md5(
                 F.concat_ws(
                     " ",
                     F.transform(
-                        F.sort_array(F.collect_list(F.struct("w", "w_md5"))),
-                        lambda st: st["w_md5"],
+                        F.sort_array(F.collect_list(F.struct("w", "w_md5", "cnt"))),
+                        lambda st: F.concat_ws(
+                            " ", F.array_repeat(st["w_md5"], st["cnt"].cast("int"))
+                        ),
                     ),
                 )
             ).alias("pieces_md5"),

@@ -59,7 +59,10 @@ def running_total(
         df.repartitionByRange(p, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        # eager=False: the totals collect below is the first consumer and
+        # materializes every partition — same pin, one less driver job
+        # (see operators/quantiles.py)
+        .localCheckpoint(eager=False)
     )
     totals = {
         r["__pid"]: r["t"]

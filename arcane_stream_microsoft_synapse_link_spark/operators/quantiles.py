@@ -76,11 +76,16 @@ def exact_percentiles(
     # wrong). On a cluster with dynamic allocation use checkpoint() to
     # reliable storage instead.
     mid = F.monotonically_increasing_id()  # partition_id << 33 | local row counter
+    # eager=False (r15): the pin's guarantee — both actions read the SAME
+    # materialized (row, mid) blocks — only needs the blocks cached by the
+    # FIRST consuming action (the counts collect below, which touches every
+    # partition); an eager pin paid one extra full range-shuffle job for
+    # the same guarantee.
     ranged = (
         vals.repartitionByRange(k, "v")
         .sortWithinPartitions("v")
         .select("v", mid.alias("mid"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     pid = F.shiftright("mid", 33).cast("int")
     local = F.col("mid").bitwiseAND(F.lit((1 << 33) - 1))
@@ -184,7 +189,9 @@ def ntile_exact(
         df.repartitionByRange(p, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("__mid", mid)
-        .localCheckpoint()
+        # eager=False: see exact_percentiles — the counts collect is the
+        # first consumer and materializes every partition's blocks
+        .localCheckpoint(eager=False)
     )
     pid = F.shiftright("__mid", 33).cast("int")
     local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))

@@ -833,7 +833,7 @@ def ops_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-dedup output feeds three branches (signatures, Jaccard verify,
     # final anti-join) — materialize once instead of recomputing the
     # hash-groupBy per branch
-    exact = D.drop_exact_duplicates(t.documents).localCheckpoint()
+    exact = D.drop_exact_duplicates(t.documents).localCheckpoint(eager=False)
     pairs = D.minhash_near_duplicates(exact, threshold=0.5)
     kept = D.drop_near_duplicates(exact, pairs)
     return kept.select("doc_id").orderBy("doc_id")
@@ -3273,8 +3273,9 @@ def ops_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "term")
         # consumed twice inside bm25_multi (vocab + per-query fanout):
         # materialize the 32-row frame instead of re-running the seed
-        # explode per consumer
-        .localCheckpoint()
+        # explode per consumer (eager=False r15: the first consuming job
+        # materializes it — no dedicated driver action)
+        .localCheckpoint(eager=False)
     )
     lex = X.bm25_multi(t.documents, qterms)
     wl = W.partitionBy("query_id").orderBy(F.desc("bm25_ppm"), F.asc("doc_id"))
@@ -3592,7 +3593,7 @@ def ops_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rn", F.row_number().over(wq))
         .where(F.col("_rn") <= 8)
         .select("query_id", "term")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     qv = t.embeddings.where(F.col("vec_id") < 4).select(
@@ -3607,7 +3608,7 @@ def ops_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wd))
         .where(F.col("rank") <= 10)
         .select("query_id", "doc_id", "rank")
-        .localCheckpoint()  # consumed twice: positive pick + negative anti-join
+        .localCheckpoint(eager=False)  # consumed twice: positive pick + negative anti-join
     )
     positives = dense.where(F.col("rank") == 1).select(
         "query_id", F.lit("positive").alias("role"), F.lit(1).alias("rank"), "doc_id"

@@ -130,6 +130,23 @@ REPLANNED: dict[str, int] = {
     # r15 pass-2: wordpiece encode pre-aggregates per (doc, word) before
     # the doc rollup (bit-identical md5 input via array_repeat)
     "ops_wordpiece_encode": 15,
+    # r15 pass-3: one-corpus-pass pins — the scored/hashed per-doc
+    # projection is lazily checkpointed so every consumer reads the same
+    # narrow frame instead of re-scanning text (4->1 scans for
+    # token_budget_select; 2->1 for the others)
+    "ops_token_budget_select": 15,
+    "ops_mixture_apply": 15,
+    "ops_soft_dedup": 15,
+    "ops_corpus_card": 15,
+    # r15 pass-3: ivf_train carries the centroid matrix driver-side
+    # across Lloyd rounds (bit-exact; the per-iteration local-frame
+    # round-trip was pure py4j overhead) — registered out of caution,
+    # all five strict-verified at sf0.001/0.01/0.1
+    "ops_knn_ivf": 15,
+    "ops_knn_ivfpq": 15,
+    "ops_knn_index_probe": 15,
+    "ops_embedding_cluster": 15,
+    "ops_semantic_dedup": 15,
     # r14 pass-4: spread CPU-bound one-split scans; cube sum in bigint cents
     "ops_cube_agg": 14,
     "ops_hll_sketch": 14,

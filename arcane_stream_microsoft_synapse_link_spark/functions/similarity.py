@@ -210,11 +210,20 @@ def ivf_train(
     cosine cells)."""
     spark = corpus.sparkSession
     cents = ivf_centroids_pp(corpus, n_centroids, sample_size, seed, id_col, vec_col)
+    if iters <= 0:
+        return cents
+    # r15: the centroid table is driver-sized by contract, so the Lloyd
+    # loop carries it as a numpy matrix instead of round-tripping a local
+    # DataFrame through a dedicated collect job every iteration (one job
+    # + py4j transfer per round saved, at any corpus size).  Bit-exact
+    # with the former spelling: the Spark array<double> round-trip was a
+    # lossless float64 copy, and the stored->renormalized double
+    # _unit_rows sequence is preserved below (normalizing an
+    # already-normalized row is NOT an identity in floats).
+    rows = sorted(cents.collect(), key=lambda r: r["centroid_id"])
+    stored = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
     for _ in range(iters):
-        # driver-side sort: an orderBy on the tiny centroid frame would add
-        # a range-sampling job + shuffle per Lloyd iteration
-        rows = sorted(cents.collect(), key=lambda r: r["centroid_id"])
-        cmat = _unit_rows(np.asarray([r["centroid"] for r in rows], dtype=np.float64))
+        cmat = _unit_rows(stored)
         k, dim = cmat.shape
 
         def partials(batches, cmat=cmat, k=k, dim=dim):
@@ -248,12 +257,12 @@ def ivf_train(
         new = cmat.copy()  # empty cells keep their old centroid
         nz = counts > 0
         new[nz] = sums[nz] / counts[nz, None]
-        cents = local_df(
-            spark,
-            [(i, row.tolist()) for i, row in enumerate(_unit_rows(new))],
-            "centroid_id int, centroid array<double>",
-        )
-    return cents
+        stored = _unit_rows(new)
+    return local_df(
+        spark,
+        [(i, row.tolist()) for i, row in enumerate(stored)],
+        "centroid_id int, centroid array<double>",
+    )
 
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -2171,22 +2171,31 @@ def ops_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-group pass joined back by hash, everything else is algebraic
     aggregation with map-side partials."""
     t = Tables(spark, sf_dir)
+    # ONE text pass (r15): the duplicate-hash aggregate and the per-source
+    # rollup both consume the same (source, lang, n_chars, tokens, h)
+    # projection — formerly the md5 ran twice and the token split ran on
+    # the second full scan.  Pinned lazily (guide §1.2).
+    base = t.documents.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.trim("text"), "\\s+")).alias("_toks"),
+        F.md5("text").alias("h"),
+    ).localCheckpoint(eager=False)
     dup_hashes = (
-        t.documents.groupBy(F.md5("text").alias("h"))
+        base.groupBy("h")
         .agg(F.count(F.lit(1)).alias("copies"))
         .where(F.col("copies") > 1)
         .select("h")
         .withColumn("dup", F.lit(1))
     )
-    docs = t.documents.withColumn("h", F.md5("text")).join(
-        dup_hashes, "h", "left"
-    )
+    docs = base.join(dup_hashes, "h", "left")
     return (
         docs.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.sum(F.size(F.split(F.trim("text"), "\\s+"))).alias("total_tokens"),
+            F.sum("_toks").alias("total_tokens"),
             F.count_distinct("lang").alias("n_langs"),
             F.sum(F.when(F.col("dup").isNotNull(), 1).otherwise(0)).alias(
                 "n_dup_docs"
@@ -3159,11 +3168,16 @@ def ops_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.curation import token_budget_select
 
     t = Tables(spark, sf_dir)
+    # pinned (r15): this 3-narrow-column frame is consumed FOUR times —
+    # the budget total below plus the operator's bucket aggregate and two
+    # boundary filters — and every consumer otherwise re-runs the
+    # quality_score/token_count regexes over the full text (4 corpus
+    # scans -> 1; guide §1.2).  Lazy: the total agg materializes it.
     scored = t.documents.select(
         "doc_id",
         F.floor(X.quality_score(F.col("text")) * 1e6).cast("bigint").alias("quality_ppm"),
         X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     total = scored.agg(F.sum("n_tokens")).collect()[0][0]
     return token_budget_select(scored, int(total) // 5).orderBy(
         F.desc("quality_ppm"), F.asc("doc_id")
@@ -3788,9 +3802,20 @@ def ops_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised, not just the arithmetic.  Per-source output: input docs,
     epoch rows, epoch tokens (≈ the equalized target per source)."""
     t = Tables(spark, sf_dir)
-    per_src = t.documents.groupBy("source").agg(
-        F.sum(X.token_count(F.col("text"))).alias("src_tokens")
-    )
+    # ONE corpus scan (r15): the per-source token totals and the per-doc
+    # epoch expansion both consume the same (doc_id, source, n_tok, coin)
+    # projection — formerly each re-ran the token_count regex (and the
+    # second pass also re-read text for the md5 coin) over the full
+    # corpus.  Pinned lazily as a 4-narrow-column frame (guide §1.2);
+    # the weights aggregate materializes it.
+    coin = F.expr("CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT) % 1000000")
+    base = t.documents.select(
+        "doc_id",
+        "source",
+        X.token_count(F.col("text")).alias("n_tok"),
+        coin.alias("_coin"),
+    ).localCheckpoint(eager=False)
+    per_src = base.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
     totals = per_src.agg(
         F.sum("src_tokens").alias("_total"), F.count(F.lit(1)).alias("_nsrc")
     )
@@ -3800,19 +3825,15 @@ def ops_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight_ppm"
         ),
     )
-    coin = F.expr("CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT) % 1000000")
     docs = (
-        t.documents.select(
-            "doc_id", "source", X.token_count(F.col("text")).alias("n_tok"), F.col("text")
-        )
-        .join(F.broadcast(weights), "source")
+        base.join(F.broadcast(weights), "source")
         .select(
             "doc_id",
             "source",
             "n_tok",
             (
                 F.expr("weight_ppm DIV 1000000")
-                + F.when(coin < F.expr("weight_ppm % 1000000"), 1).otherwise(0)
+                + F.when(F.col("_coin") < F.expr("weight_ppm % 1000000"), 1).otherwise(0)
             ).alias("n_copies"),
         )
     )
@@ -5628,12 +5649,16 @@ def ops_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     falls back to a shuffle hash join when the distinct-text table
     outgrows the threshold."""
     t = Tables(spark, sf_dir)
-    sizes = t.documents.groupBy(F.md5("text").alias("h")).agg(
-        F.count(F.lit(1)).alias("n_copies")
-    )
+    # ONE md5 pass (r15): the cluster-size aggregate and the join-back
+    # both consume the same (doc_id, source, h) projection — formerly
+    # each re-hashed the full text.  Pinned lazily (guide §1.2); the
+    # sizes aggregate materializes the 3-narrow-column frame.
+    base = t.documents.select(
+        "doc_id", "source", F.md5("text").alias("h")
+    ).localCheckpoint(eager=False)
+    sizes = base.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
     weighted = (
-        t.documents.select("doc_id", "source", F.md5("text").alias("h"))
-        .join(sizes, "h")
+        base.join(sizes, "h")
         .select(
             "source",
             F.expr("CAST(1000000 DIV n_copies AS BIGINT)").alias("w_ppm"),

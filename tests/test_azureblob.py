@@ -491,6 +491,7 @@ def test_credential_chain_reacquires_on_401(blob_server, token_server, tmp_path)
     assert token_server.oauth_grants == 2  # initial + post-401 refresh
 
 
+@pytest.mark.slow
 def test_cdc_scenario_over_azure_blob_credential_chain(
     spark, blob_server, token_server, tmp_path, monkeypatch
 ):

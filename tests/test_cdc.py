@@ -409,6 +409,7 @@ def test_merge_type_widening_newest_schema_wins(spark):
     assert again["k2"] == "twenty-one"
 
 
+@pytest.mark.slow
 def test_multi_entity_runner_eight_entities(spark, tmp_path):
     """VERDICT r6 item 6: consolidated operation at N=8 — eight entity
     streams in ONE Spark app: concurrent backfill, a change batch on
@@ -472,6 +473,7 @@ def test_multi_entity_runner_eight_entities(spark, tmp_path):
         assert stats[spec.target_root]["rows"] == expected_rows[spec.target_root]
 
 
+@pytest.mark.slow
 def test_multi_entity_failure_isolation(spark, tmp_path):
     """VERDICT r8 item 6: one entity failing mid-tick must not take down
     the other seven.  Entity 0's change folder carries a corrupted
@@ -541,6 +543,7 @@ def test_multi_entity_failure_isolation(spark, tmp_path):
     assert r0.table.watermark() == folders[0]
 
 
+@pytest.mark.slow
 def test_multi_entity_per_entity_suspend_and_reload(spark, tmp_path):
     """VERDICT r9 item 6: the reference's arcane/state annotation is
     per-CR (docs/crd.md:9-14) — in the consolidated runner one entity can

@@ -97,6 +97,7 @@ def engine_apply(spark, batches):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(batches=batches_strategy)
+@pytest.mark.slow
 def test_cdc_merge_matches_dict_oracle(spark, batches):
     batches = dedupe_versions(batches)
     expected = {f"k{k}": v for k, v in oracle_apply(batches).items()}

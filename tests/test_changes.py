@@ -82,6 +82,7 @@ def test_changes_prunes_untouched_linked_buckets(spark, tmp_path):
     assert out == {target_key: ("update", new_val)}
 
 
+@pytest.mark.slow
 def test_changes_over_cdc_scenario(spark, tmp_path):
     fx = SynapseFixture(tmp_path / "source")
     spec = StreamSpec(
@@ -108,6 +109,7 @@ def test_changes_over_cdc_scenario(spark, tmp_path):
     assert upd[KEYS[1]] == BASE_VERSION + 100
 
 
+@pytest.mark.slow
 def test_changes_random_commit_sequences(spark, tmp_path):
     """Adversarial CDF check: random mutation sequences over flat AND
     bucketed-incremental tables — for every version pair, changes(a, b)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from arcane_stream_microsoft_synapse_link_spark.catalog import Tables
@@ -14,6 +16,7 @@ from arcane_stream_microsoft_synapse_link_spark.functions.classifier import (
 from arcane_stream_microsoft_synapse_link_spark.session import local_df
 
 
+@pytest.mark.slow
 def test_irls_learns_a_separable_problem(spark):
     """Planted separable corpus: label 1 docs are punctuation-free prose,
     label 0 docs are punctuation-dense — the x_punct feature separates
@@ -169,6 +172,7 @@ def test_langid_discriminates_planted_languages(spark):
         assert preds[doc_id] == lang, (doc_id, preds[doc_id], lang)
 
 
+@pytest.mark.slow
 def test_langid_partitioning_invariant_and_summary_pins_model(spark):
     """Determinism under redistribution: training partials summed across
     any partitioning must produce the identical model (integer counts →

@@ -697,6 +697,7 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_pq_topk_recall_with_rerank(spark):
     """PQ + exact rerank on clustered embeddings: recall >= 0.9 vs brute
     force while the ADC scan reads 8-byte codes, never raw vectors; codes
@@ -963,6 +964,7 @@ def test_raw_frame_sampling_slices_exactly(spark):
         assert r["frame_ts_ms"] == r["frame_idx"] * 500
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_and_determinism(spark):
     """IVF-PQ composite on clustered embeddings: cell pruning + residual
     ADC + exact rerank reaches recall >= 0.9 vs brute force while reading
@@ -995,6 +997,7 @@ def test_ivfpq_recall_and_determinism(spark):
     ]
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_codes_beat_flat_pq_unreranked(spark):
     """The reason IVF-PQ exists: at the SAME byte budget and no rerank,
     residual quantization inside cells recovers more of the true top-k
@@ -1094,6 +1097,7 @@ def test_bpe_encode_matches_python_reference(spark, sf_dir):
         assert w <= tk < ch or ch <= w  # degenerate all-1-char-word docs aside
 
 
+@pytest.mark.slow
 def test_ivfpq_index_probe_equals_one_shot_topk(spark):
     """ivfpq_build + ivfpq_probe must reproduce ivfpq_topk exactly (same
     math split into persisted-index form): identical (query, id, rank)
@@ -1112,6 +1116,7 @@ def test_ivfpq_index_probe_equals_one_shot_topk(spark):
     assert [tuple(r) for r in one_shot] == [tuple(r) for r in probed]
 
 
+@pytest.mark.slow
 def test_ivfpq_fold_in_save_load(spark, tmp_path):
     """The stored-index lifecycle: build on crawl N, fold in crawl N+1
     (frozen centroids/codebooks, only new vectors encoded), save with
@@ -1288,6 +1293,7 @@ def test_bpe_encode_word_properties():
             assert (a, b) not in rank_of, (word, toks, (a, b))
 
 
+@pytest.mark.slow
 def test_duplicate_clusters_distributed_100k_edge_stress(spark):
     """VERDICT r6 item 5: the distributed connected-components branch at
     realistic volume — ≥100k edges mixing the adversarial shapes: LONG
@@ -1416,6 +1422,7 @@ def test_unigram_encode_honors_id_col_name_and_type(spark):
     assert got == {"doc-aa": 2, "doc-bb": 3}
 
 
+@pytest.mark.slow
 def test_ivfpq_merge_equals_fold_in_and_rejects_foreign_model(spark):
     """Multi-crawl consolidation: merging a slice-B index (same frozen
     model) into the crawl-A index must serve identically to folding B in
@@ -1898,6 +1905,7 @@ def test_wordpiece_encode_longest_match_and_unk(spark):
     assert got[2]["n_unk"] == 1 and got[2]["n_pieces"] == 1  # the [UNK] piece
 
 
+@pytest.mark.slow
 def test_exact_substring_dedup_random_mirror(spark):
     """Randomized cross-check: engine ExactSubstr vs an independent
     sequential mirror on seeded corpora engineered for overlap-heavy

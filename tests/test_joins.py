@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from arcane_stream_microsoft_synapse_link_spark.operators.joins import (
@@ -49,6 +51,7 @@ def test_asof_join_tie_on_right_ts_takes_max_value(spark):
     assert out.collect()[0]["asof_value"] == 9
 
 
+@pytest.mark.slow
 def test_range_join_binned_matches_naive(spark):
     # intervals straddling bin boundaries + inclusive endpoints
     points = spark.createDataFrame([(i, i) for i in range(0, 40)], "pid long, p long")
@@ -323,6 +326,7 @@ def test_blocked_hamming_join_k3_and_qgram_two_edits(spark):
         assert d is not None and d <= m or (m == 0 and d == 0), (i, m, d)
 
 
+@pytest.mark.slow
 def test_qgram_join_equals_bruteforce_across_q_k_and_short_strings(spark):
     """Property sweep (round-4 brief item 5): randomized mixed-length
     corpora — including strings shorter than q and shorter than the

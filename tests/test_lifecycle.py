@@ -223,6 +223,7 @@ def test_retry_applies_to_merge(spark, tmp_path, monkeypatch):
     assert runner.table.read(spark).count() == 5  # base file; 3rd attempt won
 
 
+@pytest.mark.slow
 def test_table_properties_sort_and_bloom(spark, tmp_path):
     """A9 targetTableProperties: files are sorted by the sort key and carry
     parquet bloom filters on the configured column."""

@@ -4,6 +4,8 @@ trivially-correct Python oracle (walk sorted events, split on gap)."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings
@@ -61,6 +63,7 @@ def canon(df):
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(events=events_strategy)
+@pytest.mark.slow
 def test_sessionize_matches_oracle(spark, events):
     df = spark.createDataFrame(
         [(u, T0 + timedelta(seconds=s), float(v)) for (u, s, v) in events],

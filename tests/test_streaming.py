@@ -260,6 +260,7 @@ def test_analyze_stats(spark, scenario):
     assert runner.table.stats()["rows"] == 5
 
 
+@pytest.mark.slow
 def test_streaming_dedup_pipeline(spark, tmp_path):
     """run_dedup_stream: batch 1 admits fresh docs and builds the index;
     batch 2's copies of batch-1 docs are caught against the STORED index
@@ -318,6 +319,7 @@ def test_streaming_dedup_pipeline(spark, tmp_path):
     assert (100, 2) in hits and (101, 9) in hits and (102, 4) in hits
 
 
+@pytest.mark.slow
 def test_streaming_decontaminate_pipeline(spark, tmp_path):
     """run_decontaminate_stream: docs sharing an 8-gram with the static
     benchmark are diverted to hits/ in every batch, clean docs admitted;
@@ -375,6 +377,7 @@ def test_streaming_decontaminate_pipeline(spark, tmp_path):
     assert hits == {1, 10}
 
 
+@pytest.mark.slow
 def test_streaming_decontaminate_bloom_pipeline(spark, tmp_path):
     """use_bloom=True: same verdicts as the exact path on the planted
     corpus (at 2^20 bits the FP odds are negligible), persisted state is
@@ -430,6 +433,7 @@ def test_streaming_decontaminate_bloom_pipeline(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(f"{work}/hits").collect()} == {1, 10}
 
 
+@pytest.mark.slow
 def test_streaming_media_dedup_pipeline(spark, tmp_path):
     """run_media_dedup_stream: batch 1 admits fresh images and an audio
     clip and builds the multimodal perceptual-hash index; batch 2's
@@ -495,6 +499,7 @@ def test_streaming_media_dedup_pipeline(spark, tmp_path):
     assert (1000, 0) in hits and (2001, 1) in hits
 
 
+@pytest.mark.slow
 def test_streaming_ann_index_maintenance(spark, tmp_path):
     """run_ann_index_stream: batch 1 trains and persists the IVF-PQ
     model; batch 2 (after a query restart) folds in ONLY its vectors
@@ -553,6 +558,7 @@ def test_streaming_ann_index_maintenance(spark, tmp_path):
     assert got[0]["vec_id"] == 7 and got[1]["vec_id"] == 9000
 
 
+@pytest.mark.slow
 def test_streaming_curation_pipeline(spark, tmp_path):
     """run_curation_stream: both curation models (IRLS quality classifier
     + DSIR lambda table) train once from the reference corpus, persist, and
@@ -621,6 +627,7 @@ def test_streaming_curation_pipeline(spark, tmp_path):
     assert row["score_ppm"] < 500000 and row["dsir_ppm"] < 0
 
 
+@pytest.mark.slow
 def test_streaming_curation_hashed_variant(spark, tmp_path):
     """The hashed-DSIR gate variant: fixed bucket lambda persists and
     scores batches whose bigrams never appeared in the reference (the
@@ -711,6 +718,7 @@ def _await_failure(q):
     assert "injected crash" in str(ei.value)
 
 
+@pytest.mark.slow
 def test_dedup_stream_replay_idempotent(spark, tmp_path):
     """Crash BETWEEN the hits append and the corpus/index appends of
     run_dedup_stream's second micro-batch, then restart: the replayed
@@ -770,6 +778,7 @@ def test_dedup_stream_replay_idempotent(spark, tmp_path):
     assert n_idx == idx.distinct().count() == n_kept * 32
 
 
+@pytest.mark.slow
 def test_decontaminate_stream_replay_idempotent(spark, tmp_path):
     """Crash between the hits and clean appends of the decontamination
     gate, restart, and verify the replay replaced — not duplicated — the
@@ -820,6 +829,7 @@ def test_decontaminate_stream_replay_idempotent(spark, tmp_path):
     assert hits == [10]
 
 
+@pytest.mark.slow
 def test_media_dedup_stream_replay_idempotent(spark, tmp_path):
     """Crash between the hits append and the corpus/index appends of the
     multimodal dedup intake, restart, and verify no duplicate corpus rows
@@ -871,6 +881,7 @@ def test_media_dedup_stream_replay_idempotent(spark, tmp_path):
     assert idx.count() == idx.distinct().count()
 
 
+@pytest.mark.slow
 def test_ann_index_stream_replay_idempotent(spark, tmp_path):
     """Crash the fold-in micro-batch right after its codes write (before
     the checkpoint commit), restart, and verify the replay OVERWROTE the
@@ -913,6 +924,7 @@ def test_ann_index_stream_replay_idempotent(spark, tmp_path):
     assert codes.select("vec_id").distinct().count() == 300
 
 
+@pytest.mark.slow
 def test_curation_stream_replay_idempotent(spark, tmp_path):
     """Crash between the accept and reject appends of the curation gate,
     restart, and verify both routes carry each doc exactly once."""
@@ -953,6 +965,7 @@ def test_curation_stream_replay_idempotent(spark, tmp_path):
     assert accepted == [100] and rejected == [101]
 
 
+@pytest.mark.slow
 def test_curation_stream_model_refresh(spark, tmp_path):
     """Model-refresh e2e (VERDICT r6 item 8): batch 1 scores with model
     v000001; ``curation_model_refresh`` retrains on a NEW reference with
@@ -1024,6 +1037,7 @@ def test_curation_stream_model_refresh(spark, tmp_path):
     assert 301 in accepted
 
 
+@pytest.mark.slow
 def test_span_dedup_stream_cross_batch_and_replay(spark, tmp_path):
     """run_span_dedup_stream: a 3-sentence block admitted in batch 1 must
     be removed from every later occurrence (cross-batch keep-first); the
@@ -1089,6 +1103,7 @@ def test_span_dedup_stream_cross_batch_and_replay(spark, tmp_path):
     assert b1.join(b0, "h").count() == 0
 
 
+@pytest.mark.slow
 def test_intake_gate_cascade_span_then_neardup(spark, tmp_path):
     """Gates compose: run_span_dedup_stream's corpus layout feeds
     run_dedup_stream directly (batch-dir parquet stream, cleaned text as
@@ -1151,6 +1166,7 @@ def test_intake_gate_cascade_span_then_neardup(spark, tmp_path):
     assert {(r["id_a"], r["id_b"]) for r in hits} == {(30, 20)}
 
 
+@pytest.mark.slow
 def test_compact_batches_preserves_gate_state(spark, tmp_path):
     """Small-files maintenance: compacting a gate's corpus/index batch
     dirs into one segment must preserve the exact row set, and the gate
@@ -1340,6 +1356,7 @@ def test_compact_batches_orphan_segment_reclaim_without_retire(spark, tmp_path):
     assert sorted(tuple(r) for r in read_batches(spark, root).collect()) == base
 
 
+@pytest.mark.slow
 def test_ivfpq_load_ignores_partial_foldin_batch(spark, tmp_path):
     """A crashed fold-in leaves a ``batch_id=N`` codes dir WITHOUT
     ``_SUCCESS``; ivfpq_load must not serve those partial code rows
@@ -1396,6 +1413,7 @@ def test_ivfpq_load_ignores_partial_foldin_batch(spark, tmp_path):
     assert S.ivfpq_load(spark, idx_dir).codes.count() == n_complete + 5
 
 
+@pytest.mark.slow
 def test_ivfpq_load_reads_compacted_codes_store(spark, tmp_path):
     """Index maintenance composition: after ``compact_gate_state`` folds
     the fold-in stream's ``batch_id=`` code dirs into a segment, a fresh
@@ -1455,6 +1473,7 @@ def test_ivfpq_load_reads_compacted_codes_store(spark, tmp_path):
     assert S.ivfpq_load(spark, idx_dir).codes.count() == 310
 
 
+@pytest.mark.slow
 def test_compact_gate_state_sweeps_all_stores(spark, tmp_path):
     """compact_gate_state: one cadence call compacts every batch-dir
     store under a gate work_dir and the gate keeps operating."""
@@ -1502,6 +1521,7 @@ def test_compact_gate_state_sweeps_all_stores(spark, tmp_path):
     assert got[500]["n_removed"] == 3 and block not in got[500]["cleaned"]
 
 
+@pytest.mark.slow
 def test_dedup_stream_inline_compaction(spark, tmp_path):
     """compact_every: the gate self-maintains — after batch 3 the first
     two batches are in a segment, the replay window stays un-compacted,
@@ -1654,6 +1674,7 @@ def test_readstream_chunked_large_csv_with_embedded_newlines(spark, tmp_path):
     assert sample["00000001-aaaa-bbbb-cccc-ddddeeee0000"] == "D1"
 
 
+@pytest.mark.slow
 def test_exact_substring_stream_cross_batch_and_replay(spark, tmp_path):
     """run_exact_substring_stream: a >=20-token verbatim run admitted in
     batch 1 is cut from every later occurrence (cross-batch keep-first at
@@ -1716,6 +1737,7 @@ def test_exact_substring_stream_cross_batch_and_replay(spark, tmp_path):
     assert b1.join(b0, "h").count() == 0
 
 
+@pytest.mark.slow
 def test_curation_stream_langid_first_stage(spark, tmp_path):
     """VERDICT r10 item 6: the trained langid gate runs as the FIRST
     stage of run_curation_stream.  Reference carries (text, target,
@@ -1784,6 +1806,7 @@ def test_curation_stream_langid_first_stage(spark, tmp_path):
     assert counts == {None: 2, "langid": 2}
 
 
+@pytest.mark.slow
 def test_curation_stream_langid_model_refresh(spark, tmp_path):
     """Langid model refresh e2e: v000001 trains with ('en', 'de') labels
     and accepts en; curation_model_refresh retrains on a reference whose
@@ -1848,6 +1871,7 @@ def test_curation_stream_langid_model_refresh(spark, tmp_path):
     assert rej[302]["first_reject"] == "langid" and rej[302]["lang_pred"] == "other"
 
 
+@pytest.mark.slow
 def test_url_dedup_stream_cross_batch_and_replay(spark, tmp_path):
     """run_url_dedup_stream: within-batch keep-best (longest text, tie to
     smallest id) per CANONICAL url — raw forms differing only in case /
@@ -1907,6 +1931,7 @@ def test_url_dedup_stream_cross_batch_and_replay(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_curation_stream_gopher_stage(spark, tmp_path):
     """gopher=True arms the published rule set between langid-absent and
     the trained scorers: a doc failing a Gopher rule (too few words) is
@@ -1964,6 +1989,7 @@ def test_curation_stream_gopher_stage(spark, tmp_path):
     assert rej[102]["first_reject"] == "quality" and rej[102]["n_rules_failed"] == 0
 
 
+@pytest.mark.slow
 def test_cc_stream_incremental_labels_and_replay(spark, tmp_path):
     """run_cc_stream: the persisted labeling after draining N edge batches
     equals from-scratch CC of the union, across batches that merge
@@ -2009,6 +2035,7 @@ def test_cc_stream_incremental_labels_and_replay(spark, tmp_path):
     assert got3 == want
 
 
+@pytest.mark.slow
 def test_pagerank_refresh_over_cc_stream_edges(spark, tmp_path):
     """pagerank_refresh: ranks committed over the gate's accumulated edge
     store equal the exact ppm reference on the union of all drained

@@ -171,6 +171,7 @@ def test_graceful_stop_finishes_inflight_group(tmp_path, spark):
     assert len(r.source.pending(r.table.watermark())) == 2
 
 
+@pytest.mark.slow
 def test_sigterm_mid_stream_clean_watermark(tmp_path):
     """Real SIGTERM against a subprocess running the CLI loop: exit 0, a
     committed watermark, and no partial snapshot (pointer == max vN dir)."""
@@ -312,6 +313,7 @@ def test_memory_bound_shaper_in_runner(spark, tmp_path):
     assert runner.run_once() == 2  # memory back → backlog drains
 
 
+@pytest.mark.slow
 def test_source_buffering_matches_unbuffered(spark, tmp_path):
     """B20 buffered read-ahead: same final table/watermark as the plain
     path, with the next group's parse overlapped on a buffer thread."""
